@@ -229,20 +229,23 @@ object SparkEntry {
 
     // §2.10 text analysis: token/type counts, mean token length, stopword ratio
     "q_text_stats" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      d.select(
-        col("doc_id"),
-        TF.tokenCount(col("text")).cast("long").as("n_tokens"),
-        TF.typeCount(col("text")).cast("long").as("n_types"),
-        round(TF.meanTokenLen(col("text")), 6).as("mean_tok_len"),
-        round(TF.stopwordRatio(col("text"), Seq("the", "a")), 6).as("stop_ratio"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), TF.tokens(col("text")).as("__toks"))
+        .select(
+          col("doc_id"),
+          TF.tokenCountOf(col("__toks")).cast("long").as("n_tokens"),
+          TF.typeCountOf(col("__toks")).cast("long").as("n_types"),
+          round(TF.meanTokenLenOf(col("__toks")), 6).as("mean_tok_len"),
+          round(TF.stopwordRatioOf(col("__toks"), Seq("the", "a")), 6).as("stop_ratio"))
     }),
 
     // §2.10 text analysis: composite quality score
     "q_quality" -> ((s, dir) =>
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        round(TF.qualityScore(col("text"), Seq("the", "a")), 6).as("quality"))),
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), TF.tokens(col("text")).as("__toks"))
+        .select(
+          col("doc_id"),
+          round(TF.qualityScoreOf(col("text"), col("__toks"), Seq("the", "a")), 6).as("quality"))),
 
     // §2.10 text analysis: bag-of-words document fingerprint
     "q_fingerprint" -> ((s, dir) =>

@@ -32,12 +32,29 @@ object TextFunctions {
     */
   def typeCount(text: Column): Column = size(array_distinct(tokens(text)))
 
-  /** Ratio of tokens found in `stop` (lexical stopword ratio). */
-  def stopwordRatio(text: Column, stop: Seq[String]): Column = {
+  // `*Of` variants take an already-tokenized array column. Prefer these
+  // when computing several stats over one document: tokenize once into a
+  // column, then derive every stat from it (the split is the expensive
+  // part; the optimizer keeps the two projections separate because the
+  // split is non-cheap, so it is evaluated once per row).
+
+  def tokenCountOf(toks: Column): Column = size(toks)
+
+  def typeCountOf(toks: Column): Column = size(array_distinct(toks))
+
+  def stopwordRatioOf(toks: Column, stop: Seq[String]): Column = {
     val stopArr = array(stop.map(lit): _*)
-    size(filter(tokens(text), t => array_contains(stopArr, t))) /
-      greatest(tokenCount(text), lit(1))
+    size(filter(toks, t => array_contains(stopArr, t))) /
+      greatest(size(toks), lit(1))
   }
+
+  def meanTokenLenOf(toks: Column): Column =
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+      greatest(size(toks), lit(1))
+
+  /** Ratio of tokens found in `stop` (lexical stopword ratio). */
+  def stopwordRatio(text: Column, stop: Seq[String]): Column =
+    stopwordRatioOf(tokens(text), stop)
 
   /** Fraction of characters that are punctuation. */
   def punctRatio(text: Column): Column =
@@ -45,21 +62,23 @@ object TextFunctions {
       greatest(length(text), lit(1))
 
   /** Mean token length in characters. */
-  def meanTokenLen(text: Column): Column =
-    aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t)).cast("double") /
-      greatest(tokenCount(text), lit(1))
+  def meanTokenLen(text: Column): Column = meanTokenLenOf(tokens(text))
 
   /** Composite document-quality score in [0,1]: rewards mid-length docs
     * with low punctuation and healthy stopword presence. Deterministic,
     * tunable; the shape mirrors published heuristic filters (C4/Gopher
     * rules): length window + symbol ratio + stopword floor.
     */
-  def qualityScore(text: Column, stop: Seq[String]): Column = {
-    val n = tokenCount(text)
+  def qualityScore(text: Column, stop: Seq[String]): Column =
+    qualityScoreOf(text, tokens(text), stop)
+
+  /** [[qualityScore]] over a pre-tokenized array column. */
+  def qualityScoreOf(text: Column, toks: Column, stop: Seq[String]): Column = {
+    val n = tokenCountOf(toks)
     val lenScore = when(n.between(10, 100000), lit(1.0))
       .otherwise(n.cast("double") / lit(10.0))
     val punctScore = lit(1.0) - least(punctRatio(text) * 5, lit(1.0))
-    val stopScore = least(stopwordRatio(text, stop) * 10, lit(1.0))
+    val stopScore = least(stopwordRatioOf(toks, stop) * 10, lit(1.0))
     least(lenScore, lit(1.0)) * lit(0.4) + punctScore * lit(0.3) +
       stopScore * lit(0.3)
   }
@@ -71,13 +90,13 @@ object TextFunctions {
   def bowFingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(text))), " "))
 
-  /** 64-bit rolling (polynomial) fingerprint over tokens:
-    * `h = h*31 + xxhash64(token)` left-fold — order-sensitive,
-    * streaming-computable, cheap.
+  /** 64-bit rolling fingerprint over tokens: `h = xxhash64(h, token)`
+    * left-fold — order-sensitive, streaming-computable, cheap. (Chained
+    * hashing instead of a `h*31 + x` polynomial so it cannot overflow
+    * under ANSI mode.)
     */
   def rollingFingerprint(text: Column): Column =
-    aggregate(tokens(text), lit(0L),
-      (acc, t) => acc * lit(31L) + xxhash64(t))
+    aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
 
   /** Character n-grams of the whole text (the unit for language-ID and
     * fuzzy similarity).
@@ -94,9 +113,13 @@ object TextFunctions {
     * The classic cheap n-gram/stopword heuristic (CLD-style), expressed
     * as pure columns.
     */
-  def langIdByStopwords(text: Column, profiles: Map[String, Seq[String]]): Column = {
+  def langIdByStopwords(text: Column, profiles: Map[String, Seq[String]]): Column =
+    langIdByStopwordsOf(tokens(text), profiles)
+
+  /** [[langIdByStopwords]] over a pre-tokenized array column. */
+  def langIdByStopwordsOf(toks: Column, profiles: Map[String, Seq[String]]): Column = {
     val scored = profiles.toSeq.sortBy(_._1).map { case (lang, words) =>
-      struct(stopwordRatio(text, words).as("score"), lit(lang).as("lang"))
+      struct(stopwordRatioOf(toks, words).as("score"), lit(lang).as("lang"))
     }
     val best = array_max(array(scored: _*))
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))

@@ -35,10 +35,22 @@ object DedupOps {
     val shingles = transform(
       sequence(lit(0), greatest(size(toks) - shingleSize, lit(0))),
       i => array_join(slice(toks, i + 1, lit(shingleSize)), " "))
-    val sig = array((0 until numHashes).map { seed =>
-      array_min(transform(shingles, s => xxhash64(lit(seed), s)))
+    // Hash each shingle string ONCE into a long array, then derive the
+    // k minhash functions by re-hashing the 64-bit base hash with the
+    // seed (long-input xxhash64 — no string re-hashing, and no raw
+    // multiply that would overflow under ANSI mode). Turns k string
+    // hashes per shingle into 1 string hash + k long hashes — the
+    // difference between a CPU-bound and an I/O-bound dedup pass at
+    // corpus scale. The two-step projection (base column, then sig)
+    // stays two projects because the base expression is non-cheap, so
+    // the optimizer does not inline it k times.
+    val baseHashes = transform(shingles, s => xxhash64(s))
+    val sig = array((0 until numHashes).map { i =>
+      array_min(transform(col("__mh_base"), x => xxhash64(lit(i), x)))
     }: _*)
-    docs.withColumn("minhash_sig", sig)
+    docs.withColumn("__mh_base", baseHashes)
+      .withColumn("minhash_sig", sig)
+      .drop("__mh_base")
   }
 
   /** LSH banding: split the signature into `bands` bands of

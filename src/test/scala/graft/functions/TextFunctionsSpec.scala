@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class TextFunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "  spaced   out\ttabs\nand newlines  "),
+    (3L, "el perro la casa el gato")
+  ).toDF("doc_id", "text")
+
+  private def one[T](c: org.apache.spark.sql.Column, id: Long = 1L)(implicit
+      enc: org.apache.spark.sql.Encoder[T]): T =
+    docs.filter(col("doc_id") === id).select(c.as[T](enc)).head()
+
+  test("tokens collapses whitespace runs") {
+    assert(one[Int](size(TextFunctions.tokens(col("text"))), 2L) === 5)
+  }
+
+  test("tokenCount / typeCount") {
+    assert(one[Int](TextFunctions.tokenCount(col("text"))) === 9)
+    assert(one[Int](TextFunctions.typeCount(col("text"))) === 8) // 'the' twice
+  }
+
+  test("stopwordRatio") {
+    assert(one[Double](TextFunctions.stopwordRatio(col("text"), Seq("the"))) === 2.0 / 9)
+  }
+
+  test("fingerprints are deterministic and order-sensitivity differs") {
+    val fp1 = one[String](TextFunctions.bowFingerprint(col("text")))
+    val fp1b = one[String](TextFunctions.bowFingerprint(col("text")))
+    assert(fp1 === fp1b)
+    // bow fingerprint ignores order; rolling fingerprint does not
+    val shuffled = Seq((1L, "dog lazy the over jumps fox brown quick the"))
+      .toDF("doc_id", "text")
+    val bowA = one[String](TextFunctions.bowFingerprint(col("text")))
+    val bowB = shuffled.select(TextFunctions.bowFingerprint(col("text")).as[String]).head()
+    assert(bowA === bowB)
+    val rollA = one[Long](TextFunctions.rollingFingerprint(col("text")))
+    val rollB = shuffled.select(TextFunctions.rollingFingerprint(col("text")).as[Long]).head()
+    assert(rollA !== rollB)
+  }
+
+  test("charNgrams produces sliding character windows") {
+    val tiny = Seq((1L, "abcd")).toDF("doc_id", "text")
+    val got = tiny.select(TextFunctions.charNgrams(col("text"), 2).as[Seq[String]]).head()
+    assert(got === Seq("ab", "bc", "cd"))
+  }
+
+  test("langId picks the profile with the highest stopword hit rate") {
+    val pred = docs.select(col("doc_id"),
+      TextFunctions.langIdByStopwords(col("text"),
+        Map("en" -> Seq("the", "a"), "es" -> Seq("el", "la"))).as("p"))
+      .as[(Long, String)].collect().toMap
+    assert(pred(1L) === "en")
+    assert(pred(3L) === "es")
+    assert(pred(2L) === "und")
+  }
+
+  test("bpeishTokens splits words and symbols") {
+    val tiny = Seq((1L, "don't stop-me now123")).toDF("doc_id", "text")
+    val got = tiny.select(TextFunctions.bpeishTokens(col("text")).as[Seq[String]]).head()
+    assert(got.contains("don") && got.contains("'") && got.contains("t"))
+    assert(got.contains("now123"))
+  }
+
+  test("qualityScore is in [0,1] and penalizes tiny docs") {
+    val q = docs.select(TextFunctions.qualityScore(col("text"), Seq("the", "a")).as[Double]).collect()
+    assert(q.forall(v => v >= 0.0 && v <= 1.0))
+    val tiny = Seq((1L, "hi")).toDF("doc_id", "text")
+    val qTiny = tiny.select(TextFunctions.qualityScore(col("text"), Seq("the")).as[Double]).head()
+    assert(qTiny < q.max)
+  }
+}

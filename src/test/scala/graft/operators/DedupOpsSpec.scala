@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Near-dup detection on planted duplicates: MinHash-LSH must surface a
+  * 95%-identical pair, must not pair unrelated docs, SimHash Hamming
+  * distance must separate near-dups from unrelated docs.
+  */
+class DedupOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+  private val nearDup = (1 to 60).map(i => if (i == 30) "CHANGED" else s"tok$i").mkString(" ")
+  private val unrelated = (100 to 160).map(i => s"zzz$i").mkString(" ")
+  private val exactCopy = base
+
+  private lazy val docs = Seq(
+    (1L, base), (2L, nearDup), (3L, unrelated), (4L, exactCopy)
+  ).toDF("doc_id", "text")
+
+  test("exactDedup groups identical texts and keeps min id") {
+    val got = DedupOps.exactDedup(docs, "doc_id", "text")
+      .select("doc_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("minhash LSH surfaces planted near-dup and exact pairs, not unrelated") {
+    val pairs = DedupOps.minhashCandidatePairs(docs, "doc_id", "text",
+      numHashes = 32, bands = 16, shingleSize = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)), "exact copy must collide in every band")
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L)),
+      s"planted near-dup should be a candidate, got $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated doc must not pair, got $pairs")
+  }
+
+  test("simhash: identical fp for copies, near for near-dups, far for unrelated") {
+    val fps = DedupOps.simhash(docs, "text")
+      .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(fps(1L) === fps(4L))
+    assert(hamming(fps(1L), fps(2L)) < 16,
+      s"near-dup hamming ${hamming(fps(1L), fps(2L))}")
+    assert(hamming(fps(1L), fps(3L)) > 16,
+      s"unrelated hamming ${hamming(fps(1L), fps(3L))}")
+  }
+
+  test("tokenJaccardPairs computes exact jaccard") {
+    val two = Seq((1L, "a b c d"), (2L, "c d e f")).toDF("doc_id", "text")
+    val got = DedupOps.tokenJaccardPairs(two, "doc_id", "text")
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(got.length === 1)
+    assert(got.head === ((1L, 2L, 2.0 / 6.0)))
+  }
+
+  test("dropNearDuplicates removes confirmed losers") {
+    val pairs = Seq((1L, 4L)).toDF("id_a", "id_b")
+    val kept = DedupOps.dropNearDuplicates(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L, 3L))
+  }
+}

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class SimilaritySearchSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // Three orthogonal-ish clusters in 4-d: ids 1,2 aligned; 3 orthogonal.
+  private lazy val vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (2L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+    (3L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+    (4L, Array(0.0f, 0.1f, 0.9f, 0.0f)),
+    (5L, Array(0.5f, 0.5f, 0.5f, 0.5f))
+  ).toDF("vec_id", "embedding")
+
+  test("bruteTopK ranks the aligned vector first") {
+    val got = SimilaritySearch.bruteTopK(
+      vecs.filter(col("vec_id") === 1), vecs, "vec_id", "embedding", k = 2)
+      .select("neighbor_id", "rank").as[(Long, Long)].collect().toMap
+    assert(got(2L) === 1L, "closest to e1 is (0.9, 0.1, ...)")
+  }
+
+  test("bruteTopK cosine values are correct") {
+    val got = SimilaritySearch.bruteTopK(
+      vecs.filter(col("vec_id") === 1), vecs, "vec_id", "embedding", k = 4)
+      .select("neighbor_id", "cosine").as[(Long, Double)].collect().toMap
+    assert(math.abs(got(2L) - 0.9 / math.sqrt(0.81 + 0.01)) < 1e-6)
+    assert(math.abs(got(3L)) < 1e-6)
+    assert(math.abs(got(5L) - 0.5) < 1e-6)
+  }
+
+  test("srpTopK finds the true nearest neighbor of an identical vector") {
+    // identical vectors land in identical buckets in every band
+    val probe = vecs.filter(col("vec_id") === 1)
+      .withColumn("vec_id", lit(100L))
+    val got = SimilaritySearch.srpTopK(probe, vecs, "vec_id", "embedding",
+      k = 1, bands = 4, bitsPerBand = 4)
+      .select("neighbor_id").as[Long].collect()
+    assert(got.headOption === Some(1L))
+  }
+}
