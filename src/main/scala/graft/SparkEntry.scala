@@ -292,6 +292,25 @@ object SparkEntry {
       DedupOps.simhash(t(s, dir, "documents"), "text")
         .select("doc_id", "simhash")),
 
+    // §2.10 multimodal: binary media column -> batched stub-decode ->
+    // feature vectors (documents stand in as fake image bytes; the
+    // oracle pins row count + feature dimensionality)
+    "q_multimodal" -> ((s, dir) => {
+      val media = t(s, dir, "documents").filter(col("doc_id") < 200).select(
+        col("doc_id").as("media_id"),
+        lit("image").as("kind"),
+        lit("application/octet-stream").as("mime"),
+        col("text").cast("binary").as("content"),
+        struct(
+          lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+          lit(null).cast("int").as("sample_rate"),
+          lit(null).cast("long").as("duration_ms")).as("meta"))
+      multimodal.Multimodal.extractImageFeatures(
+        multimodal.Multimodal.repartitionForDecode(media, 8), dims = 16)
+        .select(col("media_id"),
+          size(col("features")).cast("long").as("n_dims"))
+    }),
+
     // §2.10 similarity search: SRP-LSH approximate top-k (no SQL oracle)
     "q_srp_ann" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -505,6 +524,10 @@ object SparkEntry {
                ORDER BY cosine DESC, neighbor_id) AS rank
            FROM s) t
          WHERE rank <= 5""",
+
+    "q_multimodal" ->
+      """SELECT doc_id AS media_id, CAST(16 AS BIGINT) AS n_dims
+         FROM documents WHERE doc_id < 200""",
 
     "q_jaccard_pairs" ->
       """WITH tok AS (

@@ -1,0 +1,173 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftx.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the vector/hash hot paths.
+  *
+  * Spark's higher-order functions (`aggregate`, `zip_with`, `transform`)
+  * are evaluated with one closure dispatch per element — fine for
+  * per-row work, ruinous when a query evaluates millions of
+  * (vector-pair x dimension) steps. These expressions do the same math
+  * in tight JVM loops; the dot product also generates code so it stays
+  * inside whole-stage codegen.
+  *
+  * Numeric parity note: [[ArrayDotProduct]] accumulates left-to-right
+  * in double precision — bit-identical to both the higher-order
+  * `aggregate` fold it replaces and the DuckDB oracle's `list_sum`,
+  * so oracle hash-comparison is unaffected.
+  */
+object NativeExpressions {
+
+  private def elemKind(dt: DataType): Int = dt match {
+    case ArrayType(FloatType, _) => 0
+    case ArrayType(DoubleType, _) => 1
+    case other => throw new IllegalArgumentException(
+      s"expected array<float|double>, got $other")
+  }
+
+  /** Sequential-order double dot product of two numeric arrays. */
+  case class ArrayDotProduct(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    private lazy val lk = elemKind(left.dataType)
+    private lazy val rk = elemKind(right.dataType)
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = if (lk == 0) x.getFloat(i).toDouble else x.getDouble(i)
+        val yv = if (rk == 0) y.getFloat(i).toDouble else y.getDouble(i)
+        s += xv * yv
+        i += 1
+      }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val s = ctx.freshName("s")
+        val getX = if (lk == 0) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+        val getY = if (rk == 0) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) { $s += $getX * $getY; }
+           |${ev.value} = $s;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** xxhash64-style long mixer (xorshift-multiply avalanche; public
+    * splitmix64 finalizer constants). Deterministic across JVMs.
+    */
+  @inline def mix64(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** MinHash signature computed from an array of TOKEN hashes: shingle
+    * hashes are derived by chain-mixing `shingleSize` consecutive token
+    * hashes (no string shingle is ever built — constructing
+    * "tok1 tok2 tok3" strings per position costs more than the whole
+    * signature), then for seed i in 0..k-1 the minimum of
+    * `mix64(shingle + GOLDEN*i)` is maintained in one pass.
+    */
+  case class MinHashSignature(child: Expression, numHashes: Int,
+                              shingleSize: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val mins = Array.fill(numHashes)(Long.MaxValue)
+      val nShingles = math.max(n - shingleSize + 1, if (n > 0) 1 else 0)
+      var i = 0
+      while (i < nShingles) {
+        // chain-mix the tokens of the shingle starting at i
+        var s = 0x2545F4914F6CDD1DL
+        var j = 0
+        while (j < shingleSize && i + j < n) {
+          s = mix64(s ^ arr.getLong(i + j))
+          j += 1
+        }
+        var k = 0
+        while (k < numHashes) {
+          val h = mix64(s + 0x9E3779B97F4A7C15L * k)
+          if (h < mins(k)) mins(k) = h
+          k += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(mins)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** 64-bit SimHash from an array of token hashes: per bit, sum of
+    * +/-1 over tokens; sign becomes the fingerprint bit.
+    */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val sums = new Array[Int](64)
+      var i = 0
+      while (i < n) {
+        val h = arr.getLong(i)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) sums(b) += 1 else sums(b) -= 1
+          b += 1
+        }
+        i += 1
+      }
+      var fp = 0L
+      var b = 0
+      while (b < 64) {
+        if (sums(b) > 0) fp |= (1L << b)
+        b += 1
+      }
+      fp
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  // ------------------------------------------------------- Column API
+
+  def dot(a: Column, b: Column): Column =
+    ColumnBridge.column(ArrayDotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def minhashSig(tokenHashes: Column, numHashes: Int,
+                 shingleSize: Int): Column =
+    ColumnBridge.column(MinHashSignature(
+      ColumnBridge.expression(tokenHashes), numHashes, shingleSize))
+
+  def simhash64(tokenHashes: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(tokenHashes)))
+}

@@ -6,21 +6,22 @@ import org.apache.spark.sql.functions._
 /** Embedding-vector column functions over `array<float>` /
   * `array<double>` columns (SURVEY §2.10: similarity search).
   *
-  * Built from higher-order functions (`zip_with`, `aggregate`) — no
-  * UDFs, no driver-side math. All arithmetic is double-precision with a
-  * left-fold in index order, so results are bit-deterministic and
-  * oracle-comparable.
+  * The dot product is a native Catalyst expression
+  * ([[NativeExpressions.ArrayDotProduct]], codegen'd tight loop) —
+  * higher-order `aggregate`/`zip_with` pay one closure dispatch per
+  * element, which at (pairs x dimensions) scale dominates the query.
+  * All arithmetic is double-precision accumulated in index order, so
+  * results are bit-deterministic and oracle-comparable.
   */
 object VectorFunctions {
 
-  /** Cast an array<float> to array<double> (do this once, up front, so
-    * all downstream arithmetic is in one precision).
+  /** Cast an array<float> to array<double> (only needed when handing
+    * vectors to engines that require one precision; the native dot
+    * handles float/double inputs directly).
     */
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = NativeExpressions.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -30,28 +31,40 @@ object VectorFunctions {
     when(d =!= 0.0, dot(a, b) / d)
   }
 
+  /** Cosine from precomputed norms — at probe-x-corpus scale the norms
+    * must be computed once per VECTOR, not once per PAIR.
+    */
+  def cosineWithNorms(a: Column, b: Column, normA: Column, normB: Column): Column = {
+    val d = normA * normB
+    when(d =!= 0.0, dot(a, b) / d)
+  }
+
   def l2Distance(a: Column, b: Column): Column =
     sqrt(aggregate(
       zip_with(toDouble(a), toDouble(b), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x))
 
+  /** Deterministic pseudo-random hyperplane component in [-1, 1). */
+  private def planeValue(seed: Int, bit: Int, j: Int): Double = {
+    val h = NativeExpressions.mix64(
+      (seed.toLong << 40) ^ (bit.toLong << 20) ^ j.toLong)
+    h.toDouble / Long.MaxValue.toDouble
+  }
+
   /** Sign-random-projection bucket id: `nBits` hyperplane signs packed
-    * into a long. Hyperplane components are pseudo-random but
-    * deterministic — derived from `xxhash64(bit, dim)` — so the same
-    * vector always lands in the same bucket on any cluster.
-    * This is the LSH prefilter for cosine ANN: vectors in the same
-    * bucket are candidate neighbors; at 100 TB the bucket id becomes the
-    * shuffle/partition key and the quadratic compare happens only within
-    * buckets.
+    * into a long. Hyperplanes are LITERAL arrays baked into the plan
+    * (deterministic from (seed, bit, dim)), so bucketing costs nBits
+    * dot products per vector — no per-row hashing. Vectors longer than
+    * `maxDim` use the first `maxDim` components (dot truncates to the
+    * shorter operand).
+    * This is the LSH prefilter for cosine ANN: at 100 TB the bucket id
+    * becomes the shuffle key and the quadratic compare happens only
+    * within buckets.
     */
-  def srpBucket(v: Column, nBits: Int, seed: Int = 0): Column = {
-    val dv = toDouble(v)
+  def srpBucket(v: Column, nBits: Int, seed: Int = 0, maxDim: Int = 512): Column = {
     val bits = (0 until nBits).map { bit =>
-      // plane(seed, bit, j) = hash mapped to [-1, 1)
-      val proj = aggregate(
-        zip_with(dv, sequence(lit(0), size(dv) - 1), (x, j) =>
-          x * (xxhash64(lit(seed), lit(bit), j).cast("double") / lit(Long.MaxValue.toDouble))),
-        lit(0.0), (acc, x) => acc + x)
+      val plane = Array.tabulate(maxDim)(j => planeValue(seed, bit, j))
+      val proj = dot(v, typedlit(plane.toSeq))
       when(proj >= 0, lit(1L << bit)).otherwise(lit(0L))
     }
     bits.reduce(_.bitwiseOR(_))

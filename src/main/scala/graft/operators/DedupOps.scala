@@ -30,27 +30,17 @@ object DedupOps {
     */
   def minhashSignature(docs: DataFrame, textCol: String,
                        numHashes: Int, shingleSize: Int): DataFrame = {
-    val toks = TextFunctions.tokens(col(textCol))
-    // token shingles: join shingleSize consecutive tokens
-    val shingles = transform(
-      sequence(lit(0), greatest(size(toks) - shingleSize, lit(0))),
-      i => array_join(slice(toks, i + 1, lit(shingleSize)), " "))
-    // Hash each shingle string ONCE into a long array, then derive the
-    // k minhash functions by re-hashing the 64-bit base hash with the
-    // seed (long-input xxhash64 — no string re-hashing, and no raw
-    // multiply that would overflow under ANSI mode). Turns k string
-    // hashes per shingle into 1 string hash + k long hashes — the
-    // difference between a CPU-bound and an I/O-bound dedup pass at
-    // corpus scale. The two-step projection (base column, then sig)
-    // stays two projects because the base expression is non-cheap, so
-    // the optimizer does not inline it k times.
-    val baseHashes = transform(shingles, s => xxhash64(s))
-    val sig = array((0 until numHashes).map { i =>
-      array_min(transform(col("__mh_base"), x => xxhash64(lit(i), x)))
-    }: _*)
-    docs.withColumn("__mh_base", baseHashes)
-      .withColumn("minhash_sig", sig)
-      .drop("__mh_base")
+    // Each token string is hashed exactly once; shingle hashes are
+    // chain-mixed from consecutive token hashes and the k minima are
+    // maintained in one native-expression pass — no string shingles,
+    // no per-element closure dispatch (NativeExpressions
+    // .MinHashSignature). This is the difference between a CPU-bound
+    // and an I/O-bound dedup pass at corpus scale.
+    val tokenHashes =
+      transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t))
+    docs.withColumn("minhash_sig",
+      graft.functions.NativeExpressions.minhashSig(
+        tokenHashes, numHashes, shingleSize))
   }
 
   /** LSH banding: split the signature into `bands` bands of
@@ -85,24 +75,13 @@ object DedupOps {
     * fingerprint groupBy.
     */
   def simhash(docs: DataFrame, textCol: String): DataFrame = {
-    val toks = TextFunctions.tokens(col(textCol))
-    // Column-arg bit shifts via call_function (the functions._ overloads
-    // only take a literal Int shift amount).
-    def shr(c: org.apache.spark.sql.Column, bits: org.apache.spark.sql.Column) =
-      call_function("shiftright", c, bits)
-    def shl(c: org.apache.spark.sql.Column, bits: org.apache.spark.sql.Column) =
-      call_function("shiftleft", c, bits)
-    val bitSums = aggregate(
-      toks,
-      array_repeat(lit(0), 64),
-      (acc, t) => zip_with(acc, sequence(lit(0), lit(63)), (a, bit) =>
-        a + when(shr(xxhash64(t), bit).bitwiseAND(1) === 1, 1)
-          .otherwise(-1)))
-    val fp = aggregate(
-      zip_with(bitSums, sequence(lit(0), lit(63)), (s, bit) =>
-        when(s > 0, shl(lit(1L), bit)).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-    docs.withColumn("simhash", fp)
+    // Token strings are hashed once; the 64 per-bit tallies and the
+    // final sign-pack run in one native-expression loop
+    // (NativeExpressions.SimHash64).
+    val tokenHashes =
+      transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t))
+    docs.withColumn("simhash",
+      graft.functions.NativeExpressions.simhash64(tokenHashes))
   }
 
   /** Distinct-token (unigram) Jaccard similarity for all pairs within a

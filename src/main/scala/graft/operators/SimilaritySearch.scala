@@ -29,10 +29,15 @@ object SimilaritySearch {
     */
   def bruteTopK(probes: DataFrame, corpus: DataFrame, idCol: String,
                 vecCol: String, k: Int): DataFrame = {
+    // Norms are computed once per vector (pre-join projection); the
+    // per-pair work is exactly one dot product.
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pv"))
+      .withColumn("__pn", VectorFunctions.norm(col("__pv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("__cn", VectorFunctions.norm(col("__cv")))
     val scored = c.join(broadcast(p), col("probe_id") =!= col("neighbor_id"))
-      .withColumn("cosine", VectorFunctions.cosine(col("__pv"), col("__cv")))
+      .withColumn("cosine", VectorFunctions.cosineWithNorms(
+        col("__pv"), col("__cv"), col("__pn"), col("__cn")))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftx
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column <-> Expression bridge. Spark 4 made the Column API
+  * implementation-agnostic and the classic converters `private[sql]`;
+  * this shim lives in an `org.apache.spark.sql` subpackage solely to
+  * re-export the two conversions the engine's native expressions need.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
