@@ -152,6 +152,42 @@ object SparkEntry {
         lag(col("value"), 1).over(w).as("prev_value"))
     }),
 
+    // T10-family: sliding window (1 hour, 30 min slide — each event in 2 windows)
+    "q_sliding" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+        .select(col("window.start").as("w_start"), col("event_type"),
+          col("n"), col("sum_value"))),
+
+    // T10-family: session window (10 min inactivity gap) per user
+    "q_session" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+        .select(col("session_window.start").as("sess_start"), col("user_id"),
+          col("n"), col("sum_value"))),
+
+    // grouping-set aggregation: ROLLUP with subtotal + grand-total rows
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))),
+
+    // distinct aggregates
+    "q_distinct_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct("l_partkey").as("n_parts"),
+          countDistinct("l_suppkey").as("n_supps"))),
+
+    // §2.10 near-dup: embedding-cosine pairs above threshold
+    "q_cosine_dupes" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 300)
+      SimilaritySearch.cosineDupePairs(emb, "vec_id", "embedding", 0.35)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+    }),
+
     // T3/T4: tumbling event-time window aggregation (1 hour)
     "q_tumbling" -> ((s, dir) =>
       t(s, dir, "events")
@@ -403,6 +439,60 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS w_start, event_type,
          count(*) AS n, sum(value) AS sum_value
          FROM events GROUP BY 1, 2""",
+
+    "q_sliding" ->
+      """WITH x AS (
+           SELECT date_trunc('hour', ts)
+                  + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
+                         ELSE INTERVAL 0 MINUTE END AS s30,
+                  event_type, value
+           FROM events),
+         w AS (
+           SELECT unnest([s30, s30 - INTERVAL 30 MINUTE]) AS w_start,
+                  event_type, value
+           FROM x)
+         SELECT w_start, event_type, count(*) AS n, sum(value) AS sum_value
+         FROM w GROUP BY 1, 2""",
+
+    "q_session" ->
+      """WITH o AS (
+           SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 10 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+           FROM events),
+         s AS (
+           SELECT user_id, ts, value,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+           FROM o)
+         SELECT min(ts) AS sess_start, user_id, count(*) AS n,
+                sum(value) AS sum_value
+         FROM s GROUP BY user_id, sess""",
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+         sum(l_quantity) AS sum_qty, count(*) AS n
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+
+    "q_distinct_agg" ->
+      """SELECT l_returnflag,
+         count(DISTINCT l_partkey) AS n_parts,
+         count(DISTINCT l_suppkey) AS n_supps
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "q_cosine_dupes" ->
+      """WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id < 300),
+         p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+               / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cosine
+           FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         SELECT id_a, id_b, round(cosine, 6) AS cosine
+         FROM p WHERE cosine > 0.35""",
 
     "q_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

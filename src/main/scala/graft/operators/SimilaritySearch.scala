@@ -45,6 +45,25 @@ object SimilaritySearch {
       .select("probe_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** Embedding-cosine near-duplicate pairs: all (a < b) pairs above the
+    * similarity threshold. Norms precomputed per vector; intended for a
+    * bounded probe set or LSH-bucketed candidates — the full-corpus
+    * scale path is [[srpTopK]]'s bucketing with this as the in-bucket
+    * verifier.
+    */
+  def cosineDupePairs(vecs: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double): DataFrame = {
+    val a = vecs.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+      .withColumn("__na", VectorFunctions.norm(col("__va")))
+    val b = vecs.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+      .withColumn("__nb", VectorFunctions.norm(col("__vb")))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", VectorFunctions.cosineWithNorms(
+        col("__va"), col("__vb"), col("__na"), col("__nb")))
+      .filter(col("cosine") > threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
   /** LSH-bucketed approximate top-k: candidates share at least one of
     * `bands` SRP bucket ids; exact cosine + rank within candidates.
     * Each band uses `bitsPerBand` hyperplanes, derived deterministically

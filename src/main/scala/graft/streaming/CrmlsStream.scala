@@ -1,0 +1,151 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.crmls.Crmls
+import graft.operators.LatestVersion
+
+/** Streaming realization of the reference's production job (SURVEY
+  * §7.2(2), reference CRMLSJoiner.scala): six change-capture topics,
+  * each reduced to latest-version-per-key, maintained as state, and an
+  * 11-way left join whose result updates when EITHER side changes.
+  *
+  * Architecture (micro-batch, `foreachBatch`):
+  *
+  *  1. The six raw streams are UNIONED into one tagged stream — one
+  *     streaming query, one checkpoint, arrival-order preserved per
+  *     micro-batch.
+  *  2. Per batch, each entity's delta upserts into its latest-state
+  *     table (argmax merge: existing state UNION delta -> window max —
+  *     same single-shuffle dedup as batch). State lives in a
+  *     [[StateStore]]: parquet-backed here; Delta/Iceberg MERGE at
+  *     production scale.
+  *  3. Affected listing keys = listings whose pk appears in the batch's
+  *     listing delta, PLUS listings referencing any updated dimension
+  *     key (reverse lookup on the join columns). Only those listings
+  *     are re-joined and upserted — dimension updates propagate without
+  *     recomputing the world, the same observable behavior as Flink's
+  *     retract stream (new row supersedes old by l_uc_pk).
+  *
+  * At 100 TB: the state tables are partitioned by key hash; step 3's
+  * reverse lookups are joins of a (small) per-batch delta against the
+  * keyed listing state — a broadcast of the delta keys, not a shuffle
+  * of the state.
+  */
+object CrmlsStream {
+
+  /** Latest-state storage abstraction: parquet dirs for tests/local,
+    * MERGE-capable table format in production.
+    */
+  final class StateStore(spark: SparkSession, dir: String) extends Serializable {
+    private def path(entity: String) = s"$dir/$entity"
+
+    def read(entity: String): Option[DataFrame] = {
+      val p = new java.io.File(path(entity))
+      if (p.exists()) Some(spark.read.parquet(path(entity))) else None
+    }
+
+    /** Argmax-merge a delta into the entity's latest-state table. */
+    def upsertLatest(entity: String, delta: DataFrame, keyCol: String,
+                     tsCol: String): DataFrame = {
+      val merged = read(entity) match {
+        case Some(cur) => cur.unionByName(delta)
+        case None => delta
+      }
+      val latest = LatestVersion.latestOne(
+        merged, keyCol, tsCol, tiebreakCol = keyCol)
+      // two-phase write: latest-state tables are small relative to
+      // history (one row per live key)
+      val tmp = path(entity) + "__tmp"
+      latest.write.mode("overwrite").parquet(tmp)
+      val out = spark.read.parquet(tmp)
+      out.write.mode("overwrite").parquet(path(entity))
+      spark.read.parquet(path(entity))
+    }
+  }
+
+  /** Per-batch merge + affected-key re-join + upsert. Factored out of
+    * the streaming query so batch tests can drive it directly.
+    *
+    * @param taggedBatch columns: entity (string), value (envelope JSON)
+    */
+  def processBatch(spark: SparkSession, taggedBatch: DataFrame,
+                   store: StateStore, sink: UpsertJoin.UpsertSink): Unit = {
+    import Crmls._
+    val specs = allEntities.map(s => s.name -> s).toMap
+    val cached = taggedBatch.cache()
+    try {
+      // 1-2. project + merge each entity's delta into latest-state
+      val deltas: Map[String, DataFrame] = specs.flatMap { case (name, spec) =>
+        val raw = cached.filter(col("entity") === name).select("value")
+        if (raw.isEmpty) None
+        else {
+          val projected = project(raw, spec)
+          store.upsertLatest(name, projected, spec.dedupKeyCol,
+            spec.prefix + "uc_created_ts")
+          Some(name -> projected)
+        }
+      }
+      if (deltas.isEmpty) return
+
+      def state(spec: Crmls.EntitySpec): DataFrame =
+        store.read(spec.name).getOrElse(
+          project(spark.emptyDataset[String](
+            org.apache.spark.sql.Encoders.STRING).toDF("value"), spec))
+
+      val listingsState = state(listings)
+
+      // 3. affected listing pks: listing deltas + reverse-lookup of
+      // every updated dimension key against the listing state's join
+      // columns
+      def affectedBy(deltaName: String, dimKey: String,
+                     listingCols: Seq[String]): DataFrame = {
+        val d = deltas(deltaName).select(col(dimKey).as("__k")).distinct()
+        listingCols.map { lc =>
+          listingsState.join(broadcast(d), col(lc) === col("__k"))
+            .select(col("l_uc_pk"))
+        }.reduce(_ unionByName _)
+      }
+      val fromListings = deltas.get("listings")
+        .map(_.select(col("l_uc_pk"))).toSeq
+      val fromAgents = deltas.get("agents")
+        .map(_ => affectedBy("agents", "a_uc_pk", Seq(
+          "l_list_agent_key", "l_buyer_agent_key",
+          "l_co_list_agent_key", "l_co_buyer_agent_key"))).toSeq
+      val fromOh = deltas.get("openhouses")
+        .map(_ => affectedBy("openhouses", "o_listing_key", Seq("l_listing_key"))).toSeq
+      val fromOffices = deltas.get("offices")
+        .map(_ => affectedBy("offices", "ofc_uc_pk", Seq(
+          "l_list_office_key", "l_buyer_office_key",
+          "l_co_list_office_key", "l_co_buyer_office_key"))).toSeq
+      val fromMedia = deltas.get("media")
+        .map(_ => affectedBy("media", "m_resource_record_key", Seq("l_uc_pk"))).toSeq
+      val fromHistory = deltas.get("history")
+        .map(_ => affectedBy("history", "h_resource_record_key", Seq("l_uc_pk"))).toSeq
+
+      val affected = (fromListings ++ fromAgents ++ fromOh ++ fromOffices ++
+        fromMedia ++ fromHistory)
+        .reduce(_ unionByName _).distinct()
+
+      // 4. re-join only the affected listings against current dim states
+      val affectedListings = listingsState
+        .join(broadcast(affected), Seq("l_uc_pk"), "left_semi")
+      val joined = joinAll(affectedListings, state(agents), state(openHouses),
+        state(offices), state(media), state(history))
+      sink.upsert("l_uc_pk", joined)
+    } finally cached.unpersist()
+  }
+
+  /** Bind the per-batch logic to a streaming tagged source. */
+  def run(tagged: DataFrame, store: StateStore, sink: UpsertJoin.UpsertSink,
+          checkpointDir: String): StreamingQuery =
+    tagged.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processBatch(batch.sparkSession, batch, store, sink)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+}
