@@ -44,6 +44,12 @@ object Demo {
       .show(truncate = false)
     println(s"[demo] joined rows: ${joined.count()}")
     joined.explain("formatted")
+
+    // SQL surface of the native expressions
+    GraftExtensions.register(spark)
+    val d = spark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head().getDouble(0)
+    println(s"[demo] graft_dot via SQL: $d")
     spark.stop()
   }
 }

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import graft.functions.NativeExpressions
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * expressions as SQL functions so `spark.sql` users get them too
+  * (`graft_dot`, `graft_minhash`, `graft_simhash`).
+  *
+  * Usage:
+  * {{{
+  * SparkSession.builder()
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  *   ...
+  * }}}
+  * or `.withExtensions(new GraftExtensions)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.definitions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "scala_udf")
+
+  /** (identifier, info, builder) triples — the same shape
+    * `injectFunction` takes, reusable against a live session.
+    */
+  val definitions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_dot"),
+      info("graft_dot", "graft_dot(a, b) - double dot product of two numeric arrays"),
+      (children: Seq[Expression]) =>
+        NativeExpressions.ArrayDotProduct(children(0), children(1))),
+    (FunctionIdentifier("graft_minhash"),
+      info("graft_minhash",
+        "graft_minhash(tokenHashes, k, shingleSize) - MinHash signature"),
+      (children: Seq[Expression]) => {
+        val k = children(1).eval().asInstanceOf[Int]
+        val sh = children(2).eval().asInstanceOf[Int]
+        NativeExpressions.MinHashSignature(children(0), k, sh)
+      }),
+    (FunctionIdentifier("graft_simhash"),
+      info("graft_simhash", "graft_simhash(tokenHashes) - 64-bit SimHash"),
+      (children: Seq[Expression]) =>
+        NativeExpressions.SimHash64(children(0))))
+
+  /** Register on an already-created session (e.g. a shared test
+    * session, or a notebook where the builder config is out of reach).
+    */
+  def register(spark: SparkSession): Unit =
+    definitions.foreach { case (id, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
+    }
+}

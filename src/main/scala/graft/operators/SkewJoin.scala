@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Salted join for skewed keys.
+  *
+  * AQE's skew-join handling (`spark.sql.adaptive.skewJoin.enabled`,
+  * on in GraftSession) splits oversized sort-merge partitions at
+  * runtime and is the FIRST answer to skew. Salting is the explicit
+  * fallback for the cases AQE cannot fix — e.g. one pathological key
+  * holding >10% of a 100 TB fact table, or skew under a broadcast-less
+  * stream-static join: the fact side gets a random salt in [0, S), the
+  * dimension side is exploded S times, and the join key becomes
+  * (key, salt), spreading one hot key over S reducers.
+  *
+  * The salt is derived from a stable row hash (not `rand()`) so
+  * retries/recomputations of a task produce identical output — required
+  * for exactly-once sinks and deterministic tests.
+  */
+object SkewJoin {
+
+  /** Inner/left salted equi-join of `fact` (large, skewed) with `dim`
+    * (larger than broadcastable, much smaller than fact).
+    *
+    * @param saltBuckets number of ways to split each hot key
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 saltBuckets: Int, joinType: String = "left_outer"): DataFrame = {
+    val saltedFact = fact.withColumn("__salt",
+      pmod(xxhash64(struct(fact.columns.map(col): _*)), lit(saltBuckets))
+        .cast("int"))
+    val salts = explode(sequence(lit(0), lit(saltBuckets - 1))).as("__salt")
+    val saltedDim = dim.select(col("*"), salts)
+    saltedFact.join(saltedDim,
+        saltedFact(key) === saltedDim(key) &&
+          saltedFact("__salt") === saltedDim("__salt"), joinType)
+      .drop(saltedDim(key)).drop(saltedDim("__salt")).drop("__salt")
+  }
+
+  /** Report the heaviest keys of a frame — the diagnosis step before
+    * choosing saltBuckets (run on a sample at scale).
+    */
+  def keySkewProfile(df: DataFrame, key: String, topN: Int = 20): DataFrame =
+    df.groupBy(key).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc).limit(topN)
+}
