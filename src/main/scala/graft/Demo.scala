@@ -50,6 +50,20 @@ object Demo {
     val d = spark.sql(
       "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head().getDouble(0)
     println(s"[demo] graft_dot via SQL: $d")
+
+    // co-located (bucketed) join: no shuffle exchange in the plan
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val fact = (1 to 10000).map(i => (i.toLong % 500, s"f$i")).toDF("k", "f")
+    val dim = (1 to 5000).map(i => (i.toLong % 500, s"d$i")).toDF("k", "d")
+    sources.Sinks.writeBucketed(fact, "demo_fact_b", 8, Seq("k"), Seq("k"))
+    sources.Sinks.writeBucketed(dim, "demo_dim_b", 8, Seq("k"), Seq("k"))
+    val bj = sources.Sinks.bucketedJoin(spark, "demo_fact_b", "demo_dim_b", Seq("k"))
+    val shuffles = bj.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange hashpartitioning"))
+    println(s"[demo] bucketed join rows=${bj.count()} shuffle-exchanges=$shuffles")
+    spark.sql("DROP TABLE IF EXISTS demo_fact_b")
+    spark.sql("DROP TABLE IF EXISTS demo_dim_b")
     spark.stop()
   }
 }
