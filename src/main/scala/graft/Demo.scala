@@ -64,6 +64,31 @@ object Demo {
     println(s"[demo] bucketed join rows=${bj.count()} shuffle-exchanges=$shuffles")
     spark.sql("DROP TABLE IF EXISTS demo_fact_b")
     spark.sql("DROP TABLE IF EXISTS demo_dim_b")
+
+    // streaming event-time as-of join: probe buffers on the watermark,
+    // late-but-in-bound build version wins
+    {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.streaming.StreamingAsOf
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[(String, java.sql.Timestamp, Boolean, String)]
+      def t(sec: Int) = new java.sql.Timestamp(1700000040000L + sec * 1000L)
+      val tagged = in.toDF().toDF("key", "event_ts", "isProbe", "payload")
+        .withWatermark("event_ts", "30 seconds")
+        .select(col("key"), col("event_ts").as("ts"), col("isProbe"), col("payload"))
+        .as[StreamingAsOf.Tagged]
+      val q = StreamingAsOf.asOfStream(tagged)
+        .writeStream.format("memory").queryName("demo_asof")
+        .outputMode("append").start()
+      in.addData(("k", t(40), true, "probe@40"), ("k", t(10), false, "build@10"))
+      q.processAllAvailable()
+      in.addData(("k", t(35), false, "build@35"), ("k", t(90), false, "advance"))
+      q.processAllAvailable()
+      in.addData(("z", t(95), false, "noop"))
+      q.processAllAvailable()
+      q.stop()
+      spark.table("demo_asof").show(truncate = false)
+    }
     spark.stop()
   }
 }
