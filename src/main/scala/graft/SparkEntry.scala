@@ -174,6 +174,23 @@ object SparkEntry {
         .rollup("l_returnflag", "l_linestatus")
         .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))),
 
+    // exact interpolated percentiles per group
+    "q_percentile" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))),
+
+    // statistical aggregates: stddev / variance / correlation
+    "q_stats_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(var_samp(col("l_discount")), 6).as("var_disc"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"))),
+
     // distinct aggregates
     "q_distinct_agg" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -475,6 +492,19 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
          sum(l_quantity) AS sum_qty, count(*) AS n
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+
+    "q_percentile" ->
+      """SELECT l_returnflag,
+         round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+         round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "q_stats_agg" ->
+      """SELECT l_returnflag,
+         round(stddev_samp(l_quantity), 4) AS sd_qty,
+         round(var_samp(l_discount), 6) AS var_disc,
+         round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+         FROM lineitem GROUP BY l_returnflag""",
 
     "q_distinct_agg" ->
       """SELECT l_returnflag,
