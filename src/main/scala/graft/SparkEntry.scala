@@ -276,6 +276,29 @@ object SparkEntry {
             x => x.getField("event_type")),
           ",").as("type_seq"))),
 
+    // A4/WordCount surface: corpus word counts (reference
+    // WordCount.scala batch analog)
+    "q_wordcount" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TF.tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))),
+
+    // §2.10 text: fixed-size token chunking (training-sample prep) —
+    // one row per 50-token chunk
+    "q_chunks" -> ((s, dir) => {
+      val chunkSize = 50
+      val toks = TF.tokens(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(
+          transform(
+            sequence(lit(0),
+              ceil(size(toks).cast("double") / chunkSize).cast("int") - 1),
+            i => array_join(slice(toks, i * chunkSize + 1, lit(chunkSize)), " "))))
+        .toDF("doc_id", "chunk_idx", "chunk")
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          col("chunk"))
+    }),
+
     // §2.10 dedup (exact): content-hash dedup
     "q_dedup_exact" -> ((s, dir) =>
       DedupOps.exactDedup(t(s, dir, "documents"), "doc_id", "text")),
@@ -362,6 +385,16 @@ object SparkEntry {
         multimodal.Multimodal.repartitionForDecode(media, 8), dims = 16)
         .select(col("media_id"),
           size(col("features")).cast("long").as("n_dims"))
+    }),
+
+    // §2.10 similarity search: IVF approximate top-k (no SQL oracle —
+    // recall measured against brute force in ScalaTest)
+    "q_ivf_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilaritySearch.ivfTopK(
+        emb.filter(col("vec_id") < 64), emb, "vec_id", "embedding",
+        k = 5, nCells = 16, nProbe = 4)
+        .select("probe_id", "neighbor_id", "rank")
     }),
 
     // §2.10 similarity search: SRP-LSH approximate top-k (no SQL oracle)
@@ -569,6 +602,20 @@ object SparkEntry {
       """SELECT user_id,
          string_agg(event_type, ',' ORDER BY ts, event_id) AS type_seq
          FROM events GROUP BY user_id""",
+
+    "q_wordcount" ->
+      """SELECT tok AS word, count(*) AS n FROM (
+           SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+           FROM documents) t
+         GROUP BY tok""",
+
+    "q_chunks" ->
+      """WITH t AS (SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS toks
+           FROM documents)
+         SELECT doc_id, i AS chunk_idx,
+           array_to_string(toks[(i*50+1):(i*50+50)], ' ') AS chunk
+         FROM t, unnest(range(CAST(ceil(len(toks)/50.0) AS BIGINT))) AS u(i)""",
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS doc_id,

@@ -45,6 +45,58 @@ object SimilaritySearch {
       .select("probe_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** IVF (inverted-file) approximate top-k: a deterministic coarse
+    * quantizer (the `nCells` lowest-id corpus vectors serve as
+    * centroids) partitions the corpus into cells; each probe searches
+    * only its `nProbe` nearest cells.
+    *
+    * Both assignment passes are broadcast joins against the tiny
+    * centroid set, and the candidate join's key is the cell id — so at
+    * corpus scale the shuffle moves (probe x nProbe) rows and each
+    * comparison is cell-local. Recall/cost is tuned with nCells x
+    * nProbe exactly as in classic IVF indexes.
+    */
+  def ivfTopK(probes: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int, nCells: Int = 16,
+              nProbe: Int = 4): DataFrame = {
+    val cents = corpus.orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol).as("cell_id"), col(vecCol).as("__centv"))
+      .withColumn("__centn", VectorFunctions.norm(col("__centv")))
+
+    def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
+      val n = VectorFunctions.norm(col(vec))
+      val scored = df.withColumn("__n", n)
+        .join(broadcast(cents), lit(true))
+        .withColumn("__sim", VectorFunctions.cosineWithNorms(
+          col(vec), col("__centv"), col("__n"), col("__centn")))
+      val w = Window.partitionBy(col(id))
+        .orderBy(col("__sim").desc_nulls_last, col("cell_id"))
+      scored.withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= keep)
+        .select(col(id), col(vec), col("cell_id"))
+    }
+
+    val corpusCells = assign(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
+      "neighbor_id", "__cv", keep = 1)
+    val probeCells = assign(
+      probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pv")),
+      "probe_id", "__pv", keep = nProbe)
+
+    val cands = probeCells.join(corpusCells, Seq("cell_id"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select("probe_id", "__pv", "neighbor_id", "__cv").distinct()
+      .withColumn("__pn", VectorFunctions.norm(col("__pv")))
+      .withColumn("__cn", VectorFunctions.norm(col("__cv")))
+      .withColumn("cosine", VectorFunctions.cosineWithNorms(
+        col("__pv"), col("__cv"), col("__pn"), col("__cn")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cands.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("probe_id", "neighbor_id", "rank", "cosine")
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a < b) pairs above the
     * similarity threshold. Norms precomputed per vector; intended for a
     * bounded probe set or LSH-bucketed candidates — the full-corpus

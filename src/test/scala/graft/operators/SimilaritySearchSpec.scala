@@ -31,6 +31,20 @@ class SimilaritySearchSpec extends SparkTestBase {
     assert(math.abs(got(5L) - 0.5) < 1e-6)
   }
 
+  test("ivfTopK recall: finds most brute-force top-1 neighbors on real embeddings") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val probes = emb.filter(col("vec_id") < 32)
+    val brute = SimilaritySearch.bruteTopK(probes, emb, "vec_id", "embedding", 1)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val ivf = SimilaritySearch.ivfTopK(probes, emb, "vec_id", "embedding",
+        k = 5, nCells = 16, nProbe = 8)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hits = brute.count { case (p, n) => ivf.getOrElse(p, Set.empty).contains(n) }
+    assert(hits >= brute.size / 2,
+      s"IVF recall@top1 too low: $hits/${brute.size}")
+  }
+
   test("srpTopK finds the true nearest neighbor of an identical vector") {
     // identical vectors land in identical buckets in every band
     val probe = vecs.filter(col("vec_id") === 1)
