@@ -89,35 +89,45 @@ object NativeExpressions {
     * signature), then for seed i in 0..k-1 the minimum of
     * `mix64(shingle + GOLDEN*i)` is maintained in one pass.
     */
+  /** Shared loop body for eval and generated code (called statically
+    * from codegen via the object's static forwarder).
+    */
+  def minhashEval(arr: ArrayData, numHashes: Int, shingleSize: Int): ArrayData = {
+    val n = arr.numElements()
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val nShingles = math.max(n - shingleSize + 1, if (n > 0) 1 else 0)
+    var i = 0
+    while (i < nShingles) {
+      // chain-mix the tokens of the shingle starting at i
+      var s = 0x2545F4914F6CDD1DL
+      var j = 0
+      while (j < shingleSize && i + j < n) {
+        s = mix64(s ^ arr.getLong(i + j))
+        j += 1
+      }
+      var k = 0
+      while (k < numHashes) {
+        val h = mix64(s + 0x9E3779B97F4A7C15L * k)
+        if (h < mins(k)) mins(k) = h
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
   case class MinHashSignature(child: Expression, numHashes: Int,
                               shingleSize: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      val mins = Array.fill(numHashes)(Long.MaxValue)
-      val nShingles = math.max(n - shingleSize + 1, if (n > 0) 1 else 0)
-      var i = 0
-      while (i < nShingles) {
-        // chain-mix the tokens of the shingle starting at i
-        var s = 0x2545F4914F6CDD1DL
-        var j = 0
-        while (j < shingleSize && i + j < n) {
-          s = mix64(s ^ arr.getLong(i + j))
-          j += 1
-        }
-        var k = 0
-        while (k < numHashes) {
-          val h = mix64(s + 0x9E3779B97F4A7C15L * k)
-          if (h < mins(k)) mins(k) = h
-          k += 1
-        }
-        i += 1
-      }
-      new GenericArrayData(mins)
-    }
+    override def nullSafeEval(input: Any): Any =
+      minhashEval(input.asInstanceOf[ArrayData], numHashes, shingleSize)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.NativeExpressions.minhashEval(" +
+          s"$c, $numHashes, $shingleSize);")
 
     override protected def withNewChildInternal(c: Expression): Expression =
       copy(child = c)
@@ -126,32 +136,39 @@ object NativeExpressions {
   /** 64-bit SimHash from an array of token hashes: per bit, sum of
     * +/-1 over tokens; sign becomes the fingerprint bit.
     */
-  case class SimHash64(child: Expression)
-      extends UnaryExpression with CodegenFallback {
-    override def dataType: DataType = LongType
-
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      val sums = new Array[Int](64)
-      var i = 0
-      while (i < n) {
-        val h = arr.getLong(i)
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) sums(b) += 1 else sums(b) -= 1
-          b += 1
-        }
-        i += 1
-      }
-      var fp = 0L
+  /** Shared loop body for eval and generated code. */
+  def simhashEval(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val sums = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
       var b = 0
       while (b < 64) {
-        if (sums(b) > 0) fp |= (1L << b)
+        if (((h >>> b) & 1L) == 1L) sums(b) += 1 else sums(b) -= 1
         b += 1
       }
-      fp
+      i += 1
     }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (sums(b) > 0) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
+
+  case class SimHash64(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+
+    override def nullSafeEval(input: Any): Any =
+      simhashEval(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.NativeExpressions.simhashEval($c);")
 
     override protected def withNewChildInternal(c: Expression): Expression =
       copy(child = c)

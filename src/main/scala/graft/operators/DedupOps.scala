@@ -89,12 +89,25 @@ object DedupOps {
     * key is the token, so the shuffle is token-partitioned (inverted
     * index), not a cross join.
     */
-  def tokenJaccardPairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def tokenJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        maxDocFreq: Option[Int] = None): DataFrame = {
     val tok = docs.select(col(idCol).as("doc"),
       explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("tok"))
     val sizes = tok.groupBy("doc").agg(count(lit(1)).as("n_tok"))
-    val common = tok.select(col("doc").as("doc_a"), col("tok"))
-      .join(tok.select(col("doc").as("doc_b"), col("tok")), Seq("tok"))
+    // Optional document-frequency cap: a token appearing in d documents
+    // contributes d^2 candidate pairs, so one stop-word in a 100 TB
+    // corpus detonates the inverted-index join. Capped tokens are
+    // excluded from the intersection (standard near-dup practice); the
+    // oracle-matched exact mode passes None.
+    val joinable = maxDocFreq match {
+      case Some(cap) =>
+        val rare = tok.groupBy("tok").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= cap).select("tok")
+        tok.join(rare, Seq("tok"))
+      case None => tok
+    }
+    val common = joinable.select(col("doc").as("doc_a"), col("tok"))
+      .join(joinable.select(col("doc").as("doc_b"), col("tok")), Seq("tok"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
     common

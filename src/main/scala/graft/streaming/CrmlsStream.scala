@@ -76,11 +76,16 @@ object CrmlsStream {
     val specs = allEntities.map(s => s.name -> s).toMap
     val cached = taggedBatch.cache()
     try {
+      // one action to learn which entities this batch touches (not six
+      // per-entity isEmpty probes — driver round-trips per micro-batch
+      // are the latency floor of the whole pipeline)
+      val present = cached.select("entity").distinct()
+        .collect().map(_.getString(0)).toSet
       // 1-2. project + merge each entity's delta into latest-state
       val deltas: Map[String, DataFrame] = specs.flatMap { case (name, spec) =>
-        val raw = cached.filter(col("entity") === name).select("value")
-        if (raw.isEmpty) None
+        if (!present.contains(name)) None
         else {
+          val raw = cached.filter(col("entity") === name).select("value")
           val projected = project(raw, spec)
           store.upsertLatest(name, projected, spec.dedupKeyCol,
             spec.prefix + "uc_created_ts")

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.crmls.Crmls
+
+/** The strongest correctness statement for the streaming job: feeding
+  * the SAME envelope history through the batch pipeline
+  * (Crmls.pipeline) and through CrmlsStream micro-batches must converge
+  * to the same joined table — regardless of how the history is split
+  * into batches or reordered within the lateness bound.
+  */
+class BatchStreamEquivalenceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def env(pk: String, ts: Long, data: String): String = {
+    val d = data.replace("\\", "\\\\").replace("\"", "\\\"")
+    s"""{"data":"$d","uc_pk":"$pk","uc_update_ts":"u$ts","uc_version":"1",""" +
+      s""""uc_created_ts":"$ts","uc_row_type":"r","uc_type":"t",""" +
+      s""""uc_valid_day":"1","uc_valid_ts":"$ts"}"""
+  }
+
+  // a history with re-updates, out-of-order versions, and every entity
+  private val history: Seq[(String, String)] = Seq(
+    "listings" -> env("L1", 100, """{"ListingKeyNumeric":"LK1","ListAgentKeyNumeric":"A1","BuyerAgentKeyNumeric":"A2","ListOfficeKeyNumeric":"O1"}"""),
+    "agents" -> env("A1", 10, """{"n":"a1v1"}"""),
+    "listings" -> env("L2", 90, """{"ListingKeyNumeric":"LK2","ListAgentKeyNumeric":"A1"}"""),
+    "agents" -> env("A2", 11, """{"n":"a2v1"}"""),
+    "offices" -> env("O1", 7, """{"n":"o1"}"""),
+    "openhouses" -> env("OH1", 5, """{"ListingKeyNumeric":"LK1"}"""),
+    "listings" -> env("L1", 200, """{"ListingKeyNumeric":"LK1","ListAgentKeyNumeric":"A1","ListOfficeKeyNumeric":"O1"}"""),
+    "agents" -> env("A1", 30, """{"n":"a1v3"}"""),
+    "agents" -> env("A1", 20, """{"n":"a1v2-late"}"""), // out of order
+    "media" -> env("M1", 3, """{"ResourceRecordKeyNumeric":"L1"}"""),
+    "history" -> env("H1", 4, """{"ResourceRecordKeyNumeric":"L2"}"""),
+    "listings" -> env("L2", 80, """{"ListingKeyNumeric":"LK2-stale"}""") // stale
+  )
+
+  private val compareCols = Seq("l_uc_pk", "l_uc_created_ts", "l_listing_key",
+    "aa_uc_pk", "aa_uc_created_ts", "ab_uc_pk", "oa_uc_pk",
+    "o_listing_key", "m_resource_record_key", "h_resource_record_key")
+
+  private def batchResult(): Set[Seq[Any]] = {
+    val byEntity = history.groupBy(_._1).map { case (k, v) =>
+      k -> v.map(_._2).toDF("value")
+    }
+    val full = Crmls.allEntities.map(s =>
+      s.name -> byEntity.getOrElse(s.name, Seq.empty[String].toDF("value"))).toMap
+    Crmls.pipeline(full).select(compareCols.map(col): _*)
+      .collect().map(_.toSeq).toSet
+  }
+
+  private def streamResult(batchSplits: Seq[Seq[(String, String)]]): Set[Seq[Any]] = {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-eq").toString
+    val store = new CrmlsStream.StateStore(spark, s"$tmp/state")
+    val sink = UpsertJoin.newInMemorySink()
+    val input = MemoryStream[(String, String)]
+    val tagged = input.toDF().toDF("entity", "value")
+    batchSplits.foreach { b =>
+      input.addData(b: _*)
+      CrmlsStream.run(tagged, store, sink, s"$tmp/ckpt").awaitTermination()
+    }
+    sink.snapshot(spark).select(compareCols.map(col): _*)
+      .collect().map(_.toSeq).toSet
+  }
+
+  test("streaming converges to the batch result, any batch split") {
+    val expected = batchResult()
+    assert(expected.nonEmpty)
+    // one big batch
+    assert(streamResult(Seq(history)) === expected)
+    // record-at-a-time-ish: four uneven batches
+    val splits = Seq(history.take(3), history.slice(3, 7),
+      history.slice(7, 10), history.drop(10))
+    assert(streamResult(splits) === expected)
+  }
+}
