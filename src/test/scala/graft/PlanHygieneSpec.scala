@@ -1,0 +1,55 @@
+package graft
+
+/** Plan-shape regression guards: the queries' physical plans must keep
+  * the properties that make them scale (broadcast dims, single-shuffle
+  * dedup, pushed filters). A refactor that silently turns the 9-way
+  * join into sort-merge shuffles would pass row-level tests and
+  * detonate at 100 TB — this spec fails instead.
+  */
+class PlanHygieneSpec extends SparkTestBase {
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf("sf0.001")).queryExecution.executedPlan.toString
+
+  test("q_multijoin: all eight dims broadcast, no sort-merge join") {
+    val p = plan("q_multijoin")
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 8, p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "dims must not shuffle-join")
+  }
+
+  test("q_dedup_latest: exactly one shuffle exchange, no join") {
+    val p = plan("q_dedup_latest")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(2000))
+    assert(!p.contains("Join"), "window-max dedup must not plan a join")
+  }
+
+  test("q_asof: one shuffle over the union, filters pushed to scans") {
+    val p = plan("q_asof")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(2000))
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)]")
+      || p.contains("EqualTo(event_type,purchase)"), "probe filter must reach the scan")
+  }
+
+  test("q1_agg: partial aggregation before the exchange") {
+    val p = plan("q1_agg")
+    val firstHashAgg = p.indexOf("HashAggregate")
+    val exchange = p.indexOf("Exchange")
+    assert(firstHashAgg >= 0 && exchange >= 0)
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "map-side partial aggregate missing")
+  }
+
+  test("native dot product is codegen-capable (starred projection)") {
+    // the tokenizing queries are bounded by ArrayTransform (a
+    // CodegenFallback higher-order function), but ArrayDotProduct
+    // itself must not break a codegen span
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions
+    val df = spark.range(4).select(
+      VectorFunctions.dot(
+        typedlit(Seq(1.0, 2.0)), typedlit(Seq(3.0, 4.0))).as("d"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), s"dot projection fell out of codegen:\n$p")
+    assert(df.head().getDouble(0) === 11.0)
+  }
+}

@@ -1,0 +1,61 @@
+package graft.operators
+
+import java.sql.Timestamp
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.SparkTestBase
+
+/** Property tests: the distributed operators must agree with trivial
+  * in-memory reference implementations on randomized inputs — keys
+  * drawn from a small space to force collisions, ties, and re-updates.
+  * (Raw ScalaCheck generators sampled under fixed seeds; the
+  * scalatest-scalacheck bridge is not on the classpath.)
+  */
+class OperatorPropertiesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val rowGen = for {
+    key <- Gen.choose(0L, 6L)
+    ts <- Gen.choose(0L, 20L)
+    payload <- Gen.alphaStr.map(_.take(4))
+  } yield (key, ts, payload)
+
+  private val dataGen = Gen.listOfN(40, rowGen)
+
+  private def samples(n: Int): Seq[List[(Long, Long, String)]] =
+    (1 to n).flatMap(i =>
+      dataGen(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("latestAll == brute-force argmax-with-ties on random data") {
+    samples(8).foreach { rows =>
+      val df = rows.toDF("k", "ts", "p")
+      val got = LatestVersion.latestAll(df, "k", "ts")
+        .as[(Long, Long, String)].collect().toSet
+      val maxTs = rows.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      val want = rows.filter { case (k, ts, _) => ts == maxTs(k) }.toSet
+      assert(got === want, s"input: $rows")
+    }
+  }
+
+  test("asOf (union) == brute-force point-in-time lookup on random data") {
+    samples(8).zip(samples(8).reverse).foreach { case (probeRows, buildRows) =>
+      val probes = probeRows.zipWithIndex
+        .map { case ((k, ts, _), i) => (i.toLong, k, new Timestamp(ts * 1000)) }
+      val builds = buildRows.zipWithIndex
+        .map { case ((k, ts, p), i) => (k, new Timestamp(ts * 1000), p + i, i.toLong) }
+      val pdf = probes.toDF("pid", "k", "ts")
+      val bdf = builds.toDF("k", "ts", "payload", "bid")
+      val got = AsOfJoin.asOf(pdf, bdf, "k", "ts", "ts",
+          Seq("payload"), tiebreak = "bid", prefix = "b_")
+        .select("pid", "b_payload").as[(Long, Option[String])]
+        .collect().toMap
+      val want = probes.map { case (pid, k, pts) =>
+        val cands = builds.filter(b => b._1 == k && !b._2.after(pts))
+        pid -> (if (cands.isEmpty) None
+                else Some(cands.maxBy(b => (b._2.getTime, b._4))._3))
+      }.toMap
+      assert(got === want,
+        s"probes: $probes\nbuilds: $builds")
+    }
+  }
+}
