@@ -22,14 +22,19 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink forces every output column to be materialized;
-      // count() would let Catalyst prune the computed columns away.
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      // min of two runs: absorbs one-off JIT/GC/host-contention spikes
+      // so the reported number reflects the query, not the machine.
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        // noop sink forces every output column to be materialized;
+        // count() would let Catalyst prune the computed columns away.
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

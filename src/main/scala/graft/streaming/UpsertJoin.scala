@@ -37,6 +37,41 @@ object UpsertJoin {
   def newInMemorySink(): InMemorySink =
     new InMemorySink(Array(new org.apache.spark.sql.types.StructType()))
 
+  /** Durable keyed upsert sink over parquet: merge = existing snapshot
+    * UNION batch, keep the batch's row per key (row_number with a
+    * batch-wins flag), rewrite atomically via a temp dir. This is the
+    * Delta/Iceberg-`MERGE INTO`-shaped sink realized on plain parquet;
+    * at production scale swap the rewrite for a real MERGE — the
+    * streaming side is unchanged. Snapshot size is one row per live
+    * key, not history.
+    */
+  final class ParquetUpsertSink(spark: SparkSession, dir: String)
+      extends UpsertSink with Serializable {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+
+    private def exists = new java.io.File(dir).exists()
+
+    def upsert(keyCol: String, batch: DataFrame): Unit = {
+      val merged =
+        if (!exists) batch
+        else {
+          val cur = spark.read.parquet(dir).withColumn("__new", lit(0))
+          val w = Window.partitionBy(col(keyCol))
+            .orderBy(col("__new").desc)
+          cur.unionByName(batch.withColumn("__new", lit(1)))
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1)
+            .drop("__new", "__rn")
+        }
+      val tmp = dir + "__tmp"
+      merged.write.mode("overwrite").parquet(tmp)
+      spark.read.parquet(tmp).write.mode("overwrite").parquet(dir)
+    }
+
+    def snapshot(spark: SparkSession): DataFrame = spark.read.parquet(dir)
+  }
+
   /** Drive a streaming fact source through a per-batch join against
     * (re-evaluated) dimension frames and upsert the result.
     *
