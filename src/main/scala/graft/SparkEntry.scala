@@ -225,10 +225,10 @@ object SparkEntry {
       t(s, dir, "customer").select(col("c_nationkey").as("nationkey")).distinct()
         .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")).distinct())),
 
-    // §2.8 set ops: EXCEPT
+    // §2.8 set ops: EXCEPT — custkeys with no event activity
     "q_except" -> ((s, dir) =>
-      t(s, dir, "customer").select(col("c_nationkey").as("nationkey")).distinct()
-        .except(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")).distinct())),
+      t(s, dir, "customer").select(col("c_custkey").as("k")).distinct()
+        .except(t(s, dir, "events").select(col("user_id").as("k")).distinct())),
 
     // §2.8 set ops: UNION ALL + regroup
     "q_union" -> ((s, dir) =>
@@ -243,11 +243,12 @@ object SparkEntry {
       cust.join(ord, Seq("c_custkey"), "left_semi")
     }),
 
-    // anti join (NOT EXISTS)
+    // anti join (NOT EXISTS) — customers with no events (events cover
+    // only 10% of custkeys at every scale, so the result is never empty)
     "q_antijoin" -> ((s, dir) => {
       val cust = t(s, dir, "customer").select("c_custkey", "c_name")
-      val ord = t(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
-      cust.join(ord, Seq("c_custkey"), "left_anti")
+      val ev = t(s, dir, "events").select(col("user_id").as("c_custkey"))
+      cust.join(ev, Seq("c_custkey"), "left_anti")
     }),
 
     // P4/P8/P9: scalar surface — upper, base64, floor-cast, concat
@@ -567,9 +568,9 @@ object SparkEntry {
          SELECT DISTINCT s_nationkey AS nationkey FROM supplier""",
 
     "q_except" ->
-      """SELECT DISTINCT c_nationkey AS nationkey FROM customer
+      """SELECT DISTINCT c_custkey AS k FROM customer
          EXCEPT
-         SELECT DISTINCT s_nationkey AS nationkey FROM supplier""",
+         SELECT DISTINCT user_id AS k FROM events""",
 
     "q_union" ->
       """SELECT nationkey, count(*) AS n FROM (
@@ -584,7 +585,7 @@ object SparkEntry {
 
     "q_antijoin" ->
       """SELECT c_custkey, c_name FROM customer
-         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+         WHERE NOT EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey)""",
 
     "q_scalar" ->
       """SELECT event_id,
