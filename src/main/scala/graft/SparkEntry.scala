@@ -300,6 +300,14 @@ object SparkEntry {
           col("chunk"))
     }),
 
+    // §2.10 text: BPE-ish subword token counting (no SQL oracle — the
+    // lookaround regex split is not expressible in DuckDB's RE2)
+    "q_bpe_tokens" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TF.tokenCount(col("text")).cast("long").as("n_ws_tokens"),
+        size(TF.bpeishTokens(col("text"))).cast("long").as("n_bpe_tokens"))),
+
     // §2.10 dedup (exact): content-hash dedup
     "q_dedup_exact" -> ((s, dir) =>
       DedupOps.exactDedup(t(s, dir, "documents"), "doc_id", "text")),

@@ -47,4 +47,33 @@ class WatermarkSpec extends SparkTestBase {
     assert(out(0L) === ((2L, 3.0)), "late row must NOT appear in closed window")
     assert(out(120L) === ((1L, 5.0)))
   }
+
+  test("session window (streaming): gap splits sessions, watermark closes them") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Double)]
+    val agg = Streams.withLateness(
+        input.toDF().toDF("user", "ts", "value"), "ts", "10 seconds")
+      .groupBy(session_window(col("ts"), "30 seconds"), col("user"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("s"), col("user"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+
+    // u1: events at 0s,20s (one session), then 100s (new session: gap > 30s)
+    input.addData(("u1", ts(0), 1.0), ("u1", ts(20), 1.0), ("u1", ts(100), 1.0))
+    q.processAllAvailable()
+    input.addData(("u2", ts(300), 1.0)) // advance watermark, close sessions
+    q.processAllAvailable()
+    input.addData(("u2", ts(500), 1.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("sess_out")
+      .as[(Timestamp, String, Long)].collect()
+      .filter(_._2 == "u1")
+      .map { case (s, _, n) => (s.getTime - 1700000040000L) / 1000 -> n }
+      .toMap
+    assert(out === Map(0L -> 2L, 100L -> 1L),
+      s"u1 must have two sessions (0s x2 events, 100s x1), got $out")
+  }
 }
