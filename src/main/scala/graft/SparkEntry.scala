@@ -125,6 +125,20 @@ object SparkEntry {
         tiebreak = "event_id", prefix = "clk_")
     }),
 
+    // J5 via the custom physical operator (plans/AsOfJoinPlan:
+    // LogicalPlan + SparkStrategy + sort-merge exec) — same semantics
+    // and oracle as q_asof
+    "q_asof_native" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val probe = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val build = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts", "value", "event_id")
+      plans.AsOfJoinPlan.asOf(probe, build, key = "user_id",
+        probeTs = "ts", buildTs = "ts", tiebreak = "event_id",
+        buildCols = Seq("ts", "value"), prefix = "clk_")
+    }),
+
     // P2/P3/P4: JSON field extraction + null-safe default + cast
     "q_json_extract" -> ((s, dir) =>
       t(s, dir, "events").select(
@@ -464,6 +478,17 @@ object SparkEntry {
       """SELECT c_mktsegment, count(*) AS n, sum(o_totalprice) AS total
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment""",
+
+    "q_asof_native" ->
+      """SELECT event_id, user_id, ts, clk_ts, clk_value FROM (
+           SELECT p.event_id, p.user_id, p.ts,
+                  b.ts AS clk_ts, b.value AS clk_value,
+                  row_number() OVER (PARTITION BY p.event_id
+                    ORDER BY b.ts DESC, b.event_id DESC) AS rn
+           FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+           LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
+             ON b.user_id = p.user_id AND b.ts <= p.ts) t
+         WHERE rn = 1""",
 
     "q_asof" ->
       """SELECT event_id, user_id, ts, clk_ts, clk_value FROM (

@@ -1,0 +1,72 @@
+package graft.plans
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.SparkTestBase
+import graft.operators.AsOfJoin
+
+/** The custom physical as-of join must agree with the union+window
+  * rewrite on randomized data (same tie/null semantics), and its plan
+  * must be the sort-merge shape: one AsOfJoinExec, no Window, no row
+  * explosion.
+  */
+class AsOfJoinPlanSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(min: Int) = new Timestamp(60000L * min)
+
+  private lazy val probes = Seq(
+    (101L, 1L, ts(5)), (102L, 1L, ts(2)), (103L, 2L, ts(1)), (104L, 3L, ts(9))
+  ).toDF("probe_id", "key", "ts")
+
+  private lazy val images = Seq(
+    (1L, "img 1.0", ts(1), 11L), (1L, "img 1.1", ts(2), 12L),
+    (1L, "img 1.2", ts(3), 13L), (2L, "img 2.0", ts(3), 14L),
+    (2L, "img 2.0b", ts(3), 15L)
+  ).toDF("key", "img", "ts", "img_id")
+
+  test("fixture semantics: inclusive bound, nulls, equal-ts tiebreak") {
+    val got = AsOfJoinPlan.asOf(probes, images, "key", "ts", "ts",
+        tiebreak = "img_id", buildCols = Seq("img"))
+      .select(col("probe_id"), col("b_img"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(got === Map(
+      101L -> Some("img 1.2"), 102L -> Some("img 1.1"),
+      103L -> None, 104L -> None))
+  }
+
+  test("plan shape: AsOfJoinExec present, no Window, no SortMergeJoin") {
+    val df = AsOfJoinPlan.asOf(probes, images, "key", "ts", "ts",
+      "img_id", Seq("img"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin"), p)
+    assert(!p.contains("Window"), "custom exec must not fall back to window")
+    assert(!p.contains("SortMergeJoin"), "must not plan a generic join")
+  }
+
+  test("agrees with the union+window rewrite on random data") {
+    val rowGen = for {
+      key <- Gen.choose(0L, 6L)
+      t <- Gen.choose(0L, 20L)
+      payload <- Gen.alphaStr.map(_.take(4))
+    } yield (key, t, payload)
+    val dataGen = Gen.listOfN(50, rowGen)
+    (1 to 6).foreach { i =>
+      val probeRows = dataGen(Gen.Parameters.default, Seed(i.toLong)).get
+      val buildRows = dataGen(Gen.Parameters.default, Seed(100L + i)).get
+      val pdf = probeRows.zipWithIndex
+        .map { case ((k, t, _), idx) => (idx.toLong, k, new Timestamp(t * 1000)) }
+        .toDF("pid", "k", "ts")
+      val bdf = buildRows.zipWithIndex
+        .map { case ((k, t, p), idx) => (k, new Timestamp(t * 1000), p + idx, idx.toLong) }
+        .toDF("k", "ts", "payload", "bid")
+      val custom = AsOfJoinPlan.asOf(pdf, bdf, "k", "ts", "ts", "bid", Seq("payload"))
+        .select("pid", "b_payload").as[(Long, Option[String])].collect().toMap
+      val rewrite = AsOfJoin.asOf(pdf, bdf, "k", "ts", "ts", Seq("payload"), "bid")
+        .select("pid", "b_payload").as[(Long, Option[String])].collect().toMap
+      assert(custom === rewrite, s"seed $i diverged")
+    }
+  }
+}
