@@ -45,11 +45,12 @@ object Demo {
     println(s"[demo] joined rows: ${joined.count()}")
     joined.explain("formatted")
 
-    // SQL surface of the native expressions
-    GraftExtensions.register(spark)
+    // SQL surface of the native expressions — injected by
+    // GraftExtensions via the session factory's spark.sql.extensions
+    // config (no manual registration)
     val d = spark.sql(
       "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head().getDouble(0)
-    println(s"[demo] graft_dot via SQL: $d")
+    println(s"[demo] graft_dot via SQL (extension-injected): $d")
 
     // co-located (bucketed) join: no shuffle exchange in the plan
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -16,8 +16,10 @@ import graft.functions.NativeExpressions
   * or `.withExtensions(new GraftExtensions)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.definitions.foreach(ext.injectFunction)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinPlan.AsOfJoinStrategy)
+  }
 }
 
 object GraftExtensions {
