@@ -404,10 +404,13 @@ object SparkEntry {
           lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
           lit(null).cast("int").as("sample_rate"),
           lit(null).cast("long").as("duration_ms")).as("meta"))
-      multimodal.Multimodal.extractImageFeatures(
-        multimodal.Multimodal.repartitionForDecode(media, 8), dims = 16)
+      multimodal.Multimodal.extractAudioFeatures(
+        multimodal.Multimodal.extractImageFeatures(
+          multimodal.Multimodal.repartitionForDecode(media, 8), dims = 16),
+        dims = 32)
         .select(col("media_id"),
-          size(col("features")).cast("long").as("n_dims"))
+          size(col("features")).cast("long").as("n_dims"),
+          size(col("audio_features")).cast("long").as("n_audio_dims"))
     }),
 
     // §2.10 similarity search: IVF approximate top-k (no SQL oracle —
@@ -727,7 +730,8 @@ object SparkEntry {
          WHERE rank <= 5""",
 
     "q_multimodal" ->
-      """SELECT doc_id AS media_id, CAST(16 AS BIGINT) AS n_dims
+      """SELECT doc_id AS media_id, CAST(16 AS BIGINT) AS n_dims,
+                CAST(32 AS BIGINT) AS n_audio_dims
          FROM documents WHERE doc_id < 200""",
 
     "q_jaccard_pairs" ->

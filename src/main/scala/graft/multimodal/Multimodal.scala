@@ -115,6 +115,44 @@ object Multimodal {
     }
   }
 
+  /** Batched audio feature extraction (same mapInPandas batch shape as
+    * images; stub derives "spectral" features from byte windows — a
+    * real impl decodes PCM and computes e.g. mel bins per frame).
+    */
+  def extractAudioFeatures(df: DataFrame, dims: Int = 32,
+                           batchSize: Int = 128): DataFrame = {
+    val outSchema = df.schema.add("audio_features", ArrayType(FloatType))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val contentIdx = df.schema.fieldIndex("content")
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val bytes = r.getAs[Array[Byte]](contentIdx)
+          val feats =
+            if (bytes == null) null
+            else {
+              // stub: windowed byte-energy profile, deterministic
+              val out = new Array[Float](dims)
+              val win = math.max(bytes.length / dims, 1)
+              var d = 0
+              while (d < dims) {
+                var acc = 0L
+                var i = d * win
+                while (i < math.min((d + 1) * win, bytes.length)) {
+                  acc += (bytes(i) & 0xff); i += 1
+                }
+                out(d) = acc.toFloat / win
+                d += 1
+              }
+              out.toSeq
+            }
+          Row.fromSeq(r.toSeq :+ feats)
+        }
+      }
+    }
+  }
+
   /** Batched resize; replaces `content` and stamps meta.width/height. */
   def resizeImages(df: DataFrame, w: Int, h: Int,
                    batchSize: Int = 128): DataFrame = {

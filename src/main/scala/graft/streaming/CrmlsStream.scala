@@ -46,7 +46,14 @@ object CrmlsStream {
       if (p.exists()) Some(spark.read.parquet(path(entity))) else None
     }
 
-    /** Argmax-merge a delta into the entity's latest-state table. */
+    /** Argmax-merge a delta into the entity's latest-state table.
+      *
+      * Tie note: state tables keep exactly ONE row per key
+      * (`latestOne`, keyed tiebreak), where the reference's batch dedup
+      * keeps all rows tying on max ts (`latestAll`). An upsert sink
+      * needs a unique key, so ties collapse deterministically here; the
+      * batch pipeline preserves the reference's tie-keeping semantics.
+      */
     def upsertLatest(entity: String, delta: DataFrame, keyCol: String,
                      tsCol: String): DataFrame = {
       val merged = read(entity) match {

@@ -59,6 +59,18 @@ class MultimodalSpec extends SparkTestBase {
     assert(frames === Array(0L, 1000L, 2000L, 3000L))
   }
 
+  test("extractAudioFeatures is deterministic and batch-complete") {
+    val a = Multimodal.extractAudioFeatures(mkMedia(20), dims = 8, batchSize = 4)
+    assert(a.count() === 20)
+    val f1 = a.filter(col("media_id") === 1).select("audio_features")
+      .head().getSeq[Float](0)
+    assert(f1.length === 8)
+    val f1b = Multimodal.extractAudioFeatures(mkMedia(20), dims = 8)
+      .filter(col("media_id") === 1).select("audio_features")
+      .head().getSeq[Float](0)
+    assert(f1 === f1b)
+  }
+
   test("repartitionForDecode spreads rows across partitions") {
     val parts = Multimodal.repartitionForDecode(mkMedia(100), 8)
       .rdd.glom().map(_.length).collect()
