@@ -64,9 +64,15 @@ object AsOfJoinPlan {
 
     override def outputPartitioning: Partitioning = left.outputPartitioning
 
-    override def requiredChildDistribution: Seq[Distribution] =
-      ClusteredDistribution(Seq(leftKey)) ::
-        ClusteredDistribution(Seq(rightKey)) :: Nil
+    override def requiredChildDistribution: Seq[Distribution] = {
+      // pin BOTH sides to the same partition count: doExecute zips
+      // partitions pairwise, so AQE must not coalesce the two shuffles
+      // to different counts (a requiredNumPartitions distribution is
+      // exempt from coalescing)
+      val n = org.apache.spark.sql.internal.SQLConf.get.numShufflePartitions
+      ClusteredDistribution(Seq(leftKey), requiredNumPartitions = Some(n)) ::
+        ClusteredDistribution(Seq(rightKey), requiredNumPartitions = Some(n)) :: Nil
+    }
 
     override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
       Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
