@@ -24,21 +24,24 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // min of two runs: absorbs one-off JIT/GC/host-contention spikes
       // so the reported number reflects the query, not the machine.
+      var failed = false
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         // noop sink forces every output column to be materialized;
         // count() would let Catalyst prune the computed columns away.
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
+          failed = true
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      // a failed query reports -1, never a bogus tiny elapsed time
+      name -> (if (failed) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -42,9 +42,19 @@ object GraftExtensions {
       info("graft_minhash",
         "graft_minhash(tokenHashes, k, shingleSize) - MinHash signature"),
       (children: Seq[Expression]) => {
-        val k = children(1).eval().asInstanceOf[Int]
-        val sh = children(2).eval().asInstanceOf[Int]
-        NativeExpressions.MinHashSignature(children(0), k, sh)
+        def intArg(e: Expression, name: String): Int = {
+          if (!e.foldable) throw new IllegalArgumentException(
+            s"graft_minhash: $name must be a literal integer")
+          e.eval() match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case s: Short => s.toInt
+            case other => throw new IllegalArgumentException(
+              s"graft_minhash: $name must be a literal integer, got $other")
+          }
+        }
+        NativeExpressions.MinHashSignature(children(0),
+          intArg(children(1), "numHashes"), intArg(children(2), "shingleSize"))
       }),
     (FunctionIdentifier("graft_simhash"),
       info("graft_simhash", "graft_simhash(tokenHashes) - 64-bit SimHash"),

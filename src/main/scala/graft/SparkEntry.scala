@@ -681,8 +681,9 @@ object SparkEntry {
            FROM documents)
          SELECT doc_id,
            round(
-             least(CASE WHEN n BETWEEN 10 AND 100000 THEN 1.0
-                        ELSE CAST(n AS DOUBLE) / 10.0 END, 1.0) * 0.4
+             (CASE WHEN n < 10 THEN CAST(n AS DOUBLE) / 10.0
+                   WHEN n > 100000 THEN 100000.0 / CAST(n AS DOUBLE)
+                   ELSE 1.0 END) * 0.4
              + (1.0 - least(punct_ratio * 5, 1.0)) * 0.3
              + least(stop_ratio * 10, 1.0) * 0.3, 6) AS quality
          FROM s""",

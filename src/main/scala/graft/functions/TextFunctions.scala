@@ -75,12 +75,14 @@ object TextFunctions {
   /** [[qualityScore]] over a pre-tokenized array column. */
   def qualityScoreOf(text: Column, toks: Column, stop: Seq[String]): Column = {
     val n = tokenCountOf(toks)
-    val lenScore = when(n.between(10, 100000), lit(1.0))
-      .otherwise(n.cast("double") / lit(10.0))
+    // length window: short docs score n/10 (ramp up), over-long docs
+    // score 100000/n (decay) — both sides actually penalize
+    val lenScore = when(n < 10, n.cast("double") / lit(10.0))
+      .when(n > 100000, lit(100000.0) / n.cast("double"))
+      .otherwise(lit(1.0))
     val punctScore = lit(1.0) - least(punctRatio(text) * 5, lit(1.0))
     val stopScore = least(stopwordRatioOf(toks, stop) * 10, lit(1.0))
-    least(lenScore, lit(1.0)) * lit(0.4) + punctScore * lit(0.3) +
-      stopScore * lit(0.3)
+    lenScore * lit(0.4) + punctScore * lit(0.3) + stopScore * lit(0.3)
   }
 
   /** Bag-of-words content fingerprint: md5 over the sorted distinct

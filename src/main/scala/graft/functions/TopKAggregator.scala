@@ -25,6 +25,7 @@ object TopKAggregator {
     a.score > b.score || (a.score == b.score && a.id < b.id)
 
   final class TopK(k: Int) extends Aggregator[Scored, List[Scored], Seq[Scored]] {
+    require(k > 0, s"topK needs k > 0, got $k")
     override def zero: List[Scored] = Nil
 
     // insert keeping the buffer sorted best-first, truncated at k

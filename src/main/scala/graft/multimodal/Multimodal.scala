@@ -109,7 +109,8 @@ object Multimodal {
         // one "codec session" per batch (stub: nothing to set up)
         batch.iterator.map { r =>
           val bytes = r.getAs[Array[Byte]](contentIdx)
-          Row.fromSeq(r.toSeq :+ StubCodec.imageFeatures(bytes, dims).toSeq)
+          val f = StubCodec.imageFeatures(bytes, dims)
+          Row.fromSeq(r.toSeq :+ (if (f == null) null else f.toSeq))
         }
       }
     }

@@ -61,7 +61,11 @@ object AsOfJoin {
       .withColumn("__side", lit(1))
       .withColumn("__btie", lit(null).cast(build.schema(tiebreak).dataType))
       .withColumn("__b", lit(null).cast(bStructType))
-    val b = build
+    // null-key build rows can never match any probe under equi-join
+    // semantics; dropping them BEFORE the union also keeps them out of
+    // the null-key window partition, where they would otherwise be
+    // carried into null-key probes (which must emit null matches).
+    val b = build.filter(col(key).isNotNull)
       .select((col(key) +: probeCols.filterNot(_ == key).map(c => lit(null).cast(probe.schema(c).dataType).as(c))) :+
         col(buildTs).as("__t") :+ lit(0).as("__side") :+
         col(tiebreak).as("__btie") :+ bStruct.as("__b"): _*)

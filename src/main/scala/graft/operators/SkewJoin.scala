@@ -27,6 +27,11 @@ object SkewJoin {
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  saltBuckets: Int, joinType: String = "left_outer"): DataFrame = {
+    // right/full outer would emit saltBuckets copies of every unmatched
+    // dim row (the dim side is exploded per salt) — reject them
+    require(Set("inner", "left_outer", "left", "leftouter", "left_semi",
+      "leftsemi").contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left join types, got $joinType")
     val saltedFact = fact.withColumn("__salt",
       pmod(xxhash64(struct(fact.columns.map(col): _*)), lit(saltBuckets))
         .cast("int"))

@@ -68,7 +68,7 @@ object Streams {
     * of history lands in practice: object-store files, not a broker).
     */
   def jsonLinesSource(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.format("text").load(dir).withColumnRenamed("value", "value")
+    spark.readStream.format("text").load(dir)
 
   /** T2: bounded-out-of-orderness watermark (reference
     * CustomTimestampExtractor, FlinkJoiner.scala:342-349 — 100 s bound).

@@ -56,12 +56,21 @@ object CrmlsStream {
       */
     def upsertLatest(entity: String, delta: DataFrame, keyCol: String,
                      tsCol: String): DataFrame = {
+      // deterministic tie resolution: newer batch wins over existing
+      // state; within one batch, ties fall to a content-hash order —
+      // never to shuffle arrival order (task retries must converge).
+      def tagged(df: DataFrame, isNew: Int) = df.withColumn("__tie",
+        org.apache.spark.sql.functions.struct(
+          org.apache.spark.sql.functions.lit(isNew),
+          org.apache.spark.sql.functions.xxhash64(
+            org.apache.spark.sql.functions.struct(df.columns.map(
+              org.apache.spark.sql.functions.col): _*))))
       val merged = read(entity) match {
-        case Some(cur) => cur.unionByName(delta)
-        case None => delta
+        case Some(cur) => tagged(cur, 0).unionByName(tagged(delta, 1))
+        case None => tagged(delta, 1)
       }
       val latest = LatestVersion.latestOne(
-        merged, keyCol, tsCol, tiebreakCol = keyCol)
+        merged, keyCol, tsCol, tiebreakCol = "__tie").drop("__tie")
       // two-phase write: latest-state tables are small relative to
       // history (one row per live key)
       val tmp = path(entity) + "__tmp"

@@ -57,9 +57,14 @@ object StreamingAsOf {
         (key: String, rows: Iterator[Tagged], state: GroupState[AsOfState]) =>
           val cur = state.getOption.getOrElse(AsOfState(Nil, Nil))
           val (probes, builds) = rows.toList.partition(_.isProbe)
+          // ts desc, payload desc: equal-ts ties resolve to the
+          // lexicographically greatest payload (same rule as
+          // LatestState), never to micro-batch arrival order
           val versions =
             (builds.map(b => b.ts.getTime -> b.payload) ++ cur.versions)
-              .sortBy(-_._1)
+              .distinct
+              .sortBy { case (t, p) => (-t, p) }(
+                Ordering.Tuple2(Ordering.Long, Ordering.String.reverse))
           val pending =
             (probes.map(p => p.ts.getTime -> p.payload) ++ cur.pending)
               .sortBy(_._1)

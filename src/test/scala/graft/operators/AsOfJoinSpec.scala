@@ -56,6 +56,20 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(got === Map(201L -> Some("img 2.0b")))
   }
 
+  test("null join keys never match on either side (equi-join semantics)") {
+    val p = Seq(
+      (401L, Option.empty[Long], ts(9)),  // null-key probe
+      (402L, Some(9L), ts(9))             // key with only null-key builds
+    ).toDF("probe_id", "key", "ts")
+    val b = Seq(
+      (Option.empty[Long], "null-key build", ts(1), 90L),
+      (Option.empty[Long], "null-key build 2", ts(2), 91L)
+    ).toDF("key", "img", "ts", "img_id")
+    val got = run(AsOfJoin.asOf(p, b, "key", "ts", "ts",
+      Seq("img", "ts"), "img_id", "b_"))
+    assert(got === Map(401L -> None, 402L -> None))
+  }
+
   test("duplicate probe rows each keep their match (viaJoin)") {
     val p = Seq((301L, 1L, ts(5)), (301L, 1L, ts(5))).toDF("probe_id", "key", "ts")
     val got = AsOfJoin.asOfViaJoin(p, images, "key", "ts", "ts",
