@@ -1,0 +1,156 @@
+package graft
+
+import graft.functions.VectorFunctions
+
+/** DuckDB oracle-SQL generators for the LSH / IVF similarity queries.
+  *
+  * These queries are approximate by design, but their randomness is
+  * DETERMINISTIC: SRP hyperplanes are literals derived from (seed, bit,
+  * dim) and IVF centroids are the lowest-id corpus vectors. That makes
+  * the full algorithm — bucketing/assignment, candidate generation, and
+  * exact verification — re-expressible in ANSI SQL, so the oracle
+  * recomputes the SAME approximate result independently instead of
+  * settling for a rows-only check.
+  *
+  * All float math follows the r1-proven parity rules: vectors cast to
+  * double per element, dot products accumulated in index order,
+  * cosines guarded against zero norms.
+  */
+object OracleGen {
+
+  /** `(band, bit, [p1, ..., pdim])` VALUES rows for every hyperplane
+    * used by `VectorFunctions.srpBucket(seed = band)` — the identical
+    * doubles Spark bakes into its plan (shortest-round-trip rendering
+    * parses back to the same IEEE value).
+    */
+  private def planesValues(bands: Int, bitsPerBand: Int, dim: Int): String =
+    (for (band <- 0 until bands; bit <- 0 until bitsPerBand) yield {
+      val ps = (0 until dim)
+        .map(j => VectorFunctions.planeValue(band, bit, j).toString)
+        .mkString("[", ", ", "]")
+      s"($band, $bit, ${ps}::DOUBLE[])"
+    }).mkString(",\n           ")
+
+  private def dotSql(a: String, b: String, dim: Int): String =
+    s"list_sum(list_transform(range(1, ${dim + 1}), i -> $a[i] * $b[i]))"
+
+  /** Shared prelude: vectors (cast to double, with norms) and per-band
+    * SRP bucket ids recomputed from the hyperplane literals.
+    */
+  private def srpPrelude(filter: String, bands: Int, bitsPerBand: Int,
+                         dim: Int): String =
+    s"""WITH e AS (
+         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings $filter),
+       n AS (
+         SELECT vec_id, v,
+                sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+         FROM e),
+       planes(band, bit, p) AS (
+         VALUES ${planesValues(bands, bitsPerBand, dim)}),
+       proj AS (
+         SELECT e.vec_id, pl.band, pl.bit,
+                ${dotSql("e.v", "pl.p", dim)} AS pr
+         FROM e CROSS JOIN planes pl),
+       buckets AS (
+         SELECT vec_id, band,
+                CAST(sum(CASE WHEN pr >= 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS bucket
+         FROM proj GROUP BY vec_id, band)"""
+
+  /** Oracle for `SimilaritySearch.cosineDupePairsLsh` over
+    * `embeddings` restricted by `filter` (e.g. "WHERE vec_id < 300").
+    */
+  def cosineDupesLshSql(filter: String, threshold: Double, bands: Int,
+                        bitsPerBand: Int, dim: Int): String =
+    s"""${srpPrelude(filter, bands, bitsPerBand, dim)},
+       cand AS (
+         SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM buckets a JOIN buckets b
+           ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       scored AS (
+         SELECT id_a, id_b,
+                CASE WHEN na.nrm * nb.nrm <> 0
+                     THEN ${dotSql("na.v", "nb.v", dim)} / (na.nrm * nb.nrm)
+                END AS cosine
+         FROM cand JOIN n na ON na.vec_id = id_a
+                   JOIN n nb ON nb.vec_id = id_b)
+       SELECT id_a, id_b, round(cosine, 6) AS cosine
+       FROM scored WHERE cosine > $threshold"""
+
+  /** Oracle for `SimilaritySearch.srpTopK` with probes
+    * `vec_id < probeMax` over the full `embeddings` corpus.
+    */
+  def srpAnnSql(probeMax: Int, k: Int, bands: Int, bitsPerBand: Int,
+                dim: Int): String =
+    s"""${srpPrelude("", bands, bitsPerBand, dim)},
+       cand AS (
+         SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS neighbor_id
+         FROM buckets p JOIN buckets c
+           ON p.band = c.band AND p.bucket = c.bucket
+          AND c.vec_id <> p.vec_id
+         WHERE p.vec_id < $probeMax),
+       scored AS (
+         SELECT probe_id, neighbor_id,
+                CASE WHEN np.nrm * nc.nrm <> 0
+                     THEN ${dotSql("np.v", "nc.v", dim)} / (np.nrm * nc.nrm)
+                END AS cosine
+         FROM cand JOIN n np ON np.vec_id = probe_id
+                   JOIN n nc ON nc.vec_id = neighbor_id)
+       SELECT probe_id, neighbor_id, rank FROM (
+         SELECT probe_id, neighbor_id,
+                row_number() OVER (PARTITION BY probe_id
+                  ORDER BY cosine DESC, neighbor_id) AS rank
+         FROM scored WHERE cosine IS NOT NULL) t
+       WHERE rank <= $k"""
+
+  /** Oracle for `SimilaritySearch.ivfTopK` with probes
+    * `vec_id < probeMax`: centroids are the `nCells` lowest-id corpus
+    * vectors; assignment = argmax cosine (ties to the lowest cell id,
+    * zero vectors last) — exactly the operator's row-local expression.
+    */
+  def ivfAnnSql(probeMax: Int, k: Int, nCells: Int, nProbe: Int,
+                dim: Int): String =
+    s"""WITH e AS (
+         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings),
+       n AS (
+         SELECT vec_id, v,
+                sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+         FROM e),
+       cents AS (
+         SELECT vec_id AS cell_id, v AS cv, nrm AS cn
+         FROM n ORDER BY vec_id LIMIT $nCells),
+       asgn AS (
+         SELECT n.vec_id, c.cell_id,
+                CASE WHEN n.nrm * c.cn <> 0
+                     THEN ${dotSql("n.v", "c.cv", dim)} / (n.nrm * c.cn)
+                END AS sim
+         FROM n CROSS JOIN cents c),
+       ranked AS (
+         SELECT vec_id, cell_id,
+                row_number() OVER (PARTITION BY vec_id
+                  ORDER BY sim DESC NULLS LAST, cell_id) AS rn
+         FROM asgn),
+       corpus_cell AS (
+         SELECT vec_id AS neighbor_id, cell_id FROM ranked WHERE rn = 1),
+       probe_cell AS (
+         SELECT vec_id AS probe_id, cell_id FROM ranked
+         WHERE rn <= $nProbe AND vec_id < $probeMax),
+       cand AS (
+         SELECT p.probe_id, c.neighbor_id
+         FROM probe_cell p JOIN corpus_cell c
+           ON p.cell_id = c.cell_id AND c.neighbor_id <> p.probe_id),
+       scored AS (
+         SELECT cand.probe_id, cand.neighbor_id,
+                CASE WHEN np.nrm * nc.nrm <> 0
+                     THEN ${dotSql("np.v", "nc.v", dim)} / (np.nrm * nc.nrm)
+                END AS cosine
+         FROM cand JOIN n np ON np.vec_id = cand.probe_id
+                   JOIN n nc ON nc.vec_id = cand.neighbor_id)
+       SELECT probe_id, neighbor_id, rank FROM (
+         SELECT probe_id, neighbor_id,
+                row_number() OVER (PARTITION BY probe_id
+                  ORDER BY cosine DESC, neighbor_id) AS rank
+         FROM scored WHERE cosine IS NOT NULL) t
+       WHERE rank <= $k"""
+}

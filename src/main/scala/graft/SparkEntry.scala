@@ -212,10 +212,14 @@ object SparkEntry {
         .agg(countDistinct("l_partkey").as("n_parts"),
           countDistinct("l_suppkey").as("n_supps"))),
 
-    // §2.10 near-dup: embedding-cosine pairs above threshold
+    // §2.10 near-dup: embedding-cosine pairs above threshold, SRP-LSH
+    // bucketed (band/bucket shuffle key, exact cosine verified
+    // in-bucket — never an all-pairs nested loop; the oracle recomputes
+    // the same bucketing from the hyperplane literals)
     "q_cosine_dupes" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").filter(col("vec_id") < 300)
-      SimilaritySearch.cosineDupePairs(emb, "vec_id", "embedding", 0.35)
+      SimilaritySearch.cosineDupePairsLsh(emb, "vec_id", "embedding", 0.35,
+        bands = 16, bitsPerBand = 8, maxDim = 64)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
     }),
 
@@ -413,8 +417,10 @@ object SparkEntry {
           size(col("audio_features")).cast("long").as("n_audio_dims"))
     }),
 
-    // §2.10 similarity search: IVF approximate top-k (no SQL oracle —
-    // recall measured against brute force in ScalaTest)
+    // §2.10 similarity search: IVF approximate top-k (deterministic
+    // centroids = lowest-id vectors, so the oracle replays the whole
+    // index in SQL; recall additionally measured against brute force in
+    // ScalaTest)
     "q_ivf_ann" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       SimilaritySearch.ivfTopK(
@@ -423,12 +429,13 @@ object SparkEntry {
         .select("probe_id", "neighbor_id", "rank")
     }),
 
-    // §2.10 similarity search: SRP-LSH approximate top-k (no SQL oracle)
+    // §2.10 similarity search: SRP-LSH approximate top-k (oracle
+    // recomputes the bucketing from the deterministic hyperplanes)
     "q_srp_ann" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       SimilaritySearch.srpTopK(
         emb.filter(col("vec_id") < 64), emb, "vec_id", "embedding",
-        k = 5, bands = 4, bitsPerBand = 8)
+        k = 5, bands = 4, bitsPerBand = 8, maxDim = 64)
         .select("probe_id", "neighbor_id", "rank")
     })
   )
@@ -582,17 +589,15 @@ object SparkEntry {
          count(DISTINCT l_suppkey) AS n_supps
          FROM lineitem GROUP BY l_returnflag""",
 
-    "q_cosine_dupes" ->
-      """WITH e AS (SELECT vec_id,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-           FROM embeddings WHERE vec_id < 300),
-         p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
-               / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
-                  * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cosine
-           FROM e a JOIN e b ON a.vec_id < b.vec_id)
-         SELECT id_a, id_b, round(cosine, 6) AS cosine
-         FROM p WHERE cosine > 0.35""",
+    "q_cosine_dupes" -> OracleGen.cosineDupesLshSql(
+      filter = "WHERE vec_id < 300", threshold = 0.35,
+      bands = 16, bitsPerBand = 8, dim = 64),
+
+    "q_srp_ann" -> OracleGen.srpAnnSql(
+      probeMax = 64, k = 5, bands = 4, bitsPerBand = 8, dim = 64),
+
+    "q_ivf_ann" -> OracleGen.ivfAnnSql(
+      probeMax = 64, k = 5, nCells = 16, nProbe = 4, dim = 64),
 
     "q_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

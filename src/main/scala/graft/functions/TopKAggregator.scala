@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Encoder, Encoders, TypedColumn}
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, TypedColumn}
 import org.apache.spark.sql.expressions.Aggregator
 
 /** Typed top-k aggregator (SURVEY §7.5: "similarity top-k UDAF").
@@ -50,4 +50,30 @@ object TopKAggregator {
 
   def topK(k: Int): TypedColumn[Scored, Seq[Scored]] =
     new TopK(k).toColumn
+
+  /** Grouped top-k over a scored frame: for each `groupCol` value, the
+    * k best (scoreCol desc, idCol asc) rows, emitted as
+    * (groupCol, idCol, rank, scoreCol).
+    *
+    * This is the scale-shaped ranking primitive: the aggregator's
+    * partial (map-side) phase truncates every input partition's
+    * contribution to k rows BEFORE the exchange, so the shuffle carries
+    * O(partitions x k) rows per group instead of the full candidate
+    * stream — where a `row_number` window would exchange every scored
+    * row. Null scores are excluded (a candidate with no defined score
+    * cannot rank).
+    */
+  def groupedTopK(scored: DataFrame, groupCol: String, idCol: String,
+                  scoreCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tk = udaf(new TopK(k), Encoders.product[Scored])
+    scored
+      .filter(col(scoreCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(tk(col(idCol).cast("long"), col(scoreCol).cast("double")).as("__top"))
+      .select(col(groupCol), posexplode(col("__top")))
+      .select(col(groupCol), col("col.id").as(idCol),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.score").as(scoreCol))
+  }
 }

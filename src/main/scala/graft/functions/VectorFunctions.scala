@@ -44,8 +44,11 @@ object VectorFunctions {
       zip_with(toDouble(a), toDouble(b), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x))
 
-  /** Deterministic pseudo-random hyperplane component in [-1, 1). */
-  private def planeValue(seed: Int, bit: Int, j: Int): Double = {
+  /** Deterministic pseudo-random hyperplane component in [-1, 1).
+    * Package-visible so the oracle-SQL generator can embed the SAME
+    * hyperplanes as literals and recompute buckets externally.
+    */
+  private[graft] def planeValue(seed: Int, bit: Int, j: Int): Double = {
     val h = NativeExpressions.mix64(
       (seed.toLong << 40) ^ (bit.toLong << 20) ^ j.toLong)
     h.toDouble / Long.MaxValue.toDouble

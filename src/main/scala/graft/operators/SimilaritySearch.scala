@@ -1,24 +1,28 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.VectorFunctions
+import graft.functions.{TopKAggregator, VectorFunctions}
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (SURVEY §2.10: similarity search).
   *
-  * Two paths:
-  *  - [[bruteTopK]]: exact cosine top-k, probes x corpus. The PROBE side
-  *    is broadcast (probes are the small side by construction), so the
-  *    100 TB corpus is scanned once with no shuffle — the only exchange
-  *    is the final per-probe top-k aggregation, whose input is already
-  *    reduced to k rows per (probe, partition) by the window-free
-  *    partial-rank trick below at scale. Complexity O(|P| * |C|).
+  * Three paths, all ending in [[TopKAggregator.groupedTopK]] — a typed
+  * aggregator whose map side truncates every partition's candidates to
+  * k rows before the exchange, so no plan here shuffles the raw scored
+  * pair stream:
+  *
+  *  - [[bruteTopK]]: exact cosine, probes x corpus. The PROBE side is
+  *    broadcast (probes are the small side by construction), so the
+  *    100 TB corpus is scanned once with no shuffle; the only exchange
+  *    carries O(partitions x k) pre-truncated rows per probe.
+  *  - [[ivfTopK]]: inverted-file index. Cell assignment is ROW-LOCAL
+  *    (argmax over a literal centroid array — zero shuffle); the
+  *    candidate join's key is the cell id.
   *  - [[srpTopK]]: sign-random-projection LSH bucketing; candidates are
-  *    only corpus vectors whose bucket matches the probe's within a
-  *    band. Shuffle key = bucket id; comparisons are bucket-local. This
-  *    is the scale path when |P| is large too.
+  *    corpus vectors sharing a band bucket with the probe. Shuffle key =
+  *    (band, bucket); comparisons are bucket-local. The scale path when
+  *    |P| is large too.
   */
 object SimilaritySearch {
 
@@ -36,13 +40,47 @@ object SimilaritySearch {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
       .withColumn("__cn", VectorFunctions.norm(col("__cv")))
     val scored = c.join(broadcast(p), col("probe_id") =!= col("neighbor_id"))
-      .withColumn("cosine", VectorFunctions.cosineWithNorms(
-        col("__pv"), col("__cv"), col("__pn"), col("__cn")))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("neighbor_id"),
+        VectorFunctions.cosineWithNorms(
+          col("__pv"), col("__cv"), col("__pn"), col("__cn")).as("cosine"))
+    TopKAggregator.groupedTopK(scored, "probe_id", "neighbor_id", "cosine", k)
       .select("probe_id", "neighbor_id", "rank", "cosine")
+  }
+
+  /** Collect the coarse-quantizer centroids (the `nCells` lowest-id
+    * corpus vectors — deterministic, so results are reproducible) to the
+    * driver. nCells is tiny by construction (<=64ish), so this is the
+    * same driver-side footprint as a fitted KMeans model, and it lets
+    * cell assignment run as a row-local expression over LITERAL
+    * centroids — no join, no exchange, the index actually prunes.
+    */
+  private def centroidLiterals(corpus: DataFrame, idCol: String,
+                               vecCol: String, nCells: Int): Array[(Long, Array[Double], Double)] =
+    corpus
+      .select(col(idCol).cast("long").as("__cid"),
+        VectorFunctions.toDouble(col(vecCol)).as("__cv"))
+      .orderBy(col("__cid")).limit(nCells).collect()
+      .map { r =>
+        val v = r.getSeq[Double](1).toArray
+        var ss = 0.0
+        var i = 0
+        while (i < v.length) { ss += v(i) * v(i); i += 1 }
+        (r.getLong(0), v, math.sqrt(ss))
+      }
+
+  /** Row-local nearest-cell array: (negated similarity, cell_id) structs
+    * sorted ascending, i.e. best cell first; null similarities (zero
+    * vectors) sort last via the -(-2.0) sentinel.
+    */
+  private def sortedCells(vec: Column,
+                          cents: Seq[(Long, Array[Double], Double)]): Column = {
+    val n = VectorFunctions.norm(vec)
+    val entries = cents.map { case (cid, cv, cn) =>
+      val sim = VectorFunctions.cosineWithNorms(
+        vec, typedlit(cv.toSeq), n, lit(cn))
+      struct((-coalesce(sim, lit(-2.0))).as("neg_sim"), lit(cid).as("cell_id"))
+    }
+    array_sort(array(entries: _*))
   }
 
   /** IVF (inverted-file) approximate top-k: a deterministic coarse
@@ -50,58 +88,48 @@ object SimilaritySearch {
     * centroids) partitions the corpus into cells; each probe searches
     * only its `nProbe` nearest cells.
     *
-    * Both assignment passes are broadcast joins against the tiny
-    * centroid set, and the candidate join's key is the cell id — so at
-    * corpus scale the shuffle moves (probe x nProbe) rows and each
-    * comparison is cell-local. Recall/cost is tuned with nCells x
-    * nProbe exactly as in classic IVF indexes.
+    * Both assignment passes are row-local argmax expressions over the
+    * literal centroid array (no shuffle, no join), so the only
+    * exchanges are the cell-keyed candidate join and the final
+    * map-side-truncated top-k — at corpus scale the shuffle moves
+    * (probe x nProbe) rows and each comparison is cell-local.
+    * Recall/cost is tuned with nCells x nProbe exactly as in classic
+    * IVF indexes.
     */
   def ivfTopK(probes: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, nCells: Int = 16,
               nProbe: Int = 4): DataFrame = {
-    val cents = corpus.orderBy(col(idCol)).limit(nCells)
-      .select(col(idCol).as("cell_id"), col(vecCol).as("__centv"))
-      .withColumn("__centn", VectorFunctions.norm(col("__centv")))
+    val cents = centroidLiterals(corpus, idCol, vecCol, nCells).toSeq
 
-    def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
-      val n = VectorFunctions.norm(col(vec))
-      val scored = df.withColumn("__n", n)
-        .join(broadcast(cents), lit(true))
-        .withColumn("__sim", VectorFunctions.cosineWithNorms(
-          col(vec), col("__centv"), col("__n"), col("__centn")))
-      val w = Window.partitionBy(col(id))
-        .orderBy(col("__sim").desc_nulls_last, col("cell_id"))
-      scored.withColumn("__r", row_number().over(w))
-        .filter(col("__r") <= keep)
-        .select(col(id), col(vec), col("cell_id"))
-    }
+    val corpusCells = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("cell_id",
+        element_at(sortedCells(col("__cv"), cents), 1).getField("cell_id"))
+    val probeCells = probes
+      .select(col(idCol).as("probe_id"), col(vecCol).as("__pv"))
+      .withColumn("__cell",
+        explode(slice(sortedCells(col("__pv"), cents), 1, nProbe)))
+      .select(col("probe_id"), col("__pv"), col("__cell.cell_id").as("cell_id"))
 
-    val corpusCells = assign(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
-      "neighbor_id", "__cv", keep = 1)
-    val probeCells = assign(
-      probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pv")),
-      "probe_id", "__pv", keep = nProbe)
-
-    val cands = probeCells.join(corpusCells, Seq("cell_id"))
+    // each corpus vector lives in exactly one cell and each probe
+    // probes nProbe distinct cells, so (probe, neighbor) pairs are
+    // already unique — no dedup pass needed
+    val scored = probeCells.join(corpusCells, Seq("cell_id"))
       .filter(col("probe_id") =!= col("neighbor_id"))
-      .select("probe_id", "__pv", "neighbor_id", "__cv").distinct()
-      .withColumn("__pn", VectorFunctions.norm(col("__pv")))
-      .withColumn("__cn", VectorFunctions.norm(col("__cv")))
-      .withColumn("cosine", VectorFunctions.cosineWithNorms(
-        col("__pv"), col("__cv"), col("__pn"), col("__cn")))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    cands.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("neighbor_id"),
+        VectorFunctions.cosineWithNorms(col("__pv"), col("__cv"),
+          VectorFunctions.norm(col("__pv")),
+          VectorFunctions.norm(col("__cv"))).as("cosine"))
+    TopKAggregator.groupedTopK(scored, "probe_id", "neighbor_id", "cosine", k)
       .select("probe_id", "neighbor_id", "rank", "cosine")
   }
 
-  /** Embedding-cosine near-duplicate pairs: all (a < b) pairs above the
-    * similarity threshold. Norms precomputed per vector; intended for a
-    * bounded probe set or LSH-bucketed candidates — the full-corpus
-    * scale path is [[srpTopK]]'s bucketing with this as the in-bucket
-    * verifier.
+  /** Embedding-cosine near-duplicate pairs, exact all-pairs form: every
+    * (a < b) pair above the similarity threshold. O(n^2) BY DESIGN —
+    * this is the in-bucket verifier for [[cosineDupePairsLsh]] and is
+    * only safe on a bounded probe set (it plans as a nested-loop over
+    * all pairs). The corpus-scale entry point is
+    * [[cosineDupePairsLsh]], which buckets first.
     */
   def cosineDupePairs(vecs: DataFrame, idCol: String, vecCol: String,
                       threshold: Double): DataFrame = {
@@ -116,39 +144,82 @@ object SimilaritySearch {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Explode a vector frame into one row per (band, SRP bucket). The
+    * hyperplanes are deterministic plan literals (seeded by band), so
+    * bucket ids are reproducible cluster-wide AND recomputable by an
+    * external oracle.
+    */
+  private def srpBanded(vecs: DataFrame, idOut: String, vecOut: String,
+                        idCol: String, vecCol: String, bands: Int,
+                        bitsPerBand: Int, maxDim: Int): DataFrame = {
+    val bucketArr = array((0 until bands).map { band =>
+      struct(lit(band).as("band"),
+        VectorFunctions.srpBucket(col(vecOut), bitsPerBand, seed = band,
+          maxDim = maxDim).as("bucket"))
+    }: _*)
+    vecs.select(col(idCol).as(idOut), col(vecCol).as(vecOut))
+      .select(col(idOut), col(vecOut), explode(bucketArr).as("bb"))
+      .select(col(idOut), col(vecOut),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** LSH-bucketed near-duplicate pairs: candidates share at least one
+    * of `bands` SRP band buckets; exact cosine verifies within the
+    * bucket. The shuffle key is (band, bucket) and the quadratic
+    * compare is bucket-local, so — unlike [[cosineDupePairs]] — this
+    * never plans an all-pairs nested loop. Recall is the standard SRP
+    * band/bit trade-off: P(candidate) = 1 - (1 - p^bits)^bands with
+    * p = 1 - angle/pi; size bitsPerBand ~ log2(corpus) at scale.
+    */
+  def cosineDupePairsLsh(vecs: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, bands: Int = 16,
+                         bitsPerBand: Int = 8, maxDim: Int = 512): DataFrame = {
+    val banded = srpBanded(vecs, "__id", "__v", idCol, vecCol,
+      bands, bitsPerBand, maxDim)
+    // candidate ids only through the dedup — vectors rejoin by id after
+    val cand = banded.select(col("__id").as("id_a"), col("band"), col("bucket"))
+      .join(banded.select(col("__id").as("id_b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val va = vecs.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+      .withColumn("__na", VectorFunctions.norm(col("__va")))
+    val vb = vecs.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+      .withColumn("__nb", VectorFunctions.norm(col("__vb")))
+    cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
+      .withColumn("cosine", VectorFunctions.cosineWithNorms(
+        col("__va"), col("__vb"), col("__na"), col("__nb")))
+      .filter(col("cosine") > threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
   /** LSH-bucketed approximate top-k: candidates share at least one of
-    * `bands` SRP bucket ids; exact cosine + rank within candidates.
-    * Each band uses `bitsPerBand` hyperplanes, derived deterministically
-    * (seeded by band index) so results are reproducible cluster-wide.
+    * `bands` SRP bucket ids; exact cosine + map-side-truncated rank
+    * within candidates. Candidate dedup is keyed on (probe_id,
+    * neighbor_id) ONLY — vectors are rejoined by id afterwards, so no
+    * exchange in the plan carries embeddings as keys.
     */
   def srpTopK(probes: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, bands: Int = 4,
-              bitsPerBand: Int = 8): DataFrame = {
-    def withBuckets(df: DataFrame, id: String, vec: String): DataFrame = {
-      val bucketArr = array((0 until bands).map { band =>
-        struct(lit(band).as("band"),
-          VectorFunctions.srpBucket(col(vec), bitsPerBand, seed = band)
-            .as("bucket"))
-      }: _*)
-      df.select(col(id), col(vec), explode(bucketArr).as("bb"))
-        .select(col(id), col(vec),
-          col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    }
-    val p = withBuckets(
-      probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pv")),
-      "probe_id", "__pv")
-    val c = withBuckets(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
-      "neighbor_id", "__cv")
-    val cands = p.join(c, Seq("band", "bucket"))
+              bitsPerBand: Int = 8, maxDim: Int = 512): DataFrame = {
+    val p = srpBanded(probes, "probe_id", "__pv", idCol, vecCol,
+      bands, bitsPerBand, maxDim)
+    val c = srpBanded(corpus, "neighbor_id", "__cv", idCol, vecCol,
+      bands, bitsPerBand, maxDim)
+    val candIds = p.drop("__pv").join(c.drop("__cv"), Seq("band", "bucket"))
       .filter(col("probe_id") =!= col("neighbor_id"))
-      .select("probe_id", "__pv", "neighbor_id", "__cv").distinct()
-    val scored = cands
-      .withColumn("cosine", VectorFunctions.cosine(col("__pv"), col("__cv")))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+      .select("probe_id", "neighbor_id").distinct()
+    val pv = probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pv"))
+      .withColumn("__pn", VectorFunctions.norm(col("__pv")))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("__cn", VectorFunctions.norm(col("__cv")))
+    val scored = candIds
+      .join(broadcast(pv), Seq("probe_id"))
+      .join(cv, Seq("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        VectorFunctions.cosineWithNorms(col("__pv"), col("__cv"),
+          col("__pn"), col("__cn")).as("cosine"))
+    TopKAggregator.groupedTopK(scored, "probe_id", "neighbor_id", "cosine", k)
       .select("probe_id", "neighbor_id", "rank", "cosine")
   }
 }

@@ -39,6 +39,43 @@ class PlanHygieneSpec extends SparkTestBase {
       "map-side partial aggregate missing")
   }
 
+  test("q_simsearch: map-side top-k truncation, no window over the pair stream") {
+    val p = plan("q_simsearch")
+    assert(!p.contains("Window"), "brute top-k must not rank with a window")
+    assert(p.contains("partial_topk"),
+      "map-side partial top-k missing — the exchange would carry every scored pair")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(2000))
+  }
+
+  test("q_ivf_ann: row-local cell assignment — no exchange before the candidate join") {
+    val p = plan("q_ivf_ann")
+    assert(!p.contains("Window"), "IVF must not rank cells with a window")
+    assert(p.contains("partial_topk"), "map-side partial top-k missing")
+    // the grouped top-k's exchange is the ONLY shuffle: assignment is a
+    // row-local argmax over literal centroids, the candidate join
+    // broadcasts the probe side
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(2000))
+  }
+
+  test("q_cosine_dupes: bucketed candidates, never an all-pairs nested loop") {
+    val p = plan("q_cosine_dupes")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "LSH dupe pairs must not plan an all-pairs join")
+    val exchangeKeys = "Exchange hashpartitioning\\([^)]*".r.findAllIn(p).toList
+    assert(exchangeKeys.forall(k => !k.contains("__v")),
+      s"candidate dedup must shuffle ids, not vectors: $exchangeKeys")
+  }
+
+  test("q_srp_ann: exchanges keyed on ids/buckets only, vectors never shuffle keys") {
+    val p = plan("q_srp_ann")
+    val exchangeKeys = "Exchange hashpartitioning\\([^)]*".r.findAllIn(p).toList
+    assert(exchangeKeys.nonEmpty)
+    assert(exchangeKeys.forall(k => !k.contains("__pv") && !k.contains("__cv")
+      && !k.contains("embedding")),
+      s"exchange keys must be ids, not embeddings: $exchangeKeys")
+    assert(p.contains("partial_topk"), "map-side partial top-k missing")
+  }
+
   test("native dot product is codegen-capable (starred projection)") {
     // the tokenizing queries are bounded by ArrayTransform (a
     // CodegenFallback higher-order function), but ArrayDotProduct

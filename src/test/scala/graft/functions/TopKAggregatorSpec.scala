@@ -17,12 +17,28 @@ class TopKAggregatorSpec extends SparkTestBase {
     assert(got === want)
   }
 
-  test("grouped top-k matches the window-ranked similarity search") {
+  test("grouped top-k matches an explicit window ranking (the plan it replaces)") {
+    import org.apache.spark.sql.expressions.Window
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val probes = emb.filter(col("vec_id") < 8)
-    val windowed = SimilaritySearch.bruteTopK(probes, emb, "vec_id", "embedding", 3)
+    // reference implementation: row_number window with the same
+    // (score desc, id asc) tiebreak — correct but shuffles every pair
+    val pw = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val cw = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val windowed = cw.join(broadcast(pw), col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VectorFunctions.cosine(col("pv"), col("cv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
       .select("probe_id", "neighbor_id", "rank")
       .as[(Long, Long, Long)].collect().toSet
+
+    // bruteTopK (aggregator-based) must produce the identical ranking
+    val brute = SimilaritySearch.bruteTopK(probes, emb, "vec_id", "embedding", 3)
+      .select("probe_id", "neighbor_id", "rank")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(brute === windowed)
 
     // same candidates through the typed aggregator
     val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pv"))

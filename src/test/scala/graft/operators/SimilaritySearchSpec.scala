@@ -45,6 +45,29 @@ class SimilaritySearchSpec extends SparkTestBase {
       s"IVF recall@top1 too low: $hits/${brute.size}")
   }
 
+  test("cosineDupePairsLsh: results are a subset of the exact all-pairs verifier") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .filter(col("vec_id") < 300)
+    val exact = SimilaritySearch.cosineDupePairs(emb, "vec_id", "embedding", 0.35)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = SimilaritySearch.cosineDupePairsLsh(emb, "vec_id", "embedding",
+        0.35, bands = 16, bitsPerBand = 8, maxDim = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.nonEmpty, "bucketing found no candidate pairs at all")
+    assert(lsh.subsetOf(exact), "in-bucket verification must never over-report")
+  }
+
+  test("cosineDupePairsLsh: identical vectors are always found (recall 1 for exact dups)") {
+    // an identical pair shares every band bucket, so no parameter
+    // choice can miss it
+    val withDup = vecs.unionByName(
+      vecs.filter(col("vec_id") === 1).withColumn("vec_id", lit(100L)))
+    val got = SimilaritySearch.cosineDupePairsLsh(withDup, "vec_id", "embedding",
+        0.99, bands = 4, bitsPerBand = 8, maxDim = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 100L)))
+  }
+
   test("srpTopK finds the true nearest neighbor of an identical vector") {
     // identical vectors land in identical buckets in every band
     val probe = vecs.filter(col("vec_id") === 1)
