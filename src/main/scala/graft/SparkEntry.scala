@@ -318,8 +318,8 @@ object SparkEntry {
           col("chunk"))
     }),
 
-    // §2.10 text: BPE-ish subword token counting (no SQL oracle — the
-    // lookaround regex split is not expressible in DuckDB's RE2)
+    // §2.10 text: BPE-ish subword token counting (the tokenizer pattern
+    // is RE2-compatible, so the oracle recomputes it verbatim)
     "q_bpe_tokens" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -383,14 +383,15 @@ object SparkEntry {
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
     }),
 
-    // §2.10 near-dup: MinHash-LSH candidate pairs (no SQL oracle —
-    // xxhash64 signatures are engine-specific; correctness via ScalaTest)
+    // §2.10 near-dup: MinHash-LSH candidate pairs (xxhash64 signatures
+    // are engine-specific, so the oracle is the pinned sf0.01 fixture
+    // in OracleFixtures; semantics via ScalaTest planted dups)
     "q_minhash_pairs" -> ((s, dir) =>
       DedupOps.minhashCandidatePairs(
         t(s, dir, "documents"), "doc_id", "text",
         numHashes = 32, bands = 16, shingleSize = 3)),
 
-    // §2.10 near-dup: 64-bit SimHash fingerprints (no SQL oracle)
+    // §2.10 near-dup: 64-bit SimHash fingerprints (pinned-fixture oracle)
     "q_simhash" -> ((s, dir) =>
       DedupOps.simhash(t(s, dir, "documents"), "text")
         .select("doc_id", "simhash")),
@@ -658,6 +659,16 @@ object SparkEntry {
          SELECT doc_id, i AS chunk_idx,
            array_to_string(toks[(i*50+1):(i*50+50)], ' ') AS chunk
          FROM t, unnest(range(CAST(ceil(len(toks)/50.0) AS BIGINT))) AS u(i)""",
+
+    "q_minhash_pairs" -> OracleFixtures.minhashPairsSql,
+
+    "q_simhash" -> OracleFixtures.simhashSql,
+
+    "q_bpe_tokens" ->
+      raw"""SELECT doc_id,
+         len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+         len(regexp_extract_all(text, '${TF.bpeishPattern}')) AS n_bpe_tokens
+         FROM documents""",
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS doc_id,

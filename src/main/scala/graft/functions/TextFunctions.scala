@@ -18,12 +18,16 @@ object TextFunctions {
   def tokens(text: Column): Column =
     split(trim(text), "\\s+")
 
-  /** BPE-ish subword-aware token split: words, numbers, or single
+  /** BPE-ish subword-aware token split: alphanumeric runs or single
     * non-space symbols — a cheap proxy for tokenizer-cost estimation.
+    * The pattern is deliberately RE2-compatible (no lookarounds,
+    * explicit whitespace class) so external engines can recompute it
+    * verbatim as an oracle.
     */
+  val bpeishPattern = "[A-Za-z0-9]+|[^A-Za-z0-9\\t\\n\\f\\r ]"
+
   def bpeishTokens(text: Column): Column =
-    filter(split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
-      t => trim(t) =!= "")
+    regexp_extract_all(text, lit(bpeishPattern), lit(0))
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
