@@ -35,16 +35,19 @@ import graft.operators.LatestVersion
   */
 object CrmlsStream {
 
-  /** Latest-state storage abstraction: parquet dirs for tests/local,
-    * MERGE-capable table format in production.
+  /** Latest-state storage abstraction: hash-bucketed parquet dirs for
+    * tests/local ([[BucketedState]]), MERGE-capable table format in
+    * production. A batch rewrites only the buckets containing its keys
+    * — the reference's RocksDB state is incremental the same way
+    * (CRMLSJoiner.scala:57-59), and untouched buckets' files stay
+    * byte-identical.
     */
-  final class StateStore(spark: SparkSession, dir: String) extends Serializable {
+  final class StateStore(spark: SparkSession, dir: String,
+                         nBuckets: Int = 16) extends Serializable {
     private def path(entity: String) = s"$dir/$entity"
 
-    def read(entity: String): Option[DataFrame] = {
-      val p = new java.io.File(path(entity))
-      if (p.exists()) Some(spark.read.parquet(path(entity))) else None
-    }
+    def read(entity: String): Option[DataFrame] =
+      BucketedState.readAll(spark, path(entity))
 
     /** Argmax-merge a delta into the entity's latest-state table.
       *
@@ -56,6 +59,7 @@ object CrmlsStream {
       */
     def upsertLatest(entity: String, delta: DataFrame, keyCol: String,
                      tsCol: String): DataFrame = {
+      import org.apache.spark.sql.functions.col
       // deterministic tie resolution: newer batch wins over existing
       // state; within one batch, ties fall to a content-hash order —
       // never to shuffle arrival order (task retries must converge).
@@ -65,19 +69,25 @@ object CrmlsStream {
           org.apache.spark.sql.functions.xxhash64(
             org.apache.spark.sql.functions.struct(df.columns.map(
               org.apache.spark.sql.functions.col): _*))))
-      val merged = read(entity) match {
-        case Some(cur) => tagged(cur, 0).unionByName(tagged(delta, 1))
-        case None => tagged(delta, 1)
-      }
-      val latest = LatestVersion.latestOne(
-        merged, keyCol, tsCol, tiebreakCol = "__tie").drop("__tie")
-      // two-phase write: latest-state tables are small relative to
-      // history (one row per live key)
-      val tmp = path(entity) + "__tmp"
-      latest.write.mode("overwrite").parquet(tmp)
-      val out = spark.read.parquet(tmp)
-      out.write.mode("overwrite").parquet(path(entity))
-      spark.read.parquet(path(entity))
+      val cached = delta.cache()
+      try {
+        // which buckets does this batch touch? (one tiny job; the delta
+        // is cached so the merge below doesn't recompute the projection)
+        val touched = cached
+          .select(BucketedState.bucketOf(col(keyCol), nBuckets).as("__b"))
+          .distinct().collect().map(_.getInt(0)).toSeq.sorted
+        // merge against ONLY the touched buckets' current rows
+        val merged = BucketedState.readBuckets(spark, path(entity), touched) match {
+          case Some(cur) => tagged(cur, 0).unionByName(tagged(cached, 1))
+          case None => tagged(cached, 1)
+        }
+        val latest = LatestVersion.latestOne(
+          merged, keyCol, tsCol, tiebreakCol = "__tie").drop("__tie")
+          .withColumn(BucketedState.BucketColName,
+            BucketedState.bucketOf(col(keyCol), nBuckets))
+        BucketedState.overwriteBuckets(spark, path(entity), latest, touched)
+      } finally cached.unpersist()
+      read(entity).get
     }
   }
 

@@ -37,39 +37,50 @@ object UpsertJoin {
   def newInMemorySink(): InMemorySink =
     new InMemorySink(Array(new org.apache.spark.sql.types.StructType()))
 
-  /** Durable keyed upsert sink over parquet: merge = existing snapshot
-    * UNION batch, keep the batch's row per key (row_number with a
-    * batch-wins flag), rewrite atomically via a temp dir. This is the
+  /** Durable keyed upsert sink over hash-bucketed parquet
+    * ([[BucketedState]]): merge = touched buckets' snapshot UNION
+    * batch, keep one row per key — batch beats state, and ties WITHIN a
+    * batch fall to a content-hash order, so the survivor is
+    * deterministic under task retries and shuffle reordering. Only the
+    * buckets containing batch keys are rewritten (each swapped in by
+    * rename — see BucketedState's durability note); untouched buckets'
+    * files are byte-identical across batches. This is the
     * Delta/Iceberg-`MERGE INTO`-shaped sink realized on plain parquet;
-    * at production scale swap the rewrite for a real MERGE — the
-    * streaming side is unchanged. Snapshot size is one row per live
-    * key, not history.
+    * at production scale swap the directory layer for a real MERGE —
+    * the streaming side is unchanged. Snapshot size is one row per
+    * live key, not history.
     */
-  final class ParquetUpsertSink(spark: SparkSession, dir: String)
+  final class ParquetUpsertSink(spark: SparkSession, dir: String,
+                                nBuckets: Int = 16)
       extends UpsertSink with Serializable {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
 
-    private def exists = new java.io.File(dir).exists()
-
     def upsert(keyCol: String, batch: DataFrame): Unit = {
-      val merged =
-        if (!exists) batch
-        else {
-          val cur = spark.read.parquet(dir).withColumn("__new", lit(0))
-          val w = Window.partitionBy(col(keyCol))
-            .orderBy(col("__new").desc)
-          cur.unionByName(batch.withColumn("__new", lit(1)))
-            .withColumn("__rn", row_number().over(w))
-            .filter(col("__rn") === 1)
-            .drop("__new", "__rn")
+      def tagged(df: DataFrame, isNew: Int) = df.withColumn("__tie",
+        struct(lit(isNew), xxhash64(struct(df.columns.map(col): _*))))
+      val cached = batch.cache()
+      try {
+        val touched = cached
+          .select(BucketedState.bucketOf(col(keyCol), nBuckets).as("__b"))
+          .distinct().collect().map(_.getInt(0)).toSeq.sorted
+        val all = BucketedState.readBuckets(spark, dir, touched) match {
+          case Some(cur) => tagged(cur, 0).unionByName(tagged(cached, 1))
+          case None => tagged(cached, 1)
         }
-      val tmp = dir + "__tmp"
-      merged.write.mode("overwrite").parquet(tmp)
-      spark.read.parquet(tmp).write.mode("overwrite").parquet(dir)
+        val w = Window.partitionBy(col(keyCol)).orderBy(col("__tie").desc)
+        val merged = all.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .drop("__tie", "__rn")
+          .withColumn(BucketedState.BucketColName,
+            BucketedState.bucketOf(col(keyCol), nBuckets))
+        BucketedState.overwriteBuckets(spark, dir, merged, touched)
+      } finally cached.unpersist()
     }
 
-    def snapshot(spark: SparkSession): DataFrame = spark.read.parquet(dir)
+    def snapshot(spark: SparkSession): DataFrame =
+      BucketedState.readAll(spark, dir).getOrElse(
+        throw new IllegalStateException(s"no state written yet under $dir"))
   }
 
   /** Drive a streaming fact source through a per-batch join against

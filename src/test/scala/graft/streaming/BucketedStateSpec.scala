@@ -1,0 +1,105 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path}
+import java.security.MessageDigest
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Incremental-maintenance contract of the bucketed state layer: a
+  * batch rewrites ONLY the buckets containing its keys — every other
+  * bucket's files stay byte-identical (the parquet analog of the
+  * reference's incremental RocksDB state).
+  */
+class BucketedStateSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def md5(p: Path): String =
+    MessageDigest.getInstance("MD5").digest(Files.readAllBytes(p))
+      .map("%02x".format(_)).mkString
+
+  /** file-relative-path -> content hash for every file under dir */
+  private def fileMap(dir: String): Map[String, String] = {
+    val root = java.nio.file.Paths.get(dir)
+    if (!Files.exists(root)) Map.empty
+    else {
+      val s = Files.walk(root)
+      try s.filter(Files.isRegularFile(_)).iterator().asScala
+        .map(p => root.relativize(p).toString -> md5(p)).toMap
+      finally s.close()
+    }
+  }
+
+  private def bucketFor(key: String, nBuckets: Int): Int =
+    Seq(key).toDF("k")
+      .select(BucketedState.bucketOf(col("k"), nBuckets).as("b"))
+      .head().getInt(0)
+
+  test("StateStore.upsertLatest rewrites only touched buckets") {
+    val nBuckets = 8
+    val tmp = Files.createTempDirectory("graft-bucketed").toString
+    val store = new CrmlsStream.StateStore(spark, s"$tmp/state", nBuckets)
+
+    val batch1 = (0 until 20).map(i => (s"k$i", i.toLong, s"v$i")).toDF("k", "ts", "p")
+    store.upsertLatest("e", batch1, "k", "ts")
+    val before = fileMap(s"$tmp/state/e")
+    assert(before.nonEmpty)
+
+    val hot = bucketFor("k3", nBuckets)
+    store.upsertLatest("e", Seq(("k3", 99L, "v3b")).toDF("k", "ts", "p"), "k", "ts")
+    val after = fileMap(s"$tmp/state/e")
+
+    val untouchedBefore = before.filterNot(_._1.startsWith(s"bucket_$hot/"))
+    val untouchedAfter = after.filterNot(_._1.startsWith(s"bucket_$hot/"))
+    assert(untouchedBefore === untouchedAfter,
+      "files outside the touched bucket must be byte-identical")
+    assert(before.keys.exists(_.startsWith(s"bucket_$hot/")))
+
+    // and the merge itself is correct: k3 advanced, everything else kept
+    val got = store.read("e").get.as[(String, Long, String)].collect().toMap2
+    assert(got("k3") === (99L, "v3b"))
+    assert(got("k7") === (7L, "v7"))
+    assert(got.size === 20)
+  }
+
+  test("ParquetUpsertSink rewrites only touched buckets, batch wins") {
+    val nBuckets = 8
+    val dir = Files.createTempDirectory("graft-bucketed-sink").toString + "/t"
+    val sink = new UpsertJoin.ParquetUpsertSink(spark, dir, nBuckets)
+    sink.upsert("k", (0 until 20).map(i => (s"k$i", i)).toDF("k", "v"))
+    val before = fileMap(dir)
+
+    val hot = bucketFor("k5", nBuckets)
+    sink.upsert("k", Seq(("k5", 500)).toDF("k", "v"))
+    val after = fileMap(dir)
+
+    assert(before.filterNot(_._1.startsWith(s"bucket_$hot/")) ===
+      after.filterNot(_._1.startsWith(s"bucket_$hot/")))
+    val got = sink.snapshot(spark).as[(String, Int)].collect().toMap
+    assert(got("k5") === 500 && got("k0") === 0 && got.size === 20)
+  }
+
+  test("ParquetUpsertSink: duplicate keys within one batch resolve deterministically") {
+    val batch = Seq(("a", 1), ("a", 2), ("b", 7)).toDF("k", "v")
+    // expected survivor for 'a': the content-hash-max row (the sink's
+    // documented within-batch tiebreak)
+    val expectA = batch.filter(col("k") === "a")
+      .withColumn("__h", xxhash64(struct(col("k"), col("v"))))
+      .orderBy(col("__h").desc).select("v").head().getInt(0)
+
+    val survivors = (1 to 2).map { i =>
+      val dir = Files.createTempDirectory(s"graft-dup$i").toString + "/t"
+      val sink = new UpsertJoin.ParquetUpsertSink(spark, dir)
+      sink.upsert("k", batch.repartition(4))
+      sink.snapshot(spark).as[(String, Int)].collect().toMap
+    }
+    assert(survivors(0) === survivors(1))
+    assert(survivors(0)("a") === expectA)
+    assert(survivors(0)("b") === 7)
+  }
+
+  private implicit class Tup3Map(rows: Array[(String, Long, String)]) {
+    def toMap2: Map[String, (Long, String)] =
+      rows.map(r => r._1 -> ((r._2, r._3))).toMap
+  }
+}

@@ -35,8 +35,9 @@ class DurableCrmlsSpec extends SparkTestBase {
     input.addData(("agents", env("A1", 20, """{"n":"v2"}""")))
     CrmlsStream.run(tagged, store, sink, s"$tmp/ckpt").awaitTermination()
 
-    // a completely fresh reader over the sink directory
-    val persisted = spark.read.parquet(s"$tmp/out")
+    // a completely fresh reader over the sink's bucket dirs (plain
+    // parquet files — no sink code involved)
+    val persisted = spark.read.parquet(s"$tmp/out/bucket_*")
       .select("l_uc_pk", "aa_uc_created_ts")
       .as[(String, Option[Long])].collect().toMap
     assert(persisted === Map("L1" -> Some(20L)))
