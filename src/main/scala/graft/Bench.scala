@@ -22,10 +22,13 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // min of two runs: absorbs one-off JIT/GC/host-contention spikes
-      // so the reported number reflects the query, not the machine.
+      // min of three runs: absorbs JIT/GC/host-contention spikes so the
+      // reported number reflects the query, not the machine (round 1's
+      // driver run recorded a 9.4 s q_intersect that reproduces at
+      // 0.26 s — min-of-N plus the per-run breakdown below makes such
+      // contention visible instead of polluting the headline).
       var failed = false
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         // noop sink forces every output column to be materialized;
         // count() would let Catalyst prune the computed columns away.
@@ -37,12 +40,17 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       // a failed query reports -1, never a bogus tiny elapsed time
-      name -> (if (failed) -1.0 else times.min)
+      (name, if (failed) -1.0 else times.min, times)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // all runs per query, so a noisy host shows up as min<<max instead
+    // of silently inflating the one reported number
+    val runs = results.map { case (k, _, ts) =>
+      s"\"" + k + "\":" + ts.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -376,10 +376,13 @@ object SparkEntry {
         .select("probe_id", "neighbor_id", "rank")
     }),
 
-    // §2.10 near-dup: token-set Jaccard pairs (exact verifier)
+    // §2.10 near-dup: token-set Jaccard pairs (exact verifier over a
+    // bounded probe set — None disables the hot-token DF cap so the
+    // oracle's all-token Jaccard matches exactly; the operator default
+    // keeps the cap)
     "q_jaccard_pairs" -> ((s, dir) => {
       val d = t(s, dir, "documents").filter(col("doc_id") < 40)
-      DedupOps.tokenJaccardPairs(d, "doc_id", "text")
+      DedupOps.tokenJaccardPairs(d, "doc_id", "text", maxDocFreq = None)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
     }),
 

@@ -43,10 +43,23 @@ object AsOfJoin {
     * @param buildCols build columns to carry (emitted with `prefix`)
     * @param tiebreak  build column breaking equal-`buildTs` ties
     */
+  /** Internal working-column names; inputs must not already use them. */
+  private val reserved =
+    Set("__t", "__side", "__btie", "__b", "__carried", "__pid", "__rn")
+
+  private def assertNoReserved(df: DataFrame, side: String): Unit = {
+    val clash = df.columns.filter(reserved)
+    require(clash.isEmpty,
+      s"$side input uses reserved internal column name(s) ${clash.mkString(", ")}; " +
+        "rename them before the as-of join")
+  }
+
   def asOf(probe: DataFrame, build: DataFrame, key: String,
            probeTs: String, buildTs: String,
            buildCols: Seq[String], tiebreak: String,
            prefix: String = "b_"): DataFrame = {
+    assertNoReserved(probe, "probe")
+    assertNoReserved(build, "build")
     val probeCols = probe.columns.toSeq
     // One unified schema: probe columns (null on build rows) + the build
     // payload packed in a struct (null on probe rows). Packing matters:
@@ -65,7 +78,10 @@ object AsOfJoin {
     // semantics; dropping them BEFORE the union also keeps them out of
     // the null-key window partition, where they would otherwise be
     // carried into null-key probes (which must emit null matches).
-    val b = build.filter(col(key).isNotNull)
+    // Null build TIMESTAMPS likewise never satisfy `buildTs <= probeTs`
+    // in SQL — without this filter they would sort to the front of the
+    // window and be carried as (-infinity)-versioned matches.
+    val b = build.filter(col(key).isNotNull && col(buildTs).isNotNull)
       .select((col(key) +: probeCols.filterNot(_ == key).map(c => lit(null).cast(probe.schema(c).dataType).as(c))) :+
         col(buildTs).as("__t") :+ lit(0).as("__side") :+
         col(tiebreak).as("__btie") :+ bStruct.as("__b"): _*)
@@ -89,6 +105,9 @@ object AsOfJoin {
                   buildCols: Seq[String], tiebreak: String,
                   prefix: String = "b_",
                   extraCond: Column = lit(true)): DataFrame = {
+    assertNoReserved(probe, "probe")
+    require(!build.columns.exists(_.startsWith("__r_")),
+      "build input uses reserved internal prefix __r_; rename before the as-of join")
     val probeCols = probe.columns.toSeq
     val b = build.select(((key +: buildTs +: tiebreak +: buildCols).distinct)
       .map(c => col(c).as("__r_" + c)): _*)

@@ -84,13 +84,22 @@ object DedupOps {
       graft.functions.NativeExpressions.simhash64(tokenHashes))
   }
 
+  /** Default document-frequency cap for [[tokenJaccardPairs]]: a token
+    * in d documents contributes d^2 candidate pairs, so an uncapped hot
+    * token (stop word) detonates the inverted-index join at corpus
+    * scale. The capped default is the safe operator; pass `None` only
+    * for bounded probe sets where exact Jaccard over ALL tokens is
+    * required (e.g. an oracle-matched verification query).
+    */
+  val DefaultMaxDocFreq: Int = 1000
+
   /** Distinct-token (unigram) Jaccard similarity for all pairs within a
     * probe set — the exact verifier behind MinHash candidates. The join
     * key is the token, so the shuffle is token-partitioned (inverted
     * index), not a cross join.
     */
   def tokenJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        maxDocFreq: Option[Int] = None): DataFrame = {
+                        maxDocFreq: Option[Int] = Some(DefaultMaxDocFreq)): DataFrame = {
     val tok = docs.select(col(idCol).as("doc"),
       explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("tok"))
     val sizes = tok.groupBy("doc").agg(count(lit(1)).as("n_tok"))

@@ -23,18 +23,30 @@ object SkewJoin {
   /** Inner/left salted equi-join of `fact` (large, skewed) with `dim`
     * (larger than broadcastable, much smaller than fact).
     *
+    * LIMITATION of the default salt: it hashes the fact row's CONTENT,
+    * so fully duplicate rows (a common shape of pathological hot keys
+    * in event data) all land in ONE salt bucket and the hot key stays
+    * hot. When rows can be exact duplicates, pass `saltExpr` — any
+    * deterministic per-row discriminator (an event id, a file+offset
+    * pair, a pre-assigned row number). `rand()` or
+    * `monotonically_increasing_id()` are NOT acceptable salts: they
+    * change across task retries, breaking exactly-once sinks.
+    *
     * @param saltBuckets number of ways to split each hot key
+    * @param saltExpr    optional deterministic per-row expression to
+    *                    salt by instead of the full row content
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
-                 saltBuckets: Int, joinType: String = "left_outer"): DataFrame = {
+                 saltBuckets: Int, joinType: String = "left_outer",
+                 saltExpr: Option[Column] = None): DataFrame = {
     // right/full outer would emit saltBuckets copies of every unmatched
     // dim row (the dim side is exploded per salt) — reject them
     require(Set("inner", "left_outer", "left", "leftouter", "left_semi",
       "leftsemi").contains(joinType.toLowerCase.replace("_", "")),
       s"saltedJoin supports inner/left join types, got $joinType")
+    val basis = saltExpr.getOrElse(struct(fact.columns.map(col): _*))
     val saltedFact = fact.withColumn("__salt",
-      pmod(xxhash64(struct(fact.columns.map(col): _*)), lit(saltBuckets))
-        .cast("int"))
+      pmod(xxhash64(basis), lit(saltBuckets)).cast("int"))
     val salts = explode(sequence(lit(0), lit(saltBuckets - 1))).as("__salt")
     val saltedDim = dim.select(col("*"), salts)
     saltedFact.join(saltedDim,

@@ -128,12 +128,21 @@ object AsOfJoinPlan {
                 (rHeadKey.anyNull || keyOrd.compare(rHeadKey, lk) < 0))
                 advanceRight()
               // consume build rows for this key up to the probe ts;
-              // the LAST one consumed is the (ts, tie)-max candidate
+              // the LAST one consumed is the (ts, tie)-max candidate.
+              // Null build timestamps sort first under the ascending
+              // child ordering but can never satisfy `buildTs <=
+              // probeTs` in SQL — skip them instead of recording a
+              // (-infinity)-versioned match. A null PROBE ts matches
+              // nothing for the same reason (null sorts below every
+              // real ts, so the consume loop admits no build row).
               val lts = lTsProj(l).copy()
+              val probeTsNull = lts.isNullAt(0)
               while (rHead != null && keyOrd.compare(rHeadKey, lk) == 0 &&
                 tsOrd.compare(rTsProj(rHead), lts) <= 0) {
-                matchRow = rHead.copy()
-                matchKey = rHeadKey
+                if (!rTsProj(rHead).isNullAt(0) && !probeTsNull) {
+                  matchRow = rHead.copy()
+                  matchKey = rHeadKey
+                }
                 advanceRight()
               }
               if (matchRow != null && keyOrd.compare(matchKey, lk) == 0)

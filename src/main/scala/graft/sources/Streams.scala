@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 
@@ -17,42 +17,75 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   *
   * The Kafka formats require the `spark-sql-kafka-0-10` connector on
   * the cluster classpath (standard for any Spark+Kafka deployment); in
-  * this repo's offline test environment they compile but are exercised
-  * via `MemoryStream`/file sources instead.
+  * this repo's offline test environment there is no broker, so the
+  * CONTRACT is made testable instead: the option sets and the record
+  * projection are pure functions, pinned by StreamsContractSpec against
+  * the reference's consumer/producer configuration.
   */
 object Streams {
 
-  /** S1/S2: one Kafka topic, earliest offsets, value as JSON string
-    * (the reference's `JSONKeyValueDeserializationSchema` keeps key and
-    * value; we surface value plus Kafka metadata columns).
+  /** Canonical reader options for one topic (reference
+    * CRMLSJoiner.scala:94-95: `FlinkKafkaConsumer(topic, props)` with
+    * earliest replay — T8 — realized as `startingOffsets`).
     */
+  def kafkaSourceOptions(bootstrap: String, topic: String,
+                         startingOffsets: String = "earliest"): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> bootstrap,
+      "subscribe" -> topic,
+      "startingOffsets" -> startingOffsets)
+
+  /** S2-shape record projection over the Kafka wire schema (key/value
+    * binary + metadata): the reference's
+    * `JSONKeyValueDeserializationSchema` keeps key and value; we
+    * surface both as strings plus the Kafka metadata columns. Exposed
+    * separately so the projection is unit-testable on a Kafka-shaped
+    * static frame.
+    */
+  def projectKafkaRecords(raw: DataFrame): DataFrame =
+    raw.select(
+      col("key").cast("string").as("key"),
+      col("value").cast("string").as("value"),
+      col("topic"), col("partition"), col("offset"), col("timestamp"))
+
+  /** S1/S2: one Kafka topic, earliest offsets, value as JSON string. */
   def kafkaJsonSource(spark: SparkSession, bootstrap: String, topic: String,
                       startingOffsets: String = "earliest"): DataFrame =
-    spark.readStream
-      .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", topic)
-      .option("startingOffsets", startingOffsets)
-      .load()
-      .select(
-        col("key").cast("string").as("key"),
-        col("value").cast("string").as("value"),
-        col("topic"), col("partition"), col("offset"), col("timestamp"))
+    projectKafkaRecords(
+      spark.readStream
+        .format("kafka")
+        .options(kafkaSourceOptions(bootstrap, topic, startingOffsets))
+        .load())
 
   /** S5: raw string value only. */
   def kafkaStringSource(spark: SparkSession, bootstrap: String,
                         topic: String): DataFrame =
     kafkaJsonSource(spark, bootstrap, topic).select("value")
 
+  /** Canonical writer options (reference producer props,
+    * CRMLSJoiner.scala:504-519: bootstrap servers + target topic).
+    */
+  def kafkaSinkOptions(bootstrap: String, topic: String,
+                       checkpointDir: String): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> bootstrap,
+      "topic" -> topic,
+      "checkpointLocation" -> checkpointDir)
+
+  /** S7 payload encoding: every column JSON-encoded into the Kafka
+    * `value` (the reference emits the joined row as a JSON object
+    * string). Pure, so the wire format is unit-testable.
+    */
+  def encodeKafkaValue(df: DataFrame): DataFrame =
+    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+
   /** S7: JSON-encode every column into the Kafka value. */
   def kafkaJsonSink(df: DataFrame, bootstrap: String, topic: String,
                     checkpointDir: String): DataStreamWriter[org.apache.spark.sql.Row] =
-    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+    encodeKafkaValue(df)
       .writeStream
       .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("topic", topic)
-      .option("checkpointLocation", checkpointDir)
+      .options(kafkaSinkOptions(bootstrap, topic, checkpointDir))
 
   /** S8: console sink (the reference's `.print()`). */
   def consoleSink(df: DataFrame): DataStreamWriter[org.apache.spark.sql.Row] =
@@ -76,4 +109,23 @@ object Streams {
   def withLateness(df: DataFrame, tsCol: String,
                    bound: String = "100 seconds"): DataFrame =
     df.withWatermark(tsCol, bound)
+
+  /** S6 schema-inference variant — the reference's historical
+    * `new Json().deriveSchema()` table source
+    * (FlinkJoiner_backup.txt:597-600): derive the JSON schema from a
+    * sampled record instead of declaring it, then project every field.
+    * Inference is a one-row driver action; the projection itself is the
+    * same codegen'd `from_json` as the declared-schema path, so this
+    * costs nothing at scan scale. Use the declared `Crmls.EntitySpec`
+    * path when the schema is known — inference is for exploration and
+    * schema drift detection.
+    */
+  def inferredJsonTable(raw: DataFrame, valueCol: String = "value"): DataFrame = {
+    val sample = raw.select(col(valueCol)).filter(col(valueCol).isNotNull)
+      .head().getString(0)
+    val schemaDdl = raw.sparkSession.range(1)
+      .select(schema_of_json(lit(sample)).as("s")).head().getString(0)
+    raw.select(from_json(col(valueCol), schemaDdl, Map.empty[String, String]).as("__row"))
+      .select("__row.*")
+  }
 }

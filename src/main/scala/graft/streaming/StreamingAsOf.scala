@@ -69,9 +69,13 @@ object StreamingAsOf {
             (probes.map(p => p.ts.getTime -> p.payload) ++ cur.pending)
               .sortBy(_._1)
 
-          // watermark: 0 before the first trigger with event-time stats
+          // watermark: 0 before the first trigger with event-time stats.
+          // STRICTLY less-than: only events strictly older than the
+          // watermark are late, so an on-time build row with ts == wm
+          // can still arrive — a probe at ts == wm must keep waiting or
+          // it could miss an equal-ts build match.
           val wm = state.getCurrentWatermarkMs()
-          val (ripe, stillPending) = pending.partition(_._1 <= wm)
+          val (ripe, stillPending) = pending.partition(_._1 < wm)
 
           val out = ripe.map { case (pts, ppay) =>
             versions.find(_._1 <= pts) match {
@@ -92,9 +96,12 @@ object StreamingAsOf {
             state.update(AsOfState(prunedVersions, stillPending))
             // wake this group when the watermark passes its earliest
             // buffered probe — without a timeout, a group with no new
-            // input is never re-invoked and buffered probes would hang
+            // input is never re-invoked and buffered probes would hang.
+            // The timeout fires when wm advances BEYOND the timestamp,
+            // i.e. wm > pts — exactly the strict ripeness condition;
+            // max() keeps it legal when pts == current wm.
             stillPending.headOption.foreach { case (pts, _) =>
-              state.setTimeoutTimestamp(pts + 1)
+              state.setTimeoutTimestamp(math.max(pts, wm + 1))
             }
           }
           out.iterator

@@ -55,6 +55,18 @@ class DedupOpsSpec extends SparkTestBase {
     assert(got.head === ((1L, 2L, 2.0 / 6.0)))
   }
 
+  test("DF cap defuses a hot token: docs sharing only a stop word never pair") {
+    // 50 docs that share ONLY the token "the" — uncapped, that one
+    // token alone contributes 50*49/2 candidate pairs
+    val hot = (1 to 50).map(i => (i.toLong, s"the unique$i")).toDF("doc_id", "text")
+    val capped = DedupOps.tokenJaccardPairs(hot, "doc_id", "text",
+      maxDocFreq = Some(10)).count()
+    assert(capped === 0L, "capped hot token must produce no candidate pairs")
+    val uncapped = DedupOps.tokenJaccardPairs(hot, "doc_id", "text",
+      maxDocFreq = None).count()
+    assert(uncapped === 50L * 49 / 2, "sanity: uncapped quadratic blowup is real")
+  }
+
   test("dropNearDuplicates removes confirmed losers") {
     val pairs = Seq((1L, 4L)).toDF("id_a", "id_b")
     val kept = DedupOps.dropNearDuplicates(docs, "doc_id", pairs)

@@ -46,10 +46,46 @@ class AsOfJoinPlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), "must not plan a generic join")
   }
 
+  test("null timestamps: null build ts never matches, null probe ts matches nothing") {
+    // SQL semantics of `b.ts <= p.ts`: a null on either side is false.
+    val p = Seq(
+      (201L, Option(1L), Option(ts(5))),    // normal probe
+      (202L, Option(1L), Option.empty[Timestamp]), // null probe ts
+      (203L, Option.empty[Long], Option(ts(5)))    // null probe key
+    ).toDF("probe_id", "key", "ts")
+    val b = Seq(
+      (Option(1L), "real", Option(ts(2)), 1L),
+      (Option(1L), "null-ts", Option.empty[Timestamp], 2L), // must never match
+      (Option.empty[Long], "null-key", Option(ts(1)), 3L)
+    ).toDF("key", "img", "ts", "img_id")
+    val expect = Map(201L -> Some("real"), 202L -> None, 203L -> None)
+
+    val custom = AsOfJoinPlan.asOf(p, b, "key", "ts", "ts", "img_id", Seq("img"))
+      .select("probe_id", "b_img").as[(Long, Option[String])].collect().toMap
+    val rewrite = AsOfJoin.asOf(p, b, "key", "ts", "ts", Seq("img"), "img_id")
+      .select("probe_id", "b_img").as[(Long, Option[String])].collect().toMap
+    val viaJoin = AsOfJoin.asOfViaJoin(p, b, "key", "ts", "ts", Seq("img"), "img_id")
+      .select("probe_id", "b_img").as[(Long, Option[String])].collect().toMap
+    assert(custom === expect)
+    assert(rewrite === expect)
+    assert(viaJoin === expect)
+  }
+
+  test("reserved internal names are rejected up front") {
+    val bad = probes.withColumn("__carried", lit(1))
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(bad, images, "key", "ts", "ts", Seq("img"), "img_id")
+    }
+    assert(e.getMessage.contains("__carried"))
+  }
+
   test("agrees with the union+window rewrite on random data") {
     val rowGen = for {
       key <- Gen.choose(0L, 6L)
-      t <- Gen.choose(0L, 20L)
+      // ~10% null timestamps: both impls must implement the SQL rule
+      // that a null on either side of `buildTs <= probeTs` never matches
+      t <- Gen.frequency(9 -> Gen.choose(0L, 20L).map(Option(_)),
+        1 -> Gen.const(Option.empty[Long]))
       payload <- Gen.alphaStr.map(_.take(4))
     } yield (key, t, payload)
     val dataGen = Gen.listOfN(50, rowGen)
@@ -57,10 +93,10 @@ class AsOfJoinPlanSpec extends SparkTestBase {
       val probeRows = dataGen(Gen.Parameters.default, Seed(i.toLong)).get
       val buildRows = dataGen(Gen.Parameters.default, Seed(100L + i)).get
       val pdf = probeRows.zipWithIndex
-        .map { case ((k, t, _), idx) => (idx.toLong, k, new Timestamp(t * 1000)) }
+        .map { case ((k, t, _), idx) => (idx.toLong, k, t.map(x => new Timestamp(x * 1000))) }
         .toDF("pid", "k", "ts")
       val bdf = buildRows.zipWithIndex
-        .map { case ((k, t, p), idx) => (k, new Timestamp(t * 1000), p + idx, idx.toLong) }
+        .map { case ((k, t, p), idx) => (k, t.map(x => new Timestamp(x * 1000)), p + idx, idx.toLong) }
         .toDF("k", "ts", "payload", "bid")
       val custom = AsOfJoinPlan.asOf(pdf, bdf, "k", "ts", "ts", "bid", Seq("payload"))
         .select("pid", "b_payload").as[(Long, Option[String])].collect().toMap
