@@ -174,6 +174,76 @@ object NativeExpressions {
       copy(child = c)
   }
 
+  /** All SRP band buckets of a vector in one pass (shared loop body for
+    * eval and generated code). Bit-identical to projecting against the
+    * per-plane literals: per-element double conversion, left-to-right
+    * accumulation, `>= 0` sign test.
+    */
+  def srpBucketsEval(arr: ArrayData, planes: Array[Double], bands: Int,
+                     bitsPerBand: Int, maxDim: Int, isFloat: Boolean): ArrayData = {
+    val n = math.min(arr.numElements(), maxDim)
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var bucket = 0L
+      var bit = 0
+      while (bit < bitsPerBand) {
+        val off = (b * bitsPerBand + bit) * maxDim
+        var s = 0.0
+        var i = 0
+        while (i < n) {
+          val xv = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+          s += xv * planes(off + i)
+          i += 1
+        }
+        if (s >= 0) bucket |= (1L << bit)
+        bit += 1
+      }
+      out(b) = bucket
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** `bands` SRP bucket ids (band index = array position, band = the
+    * hyperplane seed) computed in one expression. The hyperplane matrix
+    * lives in the expression object and reaches generated code as a
+    * REFERENCE — baking bands x bits literal arrays into the plan (the
+    * previous form) made multi-band plans megabytes large and dominated
+    * query time with codegen compilation at small scale. Values are
+    * identical to [[VectorFunctions.srpBucket]] applied per band.
+    */
+  case class SrpBucketArray(child: Expression, bands: Int, bitsPerBand: Int,
+                            maxDim: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    private lazy val isFloat = elemKind(child.dataType) == 0
+
+    @transient private lazy val planes: Array[Double] = {
+      val arr = new Array[Double](bands * bitsPerBand * maxDim)
+      var idx = 0
+      for (band <- 0 until bands; bit <- 0 until bitsPerBand; j <- 0 until maxDim) {
+        arr(idx) = VectorFunctions.planeValue(band, bit, j)
+        idx += 1
+      }
+      arr
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      srpBucketsEval(input.asInstanceOf[ArrayData], planes, bands,
+        bitsPerBand, maxDim, isFloat)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("srpPlanes", planes, "double[]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.NativeExpressions.srpBucketsEval(" +
+          s"$c, $ref, $bands, $bitsPerBand, $maxDim, $isFloat);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   // ------------------------------------------------------- Column API
 
   def dot(a: Column, b: Column): Column =
@@ -187,4 +257,9 @@ object NativeExpressions {
 
   def simhash64(tokenHashes: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokenHashes)))
+
+  def srpBucketArray(vec: Column, bands: Int, bitsPerBand: Int,
+                     maxDim: Int): Column =
+    ColumnBridge.column(SrpBucketArray(
+      ColumnBridge.expression(vec), bands, bitsPerBand, maxDim))
 }

@@ -145,23 +145,20 @@ object SimilaritySearch {
   }
 
   /** Explode a vector frame into one row per (band, SRP bucket). The
-    * hyperplanes are deterministic plan literals (seeded by band), so
-    * bucket ids are reproducible cluster-wide AND recomputable by an
-    * external oracle.
+    * hyperplanes are deterministic (seeded by band index), so bucket
+    * ids are reproducible cluster-wide AND recomputable by an external
+    * oracle. All bands are computed by ONE native expression
+    * (NativeExpressions.SrpBucketArray) whose plane matrix travels as a
+    * codegen reference, not as plan literals.
     */
   private def srpBanded(vecs: DataFrame, idOut: String, vecOut: String,
                         idCol: String, vecCol: String, bands: Int,
-                        bitsPerBand: Int, maxDim: Int): DataFrame = {
-    val bucketArr = array((0 until bands).map { band =>
-      struct(lit(band).as("band"),
-        VectorFunctions.srpBucket(col(vecOut), bitsPerBand, seed = band,
-          maxDim = maxDim).as("bucket"))
-    }: _*)
+                        bitsPerBand: Int, maxDim: Int): DataFrame =
     vecs.select(col(idCol).as(idOut), col(vecCol).as(vecOut))
-      .select(col(idOut), col(vecOut), explode(bucketArr).as("bb"))
       .select(col(idOut), col(vecOut),
-        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-  }
+        posexplode(graft.functions.NativeExpressions.srpBucketArray(
+          col(vecOut), bands, bitsPerBand, maxDim)))
+      .toDF(idOut, vecOut, "band", "bucket")
 
   /** LSH-bucketed near-duplicate pairs: candidates share at least one
     * of `bands` SRP band buckets; exact cosine verifies within the

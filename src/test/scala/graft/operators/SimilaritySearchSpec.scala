@@ -68,6 +68,23 @@ class SimilaritySearchSpec extends SparkTestBase {
     assert(got.contains((1L, 100L)))
   }
 
+  test("SrpBucketArray: one-pass native buckets == per-band literal srpBucket") {
+    import graft.functions.{NativeExpressions, VectorFunctions}
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .filter(col("vec_id") < 50)
+    val viaArray = emb.select(col("vec_id"),
+        posexplode(NativeExpressions.srpBucketArray(col("embedding"), 4, 8, 64)))
+      .as[(Long, Int, Long)].collect()
+      .map { case (id, band, b) => (id, band) -> b }.toMap
+    val viaLiterals = (0 until 4).flatMap { band =>
+      emb.select(col("vec_id"),
+          VectorFunctions.srpBucket(col("embedding"), 8, seed = band, maxDim = 64))
+        .as[(Long, Long)].collect()
+        .map { case (id, b) => (id, band) -> b }
+    }.toMap
+    assert(viaArray === viaLiterals)
+  }
+
   test("srpTopK finds the true nearest neighbor of an identical vector") {
     // identical vectors land in identical buckets in every band
     val probe = vecs.filter(col("vec_id") === 1)
