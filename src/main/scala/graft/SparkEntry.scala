@@ -386,6 +386,20 @@ object SparkEntry {
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
     }),
 
+    // §2.10 near-dup end-to-end: verified pairs (token Jaccard above
+    // threshold over a bounded probe set) -> drop the losers, keep the
+    // survivors. Exercises the full dedup pipeline shape
+    // candidates -> verify -> drop under the SQL oracle.
+    "q_neardup_drop" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 40)
+      val confirmed = DedupOps.tokenJaccardPairs(d, "doc_id", "text",
+          maxDocFreq = None)
+        .filter(col("jaccard") > 0.5)
+        .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+      DedupOps.dropNearDuplicates(d, "doc_id", confirmed)
+        .select("doc_id", "lang", "n_chars")
+    }),
+
     // §2.10 near-dup: MinHash-LSH candidate pairs (xxhash64 signatures
     // are engine-specific, so the oracle is the pinned sf0.01 fixture
     // in OracleFixtures; semantics via ScalaTest planted dups)
@@ -662,6 +676,24 @@ object SparkEntry {
          SELECT doc_id, i AS chunk_idx,
            array_to_string(toks[(i*50+1):(i*50+50)], ' ') AS chunk
          FROM t, unnest(range(CAST(ceil(len(toks)/50.0) AS BIGINT))) AS u(i)""",
+
+    "q_neardup_drop" ->
+      raw"""WITH d AS (SELECT * FROM documents WHERE doc_id < 40),
+         tok AS (
+           SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+           FROM d),
+         sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+         common AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+           FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         losers AS (
+           SELECT DISTINCT doc_b FROM common
+           JOIN sizes sa ON sa.doc_id = doc_a
+           JOIN sizes sb ON sb.doc_id = doc_b
+           WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) > 0.5)
+         SELECT doc_id, lang, n_chars FROM d
+         WHERE doc_id NOT IN (SELECT doc_b FROM losers)""",
 
     "q_minhash_pairs" -> OracleFixtures.minhashPairsSql,
 

@@ -131,11 +131,63 @@ object DedupOps {
     * as the larger id in a confirmed near-dup pair is dropped, keepers
     * are the rest. (Union-find-free approximation: keeps canonical =
     * smallest id reachable in one hop; good enough for near-dup removal
-    * where clusters are small.)
+    * where clusters are small. For chained clusters use
+    * [[dropNearDuplicateClusters]].)
     */
   def dropNearDuplicates(docs: DataFrame, idCol: String,
                          confirmedPairs: DataFrame): DataFrame = {
     val losers = confirmedPairs.select(col("id_b").as(idCol)).distinct()
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Connected components over confirmed near-dup pairs: every vertex
+    * is labeled with the MINIMUM id reachable in its cluster
+    * (transitive closure — handles a~b, b~c chains where the one-hop
+    * rule would treat a and c as unrelated canonicals).
+    *
+    * Iterative min-label propagation: each round joins the label table
+    * to the (symmetrized, deduped) edge list and takes the per-vertex
+    * min — rounds needed = graph diameter, which for near-dup clusters
+    * is tiny (dup groups are near-cliques). Every round is one
+    * key-partitioned join + aggregation; intermediate results are
+    * cached and the loop stops at the first fixpoint, so the cluster
+    * cost is O(diameter x |edges| shuffle) — the standard scalable CC
+    * shape (large-star/small-star is the same idea with a better worst
+    * case on adversarial long paths).
+    *
+    * @return (id, label) — label is the cluster's canonical (min) id
+    */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).cache()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val prop = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+        .unionByName(labels)
+        .groupBy("id").agg(min("label").as("label")).cache()
+      changed = prop.join(labels.withColumnRenamed("label", "__old"), Seq("id"))
+        .filter(col("label") =!= col("__old")).count()
+      labels.unpersist()
+      labels = prop
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Cluster-aware near-dup drop: keeps exactly one doc (the minimum
+    * id) per connected duplicate cluster, docs in no pair survive.
+    */
+  def dropNearDuplicateClusters(docs: DataFrame, idCol: String,
+                                confirmedPairs: DataFrame): DataFrame = {
+    val losers = duplicateClusters(confirmedPairs)
+      .filter(col("id") =!= col("label"))
+      .select(col("id").as(idCol))
     docs.join(losers, Seq(idCol), "left_anti")
   }
 }

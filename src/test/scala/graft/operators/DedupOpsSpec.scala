@@ -73,4 +73,24 @@ class DedupOpsSpec extends SparkTestBase {
       .select("doc_id").as[Long].collect().toSet
     assert(kept === Set(1L, 2L, 3L))
   }
+
+  test("duplicateClusters: transitive chains collapse to the min id") {
+    // chain 1-2-3 (no direct 1-3 edge), separate pair 10-11, and a
+    // cycle 20-21-22-20
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 20L)).toDF("id_a", "id_b")
+    val labels = DedupOps.duplicateClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("dropNearDuplicateClusters keeps exactly one doc per cluster") {
+    val moreDocs = (1L to 6L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    // clusters {1,2,3} (chain) and {5,6}; 4 untouched
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = DedupOps.dropNearDuplicateClusters(moreDocs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 4L, 5L))
+  }
 }
