@@ -23,17 +23,29 @@ import graft.operators.LatestVersion
   *     production scale.
   *  3. Affected listing keys = listings whose pk appears in the batch's
   *     listing delta, PLUS listings referencing any updated dimension
-  *     key (reverse lookup on the join columns). Only those listings
-  *     are re-joined and upserted — dimension updates propagate without
-  *     recomputing the world, the same observable behavior as Flink's
-  *     retract stream (new row supersedes old by l_uc_pk).
+  *     key — resolved against an incrementally-maintained REVERSE
+  *     INDEX (`listing_ref_idx`: (ref_col, ref_val) -> l_uc_pk,
+  *     bucketed by ref_val). Only those listings are re-joined and
+  *     upserted — dimension updates propagate without recomputing the
+  *     world, the same observable behavior as Flink's retract stream
+  *     (new row supersedes old by l_uc_pk).
   *
-  * At 100 TB: the state tables are partitioned by key hash; step 3's
-  * reverse lookups are joins of a (small) per-batch delta against the
-  * keyed listing state — a broadcast of the delta keys, not a shuffle
-  * of the state.
+  * At 100 TB: every state table is hash-bucketed ([[BucketedState]]);
+  * a batch WRITES only the buckets its keys touch, and step 3 READS
+  * only the index/listing buckets its delta keys hash to — per-batch
+  * I/O is proportional to the delta, not to the accumulated state.
   */
 object CrmlsStream {
+
+  /** Listing columns that reference dimension keys (agent x4,
+    * office x4, open-house listing key) — the reverse-index key set.
+    */
+  private val ListingRefCols: Seq[String] = Seq(
+    "l_list_agent_key", "l_buyer_agent_key",
+    "l_co_list_agent_key", "l_co_buyer_agent_key",
+    "l_list_office_key", "l_buyer_office_key",
+    "l_co_list_office_key", "l_co_buyer_office_key",
+    "l_listing_key")
 
   /** Latest-state storage abstraction: hash-bucketed parquet dirs for
     * tests/local ([[BucketedState]]), MERGE-capable table format in
@@ -89,6 +101,41 @@ object CrmlsStream {
       } finally cached.unpersist()
       read(entity).get
     }
+
+    /** Set-merge a delta into a bucketed table (distinct rows, no
+      * timestamp semantics) — used for secondary-index state.
+      */
+    def upsertSet(entity: String, delta: DataFrame, bucketKeyCol: String): Unit = {
+      import org.apache.spark.sql.functions.col
+      val cached = delta.cache()
+      try {
+        val touched = cached
+          .select(BucketedState.bucketOf(col(bucketKeyCol), nBuckets).as("__b"))
+          .distinct().collect().map(_.getInt(0)).toSeq.sorted
+        val merged = (BucketedState.readBuckets(spark, path(entity), touched) match {
+          case Some(cur) => cur.unionByName(cached)
+          case None => cached
+        }).distinct()
+          .withColumn(BucketedState.BucketColName,
+            BucketedState.bucketOf(col(bucketKeyCol), nBuckets))
+        BucketedState.overwriteBuckets(spark, path(entity), merged, touched)
+      } finally cached.unpersist()
+    }
+
+    /** Bucket-pruned read: only the buckets that could contain the
+      * given key values (the state's bucket column must be the same
+      * expression the table was written with). At scale this is the
+      * difference between probing a few index buckets and scanning the
+      * whole state table per micro-batch.
+      */
+    def readForKeys(entity: String, keys: DataFrame,
+                    keyCol: String): Option[DataFrame] = {
+      import org.apache.spark.sql.functions.col
+      val touched = keys
+        .select(BucketedState.bucketOf(col(keyCol), nBuckets).as("__b"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      BucketedState.readBuckets(spark, path(entity), touched)
+    }
   }
 
   /** Per-batch merge + affected-key re-join + upsert. Factored out of
@@ -125,42 +172,66 @@ object CrmlsStream {
           project(spark.emptyDataset[String](
             org.apache.spark.sql.Encoders.STRING).toDF("value"), spec))
 
-      val listingsState = state(listings)
+      // 2b. maintain the listing reference index: (ref_col, ref_val) ->
+      // l_uc_pk for every dimension-join column. The index is bucketed
+      // by ref_val, so a dimension delta's reverse lookup reads only
+      // the buckets its keys hash to — never the full listing state.
+      // Entries are append-only: when a listing's reference CHANGES,
+      // the stale entry survives and can only cause a harmless
+      // false-positive re-join of that listing.
+      deltas.get("listings").foreach { ld =>
+        val refEntries = ld.select(col("l_uc_pk"),
+            explode(array(ListingRefCols.map(c =>
+              struct(lit(c).as("ref_col"), col(c).as("ref_val"))): _*)).as("r"))
+          .select(col("r.ref_col"), col("r.ref_val"), col("l_uc_pk"))
+          .filter(col("ref_val").isNotNull)
+        store.upsertSet("listing_ref_idx", refEntries, bucketKeyCol = "ref_val")
+      }
 
-      // 3. affected listing pks: listing deltas + reverse-lookup of
-      // every updated dimension key against the listing state's join
-      // columns
-      def affectedBy(deltaName: String, dimKey: String,
-                     listingCols: Seq[String]): DataFrame = {
-        val d = deltas(deltaName).select(col(dimKey).as("__k")).distinct()
-        listingCols.map { lc =>
-          listingsState.join(broadcast(d), col(lc) === col("__k"))
-            .select(col("l_uc_pk"))
-        }.reduce(_ unionByName _)
+      // 3. affected listing pks: listing deltas + bucket-pruned
+      // reverse-index lookups for updated dimension keys. Media and
+      // history reference the listing PK itself, so their delta keys
+      // ARE candidate pks (nonexistent ones drop in the semi-join
+      // below) — no lookup needed at all.
+      def affectedVia(deltaName: String, dimKey: String,
+                      listingCols: Seq[String]): DataFrame = {
+        val keys = deltas(deltaName).select(col(dimKey).as("__k"))
+          .filter(col("__k").isNotNull).distinct()
+        store.readForKeys("listing_ref_idx", keys, "__k") match {
+          case Some(idx) =>
+            idx.filter(col("ref_col").isin(listingCols: _*))
+              .join(broadcast(keys), col("ref_val") === col("__k"))
+              .select(col("l_uc_pk"))
+          case None => spark.emptyDataFrame.select(lit("").as("l_uc_pk")).limit(0)
+        }
       }
       val fromListings = deltas.get("listings")
         .map(_.select(col("l_uc_pk"))).toSeq
       val fromAgents = deltas.get("agents")
-        .map(_ => affectedBy("agents", "a_uc_pk", Seq(
+        .map(_ => affectedVia("agents", "a_uc_pk", Seq(
           "l_list_agent_key", "l_buyer_agent_key",
           "l_co_list_agent_key", "l_co_buyer_agent_key"))).toSeq
       val fromOh = deltas.get("openhouses")
-        .map(_ => affectedBy("openhouses", "o_listing_key", Seq("l_listing_key"))).toSeq
+        .map(_ => affectedVia("openhouses", "o_listing_key", Seq("l_listing_key"))).toSeq
       val fromOffices = deltas.get("offices")
-        .map(_ => affectedBy("offices", "ofc_uc_pk", Seq(
+        .map(_ => affectedVia("offices", "ofc_uc_pk", Seq(
           "l_list_office_key", "l_buyer_office_key",
           "l_co_list_office_key", "l_co_buyer_office_key"))).toSeq
       val fromMedia = deltas.get("media")
-        .map(_ => affectedBy("media", "m_resource_record_key", Seq("l_uc_pk"))).toSeq
+        .map(_.select(col("m_resource_record_key").as("l_uc_pk"))).toSeq
       val fromHistory = deltas.get("history")
-        .map(_ => affectedBy("history", "h_resource_record_key", Seq("l_uc_pk"))).toSeq
+        .map(_.select(col("h_resource_record_key").as("l_uc_pk"))).toSeq
 
       val affected = (fromListings ++ fromAgents ++ fromOh ++ fromOffices ++
         fromMedia ++ fromHistory)
-        .reduce(_ unionByName _).distinct()
+        .reduce(_ unionByName _).filter(col("l_uc_pk").isNotNull).distinct()
 
-      // 4. re-join only the affected listings against current dim states
-      val affectedListings = listingsState
+      // 4. re-join only the affected listings against current dim
+      // states; the listing state read is bucket-pruned by the
+      // affected pks (listing state is bucketed by l_uc_pk)
+      val affectedListings = store
+        .readForKeys("listings", affected, "l_uc_pk")
+        .getOrElse(state(listings))
         .join(broadcast(affected), Seq("l_uc_pk"), "left_semi")
       val joined = joinAll(affectedListings, state(agents), state(openHouses),
         state(offices), state(media), state(history))

@@ -70,12 +70,15 @@ object StreamingAsOf {
               .sortBy(_._1)
 
           // watermark: 0 before the first trigger with event-time stats.
-          // STRICTLY less-than: only events strictly older than the
-          // watermark are late, so an on-time build row with ts == wm
-          // can still arrive — a probe at ts == wm must keep waiting or
-          // it could miss an equal-ts build match.
+          // Inclusive ripening is EXACT under Spark's late-data
+          // contract: FlatMapGroupsWithState drops incoming rows with
+          // ts <= wm (boundary pinned by StreamingAsOfSpec), so once
+          // pts <= wm no build row at-or-before pts can ever arrive —
+          // a probe ripening at ts == wm cannot miss an equal-ts match.
+          // (A build at ts == wm arriving in the SAME batch is merged
+          // into `versions` above before this partition runs.)
           val wm = state.getCurrentWatermarkMs()
-          val (ripe, stillPending) = pending.partition(_._1 < wm)
+          val (ripe, stillPending) = pending.partition(_._1 <= wm)
 
           val out = ripe.map { case (pts, ppay) =>
             versions.find(_._1 <= pts) match {
@@ -97,11 +100,11 @@ object StreamingAsOf {
             // wake this group when the watermark passes its earliest
             // buffered probe — without a timeout, a group with no new
             // input is never re-invoked and buffered probes would hang.
-            // The timeout fires when wm advances BEYOND the timestamp,
-            // i.e. wm > pts — exactly the strict ripeness condition;
-            // max() keeps it legal when pts == current wm.
+            // Pending implies pts > wm, so pts is a legal timeout; it
+            // fires once the watermark advances beyond pts, at which
+            // point the probe is ripe under the inclusive rule.
             stillPending.headOption.foreach { case (pts, _) =>
-              state.setTimeoutTimestamp(math.max(pts, wm + 1))
+              state.setTimeoutTimestamp(pts)
             }
           }
           out.iterator

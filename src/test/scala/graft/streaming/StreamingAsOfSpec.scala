@@ -17,6 +17,48 @@ class StreamingAsOfSpec extends SparkTestBase {
   private val base = 1700000040000L
   private def ts(sec: Int) = new Timestamp(base + sec * 1000L)
 
+  test("watermark boundary contract: rows at ts == wm are late-dropped, so inclusive ripening is exact") {
+    // The inclusive `pts <= wm` ripening rule is only safe because
+    // Spark's FlatMapGroupsWithState late filter drops incoming rows
+    // with ts <= wm — i.e. after wm reaches a probe's ts, no build at
+    // or before that ts can ever arrive. This test pins that boundary:
+    // if a future Spark version switched to a strict `<` late filter,
+    // the first assertion would see probe2/build@40 survive and fail —
+    // the signal to flip the ripening rule to strict.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Boolean, String)]
+    val tagged = input.toDF().toDF("key", "event_ts", "isProbe", "payload")
+      .withWatermark("event_ts", "30 seconds")
+      .select(col("key"), col("event_ts").as("ts"),
+        col("isProbe"), col("payload"))
+      .as[Tagged]
+    val q = StreamingAsOf.asOfStream(tagged)
+      .writeStream.format("memory").queryName("asof_eq")
+      .outputMode("append").start()
+
+    input.addData(("k", ts(40), true, "probe@40"), ("k", ts(10), false, "build@10"))
+    q.processAllAvailable() // wm -> 10
+    input.addData(("z", ts(70), false, "advance"))
+    q.processAllAvailable() // wm -> 40
+    // both arrive AT the watermark (ts == wm == 40): Spark drops them
+    // as late before they reach the operator
+    input.addData(("k", ts(40), true, "probe2@40"),
+      ("k", ts(40), false, "build@40"))
+    q.processAllAvailable()
+    // advance past 40 so the buffered probe@40 ripens via timeout
+    input.addData(("z", ts(100), false, "advance2"))
+    q.processAllAvailable()
+    input.addData(("z", ts(101), false, "noop"))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("asof_eq").as[AsOfMatch].collect()
+      .filter(_.key == "k").map(m => m.probePayload -> m.buildPayload).toMap
+    // probe@40 (buffered while on time) matches the only surviving
+    // build; the equal-ts latecomers left no trace
+    assert(got === Map("probe@40" -> Some("build@10")))
+  }
+
   test("probe waits for watermark; late build within bound is matched") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Timestamp, Boolean, String)]
