@@ -326,6 +326,14 @@ object SparkEntry {
         TF.tokenCount(col("text")).cast("long").as("n_ws_tokens"),
         size(TF.bpeishTokens(col("text"))).cast("long").as("n_bpe_tokens"))),
 
+    // §2.10 text: trigram frequency over the corpus (n-gram LM stats;
+    // repeated trigrams only, to keep the result the interesting tail)
+    "q_ngrams" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TF.ngrams(col("text"), 3)).as("ngram"))
+        .groupBy("ngram").agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1)),
+
     // §2.10 dedup (exact): content-hash dedup
     "q_dedup_exact" -> ((s, dir) =>
       DedupOps.exactDedup(t(s, dir, "documents"), "doc_id", "text")),
@@ -704,6 +712,16 @@ object SparkEntry {
          len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
          len(regexp_extract_all(text, '${TF.bpeishPattern}')) AS n_bpe_tokens
          FROM documents""",
+
+    "q_ngrams" ->
+      raw"""WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         g AS (
+           SELECT array_to_string(toks[i:(i+2)], ' ') AS ngram
+           FROM t, unnest(range(1, len(toks) - 1)) AS u(i)
+           WHERE len(toks) >= 3)
+         SELECT ngram, count(*) AS n FROM g GROUP BY ngram
+         HAVING count(*) > 1""",
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS doc_id,

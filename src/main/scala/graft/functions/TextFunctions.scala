@@ -93,6 +93,20 @@ object TextFunctions {
     * token list. Word-order-insensitive — two shuffled copies of a
     * document collide, which is the property exact-dedup wants.
     */
+  /** Token n-grams (space-joined) from a pre-tokenized array: the
+    * building block for n-gram LM statistics and shingle-based dedup.
+    * Documents shorter than `n` tokens yield an empty array (the guard
+    * matters: Spark's `sequence` would otherwise generate a DESCENDING
+    * range and fabricate bogus n-grams).
+    */
+  def ngramsOf(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - lit(n) + 1),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  def ngrams(text: Column, n: Int): Column = ngramsOf(tokens(text), n)
+
   def bowFingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(text))), " "))
 

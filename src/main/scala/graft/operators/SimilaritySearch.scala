@@ -83,9 +83,54 @@ object SimilaritySearch {
     array_sort(array(entries: _*))
   }
 
+  /** Lloyd-refine the coarse quantizer: assign every corpus vector to
+    * its nearest current centroid (row-local argmax, one job), average
+    * members per cell (the per-dimension aggregation collects only
+    * nCells x dim rows to the driver — same footprint as a fitted
+    * KMeans model), repeat. Cell ids stay the original seed ids; an
+    * emptied cell keeps its previous centroid.
+    *
+    * NOTE: distributed averages sum in partition order, so refined
+    * centroids are not bitwise-reproducible across different
+    * partitionings — use refineIters = 0 (the deterministic lowest-id
+    * quantizer) where exact reproducibility is required, e.g. the
+    * oracle-checked catalog query.
+    */
+  private def refineCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                              seed: Seq[(Long, Array[Double], Double)],
+                              iters: Int): Seq[(Long, Array[Double], Double)] = {
+    var cur = seed
+    for (_ <- 0 until iters) {
+      val assigned = corpus
+        .select(VectorFunctions.toDouble(col(vecCol)).as("__v"))
+        .withColumn("cell_id",
+          element_at(sortedCells(col("__v"), cur), 1).getField("cell_id"))
+      val means = assigned
+        .select(col("cell_id"), posexplode(col("__v")))
+        .groupBy("cell_id", "pos").agg(avg("col").as("m"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+        }
+      cur = cur.map { case (cid, oldV, oldN) =>
+        means.get(cid) match {
+          case Some(v) =>
+            var ss = 0.0
+            var i = 0
+            while (i < v.length) { ss += v(i) * v(i); i += 1 }
+            (cid, v, math.sqrt(ss))
+          case None => (cid, oldV, oldN) // emptied cell: keep previous
+        }
+      }
+    }
+    cur
+  }
+
   /** IVF (inverted-file) approximate top-k: a deterministic coarse
     * quantizer (the `nCells` lowest-id corpus vectors serve as
-    * centroids) partitions the corpus into cells; each probe searches
+    * centroids, optionally Lloyd-refined with `refineIters` k-means
+    * passes) partitions the corpus into cells; each probe searches
     * only its `nProbe` nearest cells.
     *
     * Both assignment passes are row-local argmax expressions over the
@@ -98,8 +143,9 @@ object SimilaritySearch {
     */
   def ivfTopK(probes: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, nCells: Int = 16,
-              nProbe: Int = 4): DataFrame = {
-    val cents = centroidLiterals(corpus, idCol, vecCol, nCells).toSeq
+              nProbe: Int = 4, refineIters: Int = 0): DataFrame = {
+    val cents = refineCentroids(corpus, idCol, vecCol,
+      centroidLiterals(corpus, idCol, vecCol, nCells).toSeq, refineIters)
 
     val corpusCells = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))

@@ -67,6 +67,15 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(got.contains("now123"))
   }
 
+  test("ngrams: sliding trigrams; short docs yield empty, not bogus descending ranges") {
+    val d = Seq((1L, "a b c d"), (2L, "a b"), (3L, "")).toDF("doc_id", "text")
+    val got = d.select(col("doc_id"), TextFunctions.ngrams(col("text"), 3).as("g"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got(1L) === Seq("a b c", "b c d"))
+    assert(got(2L) === Seq.empty)
+    assert(got(3L) === Seq.empty)
+  }
+
   test("qualityScore is in [0,1] and penalizes tiny docs") {
     val q = docs.select(TextFunctions.qualityScore(col("text"), Seq("the", "a")).as[Double]).collect()
     assert(q.forall(v => v >= 0.0 && v <= 1.0))

@@ -45,6 +45,20 @@ class SimilaritySearchSpec extends SparkTestBase {
       s"IVF recall@top1 too low: $hits/${brute.size}")
   }
 
+  test("ivfTopK with k-means-refined centroids keeps recall on real embeddings") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val probes = emb.filter(col("vec_id") < 32)
+    val brute = SimilaritySearch.bruteTopK(probes, emb, "vec_id", "embedding", 1)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val refined = SimilaritySearch.ivfTopK(probes, emb, "vec_id", "embedding",
+        k = 5, nCells = 16, nProbe = 8, refineIters = 2)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hits = brute.count { case (p, n) => refined.getOrElse(p, Set.empty).contains(n) }
+    assert(hits >= brute.size / 2,
+      s"refined-IVF recall@top1 too low: $hits/${brute.size}")
+  }
+
   test("cosineDupePairsLsh: results are a subset of the exact all-pairs verifier") {
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
       .filter(col("vec_id") < 300)
