@@ -95,15 +95,23 @@ object TextFunctions {
     */
   /** Token n-grams (space-joined) from a pre-tokenized array: the
     * building block for n-gram LM statistics and shingle-based dedup.
-    * Documents shorter than `n` tokens yield an empty array (the guard
-    * matters: Spark's `sequence` would otherwise generate a DESCENDING
-    * range and fabricate bogus n-grams).
+    * Documents shorter than `n` tokens yield an empty array.
+    *
+    * Built as `n` shifted views zipped together — ONE slice per shift,
+    * O(tokens) total — instead of a per-position `slice` inside
+    * `transform`, which copies O(tokens x n) sub-arrays per document
+    * and dominated the corpus pass. `zip_with` pads the shorter side
+    * with nulls, `concat` nulls them out, and the final filter drops
+    * them — exactly the (tokens - n + 1) real n-grams remain.
     */
-  def ngramsOf(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - lit(n) + 1),
-        i => array_join(slice(toks, i, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
+  def ngramsOf(toks: Column, n: Int): Column = {
+    require(n >= 1, s"ngrams needs n >= 1, got $n")
+    val shifted = (0 until n).map(i =>
+      slice(toks, lit(i + 1), greatest(size(toks) - i, lit(0))))
+    val joined = shifted.reduce((a, b) =>
+      zip_with(a, b, (x, y) => concat(x, lit(" "), y)))
+    filter(joined, _.isNotNull)
+  }
 
   def ngrams(text: Column, n: Int): Column = ngramsOf(tokens(text), n)
 

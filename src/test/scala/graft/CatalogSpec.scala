@@ -12,6 +12,12 @@ class CatalogSpec extends SparkTestBase {
     assert(orphans.isEmpty, s"oracle entries without a query: $orphans")
   }
 
+  test("every query has an oracle — no rows-only coverage regressions") {
+    // round 2 reached 100% oracle coverage; keep it that way
+    val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unoracled.isEmpty, s"queries without an oracle: $unoracled")
+  }
+
   test("all queries build and return rows on sf0.001") {
     val empty = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val n = fn(spark, sf("sf0.001")).count()
