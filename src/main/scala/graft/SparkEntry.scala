@@ -443,6 +443,26 @@ object SparkEntry {
           size(col("audio_features")).cast("long").as("n_audio_dims"))
     }),
 
+    // §2.10 multimodal: video frame sampling — one row per sampled
+    // frame; the stub codec's frame GRID (every 500 ms of declared
+    // duration) and feature dimensionality are pinned by the oracle,
+    // the frame bytes are codec territory
+    "q_frames" -> ((s, dir) => {
+      val media = t(s, dir, "documents").filter(col("doc_id") < 100).select(
+        col("doc_id").as("media_id"),
+        lit("video").as("kind"),
+        lit("video/mp4").as("mime"),
+        col("text").cast("binary").as("content"),
+        struct(
+          lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+          lit(null).cast("int").as("sample_rate"),
+          col("n_chars").cast("long").as("duration_ms")).as("meta"))
+      multimodal.Multimodal.sampleVideoFrames(media, everyMs = 500L,
+          featureDims = 16)
+        .select(col("media_id"), col("frame_ts_ms"),
+          size(col("features")).cast("long").as("n_dims"))
+    }),
+
     // §2.10 similarity search: IVF approximate top-k (deterministic
     // centroids = lowest-id vectors, so the oracle replays the whole
     // index in SQL; recall additionally measured against brute force in
@@ -803,6 +823,12 @@ object SparkEntry {
       """SELECT doc_id AS media_id, CAST(16 AS BIGINT) AS n_dims,
                 CAST(32 AS BIGINT) AS n_audio_dims
          FROM documents WHERE doc_id < 200""",
+
+    "q_frames" ->
+      """SELECT doc_id AS media_id, t AS frame_ts_ms,
+                CAST(16 AS BIGINT) AS n_dims
+         FROM documents, unnest(range(0, n_chars, 500)) AS u(t)
+         WHERE doc_id < 100""",
 
     "q_jaccard_pairs" ->
       """WITH tok AS (
