@@ -59,7 +59,27 @@ object GraftExtensions {
     (FunctionIdentifier("graft_simhash"),
       info("graft_simhash", "graft_simhash(tokenHashes) - 64-bit SimHash"),
       (children: Seq[Expression]) =>
-        NativeExpressions.SimHash64(children(0))))
+        NativeExpressions.SimHash64(children(0))),
+    (FunctionIdentifier("graft_srp_buckets"),
+      info("graft_srp_buckets",
+        "graft_srp_buckets(vec, bands, bitsPerBand, maxDim) - SRP-LSH bucket id per band"),
+      (children: Seq[Expression]) =>
+        NativeExpressions.SrpBucketArray(children(0),
+          literalInt(children(1), "bands", "graft_srp_buckets"),
+          literalInt(children(2), "bitsPerBand", "graft_srp_buckets"),
+          literalInt(children(3), "maxDim", "graft_srp_buckets"))))
+
+  private def literalInt(e: Expression, name: String, fn: String): Int = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$fn: $name must be a literal integer")
+    e.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case s: Short => s.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: $name must be a literal integer, got $other")
+    }
+  }
 
   /** Register on an already-created session (e.g. a shared test
     * session, or a notebook where the builder config is out of reach).

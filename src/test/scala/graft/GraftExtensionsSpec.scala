@@ -18,6 +18,19 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(got === 32.0)
   }
 
+  test("graft_srp_buckets is callable from SQL and matches the Column API") {
+    import org.apache.spark.sql.functions._
+    val viaSql = sql.sql(
+      "SELECT graft_srp_buckets(array(0.5D, -0.25D, 1.0D), 4, 8, 64) AS b")
+      .head().getSeq[Long](0)
+    val viaApi = sql.range(1)
+      .select(graft.functions.NativeExpressions.srpBucketArray(
+        typedlit(Seq(0.5, -0.25, 1.0)), 4, 8, 64).as("b"))
+      .head().getSeq[Long](0)
+    assert(viaSql.length === 4)
+    assert(viaSql === viaApi)
+  }
+
   test("graft_simhash and graft_minhash are callable from SQL") {
     val r = sql.sql(
       """SELECT graft_simhash(transform(split('a b c', ' '), t -> xxhash64(t))) AS sh,
