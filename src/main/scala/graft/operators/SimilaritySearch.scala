@@ -147,15 +147,23 @@ object SimilaritySearch {
     val cents = refineCentroids(corpus, idCol, vecCol,
       centroidLiterals(corpus, idCol, vecCol, nCells).toSeq, refineIters)
 
+    // cell_id is never null (the centroid array is non-empty), but
+    // Catalyst can't prove that: the equi-join below would generate an
+    // IsNotNull(cell_id) constraint that DUPLICATES the whole
+    // nCells-dot assignment expression into a filter. coalesce with a
+    // non-nullable sentinel makes the column provably non-null, so the
+    // constraint folds away and the assignment is evaluated once.
     val corpusCells = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-      .withColumn("cell_id",
-        element_at(sortedCells(col("__cv"), cents), 1).getField("cell_id"))
+      .withColumn("cell_id", coalesce(
+        element_at(sortedCells(col("__cv"), cents), 1).getField("cell_id"),
+        lit(-1L)))
     val probeCells = probes
       .select(col(idCol).as("probe_id"), col(vecCol).as("__pv"))
       .withColumn("__cell",
         explode(slice(sortedCells(col("__pv"), cents), 1, nProbe)))
-      .select(col("probe_id"), col("__pv"), col("__cell.cell_id").as("cell_id"))
+      .select(col("probe_id"), col("__pv"),
+        coalesce(col("__cell.cell_id"), lit(-1L)).as("cell_id"))
 
     // each corpus vector lives in exactly one cell and each probe
     // probes nProbe distinct cells, so (probe, neighbor) pairs are
