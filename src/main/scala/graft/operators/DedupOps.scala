@@ -177,6 +177,13 @@ object DedupOps {
       iter += 1
     }
     edges.unpersist()
+    // silent truncation would hand wrong canonicals to the drop step —
+    // refuse instead (near-dup clusters are near-cliques, so hitting
+    // this means either maxIter is unreasonably low or the pair graph
+    // is not a dup graph)
+    if (changed > 0) throw new IllegalStateException(
+      s"duplicateClusters did not converge in $maxIter iterations " +
+        s"($changed labels still changing); raise maxIter")
     labels
   }
 

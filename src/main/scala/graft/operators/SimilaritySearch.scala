@@ -56,16 +56,20 @@ object SimilaritySearch {
     */
   private def centroidLiterals(corpus: DataFrame, idCol: String,
                                vecCol: String, nCells: Int): Array[(Long, Array[Double], Double)] =
+    // cell ids are ORDINALS over the id-sorted seed set (not the ids
+    // themselves): id-type-agnostic, and since ordinals are monotone in
+    // the seed ids, every cell-id tiebreak below orders identically to
+    // ordering by seed id — which is what the SQL oracle does
     corpus
-      .select(col(idCol).cast("long").as("__cid"),
-        VectorFunctions.toDouble(col(vecCol)).as("__cv"))
-      .orderBy(col("__cid")).limit(nCells).collect()
-      .map { r =>
-        val v = r.getSeq[Double](1).toArray
+      .orderBy(col(idCol)).limit(nCells)
+      .select(VectorFunctions.toDouble(col(vecCol)).as("__cv"))
+      .collect().zipWithIndex
+      .map { case (r, idx) =>
+        val v = r.getSeq[Double](0).toArray
         var ss = 0.0
         var i = 0
         while (i < v.length) { ss += v(i) * v(i); i += 1 }
-        (r.getLong(0), v, math.sqrt(ss))
+        (idx.toLong, v, math.sqrt(ss))
       }
 
   /** Row-local nearest-cell array: (negated similarity, cell_id) structs
@@ -264,8 +268,12 @@ object SimilaritySearch {
       .withColumn("__pn", VectorFunctions.norm(col("__pv")))
     val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
       .withColumn("__cn", VectorFunctions.norm(col("__cv")))
+    // no broadcast hint: this operator is documented as the scale path
+    // for LARGE probe sets too, so forcing probe vectors through the
+    // driver would cap |P| at the broadcast limit — both rejoins key on
+    // ids and Catalyst/AQE still picks broadcast when a side is small
     val scored = candIds
-      .join(broadcast(pv), Seq("probe_id"))
+      .join(pv, Seq("probe_id"))
       .join(cv, Seq("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"),
         VectorFunctions.cosineWithNorms(col("__pv"), col("__cv"),

@@ -120,12 +120,31 @@ object Streams {
     * path when the schema is known — inference is for exploration and
     * schema drift detection.
     */
-  def inferredJsonTable(raw: DataFrame, valueCol: String = "value"): DataFrame = {
-    val sample = raw.select(col(valueCol)).filter(col(valueCol).isNotNull)
-      .head().getString(0)
-    val schemaDdl = raw.sparkSession.range(1)
-      .select(schema_of_json(lit(sample)).as("s")).head().getString(0)
+  def inferredJsonTable(raw: DataFrame, valueCol: String = "value"): DataFrame =
+    jsonTableWithSchema(raw, inferJsonSchemaDdl(raw, valueCol), valueCol)
+
+  /** Derive the JSON schema DDL from one sampled record of a STATIC
+    * frame (inference is an eager action, so it cannot run on a
+    * streaming frame — sample the topic's landed history or a file
+    * batch instead, then apply the schema to the stream with
+    * [[jsonTableWithSchema]]).
+    */
+  def inferJsonSchemaDdl(sample: DataFrame, valueCol: String = "value"): String = {
+    require(!sample.isStreaming,
+      "schema inference samples a record (an eager action): infer from a " +
+        "static sample, then apply it to the stream via jsonTableWithSchema")
+    val row = sample.select(col(valueCol)).filter(col(valueCol).isNotNull)
+      .limit(1).collect().headOption.getOrElse(throw new IllegalArgumentException(
+        s"cannot infer a JSON schema: no non-null '$valueCol' rows in the sample"))
+    sample.sparkSession.range(1)
+      .select(schema_of_json(lit(row.getString(0))).as("s")).head().getString(0)
+  }
+
+  /** Project a (batch or streaming) frame's JSON `valueCol` through a
+    * known schema DDL — the apply side of [[inferJsonSchemaDdl]].
+    */
+  def jsonTableWithSchema(raw: DataFrame, schemaDdl: String,
+                          valueCol: String = "value"): DataFrame =
     raw.select(from_json(col(valueCol), schemaDdl, Map.empty[String, String]).as("__row"))
       .select("__row.*")
-  }
 }

@@ -18,10 +18,12 @@ import org.apache.spark.sql.functions._
   *
   * Durability note (honest): a bucket swap is two directory renames
   * (live -> trash, fresh -> live). A crash between them leaves that one
-  * bucket's previous content in `.old_bucket_N` (recoverable), never a
-  * half-written live dir — but it is NOT a transactional commit; swap
-  * the directory layer for Delta/Iceberg when real atomicity is needed.
-  * Untouched buckets are never opened, so their files stay
+  * bucket's previous content in `.old_bucket_N`; [[recover]] (run
+  * before every read and overwrite) restores it, so a partial swap
+  * heals to the last committed state instead of serving a hole. This
+  * is still NOT a transactional commit across buckets — swap the
+  * directory layer for Delta/Iceberg when multi-bucket atomicity is
+  * needed. Untouched buckets are never opened, so their files stay
   * byte-identical across batches (asserted by BucketedStateSpec).
   */
 object BucketedState {
@@ -38,6 +40,7 @@ object BucketedState {
     Paths.get(dir, s"bucket_$b")
 
   def listBuckets(dir: String): Seq[Int] = {
+    recover(dir)
     val d = new java.io.File(dir)
     if (!d.exists()) Nil
     else d.listFiles().toSeq
@@ -45,11 +48,32 @@ object BucketedState {
       .map(_.getName.stripPrefix("bucket_").toInt).sorted
   }
 
+  /** Crash repair for the two-rename bucket swap: a death between
+    * `live -> trash` and `fresh -> live` leaves `.old_bucket_N` with no
+    * live dir — restore it (the fresh content was never promoted, so
+    * the old content is the last committed state). A death after
+    * promotion but before cleanup leaves both — the trash is superseded
+    * and is deleted. Runs before every read/overwrite, so partial
+    * swaps are healed instead of silently serving a hole.
+    */
+  def recover(dir: String): Unit = {
+    val d = new java.io.File(dir)
+    if (!d.exists()) return
+    d.listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith(".old_bucket_"))
+      .foreach { trash =>
+        val live = bucketDir(dir, trash.getName.stripPrefix(".old_bucket_").toInt)
+        if (Files.exists(live)) deleteRecursively(trash.toPath)
+        else Files.move(trash.toPath, live, StandardCopyOption.ATOMIC_MOVE)
+      }
+  }
+
   /** Read only the given buckets' current rows (None if none exist —
     * e.g. the very first batch).
     */
   def readBuckets(spark: SparkSession, dir: String,
                   buckets: Seq[Int]): Option[DataFrame] = {
+    recover(dir)
     val existing = buckets.filter(b => Files.exists(bucketDir(dir, b)))
     if (existing.isEmpty) None
     else Some(spark.read.parquet(existing.map(b => bucketDir(dir, b).toString): _*))
@@ -75,6 +99,7 @@ object BucketedState {
   def overwriteBuckets(spark: SparkSession, dir: String, merged: DataFrame,
                        touched: Seq[Int]): Unit = {
     if (touched.isEmpty) return
+    recover(dir)
     val tmp = Paths.get(dir, ".inflight")
     deleteRecursively(tmp)
     merged.filter(col(BucketColName).isin(touched: _*))

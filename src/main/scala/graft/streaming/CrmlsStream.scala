@@ -148,6 +148,7 @@ object CrmlsStream {
     import Crmls._
     val specs = allEntities.map(s => s.name -> s).toMap
     val cached = taggedBatch.cache()
+    val scratch = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try {
       // one action to learn which entities this batch touches (not six
       // per-entity isEmpty probes — driver round-trips per micro-batch
@@ -195,8 +196,11 @@ object CrmlsStream {
       // below) — no lookup needed at all.
       def affectedVia(deltaName: String, dimKey: String,
                       listingCols: Seq[String]): DataFrame = {
+        // cached: evaluated once for the bucket-discovery collect in
+        // readForKeys and again in the index join
         val keys = deltas(deltaName).select(col(dimKey).as("__k"))
-          .filter(col("__k").isNotNull).distinct()
+          .filter(col("__k").isNotNull).distinct().cache()
+        scratch += keys
         store.readForKeys("listing_ref_idx", keys, "__k") match {
           case Some(idx) =>
             idx.filter(col("ref_col").isin(listingCols: _*))
@@ -222,9 +226,13 @@ object CrmlsStream {
       val fromHistory = deltas.get("history")
         .map(_.select(col("h_resource_record_key").as("l_uc_pk"))).toSeq
 
+      // cached: evaluated for the bucket-discovery collect in
+      // readForKeys below and again in the left-semi join
       val affected = (fromListings ++ fromAgents ++ fromOh ++ fromOffices ++
         fromMedia ++ fromHistory)
         .reduce(_ unionByName _).filter(col("l_uc_pk").isNotNull).distinct()
+        .cache()
+      scratch += affected
 
       // 4. re-join only the affected listings against current dim
       // states; the listing state read is bucket-pruned by the
@@ -236,7 +244,10 @@ object CrmlsStream {
       val joined = joinAll(affectedListings, state(agents), state(openHouses),
         state(offices), state(media), state(history))
       sink.upsert("l_uc_pk", joined)
-    } finally cached.unpersist()
+    } finally {
+      scratch.foreach(_.unpersist())
+      cached.unpersist()
+    }
   }
 
   /** Bind the per-batch logic to a streaming tagged source. */

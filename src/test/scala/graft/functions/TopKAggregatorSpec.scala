@@ -8,6 +8,23 @@ import graft.operators.SimilaritySearch
 class TopKAggregatorSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("groupedTopK preserves the id column's type and supports string ids") {
+    import org.apache.spark.sql.types.{IntegerType, StringType}
+    val intScored = Seq((1, 10, 0.9), (1, 11, 0.8), (1, 12, 0.7))
+      .toDF("g", "id", "s")
+    val gotInt = TopKAggregator.groupedTopK(intScored, "g", "id", "s", 2)
+    assert(gotInt.schema("id").dataType === IntegerType)
+    assert(gotInt.select("id").as[Int].collect().toSeq === Seq(10, 11))
+
+    val strScored = Seq(("g1", "docB", 0.5), ("g1", "docA", 0.5), ("g1", "docC", 0.9))
+      .toDF("g", "id", "s")
+    val gotStr = TopKAggregator.groupedTopK(strScored, "g", "id", "s", 2)
+    assert(gotStr.schema("id").dataType === StringType)
+    // score desc, then id asc on the 0.5 tie
+    assert(gotStr.select("id", "rank").as[(String, Long)].collect().toSet ===
+      Set(("docC", 1L), ("docA", 2L)))
+  }
+
   test("typed top-k equals sort-take on random scores, incl. ties") {
     val rows = (1 to 500).map(i => Scored(i.toLong, (i * 37 % 100) / 10.0))
     val got = spark.createDataset(rows).repartition(7)

@@ -85,6 +85,16 @@ class DedupOpsSpec extends SparkTestBase {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("duplicateClusters refuses to return non-converged labels") {
+    // a 6-chain needs ~5 propagation rounds; cap at 2 and expect a
+    // loud failure instead of silently wrong canonicals
+    val chain = (1L to 5L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      DedupOps.duplicateClusters(chain, maxIter = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("dropNearDuplicateClusters keeps exactly one doc per cluster") {
     val moreDocs = (1L to 6L).map(i => (i, s"text $i")).toDF("doc_id", "text")
     // clusters {1,2,3} (chain) and {5,6}; 4 untouched

@@ -64,6 +64,20 @@ class StreamsContractSpec extends SparkTestBase {
     assert(enc.head().getString(0) === """{"l_uc_pk":"L1","n":7,"s":"x"}""")
   }
 
+  test("S6 inference guards: streaming frames and empty samples fail loudly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val streaming = MemoryStream[String].toDF().toDF("value")
+    val e1 = intercept[IllegalArgumentException] {
+      Streams.inferJsonSchemaDdl(streaming)
+    }
+    assert(e1.getMessage.contains("static sample"))
+    val e2 = intercept[IllegalArgumentException] {
+      Streams.inferJsonSchemaDdl(Seq.empty[String].toDF("value"))
+    }
+    assert(e2.getMessage.contains("no non-null"))
+  }
+
   test("S6 inference: schema derived from a sample round-trips the projection") {
     val lines = Seq(
       """{"uc_pk":"L1","uc_created_ts":"100","data":{"k":"v1"},"n":1}""",

@@ -79,6 +79,26 @@ class BucketedStateSpec extends SparkTestBase {
     assert(got("k5") === 500 && got("k0") === 0 && got.size === 20)
   }
 
+  test("recover heals a crash between the two bucket-swap renames") {
+    val nBuckets = 4
+    val dir = Files.createTempDirectory("graft-recover").toString + "/t"
+    val sink = new UpsertJoin.ParquetUpsertSink(spark, dir, nBuckets)
+    sink.upsert("k", (0 until 12).map(i => (s"k$i", i)).toDF("k", "v"))
+    val want = sink.snapshot(spark).as[(String, Int)].collect().toSet
+
+    // simulate a death after `live -> trash` but before `fresh -> live`
+    val victim = BucketedState.listBuckets(dir).head
+    Files.move(java.nio.file.Paths.get(dir, s"bucket_$victim"),
+      java.nio.file.Paths.get(dir, s".old_bucket_$victim"))
+
+    // any read path must heal the hole back to the committed state
+    val healed = BucketedState.readAll(spark, dir).get
+      .as[(String, Int)].collect().toSet
+    assert(healed === want, "recover must restore the un-promoted bucket")
+    assert(Files.exists(java.nio.file.Paths.get(dir, s"bucket_$victim")))
+    assert(!Files.exists(java.nio.file.Paths.get(dir, s".old_bucket_$victim")))
+  }
+
   test("ParquetUpsertSink: duplicate keys within one batch resolve deterministically") {
     val batch = Seq(("a", 1), ("a", 2), ("b", 7)).toDF("k", "v")
     // expected survivor for 'a': the content-hash-max row (the sink's
