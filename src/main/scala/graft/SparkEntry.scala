@@ -408,6 +408,17 @@ object SparkEntry {
         .select("doc_id", "lang", "n_chars")
     }),
 
+    // §2.10 near-dup: connected-components cluster labels over
+    // verified pairs (transitive closure; oracle = recursive CTE)
+    "q_dup_clusters" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 40)
+      val confirmed = DedupOps.tokenJaccardPairs(d, "doc_id", "text",
+          maxDocFreq = None)
+        .filter(col("jaccard") > 0.5)
+        .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+      DedupOps.duplicateClusters(confirmed)
+    }),
+
     // §2.10 near-dup: MinHash-LSH candidate pairs (xxhash64 signatures
     // are engine-specific, so the oracle is the pinned sf0.01 fixture
     // in OracleFixtures; semantics via ScalaTest planted dups)
@@ -722,6 +733,32 @@ object SparkEntry {
            WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) > 0.5)
          SELECT doc_id, lang, n_chars FROM d
          WHERE doc_id NOT IN (SELECT doc_b FROM losers)""",
+
+    "q_dup_clusters" ->
+      raw"""WITH d AS (SELECT * FROM documents WHERE doc_id < 40),
+         tok AS (
+           SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+           FROM d),
+         sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+           FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         confirmed AS (
+           SELECT id_a, id_b FROM pairs
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) > 0.5),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM confirmed
+           UNION SELECT id_b, id_a FROM confirmed),
+         reach AS (
+           WITH RECURSIVE r(id, root) AS (
+             SELECT DISTINCT src, src FROM edges
+             UNION
+             SELECT e.dst, r.root FROM r JOIN edges e ON e.src = r.id)
+           SELECT * FROM r)
+         SELECT id, min(root) AS label FROM reach GROUP BY id""",
 
     "q_minhash_pairs" -> OracleFixtures.minhashPairsSql,
 
