@@ -140,24 +140,78 @@ object DedupOps {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Driver-side union-find with min-id roots (path compression +
+    * union-by-min): linear in |edges|, exact.
+    */
+  private def unionFindLabels[T](edges: Array[(T, T)])
+                                (implicit ord: Ordering[T]): Seq[(T, T)] = {
+    val parent = scala.collection.mutable.Map.empty[T, T]
+    def add(x: T): Unit = if (!parent.contains(x)) parent(x) = x
+    def find(x: T): T = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      add(a); add(b)
+      val ra = find(a)
+      val rb = find(b)
+      if (ra != rb) {
+        if (ord.lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    parent.keys.toSeq.map(k => k -> find(k))
+  }
+
   /** Connected components over confirmed near-dup pairs: every vertex
     * is labeled with the MINIMUM id reachable in its cluster
     * (transitive closure — handles a~b, b~c chains where the one-hop
     * rule would treat a and c as unrelated canonicals).
     *
-    * Iterative min-label propagation: each round joins the label table
-    * to the (symmetrized, deduped) edge list and takes the per-vertex
-    * min — rounds needed = graph diameter, which for near-dup clusters
-    * is tiny (dup groups are near-cliques). Every round is one
-    * key-partitioned join + aggregation; intermediate results are
-    * cached and the loop stops at the first fixpoint, so the cluster
-    * cost is O(diameter x |edges| shuffle) — the standard scalable CC
-    * shape (large-star/small-star is the same idea with a better worst
-    * case on adversarial long paths).
+    * Tiered execution, the shape real systems use:
+    *  - pair sets up to `driverThreshold` rows (the NORMAL case —
+    *    verified near-dup pairs are tiny relative to the corpus)
+    *    collect to the driver and run exact union-find: one job, no
+    *    iteration.
+    *  - larger graphs run iterative min-label propagation: each round
+    *    joins the label table to the (symmetrized, deduped) edge list
+    *    and takes the per-vertex min — rounds needed = graph diameter,
+    *    which for near-dup clusters is tiny (dup groups are
+    *    near-cliques). Cost O(diameter x |edges| shuffle); refuses to
+    *    return silently-truncated labels if maxIter is hit.
     *
     * @return (id, label) — label is the cluster's canonical (min) id
     */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20,
+                        driverThreshold: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val idType = pairs.schema("id_a").dataType
+    val cached = pairs.cache()
+    val smallEnough = driverThreshold > 0 &&
+      cached.limit(math.min(driverThreshold + 1, Int.MaxValue.toLong).toInt)
+        .count() <= driverThreshold
+    val out = if (smallEnough) idType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        val edges = cached.select(col("id_a").cast("long"), col("id_b").cast("long"))
+          .as[(Long, Long)].collect()
+        unionFindLabels(edges).toDF("id", "label")
+          .select(col("id").cast(idType).as("id"),
+            col("label").cast(idType).as("label"))
+      case StringType =>
+        val edges = cached.select(col("id_a"), col("id_b"))
+          .as[(String, String)].collect()
+        unionFindLabels(edges).toDF("id", "label")
+      case _ => distributedClusters(cached, maxIter)
+    } else distributedClusters(cached, maxIter)
+    cached.unpersist()
+    out
+  }
+
+  private def distributedClusters(pairs: DataFrame, maxIter: Int): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().cache()

@@ -85,14 +85,36 @@ class DedupOpsSpec extends SparkTestBase {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
-  test("duplicateClusters refuses to return non-converged labels") {
+  test("duplicateClusters (distributed path) refuses to return non-converged labels") {
     // a 6-chain needs ~5 propagation rounds; cap at 2 and expect a
     // loud failure instead of silently wrong canonicals
+    // (driverThreshold = 0 forces the distributed path)
     val chain = (1L to 5L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val e = intercept[IllegalStateException] {
-      DedupOps.duplicateClusters(chain, maxIter = 2).collect()
+      DedupOps.duplicateClusters(chain, maxIter = 2, driverThreshold = 0L).collect()
     }
     assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("duplicateClusters: driver union-find == distributed propagation") {
+    val rnd = new scala.util.Random(7)
+    val pairs = (1 to 120)
+      .map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .toDF("id_a", "id_b")
+    val small = DedupOps.duplicateClusters(pairs)
+      .as[(Long, Long)].collect().toSet
+    val dist = DedupOps.duplicateClusters(pairs, driverThreshold = 0L)
+      .as[(Long, Long)].collect().toSet
+    assert(small === dist)
+  }
+
+  test("duplicateClusters supports string ids") {
+    val pairs = Seq(("b", "a"), ("b", "c"), ("x", "y")).toDF("id_a", "id_b")
+    val got = DedupOps.duplicateClusters(pairs)
+      .as[(String, String)].collect().toMap
+    assert(got === Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
   }
 
   test("dropNearDuplicateClusters keeps exactly one doc per cluster") {
