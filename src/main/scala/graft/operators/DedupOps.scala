@@ -190,25 +190,28 @@ object DedupOps {
     val spark = pairs.sparkSession
     import spark.implicits._
     val idType = pairs.schema("id_a").dataType
+    // a driver collect() is capped at Int.MaxValue rows anyway — clamp
+    // the threshold so the probe below cannot misclassify (or overflow
+    // on threshold + 1) for absurdly large thresholds
+    val thr = math.min(driverThreshold, (Int.MaxValue - 1).toLong)
     val cached = pairs.cache()
-    val smallEnough = driverThreshold > 0 &&
-      cached.limit(math.min(driverThreshold + 1, Int.MaxValue.toLong).toInt)
-        .count() <= driverThreshold
-    val out = if (smallEnough) idType match {
-      case ByteType | ShortType | IntegerType | LongType =>
-        val edges = cached.select(col("id_a").cast("long"), col("id_b").cast("long"))
-          .as[(Long, Long)].collect()
-        unionFindLabels(edges).toDF("id", "label")
-          .select(col("id").cast(idType).as("id"),
-            col("label").cast(idType).as("label"))
-      case StringType =>
-        val edges = cached.select(col("id_a"), col("id_b"))
-          .as[(String, String)].collect()
-        unionFindLabels(edges).toDF("id", "label")
-      case _ => distributedClusters(cached, maxIter)
-    } else distributedClusters(cached, maxIter)
-    cached.unpersist()
-    out
+    try {
+      val smallEnough = thr > 0 &&
+        cached.limit((thr + 1).toInt).count() <= thr
+      if (smallEnough) idType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          val edges = cached.select(col("id_a").cast("long"), col("id_b").cast("long"))
+            .as[(Long, Long)].collect()
+          unionFindLabels(edges).toDF("id", "label")
+            .select(col("id").cast(idType).as("id"),
+              col("label").cast(idType).as("label"))
+        case StringType =>
+          val edges = cached.select(col("id_a"), col("id_b"))
+            .as[(String, String)].collect()
+          unionFindLabels(edges).toDF("id", "label")
+        case _ => distributedClusters(cached, maxIter)
+      } else distributedClusters(cached, maxIter)
+    } finally cached.unpersist()
   }
 
   private def distributedClusters(pairs: DataFrame, maxIter: Int): DataFrame = {
@@ -235,9 +238,12 @@ object DedupOps {
     // refuse instead (near-dup clusters are near-cliques, so hitting
     // this means either maxIter is unreasonably low or the pair graph
     // is not a dup graph)
-    if (changed > 0) throw new IllegalStateException(
-      s"duplicateClusters did not converge in $maxIter iterations " +
-        s"($changed labels still changing); raise maxIter")
+    if (changed > 0) {
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"duplicateClusters did not converge in $maxIter iterations " +
+          s"($changed labels still changing); raise maxIter")
+    }
     labels
   }
 

@@ -23,6 +23,17 @@ class TopKAggregatorSpec extends SparkTestBase {
     // score desc, then id asc on the 0.5 tie
     assert(gotStr.select("id", "rank").as[(String, Long)].collect().toSet ===
       Set(("docC", 1L), ("docA", 2L)))
+
+    // string ties must break by UTF-8 BYTE order (Spark's native string
+    // ordering), not JVM UTF-16 compareTo: U+FFFD (EF BF BD) sorts
+    // BEFORE U+1F600 (F0 9F 98 80) in UTF-8, while UTF-16 surrogates
+    // would reverse them
+    val tricky = Seq(("g", "😀", 1.0), ("g", "�", 1.0))
+      .toDF("g", "id", "s")
+    val utf8First = TopKAggregator.groupedTopK(tricky, "g", "id", "s", 1)
+      .select("id").as[String].head()
+    val sparkFirst = tricky.orderBy(col("id").asc).select("id").as[String].head()
+    assert(utf8First === sparkFirst, "tiebreak must match Spark's string order")
   }
 
   test("typed top-k equals sort-take on random scores, incl. ties") {
