@@ -139,6 +139,24 @@ object SparkEntry {
         buildCols = Seq("ts", "value"), prefix = "clk_")
     }),
 
+    // range/interval join: per purchase, the same user's clicks within
+    // the preceding hour — equi-join on (user, time-bucket), never a
+    // nested loop (operators/RangeJoin)
+    "q_interval_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val probe = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val build = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts", "value")
+      RangeJoin.windowAggregate(probe, build, key = "user_id",
+          probeId = "event_id", probeTs = "ts", buildTs = "ts",
+          lookbackMs = 3600000L, lookaheadMs = 0L,
+          aggs = Seq(count(lit(1)).as("__n"), sum("b_value").as("sum_click_value")))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          coalesce(col("__n"), lit(0L)).as("n_clicks"),
+          col("sum_click_value"))
+    }),
+
     // P2/P3/P4: JSON field extraction + null-safe default + cast
     "q_json_extract" -> ((s, dir) =>
       t(s, dir, "events").select(
@@ -187,6 +205,33 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
         .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))),
+
+    // grouping-set aggregation: CUBE (all 4 grouping combinations)
+    "q_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sum_qty"),
+          avg("l_discount").as("avg_disc"), count(lit(1)).as("n"))),
+
+    // pivot: one column per l_linestatus value (wide-format reshaping)
+    "q_pivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum("l_quantity"))),
+
+    // skew-defused join: salted inner join must equal the plain join
+    // (operators/SkewJoin — the explicit fallback when AQE's runtime
+    // skew split cannot apply)
+    "q_skewjoin" -> ((s, dir) => {
+      val fact = t(s, dir, "events")
+        .select("event_id", "user_id", "event_type")
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_name"))
+      SkewJoin.saltedJoin(fact, dim, "user_id", saltBuckets = 4,
+          joinType = "inner", saltExpr = Some(col("event_id")))
+        .select("event_id", "user_id", "event_type", "c_name")
+    }),
 
     // exact interpolated percentiles per group
     "q_percentile" -> ((s, dir) =>
@@ -334,6 +379,43 @@ object SparkEntry {
         .groupBy("ngram").agg(count(lit(1)).as("n"))
         .filter(col("n") > 1)),
 
+    // §2.10 corpus prep: structural PII scrubbing (emails, digit runs)
+    // — map-only regexp_replace chain, RE2-compatible patterns
+    "q_redact" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), TF.redactPii(col("text")).as("redacted"))),
+
+    // §2.10 training-data assembly: content-addressed train/val/test
+    // split — a pure function of (seed, doc_id), so re-runs and corpus
+    // growth never move a document across splits
+    "q_split" -> ((s, dir) =>
+      TrainingOps.assignSplit(t(s, dir, "documents"), "doc_id",
+          trainFrac = 0.8, valFrac = 0.1)
+        .select("doc_id", "split")),
+
+    // §2.10 training-data assembly: deterministic hash sampling (stable
+    // across reruns/retries/engines, unlike rand()-based sample)
+    "q_sample" -> ((s, dir) =>
+      TrainingOps.hashSample(t(s, dir, "documents"), "doc_id", 0.25)
+        .select("doc_id", "lang", "n_chars")),
+
+    // §2.10 training-data assembly: deterministic global shuffle key
+    // (range-partitioned distributed sort, per-epoch permutations)
+    "q_shuffle" -> ((s, dir) =>
+      TrainingOps.deterministicShuffle(t(s, dir, "documents"), "doc_id",
+          seed = "epoch0")
+        .select("doc_id", "shuffle_key")),
+
+    // §2.10 text analysis: TF-IDF term weights (bounded probe set; the
+    // cap is None so the oracle's exact df matches — the operator
+    // default keeps the stopword/skew cap)
+    "q_tfidf" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 40)
+      TfIdf.tfIdf(d, "doc_id", "text", maxDocFreqRatio = None)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          round(col("tfidf"), 6).as("tfidf"))
+    }),
+
     // §2.10 dedup (exact): content-hash dedup
     "q_dedup_exact" -> ((s, dir) =>
       DedupOps.exactDedup(t(s, dir, "documents"), "doc_id", "text")),
@@ -474,6 +556,20 @@ object SparkEntry {
           size(col("features")).cast("long").as("n_dims"))
     }),
 
+    // §2.10 similarity: int8 scalar quantization of embeddings (4x
+    // smaller candidate-generation bytes; floor-based rounding so the
+    // codes are engine-reproducible). Emitted per-dimension so the
+    // oracle hash covers every code.
+    "q_quantize" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 200)
+        .withColumn("scale", VF.int8Scale(col("embedding")))
+      emb.select(col("vec_id"),
+          posexplode(VF.quantizeInt8(col("embedding"), col("scale"))),
+          round(col("scale"), 6).as("scale"))
+        .select(col("vec_id"), col("pos").cast("long").as("dim_idx"),
+          col("col").as("q"), col("scale"))
+    }),
+
     // §2.10 similarity search: IVF approximate top-k (deterministic
     // centroids = lowest-id vectors, so the oracle replays the whole
     // index in SQL; recall additionally measured against brute force in
@@ -568,6 +664,16 @@ object SparkEntry {
              ON b.user_id = p.user_id AND b.ts <= p.ts) t
          WHERE rn = 1""",
 
+    "q_interval_join" ->
+      """SELECT p.event_id, p.user_id, p.ts,
+         count(b.user_id) AS n_clicks,
+         sum(b.value) AS sum_click_value
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
+           ON b.user_id = p.user_id
+          AND b.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+         GROUP BY p.event_id, p.user_id, p.ts""",
+
     "q_json_extract" ->
       """SELECT event_id,
          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
@@ -626,6 +732,30 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
          sum(l_quantity) AS sum_qty, count(*) AS n
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+         sum(l_quantity) AS sum_qty, avg(l_discount) AS avg_disc,
+         count(*) AS n
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+
+    "q_pivot" ->
+      """SELECT l_returnflag,
+         sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS F,
+         sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS O
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "q_skewjoin" ->
+      """SELECT event_id, user_id, event_type, c_name
+         FROM events JOIN customer ON user_id = c_custkey""",
+
+    "q_redact" ->
+      raw"""SELECT doc_id,
+         regexp_replace(
+           regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '[0-9]', '#', 'g') AS redacted
+         FROM documents""",
 
     "q_percentile" ->
       """SELECT l_returnflag,
@@ -780,6 +910,39 @@ object SparkEntry {
          SELECT ngram, count(*) AS n FROM g GROUP BY ngram
          HAVING count(*) > 1""",
 
+    // 256-bucket hex thresholds: floor(256*0.8)=204='cc',
+    // floor(256*0.9)=230='e6' — must mirror TrainingOps.assignSplit
+    "q_split" ->
+      """SELECT doc_id,
+         CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                THEN 'train'
+              WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                THEN 'val'
+              ELSE 'test' END AS split
+         FROM documents""",
+
+    // floor(65536*0.25)=16384='4000' — mirrors TrainingOps.hashSample
+    "q_sample" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+         WHERE substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 4) < '4000'""",
+
+    "q_shuffle" ->
+      """SELECT doc_id,
+         md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+         FROM documents""",
+
+    "q_tfidf" ->
+      raw"""WITH d AS (SELECT * FROM documents WHERE doc_id < 40),
+         tok AS (
+           SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+           FROM d),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(DISTINCT doc_id) AS n FROM d)
+         SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+         FROM tf JOIN df USING (term) CROSS JOIN n""",
+
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS doc_id,
          count(*) AS n_copies
@@ -838,6 +1001,20 @@ object SparkEntry {
            CASE WHEN greatest(s_en, s_es) <= 0 THEN 'und'
                 WHEN s_es >= s_en THEN 'es' ELSE 'en' END AS lang_pred
          FROM s""",
+
+    "q_quantize" ->
+      """WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id < 200),
+         s AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+           FROM e)
+         SELECT vec_id, i - 1 AS dim_idx,
+           CAST(CASE WHEN scale = 0 THEN 0
+                     ELSE greatest(-127, least(127, floor(v[i] / scale + 0.5)))
+                END AS BIGINT) AS q,
+           round(scale, 6) AS scale
+         FROM s, unnest(range(1, len(v) + 1)) AS u(i)""",
 
     "q_simsearch" ->
       """WITH e AS (SELECT vec_id,

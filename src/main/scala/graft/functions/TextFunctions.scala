@@ -29,6 +29,23 @@ object TextFunctions {
   def bpeishTokens(text: Column): Column =
     regexp_extract_all(text, lit(bpeishPattern), lit(0))
 
+  /** PII-shaped span scrubbing for corpus prep: emails then digit runs,
+    * as pure `regexp_replace` chains (codegen'd, scan-bound — at 100 TB
+    * this is a map-only pass with no shuffle). Patterns are
+    * RE2-compatible (no lookarounds/backrefs) so external engines can
+    * recompute them verbatim. Real PII policy needs NER-grade models;
+    * this is the cheap structural layer those pipelines run first.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  def redactEmails(text: Column, replacement: String = "<EMAIL>"): Column =
+    regexp_replace(text, emailPattern, replacement)
+
+  def redactDigits(text: Column, replacement: String = "#"): Column =
+    regexp_replace(text, "[0-9]", replacement)
+
+  def redactPii(text: Column): Column = redactDigits(redactEmails(text))
+
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** Distinct-token ("type") count; type/token ratio is a standard

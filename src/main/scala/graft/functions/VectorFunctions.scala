@@ -44,6 +44,32 @@ object VectorFunctions {
       zip_with(toDouble(a), toDouble(b), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x))
 
+  /** Symmetric int8 quantization scale: max(|x|) / 127 (0.0 for the
+    * zero vector). Store one scale per vector alongside the quantized
+    * array — 4x smaller embeddings mean 4x fewer shuffle/scan bytes for
+    * ANN candidate generation at 100 TB, with exact re-ranking done on
+    * the full-precision vectors for the few survivors.
+    */
+  def int8Scale(v: Column): Column =
+    array_max(transform(v, x => abs(x.cast("double")))) / lit(127.0)
+
+  /** Quantize to int8 range with round-half-up realized as
+    * `floor(x/scale + 0.5)` — floor is exactly specified on IEEE
+    * doubles, so any engine reproduces the codes bit-for-bit (a
+    * `round()` here would hit engine-specific half-even/half-away
+    * behavior). Zero-scale (all-zero) vectors quantize to zeros.
+    */
+  def quantizeInt8(v: Column, scale: Column): Column =
+    transform(v, x =>
+      when(scale === 0.0, lit(0L))
+        .otherwise(greatest(lit(-127L),
+          least(lit(127L), floor(x.cast("double") / scale + lit(0.5)))))
+        .cast("long"))
+
+  /** Reconstruct approximate values from int8 codes. */
+  def dequantizeInt8(q: Column, scale: Column): Column =
+    transform(q, x => x.cast("double") * scale)
+
   /** Deterministic pseudo-random hyperplane component in [-1, 1).
     * Package-visible so the oracle-SQL generator can embed the SAME
     * hyperplanes as literals and recompute buckets externally.

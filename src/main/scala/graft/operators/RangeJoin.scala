@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Time-interval (range) join decomposed into an equi-join.
+  *
+  * The reference's surface is equi-joins only (SURVEY §2.5), but a
+  * training-data pipeline constantly needs "events of the same key
+  * within a time window" (sessionized features, label windows,
+  * click-attribution). The naive Spark plan for
+  * `a JOIN b ON a.key = b.key AND b.ts BETWEEN a.ts - w AND a.ts`
+  * is an equi-join on `key` with the range as a post-join filter —
+  * fine until one key holds a long history, at which point the per-key
+  * pair blowup is quadratic in that key's row count.
+  *
+  * Scale plan: coarsen time into buckets of `bucketMs` and make the
+  * bucket part of the JOIN KEY. The build side lands in its own bucket;
+  * each probe row explodes to the few buckets its window can overlap
+  * (ceil(window/bucket) + 1 rows, = 2 at the default bucket width).
+  * The join is then a plain shuffled equi-join on (key, bucket) with
+  * the exact range predicate evaluated in-bucket, so per-reducer work
+  * is bounded by bucket population, not key history, and the planner
+  * never falls back to a nested loop. This is the standard
+  * decomposition streaming engines use for interval joins, expressed
+  * against Spark's batch/AQE machinery.
+  */
+object RangeJoin {
+
+  /** Inner interval join: pairs (probe row, build row) with equal `key`
+    * and `buildTs` within `[probeTs - lookbackMs, probeTs + lookaheadMs]`
+    * (both ends inclusive). Build columns are emitted under
+    * `buildPrefix` to keep the two sides' names disjoint.
+    *
+    * Inner-only by design: a probe row is exploded per candidate
+    * bucket, so an outer variant would have to reconcile duplicate
+    * unmatched copies — callers wanting left semantics aggregate the
+    * pairs and left-join the aggregate back to the probe side (see
+    * q_interval_join in the catalog), which is also the shape that
+    * scales: the re-join key is the probe's primary key.
+    *
+    * @param bucketMs bucket width; 0 = window span (lookback+lookahead),
+    *                 the fan-out-minimal default. Smaller buckets trade
+    *                 probe fan-out for tighter in-bucket selectivity.
+    */
+  def intervalJoin(probe: DataFrame, build: DataFrame, key: String,
+                   probeTs: String, buildTs: String,
+                   lookbackMs: Long, lookaheadMs: Long = 0L,
+                   bucketMs: Long = 0L,
+                   buildPrefix: String = "b_"): DataFrame = {
+    require(lookbackMs >= 0 && lookaheadMs >= 0,
+      "lookbackMs/lookaheadMs must be >= 0")
+    val span = lookbackMs + lookaheadMs
+    require(span > 0, "window span must be positive")
+    val bucket = if (bucketMs > 0) bucketMs else span
+    val reserved = Seq("__ms", "__bkt")
+    reserved.foreach { r =>
+      require(!probe.columns.contains(r) && !build.columns.contains(r),
+        s"column name $r is reserved by intervalJoin")
+    }
+
+    def ms(c: Column): Column = unix_millis(c)
+    // floor-division bucket id; epoch-ms / bucket stays far inside the
+    // 2^53 exact range, so the double floor is exact
+    def bucketOf(msCol: Column): Column =
+      floor(msCol / lit(bucket.toDouble)).cast("long")
+
+    val p = probe
+      .withColumn("__ms", ms(col(probeTs)))
+      .withColumn("__bkt", explode(sequence(
+        bucketOf(col("__ms") - lit(lookbackMs)),
+        bucketOf(col("__ms") + lit(lookaheadMs)))))
+    val b = build
+      .withColumn("__ms", ms(col(buildTs)))
+      .withColumn("__bkt", bucketOf(col("__ms")))
+      .select(col("__bkt") +: col("__ms").as(s"${buildPrefix}__ms") +:
+        build.columns.toSeq.map(c => col(c).as(s"$buildPrefix$c")): _*)
+
+    p.join(b,
+        p("__bkt") === b("__bkt") &&
+          p.col(key) === b(s"$buildPrefix$key") &&
+          b(s"${buildPrefix}__ms") >= p("__ms") - lit(lookbackMs) &&
+          b(s"${buildPrefix}__ms") <= p("__ms") + lit(lookaheadMs),
+        "inner")
+      .drop("__ms", "__bkt", s"${buildPrefix}__ms")
+  }
+
+  /** Left windowed aggregate: every probe row, plus aggregates of the
+    * build rows inside its window (null aggregates when none). The
+    * probe key `probeId` must be unique per probe row.
+    */
+  def windowAggregate(probe: DataFrame, build: DataFrame, key: String,
+                      probeId: String, probeTs: String, buildTs: String,
+                      lookbackMs: Long, lookaheadMs: Long,
+                      aggs: Seq[Column]): DataFrame = {
+    val pairs = intervalJoin(probe, build, key, probeTs, buildTs,
+      lookbackMs, lookaheadMs)
+    val grouped = pairs.groupBy(col(probeId)).agg(aggs.head, aggs.tail: _*)
+    probe.join(grouped, Seq(probeId), "left_outer")
+  }
+}

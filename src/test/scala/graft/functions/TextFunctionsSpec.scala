@@ -76,6 +76,17 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(got(3L) === Seq.empty)
   }
 
+  test("redactPii masks emails before digits, leaves clean text alone") {
+    val d = Seq(
+      (1L, "contact bob.smith+x@example.co.uk or call 555-1234"),
+      (2L, "no pii here at all")).toDF("doc_id", "text")
+    val got = d.select(col("doc_id"), TextFunctions.redactPii(col("text")))
+      .as[(Long, String)].collect().toMap
+    // email swallowed whole (digits inside it never leak as ###)
+    assert(got(1L) === "contact <EMAIL> or call ###-####")
+    assert(got(2L) === "no pii here at all")
+  }
+
   test("qualityScore is in [0,1] and penalizes tiny docs") {
     val q = docs.select(TextFunctions.qualityScore(col("text"), Seq("the", "a")).as[Double]).collect()
     assert(q.forall(v => v >= 0.0 && v <= 1.0))

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class TrainingOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = (1L to 2000L).map(i => (i, s"doc$i")).toDF("id", "name")
+
+  test("assignSplit covers every row, is deterministic, and tracks fractions") {
+    val a = TrainingOps.assignSplit(docs, "id", 0.8, 0.1)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(a.keySet === Set("train", "val", "test"))
+    assert(a.values.sum === 2000L)
+    // 1/256-granular buckets over 2000 uniform hashes: loose bounds
+    assert(a("train") > 1400 && a("train") < 1800, s"train=${a("train")}")
+    assert(a("val") > 100 && a("val") < 350, s"val=${a("val")}")
+    // deterministic: second run identical per row
+    val r1 = TrainingOps.assignSplit(docs, "id").select("id", "split")
+      .as[(Long, String)].collect().toSet
+    val r2 = TrainingOps.assignSplit(docs, "id").select("id", "split")
+      .as[(Long, String)].collect().toSet
+    assert(r1 === r2)
+  }
+
+  test("a grown corpus never reassigns existing rows (no split leakage)") {
+    val base = TrainingOps.assignSplit(docs, "id").select("id", "split")
+      .as[(Long, String)].collect().toMap
+    val grown = docs.union(Seq((9001L, "new1"), (9002L, "new2")).toDF("id", "name"))
+    val after = TrainingOps.assignSplit(grown, "id").select("id", "split")
+      .as[(Long, String)].collect().toMap
+    assert(base.forall { case (id, s) => after(id) == s })
+  }
+
+  test("hashSample keeps a stable, roughly-sized subset") {
+    val s1 = TrainingOps.hashSample(docs, "id", 0.25).select("id")
+      .as[Long].collect().toSet
+    val s2 = TrainingOps.hashSample(docs, "id", 0.25).select("id")
+      .as[Long].collect().toSet
+    assert(s1 === s2)
+    assert(s1.size > 400 && s1.size < 600, s"kept ${s1.size} of 2000")
+    // a smaller fraction with the same seed is a subset (nested samples)
+    val s3 = TrainingOps.hashSample(docs, "id", 0.1).select("id")
+      .as[Long].collect().toSet
+    assert(s3.subsetOf(s1))
+  }
+
+  test("deterministicShuffle is a stable permutation that varies by seed") {
+    val p1 = TrainingOps.deterministicShuffle(docs, "id", "epoch0")
+      .select("id").as[Long].collect().toSeq
+    val p2 = TrainingOps.deterministicShuffle(docs, "id", "epoch0")
+      .select("id").as[Long].collect().toSeq
+    val p3 = TrainingOps.deterministicShuffle(docs, "id", "epoch1")
+      .select("id").as[Long].collect().toSeq
+    assert(p1 === p2)
+    assert(p1 !== p3, "different seeds must give different permutations")
+    assert(p1.sorted === (1L to 2000L))
+    assert(p3.sorted === (1L to 2000L))
+  }
+}
