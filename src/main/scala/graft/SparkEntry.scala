@@ -416,6 +416,19 @@ object SparkEntry {
           round(col("tfidf"), 6).as("tfidf"))
     }),
 
+    // §2.10 text analysis: top TF-IDF terms per document via the typed
+    // top-k aggregator (map-side k-truncation — the exchange carries
+    // O(partitions x k) rows, not the (doc, term) matrix). Ranking on
+    // the ROUNDED score so cross-engine ln() ulp noise cannot flip
+    // near-ties; rank ties break by term (UTF-8 order, ASCII corpus).
+    "q_topterms" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 40)
+      val weighted = TfIdf.tfIdf(d, "doc_id", "text", maxDocFreqRatio = None)
+        .select(col("doc_id"), col("term"), round(col("tfidf"), 6).as("score"))
+      graft.functions.TopKAggregator.groupedTopK(weighted,
+        groupCol = "doc_id", idCol = "term", scoreCol = "score", k = 3)
+    }),
+
     // §2.10 dedup (exact): content-hash dedup
     "q_dedup_exact" -> ((s, dir) =>
       DedupOps.exactDedup(t(s, dir, "documents"), "doc_id", "text")),
@@ -942,6 +955,25 @@ object SparkEntry {
          SELECT tf.doc_id, tf.term, tf.tf, df.df,
            round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
          FROM tf JOIN df USING (term) CROSS JOIN n""",
+
+    "q_topterms" ->
+      raw"""WITH d AS (SELECT * FROM documents WHERE doc_id < 40),
+         tok AS (
+           SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+           FROM d),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(DISTINCT doc_id) AS n FROM d),
+         w AS (
+           SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS score
+           FROM tf JOIN df USING (term) CROSS JOIN n)
+         SELECT doc_id, term, rank, score FROM (
+           SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, term) AS rank
+           FROM w) t
+         WHERE rank <= 3""",
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS doc_id,

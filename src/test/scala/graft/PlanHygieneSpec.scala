@@ -76,6 +76,40 @@ class PlanHygieneSpec extends SparkTestBase {
     assert(p.contains("partial_topk"), "map-side partial top-k missing")
   }
 
+  test("q_interval_join: bucketed equi-join, never a nested loop") {
+    val p = plan("q_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "interval join must decompose to an equi-join on (key, bucket)")
+  }
+
+  test("q_quantize: map-only — no shuffle anywhere in the plan") {
+    val p = plan("q_quantize")
+    assert(!p.contains("Exchange"),
+      s"quantization must stay scan-bound, no exchange:\n${p.take(2000)}")
+  }
+
+  test("q_redact / q_split / q_sample: map-only corpus passes") {
+    Seq("q_redact", "q_split", "q_sample").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q must not shuffle:\n${p.take(1000)}")
+    }
+  }
+
+  test("q_shuffle: range partitioning, not a single-reducer global sort") {
+    val p = plan("q_shuffle")
+    assert(p.contains("Exchange rangepartitioning"),
+      s"global shuffle must range-partition:\n${p.take(2000)}")
+  }
+
+  test("q_tfidf: corpus size rides as a broadcast, not a driver literal") {
+    val p = plan("q_tfidf")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"N must be a broadcast single-row aggregate:\n${p.take(2000)}")
+    // tf/df aggregations keep map-side partials
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "partial aggregation missing in tf/df computation")
+  }
+
   test("native dot product is codegen-capable (starred projection)") {
     // the tokenizing queries are bounded by ArrayTransform (a
     // CodegenFallback higher-order function), but ArrayDotProduct
