@@ -416,6 +416,14 @@ object SparkEntry {
           round(col("tfidf"), 6).as("tfidf"))
     }),
 
+    // §2.10 training-data assembly: concat-and-chunk sequence packing —
+    // deterministic pseudo-random document order, token stream cut into
+    // capacity-sized bins, sharded cumsum (no global single-reducer sort)
+    "q_pack" -> ((s, dir) =>
+      TrainingOps.packSequences(t(s, dir, "documents"), "doc_id",
+          TF.tokenCount(col("text")), capacity = 512L)
+        .select("doc_id", "pack_shard", "pack_bin", "bin_offset")),
+
     // §2.10 text analysis: top TF-IDF terms per document via the typed
     // top-k aggregator (map-side k-truncation — the exchange carries
     // O(partitions x k) rows, not the (doc, term) matrix). Ranking on
@@ -955,6 +963,20 @@ object SparkEntry {
          SELECT tf.doc_id, tf.term, tf.tf, df.df,
            round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
          FROM tf JOIN df USING (term) CROSS JOIN n""",
+
+    "q_pack" ->
+      raw"""WITH d AS (SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+             md5('pack:' || CAST(doc_id AS VARCHAR)) AS hk
+           FROM documents),
+         c AS (SELECT doc_id, substr(hk, 1, 1) AS pack_shard, n_tok,
+             CAST(sum(n_tok) OVER (PARTITION BY substr(hk, 1, 1)
+               ORDER BY hk, doc_id) AS BIGINT) AS cum
+           FROM d)
+         SELECT doc_id, pack_shard,
+           (cum - n_tok) // 512 AS pack_bin,
+           (cum - n_tok) % 512 AS bin_offset
+         FROM c""",
 
     "q_topterms" ->
       raw"""WITH d AS (SELECT * FROM documents WHERE doc_id < 40),

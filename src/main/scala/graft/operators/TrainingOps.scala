@@ -68,4 +68,49 @@ object TrainingOps {
                            seed: String = "epoch0"): DataFrame =
     df.withColumn("shuffle_key", hashKey(col(idCol), seed))
       .orderBy(col("shuffle_key"))
+
+  /** Concat-and-chunk sequence packing: place documents end-to-end in a
+    * deterministic pseudo-random order and cut the token stream into
+    * `capacity`-sized training bins — the packing scheme LLM
+    * pretraining actually uses (documents may straddle bin boundaries;
+    * `bin_offset` says where each doc starts inside its first bin).
+    *
+    * Distribution: the stream is sharded by the first `shardHexChars`
+    * hex chars of md5(seed:id) (16^chars independent streams), and the
+    * running token total is a window cumsum WITHIN shard — so the only
+    * shuffle is the shard exchange and no single reducer ever sees the
+    * whole corpus. Bin ids are per-shard; (pack_shard, pack_bin) is the
+    * global bin key. At 100 TB, raise `shardHexChars` so one shard's
+    * token stream fits a task comfortably (2 chars = 256 shards).
+    *
+    * Everything is a pure function of (seed, ids, token counts):
+    * re-runs, task retries, and external engines reproduce the exact
+    * same layout.
+    *
+    * @param tokenCountCol token count per row (e.g.
+    *                      `TextFunctions.tokenCount(col("text"))`)
+    */
+  def packSequences(df: DataFrame, idCol: String, tokenCountCol: Column,
+                    capacity: Long, shardHexChars: Int = 1,
+                    seed: String = "pack"): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    require(shardHexChars >= 1 && shardHexChars <= 8,
+      "shardHexChars must be in [1, 8]")
+    val reserved = Seq("__hk", "__ntok", "__cum")
+    reserved.foreach(r => require(!df.columns.contains(r),
+      s"column name $r is reserved by packSequences"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("pack_shard").orderBy(col("__hk"), col(idCol))
+    df.withColumn("__hk", hashKey(col(idCol), seed))
+      .withColumn("__ntok", tokenCountCol.cast("long"))
+      .withColumn("pack_shard", substring(col("__hk"), 1, shardHexChars))
+      .withColumn("__cum", sum("__ntok").over(w))
+      // integer DIV, not floor(double /): cumulative token counts at
+      // corpus scale can pass 2^53, where double division goes inexact
+      .withColumn("pack_bin",
+        expr(s"(__cum - __ntok) DIV ${capacity}L").cast("long"))
+      .withColumn("bin_offset",
+        pmod(col("__cum") - col("__ntok"), lit(capacity)))
+      .drop("__hk", "__ntok", "__cum")
+  }
 }

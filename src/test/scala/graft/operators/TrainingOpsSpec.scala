@@ -46,6 +46,35 @@ class TrainingOpsSpec extends SparkTestBase {
     assert(s3.subsetOf(s1))
   }
 
+  test("packSequences matches a sequential re-pack of each shard") {
+    val rnd = new scala.util.Random(7)
+    val corpus = (1L to 500L)
+      .map(i => (i, rnd.nextInt(200) + 1)).toDF("id", "n_tok")
+    val packed = TrainingOps.packSequences(corpus, "id", col("n_tok"),
+        capacity = 512, shardHexChars = 1)
+      .select("id", "n_tok", "pack_shard", "pack_bin", "bin_offset")
+      .as[(Long, Int, String, Long, Long)].collect()
+
+    // reference: per shard, order by (md5 key, id), running total
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hk(id: Long): String =
+      md.digest(s"pack:$id".getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+    val byShard = packed.groupBy(_._3)
+    byShard.foreach { case (shard, rows) =>
+      var cum = 0L
+      rows.sortBy(r => (hk(r._1), r._1)).foreach {
+        case (id, nTok, s, bin, off) =>
+          assert(s.length === 1 && hk(id).startsWith(s))
+          assert(bin === cum / 512, s"doc $id in shard $shard")
+          assert(off === cum % 512, s"doc $id in shard $shard")
+          cum += nTok
+      }
+    }
+    // every document packed exactly once
+    assert(packed.map(_._1).toSet === (1L to 500L).toSet)
+  }
+
   test("deterministicShuffle is a stable permutation that varies by seed") {
     val p1 = TrainingOps.deterministicShuffle(docs, "id", "epoch0")
       .select("id").as[Long].collect().toSeq
