@@ -429,13 +429,9 @@ object SparkEntry {
     // O(partitions x k) rows, not the (doc, term) matrix). Ranking on
     // the ROUNDED score so cross-engine ln() ulp noise cannot flip
     // near-ties; rank ties break by term (UTF-8 order, ASCII corpus).
-    "q_topterms" -> ((s, dir) => {
-      val d = t(s, dir, "documents").filter(col("doc_id") < 40)
-      val weighted = TfIdf.tfIdf(d, "doc_id", "text", maxDocFreqRatio = None)
-        .select(col("doc_id"), col("term"), round(col("tfidf"), 6).as("score"))
-      graft.functions.TopKAggregator.groupedTopK(weighted,
-        groupCol = "doc_id", idCol = "term", scoreCol = "score", k = 3)
-    }),
+    "q_topterms" -> ((s, dir) =>
+      TfIdf.topTerms(t(s, dir, "documents").filter(col("doc_id") < 40),
+        "doc_id", "text", k = 3, maxDocFreqRatio = None)),
 
     // §2.10 dedup (exact): content-hash dedup
     "q_dedup_exact" -> ((s, dir) =>

@@ -52,24 +52,39 @@ object RangeJoin {
       "lookbackMs/lookaheadMs must be >= 0")
     val span = lookbackMs + lookaheadMs
     require(span > 0, "window span must be positive")
-    val bucket = if (bucketMs > 0) bucketMs else span
     val reserved = Seq("__ms", "__bkt")
     reserved.foreach { r =>
       require(!probe.columns.contains(r) && !build.columns.contains(r),
         s"column name $r is reserved by intervalJoin")
     }
+    // prefixed build names must not collide with probe columns — the
+    // join output would carry duplicate names (and `drop` below would
+    // silently eat a probe column named like an internal one)
+    val clash = build.columns.map(buildPrefix + _).toSet
+      .intersect(probe.columns.toSet)
+    require(clash.isEmpty,
+      s"probe columns collide with prefixed build columns: $clash")
 
-    def ms(c: Column): Column = unix_millis(c)
-    // floor-division bucket id; epoch-ms / bucket stays far inside the
-    // 2^53 exact range, so the double floor is exact
+    // compare at MICROsecond precision — TimestampType's native unit —
+    // so the window boundary agrees exactly with a plain
+    // `buildTs BETWEEN probeTs - w AND probeTs + w` (a millisecond
+    // truncation here would admit pairs whose true distance exceeds
+    // the window by a sub-ms hair)
+    val lookbackUs = math.multiplyExact(lookbackMs, 1000L)
+    val lookaheadUs = math.multiplyExact(lookaheadMs, 1000L)
+    val bucketUs = math.multiplyExact(if (bucketMs > 0) bucketMs else span, 1000L)
+    def ms(c: Column): Column = unix_micros(c)
+    // floor-division bucket id; epoch-us / bucket-us stays inside the
+    // 2^53 exact range for any realistic bucket width, so the double
+    // floor is exact
     def bucketOf(msCol: Column): Column =
-      floor(msCol / lit(bucket.toDouble)).cast("long")
+      floor(msCol / lit(bucketUs.toDouble)).cast("long")
 
     val p = probe
       .withColumn("__ms", ms(col(probeTs)))
       .withColumn("__bkt", explode(sequence(
-        bucketOf(col("__ms") - lit(lookbackMs)),
-        bucketOf(col("__ms") + lit(lookaheadMs)))))
+        bucketOf(col("__ms") - lit(lookbackUs)),
+        bucketOf(col("__ms") + lit(lookaheadUs)))))
     val b = build
       .withColumn("__ms", ms(col(buildTs)))
       .withColumn("__bkt", bucketOf(col("__ms")))
@@ -79,8 +94,8 @@ object RangeJoin {
     p.join(b,
         p("__bkt") === b("__bkt") &&
           p.col(key) === b(s"$buildPrefix$key") &&
-          b(s"${buildPrefix}__ms") >= p("__ms") - lit(lookbackMs) &&
-          b(s"${buildPrefix}__ms") <= p("__ms") + lit(lookaheadMs),
+          b(s"${buildPrefix}__ms") >= p("__ms") - lit(lookbackUs) &&
+          b(s"${buildPrefix}__ms") <= p("__ms") + lit(lookaheadUs),
         "inner")
       .drop("__ms", "__bkt", s"${buildPrefix}__ms")
   }

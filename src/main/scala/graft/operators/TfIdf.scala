@@ -49,11 +49,25 @@ object TfIdf {
   /** Top `k` terms per document by TF-IDF (deterministic tiebreak on
     * term), truncated map-side via the typed top-k aggregator — the
     * exchange carries O(docs × k) rows, not the full (doc, term)
-    * matrix. Returns (doc_id, term, rank, tfidf).
+    * matrix. Returns (doc_id, term, rank, score).
+    *
+    * Ranks on the score ROUNDED to `roundScoreTo` decimals by default:
+    * raw `ln`-derived weights can differ in the last ulp across
+    * engines/libm versions, which would make near-tie rankings
+    * irreproducible; rounding first pushes ties onto the deterministic
+    * term tiebreak. Pass None to rank on the raw weight.
     */
   def topTerms(docs: DataFrame, idCol: String, textCol: String, k: Int,
-               maxDocFreqRatio: Option[Double] = Some(0.5)): DataFrame =
+               maxDocFreqRatio: Option[Double] = Some(0.5),
+               roundScoreTo: Option[Int] = Some(6)): DataFrame = {
+    val weighted = tfIdf(docs, idCol, textCol, maxDocFreqRatio)
+    val scored = roundScoreTo match {
+      case Some(n) => weighted.select(col("doc_id"), col("term"),
+        round(col("tfidf"), n).as("score"))
+      case None => weighted.select(col("doc_id"), col("term"),
+        col("tfidf").as("score"))
+    }
     graft.functions.TopKAggregator.groupedTopK(
-      tfIdf(docs, idCol, textCol, maxDocFreqRatio),
-      groupCol = "doc_id", idCol = "term", scoreCol = "tfidf", k = k)
+      scored, groupCol = "doc_id", idCol = "term", scoreCol = "score", k = k)
+  }
 }

@@ -36,12 +36,14 @@ object TrainingOps {
                   seed: String = "split"): DataFrame = {
     require(trainFrac >= 0 && valFrac >= 0 && trainFrac + valFrac <= 1.0,
       "fractions must be non-negative and sum to <= 1")
-    val trainMax = f"${math.floor(256 * trainFrac).toInt}%02x"
-    val valMax = f"${math.floor(256 * (trainFrac + valFrac)).toInt}%02x"
     val bucket = substring(hashKey(col(idCol), seed), 1, 2)
+    // a threshold of >= 256 formats as 3 chars ("100"), which sorts
+    // BELOW most 2-char buckets — saturate to always-true instead
+    def below(n: Int): Column =
+      if (n >= 256) lit(true) else bucket < lit(f"$n%02x")
     df.withColumn("split",
-      when(bucket < lit(trainMax), "train")
-        .when(bucket < lit(valMax), "val")
+      when(below(math.floor(256 * trainFrac).toInt), "train")
+        .when(below(math.floor(256 * (trainFrac + valFrac)).toInt), "val")
         .otherwise("test"))
   }
 
@@ -53,8 +55,12 @@ object TrainingOps {
   def hashSample(df: DataFrame, idCol: String, fraction: Double,
                  seed: String = "sample"): DataFrame = {
     require(fraction >= 0 && fraction <= 1.0, "fraction must be in [0, 1]")
-    val max = f"${math.floor(65536 * fraction).toInt}%04x"
-    df.filter(substring(hashKey(col(idCol), seed), 1, 4) < lit(max))
+    val n = math.floor(65536 * fraction).toInt
+    // n >= 65536 formats as 5 chars ("10000") and breaks the 4-char
+    // lexicographic compare — fraction 1.0 must keep everything
+    if (n >= 65536) df
+    else df.filter(
+      substring(hashKey(col(idCol), seed), 1, 4) < lit(f"$n%04x"))
   }
 
   /** Deterministic global shuffle: order rows by md5(seed:id). The sort

@@ -29,6 +29,12 @@ object StreamingIntervalJoin {
                  lateness: String = "100 seconds",
                  buildPrefix: String = "b_"): DataFrame = {
     require(lookbackSec > 0, "lookbackSec must be positive")
+    // prefixed build names must not collide with probe columns (the
+    // join would otherwise resolve ambiguously)
+    val clash = build.columns.map(buildPrefix + _).toSet
+      .intersect(probe.columns.toSet)
+    require(clash.isEmpty,
+      s"probe columns collide with prefixed build columns: $clash")
     val p = probe.withWatermark(probeTs, lateness)
     val b = build
       .select(build.columns.map(c => col(c).as(s"$buildPrefix$c")): _*)

@@ -42,8 +42,9 @@ class TfIdfSpec extends SparkTestBase {
       (i, s"tok${i % 7} tok${i % 5} tok${i % 5} tok${i % 3} shared"))
       .toDF("doc_id", "text")
     val expected = {
+      // topTerms ranks on round(tfidf, 6) — mirror that here
       val w = Window.partitionBy("doc_id")
-        .orderBy(col("tfidf").desc, col("term"))
+        .orderBy(round(col("tfidf"), 6).desc, col("term"))
       TfIdf.tfIdf(big, "doc_id", "text", None)
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 2)

@@ -33,6 +33,20 @@ class TrainingOpsSpec extends SparkTestBase {
     assert(base.forall { case (id, s) => after(id) == s })
   }
 
+  test("boundary fractions: full train split and fraction-1.0 sample keep everything") {
+    // trainFrac 1.0 -> threshold 256 must saturate, not format as "100"
+    val allTrain = TrainingOps.assignSplit(docs, "id", 1.0, 0.0)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(allTrain === Map("train" -> 2000L))
+    // train+val = 1.0 -> val absorbs everything non-train, test empty
+    val noTest = TrainingOps.assignSplit(docs, "id", 0.9, 0.1)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(!noTest.contains("test"), s"test split must be empty: $noTest")
+    assert(noTest.values.sum === 2000L && noTest("val") > 0)
+    // fraction 1.0 -> keep all rows, not the '10000'-prefix ~6%
+    assert(TrainingOps.hashSample(docs, "id", 1.0).count() === 2000L)
+  }
+
   test("hashSample keeps a stable, roughly-sized subset") {
     val s1 = TrainingOps.hashSample(docs, "id", 0.25).select("id")
       .as[Long].collect().toSet
