@@ -416,6 +416,15 @@ object SparkEntry {
           round(col("tfidf"), 6).as("tfidf"))
     }),
 
+    // §2.10 training-data assembly: train/eval contamination report —
+    // distinct trigrams each non-train doc shares with any train doc
+    // (inverted-index join on ngram, never doc x doc; cap None so the
+    // oracle's exact df matches — the operator default caps hot ngrams)
+    "q_contamination" -> ((s, dir) =>
+      TrainingOps.crossSplitContamination(t(s, dir, "documents"),
+        "doc_id", "text", n = 3, trainFrac = 0.8, valFrac = 0.1,
+        maxNgramDf = None)),
+
     // §2.10 training-data assembly: concat-and-chunk sequence packing —
     // deterministic pseudo-random document order, token stream cut into
     // capacity-sized bins, sharded cumsum (no global single-reducer sort)
@@ -959,6 +968,27 @@ object SparkEntry {
          SELECT tf.doc_id, tf.term, tf.tf, df.df,
            round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
          FROM tf JOIN df USING (term) CROSS JOIN n""",
+
+    "q_contamination" ->
+      raw"""WITH s AS (
+           SELECT doc_id,
+             CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                    THEN 'train'
+                  WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                    THEN 'val'
+                  ELSE 'test' END AS split,
+             string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         g AS (
+           SELECT doc_id, split, array_to_string(toks[i:(i+2)], ' ') AS ngram
+           FROM s, unnest(range(1, len(toks) - 1)) AS u(i)
+           WHERE len(toks) >= 3),
+         tg AS (SELECT DISTINCT ngram FROM g WHERE split = 'train'),
+         eg AS (SELECT DISTINCT doc_id, split, ngram FROM g WHERE split <> 'train')
+         SELECT eg.doc_id, eg.split,
+           count(DISTINCT eg.ngram) AS n_contaminated
+         FROM eg JOIN tg USING (ngram)
+         GROUP BY eg.doc_id, eg.split""",
 
     "q_pack" ->
       raw"""WITH d AS (SELECT doc_id,

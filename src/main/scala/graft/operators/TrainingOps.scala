@@ -75,6 +75,45 @@ object TrainingOps {
     df.withColumn("shuffle_key", hashKey(col(idCol), seed))
       .orderBy(col("shuffle_key"))
 
+  /** Train/eval contamination report: for every non-train document, how
+    * many distinct token n-grams it shares with ANY train document —
+    * the decontamination signal run before a benchmark-clean training
+    * set ships (an eval doc with many shared n-grams is leaked
+    * training data, not chance overlap).
+    *
+    * Shape at scale: explode to (doc, ngram), split the stream by the
+    * content-addressed `assignSplit` label, distinct each side, and
+    * equi-join on the n-gram — an inverted-index join, never a doc×doc
+    * comparison. `maxNgramDf` drops n-grams occurring in more than
+    * that many TRAIN docs before the join (boilerplate headers are the
+    * n-gram equivalent of stopwords: they dominate join volume and
+    * carry no leakage signal). None keeps everything.
+    */
+  def crossSplitContamination(docs: DataFrame, idCol: String,
+                              textCol: String, n: Int = 3,
+                              trainFrac: Double = 0.8, valFrac: Double = 0.1,
+                              seed: String = "split",
+                              maxNgramDf: Option[Long] = Some(1000L)): DataFrame = {
+    val grams = assignSplit(docs, idCol, trainFrac, valFrac, seed)
+      .select(col(idCol).as("doc_id"), col("split"),
+        explode(graft.functions.TextFunctions.ngrams(col(textCol), n)).as("ngram"))
+    val trainGrams = {
+      val per = grams.filter(col("split") === "train")
+        .select("ngram", "doc_id").distinct()
+      maxNgramDf match {
+        case Some(cap) => per.groupBy("ngram")
+          .agg(count(lit(1)).as("__df")).filter(col("__df") <= cap)
+          .select("ngram")
+        case None => per.select("ngram").distinct()
+      }
+    }
+    grams.filter(col("split") =!= "train")
+      .select("doc_id", "split", "ngram").distinct()
+      .join(trainGrams, "ngram")
+      .groupBy("doc_id", "split")
+      .agg(countDistinct("ngram").as("n_contaminated"))
+  }
+
   /** Concat-and-chunk sequence packing: place documents end-to-end in a
     * deterministic pseudo-random order and cut the token stream into
     * `capacity`-sized training bins — the packing scheme LLM

@@ -60,6 +60,34 @@ class TrainingOpsSpec extends SparkTestBase {
     assert(s3.subsetOf(s1))
   }
 
+  test("crossSplitContamination flags the planted leak and only the leak") {
+    // ids chosen so the splits differ: 1..40 land in various buckets.
+    // Doc 1001's text is copied verbatim from doc 1 — if they land in
+    // different splits, the copy must be flagged with every trigram hot.
+    val texts = (1L to 60L).map(i =>
+      (i, s"unique${i}a unique${i}b unique${i}c unique${i}d"))
+    val base = texts.toDF("id", "text")
+    val splits = TrainingOps.assignSplit(base, "id")
+      .select("id", "split").as[(Long, String)].collect().toMap
+    val trainDoc = splits.collectFirst { case (id, "train") => id }.get
+    val evalDoc = splits.collectFirst { case (id, s) if s != "train" => id }.get
+    val planted = base.withColumn("text",
+      when(col("id") === evalDoc,
+        concat(lit(s"unique${trainDoc}a unique${trainDoc}b unique${trainDoc}c "),
+          col("text")))
+        .otherwise(col("text")))
+    val report = TrainingOps.crossSplitContamination(
+        planted, "id", "text", n = 3, maxNgramDf = None)
+      .as[(Long, String, Long)].collect()
+    // exactly the planted eval doc, with exactly one shared trigram
+    // (unique{t}a unique{t}b unique{t}c)
+    assert(report.map(_._1).toSeq === Seq(evalDoc), report.mkString(","))
+    assert(report.head._3 === 1L)
+    // the df cap drops the hot ngram when capped to zero occurrences
+    assert(TrainingOps.crossSplitContamination(
+      planted, "id", "text", n = 3, maxNgramDf = Some(0L)).count() === 0L)
+  }
+
   test("packSequences matches a sequential re-pack of each shard") {
     val rnd = new scala.util.Random(7)
     val corpus = (1L to 500L)
