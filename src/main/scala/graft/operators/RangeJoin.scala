@@ -52,7 +52,11 @@ object RangeJoin {
       "lookbackMs/lookaheadMs must be >= 0")
     val span = lookbackMs + lookaheadMs
     require(span > 0, "window span must be positive")
-    val reserved = Seq("__ms", "__bkt")
+    // both the bare internals and their prefixed aliases are reserved:
+    // a probe column named like buildPrefix+"__ms" would be silently
+    // swallowed by the final drop
+    val reserved = Seq("__ms", "__bkt") ++
+      Seq(s"${buildPrefix}__ms", s"${buildPrefix}__bkt")
     reserved.foreach { r =>
       require(!probe.columns.contains(r) && !build.columns.contains(r),
         s"column name $r is reserved by intervalJoin")

@@ -97,15 +97,15 @@ object TrainingOps {
     val grams = assignSplit(docs, idCol, trainFrac, valFrac, seed)
       .select(col(idCol).as("doc_id"), col("split"),
         explode(graft.functions.TextFunctions.ngrams(col(textCol), n)).as("ngram"))
-    val trainGrams = {
-      val per = grams.filter(col("split") === "train")
-        .select("ngram", "doc_id").distinct()
-      maxNgramDf match {
-        case Some(cap) => per.groupBy("ngram")
-          .agg(count(lit(1)).as("__df")).filter(col("__df") <= cap)
-          .select("ngram")
-        case None => per.select("ngram").distinct()
-      }
+    val train = grams.filter(col("split") === "train")
+    val trainGrams = maxNgramDf match {
+      // the per-doc distinct exists only to make the df count right —
+      // the uncapped path goes straight to the ngram distinct (one
+      // aggregation over the exploded stream, not two)
+      case Some(cap) => train.select("ngram", "doc_id").distinct()
+        .groupBy("ngram").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= cap).select("ngram")
+      case None => train.select("ngram").distinct()
     }
     grams.filter(col("split") =!= "train")
       .select("doc_id", "split", "ngram").distinct()

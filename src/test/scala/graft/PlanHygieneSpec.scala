@@ -110,6 +110,14 @@ class PlanHygieneSpec extends SparkTestBase {
       "partial aggregation missing in tf/df computation")
   }
 
+  test("q_contamination: inverted-index equi-joins only, partial aggs kept") {
+    val p = plan("q_contamination")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "contamination must join on the ngram, never doc x doc")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "map-side partial aggregation missing")
+  }
+
   test("native dot product is codegen-capable (starred projection)") {
     // the tokenizing queries are bounded by ArrayTransform (a
     // CodegenFallback higher-order function), but ArrayDotProduct
