@@ -90,6 +90,33 @@ object Demo {
       q.stop()
       spark.table("demo_asof").show(truncate = false)
     }
+    // training-data assembly: content-addressed split -> cross-split
+    // contamination check -> concat-and-chunk packing of the train set
+    {
+      import graft.operators.TrainingOps
+      import graft.functions.{TextFunctions => TF}
+      def body(i: Long) = (1 to 12).map(j => s"w${i}_$j").mkString(" ")
+      val base = (1L to 200L).map(i => (i, body(i))).toDF("doc_id", "text")
+      val split = TrainingOps.assignSplit(base, "doc_id")
+      split.groupBy("split").count().orderBy("split").show()
+      // plant a leak: one eval doc becomes a verbatim copy of a train doc
+      val assign = split.select("doc_id", "split")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val trainDoc = assign.collectFirst { case (id, "train") => id }.get
+      val evalDoc = assign.collectFirst { case (id, s) if s != "train" => id }.get
+      val corpus = base.withColumn("text",
+        when(col("doc_id") === evalDoc, lit(body(trainDoc))).otherwise(col("text")))
+      val leaks = TrainingOps.crossSplitContamination(corpus, "doc_id", "text", n = 3)
+        .orderBy(col("n_contaminated").desc)
+      println(s"[demo] planted: eval doc $evalDoc copies train doc $trainDoc; " +
+        "contamination report:")
+      leaks.show(5, truncate = false)
+      val packed = TrainingOps.packSequences(
+        split.filter(col("split") === "train"), "doc_id",
+        TF.tokenCount(col("text")), capacity = 64)
+      val bins = packed.select("pack_shard", "pack_bin").distinct().count()
+      println(s"[demo] train docs packed into $bins bins of 64 tokens")
+    }
     spark.stop()
   }
 }
