@@ -399,6 +399,22 @@ object SparkEntry {
       TrainingOps.hashSample(t(s, dir, "documents"), "doc_id", 0.25)
         .select("doc_id", "lang", "n_chars")),
 
+    // §2.10 training-data assembly: stratified deterministic sampling —
+    // per-language keep fractions (rebalancing a corpus mix), same
+    // content-addressed hash as q_sample, map-only
+    "q_stratified" -> ((s, dir) =>
+      TrainingOps.stratifiedHashSample(t(s, dir, "documents"), "doc_id",
+          "lang", Map("en" -> 0.5, "es" -> 0.25), defaultFraction = 0.75)
+        .select("doc_id", "lang")),
+
+    // §2.10 text analysis: unigram-LM quality score (mean token
+    // log-prob against the corpus unigram model — the KenLM-perplexity
+    // stand-in quality filters use)
+    "q_lm_quality" -> ((s, dir) =>
+      UnigramLm.score(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("logprob"), 6).as("logprob"))),
+
     // §2.10 training-data assembly: deterministic global shuffle key
     // (range-partitioned distributed sort, per-epoch permutations)
     "q_shuffle" -> ((s, dir) =>
@@ -951,6 +967,31 @@ object SparkEntry {
     "q_sample" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 4) < '4000'""",
+
+    // hex thresholds: floor(65536*{0.5,0.25,0.75}) = '8000'/'4000'/'c000'
+    // — must mirror TrainingOps.stratifiedHashSample
+    "q_stratified" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE CASE
+           WHEN lang = 'en'
+             THEN substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 4) < '8000'
+           WHEN lang = 'es'
+             THEN substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
+           ELSE substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'c000'
+         END""",
+
+    "q_lm_quality" ->
+      raw"""WITH tok AS (
+           SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+           FROM documents),
+         m AS (SELECT term, count(*) AS n FROM tok GROUP BY 1),
+         t AS (SELECT sum(n) AS total FROM m),
+         lp AS (SELECT term, ln(CAST(n AS DOUBLE) / total) AS logp
+                FROM m CROSS JOIN t)
+         SELECT doc_id, count(*) AS n_tokens,
+           round(avg(logp), 6) AS logprob
+         FROM tok JOIN lp USING (term)
+         GROUP BY doc_id""",
 
     "q_shuffle" ->
       """SELECT doc_id,

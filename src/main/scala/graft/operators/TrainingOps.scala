@@ -63,6 +63,30 @@ object TrainingOps {
       substring(hashKey(col(idCol), seed), 1, 4) < lit(f"$n%04x"))
   }
 
+  /** Stratified deterministic sampling: a different keep-fraction per
+    * stratum (e.g. rebalancing a language mix), decided by the same
+    * content-addressed hash as [[hashSample]]. Strata missing from
+    * `fractions` fall back to `defaultFraction`. Like hashSample this
+    * is a map-only filter — no shuffle, stable across reruns, and a
+    * row's fate never changes when other rows appear.
+    */
+  def stratifiedHashSample(df: DataFrame, idCol: String, strataCol: String,
+                           fractions: Map[String, Double],
+                           defaultFraction: Double = 1.0,
+                           seed: String = "sample"): DataFrame = {
+    (fractions.values.toSeq :+ defaultFraction).foreach(f =>
+      require(f >= 0 && f <= 1.0, s"fractions must be in [0, 1], got $f"))
+    def keep(fraction: Double): Column = {
+      val n = math.floor(65536 * fraction).toInt
+      if (n >= 65536) lit(true)
+      else substring(hashKey(col(idCol), seed), 1, 4) < lit(f"$n%04x")
+    }
+    val cond = fractions.foldLeft(when(lit(false), lit(false))) {
+      case (acc, (stratum, f)) => acc.when(col(strataCol) === stratum, keep(f))
+    }.otherwise(keep(defaultFraction))
+    df.filter(cond)
+  }
+
   /** Deterministic global shuffle: order rows by md5(seed:id). The sort
     * is a range-partitioned exchange + per-partition sort (Spark's
     * distributed ORDER BY) — no single-reducer bottleneck, and writing

@@ -117,6 +117,25 @@ class TrainingOpsSpec extends SparkTestBase {
     assert(packed.map(_._1).toSet === (1L to 500L).toSet)
   }
 
+  test("stratifiedHashSample applies per-stratum fractions deterministically") {
+    val strata = (1L to 3000L).map(i =>
+      (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "es" else "fr"))
+      .toDF("id", "lang")
+    val kept = TrainingOps.stratifiedHashSample(strata, "id", "lang",
+        Map("en" -> 0.5, "es" -> 0.1), defaultFraction = 1.0)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(kept("fr") === 1000L, "default fraction 1.0 must keep everything")
+    assert(kept("en") > 400 && kept("en") < 600, s"en=${kept("en")}")
+    assert(kept("es") > 50 && kept("es") < 160, s"es=${kept("es")}")
+    // same hash as hashSample: the en stratum IS hashSample(0.5) on it
+    val enOnly = strata.filter(col("lang") === "en")
+    val viaPlain = TrainingOps.hashSample(enOnly, "id", 0.5)
+      .select("id").as[Long].collect().toSet
+    val viaStrat = TrainingOps.stratifiedHashSample(enOnly, "id", "lang",
+        Map("en" -> 0.5)).select("id").as[Long].collect().toSet
+    assert(viaStrat === viaPlain)
+  }
+
   test("deterministicShuffle is a stable permutation that varies by seed") {
     val p1 = TrainingOps.deterministicShuffle(docs, "id", "epoch0")
       .select("id").as[Long].collect().toSeq
