@@ -407,6 +407,14 @@ object SparkEntry {
           "lang", Map("en" -> 0.5, "es" -> 0.25), defaultFraction = 0.75)
         .select("doc_id", "lang")),
 
+    // §2.10 text analysis: intra-document n-gram repetition ratio
+    // (Gopher-style repetition quality signal; map-only)
+    "q_repetition" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        round(TF.ngramRepetitionRatio(col("text"), 2), 6).as("rep2"),
+        round(TF.ngramRepetitionRatio(col("text"), 3), 6).as("rep3"))),
+
     // §2.10 text analysis: unigram-LM quality score (mean token
     // log-prob against the corpus unigram model — the KenLM-perplexity
     // stand-in quality filters use)
@@ -979,6 +987,29 @@ object SparkEntry {
              THEN substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
            ELSE substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'c000'
          END""",
+
+    "q_repetition" ->
+      raw"""WITH t AS (SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         g AS (SELECT doc_id,
+             CASE WHEN len(toks) >= 2 THEN
+               [array_to_string(toks[i:(i+1)], ' ')
+                FOR i IN range(1, len(toks))]
+             ELSE [] END AS g2,
+             CASE WHEN len(toks) >= 3 THEN
+               [array_to_string(toks[i:(i+2)], ' ')
+                FOR i IN range(1, len(toks) - 1)]
+             ELSE [] END AS g3
+           FROM t)
+         SELECT doc_id,
+           round(CASE WHEN len(g2) > 0
+             THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2)
+             ELSE 0.0 END, 6) AS rep2,
+           round(CASE WHEN len(g3) > 0
+             THEN 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3)
+             ELSE 0.0 END, 6) AS rep3
+         FROM g""",
 
     "q_lm_quality" ->
       raw"""WITH tok AS (

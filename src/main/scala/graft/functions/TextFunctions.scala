@@ -69,6 +69,23 @@ object TextFunctions {
       greatest(size(toks), lit(1))
   }
 
+  /** Fraction of the document's token n-grams that are repeats
+    * (1 - distinct/total) — the intra-document repetition signal
+    * loop-y machine-generated and boilerplate text trips (the
+    * "repetition" family of Gopher-style quality filters). 0.0 for
+    * docs too short to have an n-gram. Pure array expressions:
+    * map-only, no shuffle.
+    */
+  def ngramRepetitionRatioOf(toks: Column, n: Int): Column = {
+    val g = ngramsOf(toks, n)
+    when(size(g) > 0,
+      lit(1.0) - size(array_distinct(g)).cast("double") / size(g))
+      .otherwise(lit(0.0))
+  }
+
+  def ngramRepetitionRatio(text: Column, n: Int): Column =
+    ngramRepetitionRatioOf(tokens(text), n)
+
   def meanTokenLenOf(toks: Column): Column =
     aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
       greatest(size(toks), lit(1))

@@ -76,6 +76,20 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(got(3L) === Seq.empty)
   }
 
+  test("ngramRepetitionRatio: repeats counted, short docs score 0") {
+    val d = Seq(
+      (1L, "a b a b a b"),   // bigrams: ab ba ab ba ab -> 2 distinct of 5
+      (2L, "x y z"),          // bigrams: xy yz -> no repeats
+      (3L, "q"), (4L, "")).toDF("doc_id", "text")
+    val got = d.select(col("doc_id"),
+        TextFunctions.ngramRepetitionRatio(col("text"), 2).as("r"))
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(got(1L) - (1.0 - 2.0 / 5.0)) < 1e-12)
+    assert(got(2L) === 0.0)
+    assert(got(3L) === 0.0)
+    assert(got(4L) === 0.0)
+  }
+
   test("redactPii masks emails before digits, leaves clean text alone") {
     val d = Seq(
       (1L, "contact bob.smith+x@example.co.uk or call 555-1234"),
