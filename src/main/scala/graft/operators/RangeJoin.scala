@@ -77,7 +77,7 @@ object RangeJoin {
     val lookbackUs = math.multiplyExact(lookbackMs, 1000L)
     val lookaheadUs = math.multiplyExact(lookaheadMs, 1000L)
     val bucketUs = math.multiplyExact(if (bucketMs > 0) bucketMs else span, 1000L)
-    def ms(c: Column): Column = unix_micros(c)
+    def micros(c: Column): Column = unix_micros(c)
     // floor-division bucket id; epoch-us / bucket-us stays inside the
     // 2^53 exact range for any realistic bucket width, so the double
     // floor is exact
@@ -85,12 +85,12 @@ object RangeJoin {
       floor(msCol / lit(bucketUs.toDouble)).cast("long")
 
     val p = probe
-      .withColumn("__ms", ms(col(probeTs)))
+      .withColumn("__ms", micros(col(probeTs)))
       .withColumn("__bkt", explode(sequence(
         bucketOf(col("__ms") - lit(lookbackUs)),
         bucketOf(col("__ms") + lit(lookaheadUs)))))
     val b = build
-      .withColumn("__ms", ms(col(buildTs)))
+      .withColumn("__ms", micros(col(buildTs)))
       .withColumn("__bkt", bucketOf(col("__ms")))
       .select(col("__bkt") +: col("__ms").as(s"${buildPrefix}__ms") +:
         build.columns.toSeq.map(c => col(c).as(s"$buildPrefix$c")): _*)

@@ -60,13 +60,9 @@ object TfIdf {
   def topTerms(docs: DataFrame, idCol: String, textCol: String, k: Int,
                maxDocFreqRatio: Option[Double] = Some(0.5),
                roundScoreTo: Option[Int] = Some(6)): DataFrame = {
-    val weighted = tfIdf(docs, idCol, textCol, maxDocFreqRatio)
-    val scored = roundScoreTo match {
-      case Some(n) => weighted.select(col("doc_id"), col("term"),
-        round(col("tfidf"), n).as("score"))
-      case None => weighted.select(col("doc_id"), col("term"),
-        col("tfidf").as("score"))
-    }
+    val scoreExpr = roundScoreTo.fold(col("tfidf"))(round(col("tfidf"), _))
+    val scored = tfIdf(docs, idCol, textCol, maxDocFreqRatio)
+      .select(col("doc_id"), col("term"), scoreExpr.as("score"))
     graft.functions.TopKAggregator.groupedTopK(
       scored, groupCol = "doc_id", idCol = "term", scoreCol = "score", k = k)
   }

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.{TextFunctions => TF}
+
 /** Dataset-assembly operators for training pipelines (SURVEY §2.10):
   * deterministic splits, sampling, and global shuffling.
   *
@@ -25,6 +27,20 @@ object TrainingOps {
   /** 32-hex-char deterministic key for (seed, id). */
   private def hashKey(idCol: Column, seed: String): Column =
     md5(concat(lit(seed), lit(":"), idCol.cast("string")))
+
+  /** True for ~`fraction` of ids: 4-hex-char bucket below the
+    * fraction's threshold. Saturates at fraction 1.0 — the threshold
+    * 65536 would format as the 5-char "10000", which sorts below
+    * almost every 4-char bucket and would keep ~6% instead of all.
+    */
+  private def keepFraction(idCol: Column, fraction: Double,
+                           seed: String): Column = {
+    require(fraction >= 0 && fraction <= 1.0,
+      s"fraction must be in [0, 1], got $fraction")
+    val n = math.floor(65536 * fraction).toInt
+    if (n >= 65536) lit(true)
+    else substring(hashKey(idCol, seed), 1, 4) < lit(f"$n%04x")
+  }
 
   /** Add a `split` column ("train" / "val" / "test") with the given
     * fractions (test gets the remainder). Assignment = first two hex
@@ -53,15 +69,8 @@ object TrainingOps {
     * task retries, and engines.
     */
   def hashSample(df: DataFrame, idCol: String, fraction: Double,
-                 seed: String = "sample"): DataFrame = {
-    require(fraction >= 0 && fraction <= 1.0, "fraction must be in [0, 1]")
-    val n = math.floor(65536 * fraction).toInt
-    // n >= 65536 formats as 5 chars ("10000") and breaks the 4-char
-    // lexicographic compare — fraction 1.0 must keep everything
-    if (n >= 65536) df
-    else df.filter(
-      substring(hashKey(col(idCol), seed), 1, 4) < lit(f"$n%04x"))
-  }
+                 seed: String = "sample"): DataFrame =
+    df.filter(keepFraction(col(idCol), fraction, seed))
 
   /** Stratified deterministic sampling: a different keep-fraction per
     * stratum (e.g. rebalancing a language mix), decided by the same
@@ -74,16 +83,12 @@ object TrainingOps {
                            fractions: Map[String, Double],
                            defaultFraction: Double = 1.0,
                            seed: String = "sample"): DataFrame = {
-    (fractions.values.toSeq :+ defaultFraction).foreach(f =>
-      require(f >= 0 && f <= 1.0, s"fractions must be in [0, 1], got $f"))
-    def keep(fraction: Double): Column = {
-      val n = math.floor(65536 * fraction).toInt
-      if (n >= 65536) lit(true)
-      else substring(hashKey(col(idCol), seed), 1, 4) < lit(f"$n%04x")
+    val cond = fractions.toSeq.foldRight(
+      keepFraction(col(idCol), defaultFraction, seed)) {
+      case ((stratum, f), fallback) =>
+        when(col(strataCol) === stratum,
+          keepFraction(col(idCol), f, seed)).otherwise(fallback)
     }
-    val cond = fractions.foldLeft(when(lit(false), lit(false))) {
-      case (acc, (stratum, f)) => acc.when(col(strataCol) === stratum, keep(f))
-    }.otherwise(keep(defaultFraction))
     df.filter(cond)
   }
 
@@ -120,7 +125,7 @@ object TrainingOps {
                               maxNgramDf: Option[Long] = Some(1000L)): DataFrame = {
     val grams = assignSplit(docs, idCol, trainFrac, valFrac, seed)
       .select(col(idCol).as("doc_id"), col("split"),
-        explode(graft.functions.TextFunctions.ngrams(col(textCol), n)).as("ngram"))
+        explode(TF.ngrams(col(textCol), n)).as("ngram"))
     val train = grams.filter(col("split") === "train")
     val trainGrams = maxNgramDf match {
       // the per-doc distinct exists only to make the df count right —
