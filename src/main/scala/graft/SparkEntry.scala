@@ -449,6 +449,19 @@ object SparkEntry {
         "doc_id", "text", n = 3, trainFrac = 0.8, valFrac = 0.1,
         maxNgramDf = None)),
 
+    // §2.10 training-data assembly: corpus snapshot diff (full-outer
+    // join on id, md5 content compare) — two synthetic "versions" cut
+    // from the documents table: v1 = ids<450, v2 = ids>=50 with every
+    // 10th doc's text amended
+    "q_corpus_diff" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val v1 = d.filter(col("doc_id") < 450)
+      val v2 = d.filter(col("doc_id") >= 50).withColumn("text",
+        when(col("doc_id") % 10 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+      TrainingOps.corpusDiff(v1, v2, "doc_id", "text")
+    }),
+
     // §2.10 training-data assembly: concat-and-chunk sequence packing —
     // deterministic pseudo-random document order, token stream cut into
     // capacity-sized bins, sharded cumsum (no global single-reducer sort)
@@ -1040,6 +1053,20 @@ object SparkEntry {
          SELECT tf.doc_id, tf.term, tf.tf, df.df,
            round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
          FROM tf JOIN df USING (term) CROSS JOIN n""",
+
+    "q_corpus_diff" ->
+      """WITH v1 AS (
+           SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id < 450),
+         v2 AS (
+           SELECT doc_id,
+             md5(CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END) AS h
+           FROM documents WHERE doc_id >= 50)
+         SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+           CASE WHEN v1.h IS NULL THEN 'added'
+                WHEN v2.h IS NULL THEN 'removed'
+                WHEN v1.h = v2.h THEN 'unchanged'
+                ELSE 'changed' END AS status
+         FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id""",
 
     "q_contamination" ->
       raw"""WITH s AS (

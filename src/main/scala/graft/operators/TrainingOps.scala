@@ -143,6 +143,29 @@ object TrainingOps {
       .agg(countDistinct("ngram").as("n_contaminated"))
   }
 
+  /** Snapshot diff between two corpus versions: per document id,
+    * whether it was `added`, `removed`, `changed` (content hash
+    * differs) or `unchanged`. The audit step between dataset releases —
+    * what exactly moved, and how much of the training set a re-run
+    * actually touches.
+    *
+    * One full-outer equi-join on the id; content equality by md5 so
+    * the compare moves hashes, not documents, through the join.
+    */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame,
+                 idCol: String, textCol: String): DataFrame = {
+    val o = oldDocs.select(col(idCol).as("doc_id"),
+      md5(col(textCol)).as("__old_hash"))
+    val n = newDocs.select(col(idCol).as("doc_id"),
+      md5(col(textCol)).as("__new_hash"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("__old_hash").isNull, "added")
+          .when(col("__new_hash").isNull, "removed")
+          .when(col("__old_hash") === col("__new_hash"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** Concat-and-chunk sequence packing: place documents end-to-end in a
     * deterministic pseudo-random order and cut the token stream into
     * `capacity`-sized training bins — the packing scheme LLM

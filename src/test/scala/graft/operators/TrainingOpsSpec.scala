@@ -88,6 +88,17 @@ class TrainingOpsSpec extends SparkTestBase {
       planted, "id", "text", n = 3, maxNgramDf = Some(0L)).count() === 0L)
   }
 
+  test("corpusDiff labels added/removed/changed/unchanged correctly") {
+    val v1 = Seq((1L, "same"), (2L, "will change"), (3L, "will vanish"))
+      .toDF("id", "text")
+    val v2 = Seq((1L, "same"), (2L, "changed!"), (4L, "brand new"))
+      .toDF("id", "text")
+    val got = TrainingOps.corpusDiff(v1, v2, "id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
   test("packSequences matches a sequential re-pack of each shard") {
     val rnd = new scala.util.Random(7)
     val corpus = (1L to 500L)
