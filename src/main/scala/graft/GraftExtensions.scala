@@ -67,7 +67,25 @@ object GraftExtensions {
         NativeExpressions.SrpBucketArray(children(0),
           literalInt(children(1), "bands", "graft_srp_buckets"),
           literalInt(children(2), "bitsPerBand", "graft_srp_buckets"),
-          literalInt(children(3), "maxDim", "graft_srp_buckets"))))
+          literalInt(children(3), "maxDim", "graft_srp_buckets"))),
+    // graft_redact is a composite built directly as a catalyst tree:
+    // registry builders must return analyzable expressions, and the
+    // Spark 4 `functions._` combinators produce ColumnNodes that only
+    // the DataFrame layer resolves (returning those here leaves an
+    // Unevaluable node in the plan). The pattern constants are shared
+    // with the Column API (TextFunctions), so the two surfaces cannot
+    // drift.
+    (FunctionIdentifier("graft_redact"),
+      info("graft_redact",
+        "graft_redact(text) - mask emails then digit runs (PII scrub)"),
+      (children: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.{Literal, RegExpReplace}
+        RegExpReplace(
+          RegExpReplace(children(0),
+            Literal(graft.functions.TextFunctions.emailPattern),
+            Literal("<EMAIL>")),
+          Literal("[0-9]"), Literal("#"))
+      }))
 
   private def literalInt(e: Expression, name: String, fn: String): Int = {
     if (!e.foldable) throw new IllegalArgumentException(

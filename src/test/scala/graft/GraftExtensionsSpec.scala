@@ -31,6 +31,18 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(viaSql === viaApi)
   }
 
+  test("graft_redact is callable from SQL and matches the Column API") {
+    import org.apache.spark.sql.functions._
+    val viaSql = sql.sql("SELECT graft_redact('mail bob@x.io on 555') AS red")
+      .head().getString(0)
+    assert(viaSql === "mail <EMAIL> on ###")
+    val viaApi = sql.range(1)
+      .select(graft.functions.TextFunctions.redactPii(
+        lit("mail bob@x.io on 555")).as("red"))
+      .head().getString(0)
+    assert(viaSql === viaApi)
+  }
+
   test("graft_simhash and graft_minhash are callable from SQL") {
     val r = sql.sql(
       """SELECT graft_simhash(transform(split('a b c', ' '), t -> xxhash64(t))) AS sh,
