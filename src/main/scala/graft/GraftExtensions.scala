@@ -80,11 +80,11 @@ object GraftExtensions {
         "graft_redact(text) - mask emails then digit runs (PII scrub)"),
       (children: Seq[Expression]) => {
         import org.apache.spark.sql.catalyst.expressions.{Literal, RegExpReplace}
+        import graft.functions.{TextFunctions => TF}
         RegExpReplace(
           RegExpReplace(children(0),
-            Literal(graft.functions.TextFunctions.emailPattern),
-            Literal("<EMAIL>")),
-          Literal("[0-9]"), Literal("#"))
+            Literal(TF.emailPattern), Literal(TF.emailReplacement)),
+          Literal(TF.digitPattern), Literal(TF.digitReplacement))
       }))
 
   private def literalInt(e: Expression, name: String, fn: String): Int = {

@@ -410,10 +410,12 @@ object SparkEntry {
     // §2.10 text analysis: intra-document n-gram repetition ratio
     // (Gopher-style repetition quality signal; map-only)
     "q_repetition" -> ((s, dir) =>
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        round(TF.ngramRepetitionRatio(col("text"), 2), 6).as("rep2"),
-        round(TF.ngramRepetitionRatio(col("text"), 3), 6).as("rep3"))),
+      t(s, dir, "documents")
+        .select(col("doc_id"), TF.tokens(col("text")).as("__toks"))
+        .select(
+          col("doc_id"),
+          round(TF.ngramRepetitionRatioOf(col("__toks"), 2), 6).as("rep2"),
+          round(TF.ngramRepetitionRatioOf(col("__toks"), 3), 6).as("rep3"))),
 
     // §2.10 text analysis: unigram-LM quality score (mean token
     // log-prob against the corpus unigram model — the KenLM-perplexity

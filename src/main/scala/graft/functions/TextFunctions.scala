@@ -37,12 +37,15 @@ object TextFunctions {
     * this is the cheap structural layer those pipelines run first.
     */
   val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val digitPattern = "[0-9]"
+  val emailReplacement = "<EMAIL>"
+  val digitReplacement = "#"
 
-  def redactEmails(text: Column, replacement: String = "<EMAIL>"): Column =
+  def redactEmails(text: Column, replacement: String = emailReplacement): Column =
     regexp_replace(text, emailPattern, replacement)
 
-  def redactDigits(text: Column, replacement: String = "#"): Column =
-    regexp_replace(text, "[0-9]", replacement)
+  def redactDigits(text: Column, replacement: String = digitReplacement): Column =
+    regexp_replace(text, digitPattern, replacement)
 
   def redactPii(text: Column): Column = redactDigits(redactEmails(text))
 

@@ -104,7 +104,8 @@ object TrainingOps {
     df.withColumn("shuffle_key", hashKey(col(idCol), seed))
       .orderBy(col("shuffle_key"))
 
-  /** Train/eval contamination report: for every non-train document, how
+  /** Train/eval contamination report: for every CONTAMINATED non-train
+    * document (clean documents emit no row), how
     * many distinct token n-grams it shares with ANY train document —
     * the decontamination signal run before a benchmark-clean training
     * set ships (an eval doc with many shared n-grams is leaked
@@ -139,8 +140,11 @@ object TrainingOps {
     grams.filter(col("split") =!= "train")
       .select("doc_id", "split", "ngram").distinct()
       .join(trainGrams, "ngram")
+      // plain count: the left side is already distinct per
+      // (doc, split, ngram) and trainGrams per ngram, so the join
+      // cannot duplicate pairs — countDistinct would re-pay the dedup
       .groupBy("doc_id", "split")
-      .agg(countDistinct("ngram").as("n_contaminated"))
+      .agg(count(lit(1)).as("n_contaminated"))
   }
 
   /** Snapshot diff between two corpus versions: per document id,
@@ -154,15 +158,17 @@ object TrainingOps {
     */
   def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame,
                  idCol: String, textCol: String): DataFrame = {
+    // presence flags, not hash nullness, drive the add/remove branches:
+    // a document with NULL text has a null md5 but is still present
     val o = oldDocs.select(col(idCol).as("doc_id"),
-      md5(col(textCol)).as("__old_hash"))
+      md5(col(textCol)).as("__old_hash"), lit(true).as("__in_old"))
     val n = newDocs.select(col(idCol).as("doc_id"),
-      md5(col(textCol)).as("__new_hash"))
+      md5(col(textCol)).as("__new_hash"), lit(true).as("__in_new"))
     o.join(n, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
-        when(col("__old_hash").isNull, "added")
-          .when(col("__new_hash").isNull, "removed")
-          .when(col("__old_hash") === col("__new_hash"), "unchanged")
+        when(col("__in_old").isNull, "added")
+          .when(col("__in_new").isNull, "removed")
+          .when(col("__old_hash") <=> col("__new_hash"), "unchanged")
           .otherwise("changed").as("status"))
   }
 

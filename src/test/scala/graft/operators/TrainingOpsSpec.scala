@@ -99,6 +99,18 @@ class TrainingOpsSpec extends SparkTestBase {
       3L -> "removed", 4L -> "added"))
   }
 
+  test("corpusDiff: null text means present-with-null-content, not absent") {
+    val v1 = Seq((1L, Option.empty[String]), (2L, Option.empty[String]),
+      (3L, Some("text"))).toDF("id", "text")
+    val v2 = Seq((1L, Option.empty[String]), (3L, Option.empty[String]))
+      .toDF("id", "text")
+    val got = TrainingOps.corpusDiff(v1, v2, "id", "text")
+      .as[(Long, String)].collect().toMap
+    // null==null content is unchanged; null-text rows still count as
+    // present (2 removed, not 'added'); text->null is a change
+    assert(got === Map(1L -> "unchanged", 2L -> "removed", 3L -> "changed"))
+  }
+
   test("packSequences matches a sequential re-pack of each shard") {
     val rnd = new scala.util.Random(7)
     val corpus = (1L to 500L)
