@@ -244,6 +244,49 @@ object NativeExpressions {
       copy(child = c)
   }
 
+  /** Repeated-ngram fraction of a token array: 1 - distinct/total over
+    * the n-grams (space-joined, exact string distinct — identical to
+    * counting distinct over `ngramsOf` output). 0.0 when the doc is
+    * too short for an n-gram. Shared loop body for eval and generated
+    * code; replaces a 2(n-1)-deep `zip_with`/`array_distinct` chain
+    * that paid a closure dispatch per token.
+    */
+  def ngramRepRatioEval(arr: ArrayData, n: Int): Double = {
+    val total = arr.numElements() - n + 1
+    if (total <= 0) return 0.0
+    val seen = new java.util.HashSet[String](total * 2)
+    var i = 0
+    while (i < total) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        val t = arr.getUTF8String(i + j)
+        if (t != null) sb.append(t.toString)
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    1.0 - seen.size.toDouble / total
+  }
+
+  case class NgramRepetitionRatio(child: Expression, n: Int)
+      extends UnaryExpression {
+    require(n >= 1, s"ngram repetition needs n >= 1, got $n")
+    override def dataType: DataType = DoubleType
+
+    override def nullSafeEval(input: Any): Any =
+      ngramRepRatioEval(input.asInstanceOf[ArrayData], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.NativeExpressions.ngramRepRatioEval($c, $n);")
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   // ------------------------------------------------------- Column API
 
   def dot(a: Column, b: Column): Column =
@@ -262,4 +305,8 @@ object NativeExpressions {
                      maxDim: Int): Column =
     ColumnBridge.column(SrpBucketArray(
       ColumnBridge.expression(vec), bands, bitsPerBand, maxDim))
+
+  def ngramRepRatio(toks: Column, n: Int): Column =
+    ColumnBridge.column(NgramRepetitionRatio(
+      ColumnBridge.expression(toks), n))
 }

@@ -76,15 +76,12 @@ object TextFunctions {
     * (1 - distinct/total) — the intra-document repetition signal
     * loop-y machine-generated and boilerplate text trips (the
     * "repetition" family of Gopher-style quality filters). 0.0 for
-    * docs too short to have an n-gram. Pure array expressions:
-    * map-only, no shuffle.
+    * docs too short to have an n-gram. A native one-pass expression
+    * (NativeExpressions.NgramRepetitionRatio): map-only, no shuffle,
+    * no per-token closure dispatch.
     */
-  def ngramRepetitionRatioOf(toks: Column, n: Int): Column = {
-    val g = ngramsOf(toks, n)
-    when(size(g) > 0,
-      lit(1.0) - size(array_distinct(g)).cast("double") / size(g))
-      .otherwise(lit(0.0))
-  }
+  def ngramRepetitionRatioOf(toks: Column, n: Int): Column =
+    NativeExpressions.ngramRepRatio(toks, n)
 
   def ngramRepetitionRatio(text: Column, n: Int): Column =
     ngramRepetitionRatioOf(tokens(text), n)
