@@ -271,6 +271,47 @@ object NativeExpressions {
     1.0 - seen.size.toDouble / total
   }
 
+  /** Space-joined token n-grams in one pass (shared loop body for eval
+    * and generated code). Bit-identical output to the shifted-zip
+    * Column construction it replaces: one string per window position,
+    * empty array when the doc is shorter than n tokens.
+    */
+  def ngramsEval(arr: ArrayData, n: Int): ArrayData = {
+    val total = arr.numElements() - n + 1
+    if (total <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](total)
+    var i = 0
+    while (i < total) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        val t = arr.getUTF8String(i + j)
+        if (t != null) sb.append(t.toString)
+        j += 1
+      }
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  case class NgramArray(child: Expression, n: Int)
+      extends UnaryExpression {
+    require(n >= 1, s"ngrams needs n >= 1, got $n")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+    override def nullSafeEval(input: Any): Any =
+      ngramsEval(input.asInstanceOf[ArrayData], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.NativeExpressions.ngramsEval($c, $n);")
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   case class NgramRepetitionRatio(child: Expression, n: Int)
       extends UnaryExpression {
     require(n >= 1, s"ngram repetition needs n >= 1, got $n")
@@ -309,4 +350,7 @@ object NativeExpressions {
   def ngramRepRatio(toks: Column, n: Int): Column =
     ColumnBridge.column(NgramRepetitionRatio(
       ColumnBridge.expression(toks), n))
+
+  def ngramArray(toks: Column, n: Int): Column =
+    ColumnBridge.column(NgramArray(ColumnBridge.expression(toks), n))
 }

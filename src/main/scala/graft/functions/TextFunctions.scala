@@ -131,20 +131,16 @@ object TextFunctions {
     * building block for n-gram LM statistics and shingle-based dedup.
     * Documents shorter than `n` tokens yield an empty array.
     *
-    * Built as `n` shifted views zipped together — ONE slice per shift,
-    * O(tokens) total — instead of a per-position `slice` inside
-    * `transform`, which copies O(tokens x n) sub-arrays per document
-    * and dominated the corpus pass. `zip_with` pads the shorter side
-    * with nulls, `concat` nulls them out, and the final filter drops
-    * them — exactly the (tokens - n + 1) real n-grams remain.
+    * A native one-pass expression (NativeExpressions.NgramArray) —
+    * one output string per window position, no per-token closure
+    * dispatch. (History: a per-position `slice` inside `transform`
+    * copied O(tokens x n) sub-arrays; a shifted-zip rewrite got it to
+    * O(tokens); the native loop removes the remaining per-element
+    * higher-order-function overhead.)
     */
   def ngramsOf(toks: Column, n: Int): Column = {
     require(n >= 1, s"ngrams needs n >= 1, got $n")
-    val shifted = (0 until n).map(i =>
-      slice(toks, lit(i + 1), greatest(size(toks) - i, lit(0))))
-    val joined = shifted.reduce((a, b) =>
-      zip_with(a, b, (x, y) => concat(x, lit(" "), y)))
-    filter(joined, _.isNotNull)
+    NativeExpressions.ngramArray(toks, n)
   }
 
   def ngrams(text: Column, n: Int): Column = ngramsOf(tokens(text), n)
