@@ -246,54 +246,85 @@ object NativeExpressions {
 
   /** Repeated-ngram fraction of a token array: 1 - distinct/total over
     * the n-grams (space-joined, exact string distinct — identical to
-    * counting distinct over `ngramsOf` output). 0.0 when the doc is
-    * too short for an n-gram. Shared loop body for eval and generated
-    * code; replaces a 2(n-1)-deep `zip_with`/`array_distinct` chain
-    * that paid a closure dispatch per token.
+    * counting distinct over `ngramsOf` output, including dropping any
+    * window with a null token). 0.0 when no n-gram exists. Shared loop
+    * body for eval and generated code; replaces a 2(n-1)-deep
+    * `zip_with`/`array_distinct` chain that paid a closure dispatch
+    * per token.
     */
   def ngramRepRatioEval(arr: ArrayData, n: Int): Double = {
-    val total = arr.numElements() - n + 1
+    val toks = decodeTokens(arr)
+    val total = toks.length - n + 1
     if (total <= 0) return 0.0
     val seen = new java.util.HashSet[String](total * 2)
+    var kept = 0
     var i = 0
     while (i < total) {
-      val sb = new java.lang.StringBuilder()
-      var j = 0
-      while (j < n) {
-        if (j > 0) sb.append(' ')
-        val t = arr.getUTF8String(i + j)
-        if (t != null) sb.append(t.toString)
-        j += 1
+      val g = gramAt(toks, i, n)
+      if (g != null) {
+        kept += 1
+        seen.add(g)
       }
-      seen.add(sb.toString)
       i += 1
     }
-    1.0 - seen.size.toDouble / total
+    if (kept == 0) 0.0 else 1.0 - seen.size.toDouble / kept
+  }
+
+  /** Decode the token array once — interior tokens would otherwise be
+    * UTF8->String decoded up to n times, once per window they appear
+    * in.
+    */
+  private def decodeTokens(arr: ArrayData): Array[String] = {
+    val n = arr.numElements()
+    val out = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      out(i) = if (t == null) null else t.toString
+      i += 1
+    }
+    out
+  }
+
+  /** The space-joined window starting at i, or null when any token in
+    * it is null — the same contract as the zip_with/concat/filter
+    * construction this file's ngram expressions replaced (a null token
+    * nulls the gram, and null grams are dropped). Shared by
+    * [[ngramsEval]] and [[ngramRepRatioEval]] so their outputs cannot
+    * drift.
+    */
+  private def gramAt(toks: Array[String], i: Int, n: Int): String = {
+    val sb = new java.lang.StringBuilder()
+    var j = 0
+    while (j < n) {
+      val t = toks(i + j)
+      if (t == null) return null
+      if (j > 0) sb.append(' ')
+      sb.append(t)
+      j += 1
+    }
+    sb.toString
   }
 
   /** Space-joined token n-grams in one pass (shared loop body for eval
     * and generated code). Bit-identical output to the shifted-zip
-    * Column construction it replaces: one string per window position,
-    * empty array when the doc is shorter than n tokens.
+    * Column construction it replaces: one string per window whose
+    * tokens are all non-null, empty array when the doc is shorter than
+    * n tokens.
     */
   def ngramsEval(arr: ArrayData, n: Int): ArrayData = {
-    val total = arr.numElements() - n + 1
+    val toks = decodeTokens(arr)
+    val total = toks.length - n + 1
     if (total <= 0) return new GenericArrayData(Array.empty[Any])
-    val out = new Array[Any](total)
+    val out = new java.util.ArrayList[Any](total)
     var i = 0
     while (i < total) {
-      val sb = new java.lang.StringBuilder()
-      var j = 0
-      while (j < n) {
-        if (j > 0) sb.append(' ')
-        val t = arr.getUTF8String(i + j)
-        if (t != null) sb.append(t.toString)
-        j += 1
-      }
-      out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+      val g = gramAt(toks, i, n)
+      if (g != null)
+        out.add(org.apache.spark.unsafe.types.UTF8String.fromString(g))
       i += 1
     }
-    new GenericArrayData(out)
+    new GenericArrayData(out.toArray)
   }
 
   case class NgramArray(child: Expression, n: Int)

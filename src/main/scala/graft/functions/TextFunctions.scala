@@ -76,12 +76,13 @@ object TextFunctions {
     * (1 - distinct/total) — the intra-document repetition signal
     * loop-y machine-generated and boilerplate text trips (the
     * "repetition" family of Gopher-style quality filters). 0.0 for
-    * docs too short to have an n-gram. A native one-pass expression
-    * (NativeExpressions.NgramRepetitionRatio): map-only, no shuffle,
-    * no per-token closure dispatch.
+    * docs too short to have an n-gram, and 0.0 for a null token array
+    * (the contract of the Column chain this replaced). A native
+    * one-pass expression (NativeExpressions.NgramRepetitionRatio):
+    * map-only, no shuffle, no per-token closure dispatch.
     */
   def ngramRepetitionRatioOf(toks: Column, n: Int): Column =
-    NativeExpressions.ngramRepRatio(toks, n)
+    coalesce(NativeExpressions.ngramRepRatio(toks, n), lit(0.0))
 
   def ngramRepetitionRatio(text: Column, n: Int): Column =
     ngramRepetitionRatioOf(tokens(text), n)

@@ -90,6 +90,30 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(got(4L) === 0.0)
   }
 
+  test("ngram natives: null tokens drop their windows, null input scores 0") {
+    // windows containing a null token are dropped (the zip_with/concat/
+    // filter contract the native expressions replaced)
+    val arrs = Seq(
+      (1L, Array("a", null, "b")),
+      (2L, Array("a", "b", "a", "b"))).toDF("id", "toks")
+    val grams = arrs.select(col("id"),
+        TextFunctions.ngramsOf(col("toks"), 2).as("g"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(grams(1L) === Seq.empty, "null-token windows must be dropped")
+    assert(grams(2L) === Seq("a b", "b a", "a b"))
+    val ratios = arrs.select(col("id"),
+        TextFunctions.ngramRepetitionRatioOf(col("toks"), 2).as("r"))
+      .as[(Long, Double)].collect().toMap
+    assert(ratios(1L) === 0.0)
+    assert(math.abs(ratios(2L) - (1.0 - 2.0 / 3.0)) < 1e-12)
+    // null text -> null tokens -> ratio 0.0, not null
+    val nullText = Seq((1L, Option.empty[String])).toDF("doc_id", "text")
+    val r = nullText.select(
+        TextFunctions.ngramRepetitionRatio(col("text"), 2).as("r"))
+      .as[Double].collect().head
+    assert(r === 0.0)
+  }
+
   test("redactPii masks emails before digits, leaves clean text alone") {
     val d = Seq(
       (1L, "contact bob.smith+x@example.co.uk or call 555-1234"),
