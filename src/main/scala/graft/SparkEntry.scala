@@ -157,12 +157,22 @@ object SparkEntry {
           col("sum_click_value"))
     }),
 
-    // P2/P3/P4: JSON field extraction + null-safe default + cast
-    "q_json_extract" -> ((s, dir) =>
-      t(s, dir, "events").select(
-        col("event_id"),
-        get_json_object(col("props"), "$.k").cast("long").as("k_val"),
-        coalesce(get_json_object(col("props"), "$.missing"), lit("")).as("missing_val"))),
+    // P2/P3/P4: JSON field extraction + null-safe default + cast.
+    // ONE from_json parse feeds both fields — per-field
+    // get_json_object would re-parse the document per extraction,
+    // doubling scan-side CPU at corpus scale (the per-field form
+    // remains exercised by the CRMLS EntitySpec join-key extraction)
+    "q_json_extract" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("k", LongType), StructField("missing", StringType)))
+      t(s, dir, "events")
+        .select(col("event_id"), from_json(col("props"), schema).as("__p"))
+        .select(
+          col("event_id"),
+          col("__p.k").as("k_val"),
+          coalesce(col("__p.missing"), lit("")).as("missing_val"))
+    }),
 
     // W1: running aggregate over unbounded-preceding frame
     "q_window_running" -> ((s, dir) => {

@@ -1,6 +1,7 @@
 package graft.operators
 
 import java.sql.Timestamp
+import org.apache.spark.sql.functions.col
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 import graft.SparkTestBase
@@ -34,6 +35,29 @@ class OperatorPropertiesSpec extends SparkTestBase {
       val maxTs = rows.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
       val want = rows.filter { case (k, ts, _) => ts == maxTs(k) }.toSet
       assert(got === want, s"input: $rows")
+    }
+  }
+
+  test("native ngrams/repetition == sliding-window reference on random arrays") {
+    val rnd = new scala.util.Random(17)
+    (1 to 20).foreach { _ =>
+      val toks: Seq[String] = Seq.fill(rnd.nextInt(12))(
+        if (rnd.nextInt(10) == 0) null else s"t${rnd.nextInt(4)}")
+      val n = rnd.nextInt(3) + 1
+      val df = Seq(Tuple1(toks)).toDF("toks")
+      val grams = df.select(
+        graft.functions.TextFunctions.ngramsOf(col("toks"), n).as("g"))
+        .as[Seq[String]].collect().head
+      // reference: sliding windows, drop any containing a null token
+      val want = toks.sliding(n).filter(_.size == n)
+        .filter(!_.contains(null)).map(_.mkString(" ")).toSeq
+      assert(grams === want, s"toks=$toks n=$n")
+      val ratio = df.select(graft.functions.TextFunctions
+          .ngramRepetitionRatioOf(col("toks"), n).as("r"))
+        .as[Double].collect().head
+      val wantRatio =
+        if (want.isEmpty) 0.0 else 1.0 - want.distinct.size.toDouble / want.size
+      assert(math.abs(ratio - wantRatio) < 1e-12, s"toks=$toks n=$n")
     }
   }
 
