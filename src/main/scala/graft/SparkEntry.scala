@@ -243,7 +243,11 @@ object SparkEntry {
         .select("event_id", "user_id", "event_type", "c_name")
     }),
 
-    // exact interpolated percentiles per group
+    // exact interpolated percentiles per group — sort-based within
+    // each group, which is the right call at dashboard scale and for
+    // oracle parity; at 100 TB swap `percentile` for
+    // `approx_percentile(col, p, accuracy)` (t-digest sketch,
+    // map-side combinable, no per-group sort)
     "q_percentile" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
