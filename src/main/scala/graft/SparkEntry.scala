@@ -161,16 +161,19 @@ object SparkEntry {
     // ONE from_json parse feeds both fields — per-field
     // get_json_object would re-parse the document per extraction,
     // doubling scan-side CPU at corpus scale (the per-field form
-    // remains exercised by the CRMLS EntitySpec join-key extraction)
+    // remains exercised by the CRMLS EntitySpec join-key extraction).
+    // k is parsed as STRING then SQL-cast: extract-then-cast is the
+    // oracle's semantics (a quoted "5" still yields 5), where a
+    // LongType schema field would null out string-typed numbers
     "q_json_extract" -> ((s, dir) => {
       import org.apache.spark.sql.types._
       val schema = StructType(Seq(
-        StructField("k", LongType), StructField("missing", StringType)))
+        StructField("k", StringType), StructField("missing", StringType)))
       t(s, dir, "events")
         .select(col("event_id"), from_json(col("props"), schema).as("__p"))
         .select(
           col("event_id"),
-          col("__p.k").as("k_val"),
+          col("__p.k").cast("long").as("k_val"),
           coalesce(col("__p.missing"), lit("")).as("missing_val"))
     }),
 
