@@ -50,7 +50,21 @@ object Bench {
       s"\"" + k + "\":" + ts.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"}""")
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The full record (with the 65x3 per-run arrays) is one very long
+    // line; round 2's driver capture clipped it mid-line and the round
+    // artifact parsed as null. Durable copy goes to a file; stdout gets
+    // only the compact line any line-buffered capture can hold.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"}"""
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(outPath),
+        (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
+    println(compact)
     spark.stop()
   }
 }
