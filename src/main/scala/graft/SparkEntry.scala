@@ -502,16 +502,21 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) =>
       DedupOps.exactDedup(t(s, dir, "documents"), "doc_id", "text")),
 
-    // §2.10 text analysis: token/type counts, mean token length, stopword ratio
+    // §2.10 text analysis: token/type counts, mean token length, stopword
+    // ratio — all four stats come off ONE native TokenStats struct, so
+    // the whole query is a single tokenize + single per-token loop per row
     "q_text_stats" -> ((s, dir) => {
       t(s, dir, "documents")
-        .select(col("doc_id"), TF.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"),
+          TF.textStatsOf(TF.tokens(col("text")), Seq("the", "a")).as("__st"))
         .select(
           col("doc_id"),
-          TF.tokenCountOf(col("__toks")).cast("long").as("n_tokens"),
-          TF.typeCountOf(col("__toks")).cast("long").as("n_types"),
-          round(TF.meanTokenLenOf(col("__toks")), 6).as("mean_tok_len"),
-          round(TF.stopwordRatioOf(col("__toks"), Seq("the", "a")), 6).as("stop_ratio"))
+          col("__st.token_count").cast("long").as("n_tokens"),
+          col("__st.type_count").cast("long").as("n_types"),
+          round(col("__st.len_sum").cast("double") /
+            greatest(col("__st.token_count"), lit(1)), 6).as("mean_tok_len"),
+          round(col("__st.stop_count") /
+            greatest(col("__st.token_count"), lit(1)), 6).as("stop_ratio"))
     }),
 
     // §2.10 text analysis: composite quality score

@@ -359,6 +359,120 @@ object NativeExpressions {
       copy(child = c)
   }
 
+  /** Chained-xxhash64 left fold over a token array (shared loop body
+    * for eval and generated code). Bit-identical to
+    * `aggregate(toks, 0L, (acc, t) => xxhash64(acc, t))`: each step
+    * re-seeds at 42 (the engine's fixed xxhash64 seed), folds the
+    * accumulator as a long, then the token bytes — a null token leaves
+    * that step's token contribution out, exactly as the variadic
+    * xxhash64 skips null children.
+    */
+  def rollingFpEval(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      var h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(acc, LongType, 42L)
+      if (t != null)
+        h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(t, StringType, h)
+      acc = h
+      i += 1
+    }
+    acc
+  }
+
+  case class RollingXxHash64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+
+    override def nullSafeEval(input: Any): Any =
+      rollingFpEval(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.NativeExpressions.rollingFpEval($c);")
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** One-pass per-document token statistics (shared loop body for eval
+    * and generated code). Field semantics are bit-compatible with the
+    * Column constructions they replace:
+    *
+    *  - `token_count` = `size(toks)` (null tokens counted),
+    *  - `type_count`  = `size(array_distinct(toks))` (null is one
+    *    distinct value),
+    *  - `len_sum`     = `aggregate(toks, 0L, acc + length(t))` — null
+    *    as soon as ANY token is null (null + x = null poisons the
+    *    fold), else the sum of `length` (= numChars),
+    *  - `stop_count`  = `size(filter(toks, t => array_contains(stop, t)))`
+    *    — null tokens never match (`array_contains(_, null)` is null,
+    *    which `filter` drops).
+    */
+  def tokenStatsEval(arr: ArrayData,
+                     stop: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String])
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val n = arr.numElements()
+    val seen = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](n * 2)
+    var sawNull = false
+    var lenSum = 0L
+    var stopCount = 0
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      if (t == null) sawNull = true
+      else {
+        seen.add(t)
+        lenSum += t.numChars()
+        if (stop.contains(t)) stopCount += 1
+      }
+      i += 1
+    }
+    val typeCount = seen.size + (if (sawNull) 1 else 0)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, typeCount, if (sawNull) null else lenSum, stopCount))
+  }
+
+  /** Per-document token stats struct computed in ONE tight loop —
+    * replaces the interpreted `filter`/`aggregate` higher-order lambdas
+    * (one closure dispatch per token) that previously backed
+    * stopword-ratio and mean-token-length. Reference the same instance
+    * several times in a projection and whole-stage codegen's
+    * subexpression elimination evaluates the loop once per row.
+    */
+  case class TokenStats(child: Expression, stopwords: Seq[String])
+      extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("token_count", IntegerType, nullable = false),
+      StructField("type_count", IntegerType, nullable = false),
+      StructField("len_sum", LongType, nullable = true),
+      StructField("stop_count", IntegerType, nullable = false)))
+
+    @transient private lazy val stopSet = {
+      val s = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](
+        stopwords.size * 2)
+      stopwords.foreach { w =>
+        s.add(org.apache.spark.unsafe.types.UTF8String.fromString(w))
+      }
+      s
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      tokenStatsEval(input.asInstanceOf[ArrayData], stopSet)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("graftStopSet", stopSet, "java.util.HashSet")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.NativeExpressions.tokenStatsEval($c, $ref);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   // ------------------------------------------------------- Column API
 
   def dot(a: Column, b: Column): Column =
@@ -384,4 +498,10 @@ object NativeExpressions {
 
   def ngramArray(toks: Column, n: Int): Column =
     ColumnBridge.column(NgramArray(ColumnBridge.expression(toks), n))
+
+  def tokenStats(toks: Column, stopwords: Seq[String]): Column =
+    ColumnBridge.column(TokenStats(ColumnBridge.expression(toks), stopwords))
+
+  def rollingXxHash64(toks: Column): Column =
+    ColumnBridge.column(RollingXxHash64(ColumnBridge.expression(toks)))
 }

@@ -7,8 +7,11 @@ import org.apache.spark.sql.functions._
   * (SURVEY §2.10 north-star surface): tokenization, quality scoring,
   * fingerprinting, language-ID heuristics.
   *
-  * All pure `Column` expressions (no UDFs) so they stay inside
-  * whole-stage codegen and scale linearly with the scan — the difference
+  * All pure `Column` expressions (no UDFs), and every per-token loop —
+  * stats, n-grams, fingerprints — is a native codegen'd expression
+  * ([[NativeExpressions]]) rather than a Spark higher-order function,
+  * so the hot paths stay inside whole-stage codegen with no per-element
+  * closure dispatch and scale linearly with the scan — the difference
   * between a 100 TB pass that is I/O-bound and one that is CPU-bound on
   * deserializing UDF rows.
   */
@@ -66,10 +69,19 @@ object TextFunctions {
 
   def typeCountOf(toks: Column): Column = size(array_distinct(toks))
 
+  /** Per-document token-stat struct `(token_count, type_count, len_sum,
+    * stop_count)` computed in one native pass
+    * ([[NativeExpressions.TokenStats]]). Derive several stats from the
+    * SAME struct column and subexpression elimination evaluates the
+    * loop once per row — the preferred surface when a query needs more
+    * than one of the stats below.
+    */
+  def textStatsOf(toks: Column, stop: Seq[String]): Column =
+    NativeExpressions.tokenStats(toks, stop)
+
   def stopwordRatioOf(toks: Column, stop: Seq[String]): Column = {
-    val stopArr = array(stop.map(lit): _*)
-    size(filter(toks, t => array_contains(stopArr, t))) /
-      greatest(size(toks), lit(1))
+    val st = textStatsOf(toks, stop)
+    st.getField("stop_count") / greatest(st.getField("token_count"), lit(1))
   }
 
   /** Fraction of the document's token n-grams that are repeats
@@ -87,9 +99,11 @@ object TextFunctions {
   def ngramRepetitionRatio(text: Column, n: Int): Column =
     ngramRepetitionRatioOf(tokens(text), n)
 
-  def meanTokenLenOf(toks: Column): Column =
-    aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
-      greatest(size(toks), lit(1))
+  def meanTokenLenOf(toks: Column): Column = {
+    val st = textStatsOf(toks, Nil)
+    st.getField("len_sum").cast("double") /
+      greatest(st.getField("token_count"), lit(1))
+  }
 
   /** Ratio of tokens found in `stop` (lexical stopword ratio). */
   def stopwordRatio(text: Column, stop: Seq[String]): Column =
@@ -113,14 +127,16 @@ object TextFunctions {
 
   /** [[qualityScore]] over a pre-tokenized array column. */
   def qualityScoreOf(text: Column, toks: Column, stop: Seq[String]): Column = {
-    val n = tokenCountOf(toks)
+    val st = textStatsOf(toks, stop)
+    val n = st.getField("token_count")
     // length window: short docs score n/10 (ramp up), over-long docs
     // score 100000/n (decay) — both sides actually penalize
     val lenScore = when(n < 10, n.cast("double") / lit(10.0))
       .when(n > 100000, lit(100000.0) / n.cast("double"))
       .otherwise(lit(1.0))
     val punctScore = lit(1.0) - least(punctRatio(text) * 5, lit(1.0))
-    val stopScore = least(stopwordRatioOf(toks, stop) * 10, lit(1.0))
+    val stopScore =
+      least((st.getField("stop_count") / greatest(n, lit(1))) * 10, lit(1.0))
     lenScore * lit(0.4) + punctScore * lit(0.3) + stopScore * lit(0.3)
   }
 
@@ -152,19 +168,12 @@ object TextFunctions {
   /** 64-bit rolling fingerprint over tokens: `h = xxhash64(h, token)`
     * left-fold — order-sensitive, streaming-computable, cheap. (Chained
     * hashing instead of a `h*31 + x` polynomial so it cannot overflow
-    * under ANSI mode.)
+    * under ANSI mode.) A native one-pass expression bit-identical to
+    * the `aggregate` fold it replaces
+    * ([[NativeExpressions.RollingXxHash64]]).
     */
   def rollingFingerprint(text: Column): Column =
-    aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
-
-  /** Character n-grams of the whole text (the unit for language-ID and
-    * fuzzy similarity).
-    */
-  def charNgrams(text: Column, n: Int): Column = {
-    val s = regexp_replace(lower(text), "\\s+", " ")
-    transform(sequence(lit(1), greatest(length(s) - (n - 1), lit(1))),
-      i => s.substr(i, lit(n)))
-  }
+    NativeExpressions.rollingXxHash64(tokens(text))
 
   /** Language-ID by stopword-profile scoring: for each candidate
     * language, score = fraction of tokens in that language's stopword

@@ -44,12 +44,6 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(rollA !== rollB)
   }
 
-  test("charNgrams produces sliding character windows") {
-    val tiny = Seq((1L, "abcd")).toDF("doc_id", "text")
-    val got = tiny.select(TextFunctions.charNgrams(col("text"), 2).as[Seq[String]]).head()
-    assert(got === Seq("ab", "bc", "cd"))
-  }
-
   test("langId picks the profile with the highest stopword hit rate") {
     val pred = docs.select(col("doc_id"),
       TextFunctions.langIdByStopwords(col("text"),
@@ -123,6 +117,51 @@ class TextFunctionsSpec extends SparkTestBase {
     // email swallowed whole (digits inside it never leak as ###)
     assert(got(1L) === "contact <EMAIL> or call ###-####")
     assert(got(2L) === "no pii here at all")
+  }
+
+  test("TokenStats parity: native stats equal the HOF constructions they replaced") {
+    // token arrays with nulls, dups, empties — the edge cases of the
+    // size/array_distinct/filter/aggregate contracts TokenStats mirrors
+    val arrs = Seq(
+      (1L, Array("the", "a", "the", "dog")),
+      (2L, Array[String]()),
+      (3L, Array("x", null, "x")),
+      (4L, Array[String](null, null)),
+      (5L, Array(""))).toDF("id", "toks")
+    val stop = Seq("the", "a")
+    val stopArr = array(stop.map(lit): _*)
+    val got = arrs.select(col("id"),
+        TextFunctions.textStatsOf(col("toks"), stop).as("st"),
+        size(col("toks")).as("n0"),
+        size(array_distinct(col("toks"))).as("ty0"),
+        aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t)).as("ls0"),
+        size(filter(col("toks"), t => array_contains(stopArr, t))).as("sc0"))
+      .selectExpr("id", "st.token_count", "st.type_count", "st.len_sum",
+        "st.stop_count", "n0", "ty0", "ls0", "sc0")
+      .as[(Long, Int, Int, Option[Long], Int, Int, Int, Option[Long], Int)]
+      .collect()
+    got.foreach { case (id, n, ty, ls, sc, n0, ty0, ls0, sc0) =>
+      assert(n === n0, s"token_count for id=$id")
+      assert(ty === ty0, s"type_count for id=$id")
+      assert(ls === ls0, s"len_sum for id=$id")
+      assert(sc === sc0, s"stop_count for id=$id")
+    }
+    // null input array -> null struct (same as size/aggregate on null)
+    val nul = Seq(Tuple1(Option.empty[Array[String]])).toDF("toks")
+      .select(TextFunctions.textStatsOf(col("toks"), stop).isNull.as[Boolean])
+      .head()
+    assert(nul)
+  }
+
+  test("rollingFingerprint parity: native equals the xxhash64 aggregate fold") {
+    val d = Seq((1L, "the quick brown fox"), (2L, "x"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = d.select(col("doc_id"),
+        TextFunctions.rollingFingerprint(col("text")).as("fp"),
+        aggregate(TextFunctions.tokens(col("text")), lit(0L),
+          (acc, t) => xxhash64(acc, t)).as("fp0"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (id, fp, fp0) => assert(fp === fp0, s"doc $id") }
   }
 
   test("qualityScore is in [0,1] and penalizes tiny docs") {
