@@ -1,0 +1,188 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-stress harness for the 100 TB-posture tier: runs the
+  * dedup / ANN / packing operators on a synthetic multi-million-row
+  * corpus (deterministically generated from `spark.range` — no test
+  * fixture is large enough to exercise these paths) and reports
+  * wall-times plus the LARGEST single-stage shuffle, the number that
+  * says whether a plan would survive a 100x scale-up.
+  *
+  * What it proves beyond the sf0.01/sf0.1 oracle gates:
+  *  - `minhashCandidatePairs` at 5 M docs produces a >1 M-row pair set,
+  *    which pushes `duplicateClusters` past `driverThreshold` and down
+  *    the DISTRIBUTED min-label-propagation path (the only tier the
+  *    oracled queries never reach) — and that path must CONVERGE.
+  *  - `cosineDupePairsLsh` and `ivfTopK` at 1 M vectors: the shuffles
+  *    stay keyed on (band, bucket) / cell ids — max stage shuffle must
+  *    stay orders of magnitude below corpus-vector volume.
+  *  - `packSequences` with `shardHexChars = 2` (256 independent cumsum
+  *    shards): the documented knob for keeping one shard's stream
+  *    inside a task at scale.
+  *
+  * Corpus shape: the first `4 * nDocs/16` documents form groups of 4
+  * exact duplicates (clusters the CC step must label transitively);
+  * the rest are unique. Vectors: the first fifth form identical pairs
+  * (near-dup planted signal), the rest are pseudo-random on [-1, 1]^64.
+  * Everything derives from xxhash64(id) — re-runs are bit-identical.
+  *
+  * Output: one JSON line per phase to stdout, full report to
+  * `SPARK_GRAFT_STRESS_OUT` (default STRESS.json). Sizing knobs:
+  * `SPARK_GRAFT_STRESS_DOCS` (default 5 M), `SPARK_GRAFT_STRESS_VECS`
+  * (default 1 M). Run with `SPARK_DRIVER_MEM=48g` (build.sbt wires the
+  * env var into -Xmx).
+  */
+object Stress {
+
+  /** Accumulates the largest per-stage shuffle read/write seen since
+    * the last reset. Listener delivery is async; [[snapshot]] sleeps
+    * briefly so the final stage's completion event lands first.
+    */
+  private class ShuffleMaxListener extends SparkListener {
+    @volatile var maxWrite = 0L
+    @volatile var maxRead = 0L
+    override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+      val m = e.stageInfo.taskMetrics
+      if (m != null) {
+        maxWrite = math.max(maxWrite, m.shuffleWriteMetrics.bytesWritten)
+        maxRead = math.max(maxRead, m.shuffleReadMetrics.totalBytesRead)
+      }
+    }
+    def reset(): Unit = { maxWrite = 0L; maxRead = 0L }
+    def snapshot(): (Long, Long) = { Thread.sleep(500); (maxWrite, maxRead) }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_STRESS_DOCS", "5000000").toLong
+    val nVecs = sys.env.getOrElse("SPARK_GRAFT_STRESS_VECS", "1000000").toLong
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_STRESS_OUT", "STRESS.json")
+    val dim = 64
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val listener = new ShuffleMaxListener
+    spark.sparkContext.addSparkListener(listener)
+
+    val report = scala.collection.mutable.ArrayBuffer.empty[String]
+    def phase(name: String)(body: => (Long, String)): Unit = {
+      listener.reset()
+      val t0 = System.nanoTime()
+      val (rows, extra) = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      val (w, r) = listener.snapshot()
+      val line = f"""{"phase":"$name","rows":$rows,"sec":$sec%.2f,""" +
+        f""""max_stage_shuffle_write_mb":${w / 1e6}%.1f,""" +
+        f""""max_stage_shuffle_read_mb":${r / 1e6}%.1f$extra}"""
+      println(s"[stress] $line")
+      report += line
+    }
+
+    // ---------------------------------------------------- synthesis
+    // Documents: 12 hex "words" per doc derived from a content seed.
+    // Docs with id < nDupDocs share a seed within groups of 4 (exact
+    // duplicates); the rest are unique. Seed ranges cannot collide:
+    // group seeds < nDocs/4 <= unique-doc seeds (their own id).
+    val nDupDocs = (nDocs / 16) * 4 // groups of 4 -> 6 pairs per group
+    val docSeed = when(col("id") < nDupDocs, col("id").divide(4).cast("long"))
+      .otherwise(col("id") + 10000000000L)
+    val words = (0 until 12).map(i => hex(xxhash64(col("__seed"), lit(i))))
+    val docs = spark.range(nDocs).toDF("id")
+      .withColumn("__seed", docSeed)
+      .withColumn("text", concat_ws(" ", words: _*))
+      .drop("__seed")
+      .persist()
+    // Vectors: pseudo-random doubles on [-1, 1]; id < nVecs/5 share a
+    // seed within pairs (identical vectors -> planted cosine-1.0 dups).
+    val nDupVecs = (nVecs / 10) * 2
+    val vecSeed = when(col("vec_id") < nDupVecs,
+        col("vec_id").divide(2).cast("long"))
+      .otherwise(col("vec_id") + 10000000000L)
+    val vecs = spark.range(nVecs).toDF("vec_id")
+      .withColumn("__seed", vecSeed)
+      .withColumn("embedding",
+        transform(sequence(lit(0), lit(dim - 1)),
+          j => pmod(xxhash64(col("__seed"), j), lit(2000001L))
+            .cast("double") / 1000000.0 - 1.0).cast("array<float>"))
+      .drop("__seed")
+      .persist()
+    phase("synth") {
+      (docs.count() + vecs.count(), s""","docs":$nDocs,"vecs":$nVecs""")
+    }
+
+    // ------------------------------------- minhash LSH candidate pairs
+    // 5 M docs -> banded self-join keyed on (band_idx, band_hash).
+    // Expected pairs: 6 per dup group = nDupDocs/4*6 (> driverThreshold
+    // by construction, so the CC step below MUST go distributed).
+    var nPairs = 0L
+    val pairs = operators.DedupOps
+      .minhashCandidatePairs(docs, "id", "text").persist()
+    phase("minhash_pairs") { nPairs = pairs.count(); (nPairs, "") }
+
+    // -------------------------- connected components, DISTRIBUTED tier
+    phase("dup_clusters_distributed") {
+      // at full sizing the pair set must exceed the DEFAULT driver
+      // threshold, so the plain call goes distributed on its own; a
+      // downsized smoke run still exercises the distributed tier by
+      // lowering the threshold explicitly
+      if (nDocs >= 4000000L) require(nPairs > 1000000L,
+        s"stress corpus must push pairs past driverThreshold, got $nPairs")
+      val labels = (if (nPairs > 1000000L)
+        operators.DedupOps.duplicateClusters(pairs)
+      else operators.DedupOps.duplicateClusters(pairs, driverThreshold = 1L))
+        .persist()
+      val n = labels.count()
+      // transitive labeling sanity: every dup group of 4 collapses to
+      // one canonical -> labeled vertices = nDupDocs, distinct labels =
+      // nDupDocs/4 (throws on non-convergence inside duplicateClusters)
+      val distinctLabels = labels.select("label").distinct().count()
+      labels.unpersist()
+      (n, s""","distinct_labels":$distinctLabels""")
+    }
+    pairs.unpersist()
+
+    // ------------------------------------------- cosine near-dup (LSH)
+    // bitsPerBand ~ log2(nVecs) per the operator's own sizing note.
+    phase("cosine_lsh") {
+      val dupes = operators.SimilaritySearch.cosineDupePairsLsh(
+        vecs, "vec_id", "embedding", threshold = 0.95,
+        bands = 8, bitsPerBand = 20, maxDim = dim)
+      (dupes.count(), "")
+    }
+
+    // ------------------------------------------------------- IVF ANN
+    phase("ivf_ann") {
+      val hits = operators.SimilaritySearch.ivfTopK(
+        vecs.filter(col("vec_id") < 1024), vecs, "vec_id", "embedding",
+        k = 10, nCells = 64, nProbe = 4)
+      (hits.count(), "")
+    }
+
+    // ----------------------------------------------- sequence packing
+    // 256 shards (shardHexChars = 2): the documented scale posture.
+    phase("pack") {
+      val packed = operators.TrainingOps.packSequences(
+        docs.select(col("id"),
+          (lit(20) + pmod(xxhash64(col("id")), lit(81))).as("n_tok")),
+        "id", col("n_tok"), capacity = 2048, shardHexChars = 2)
+      // count() would prune the windowed cumsum; aggregate the packing
+      // columns so the whole layout is actually computed
+      val n = packed.agg(countDistinct(col("pack_shard"), col("pack_bin")))
+        .head().getLong(0)
+      (n, "")
+    }
+
+    val json = report.mkString("[", ",\n", "]\n")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"[stress] report written to $outPath")
+    spark.stop()
+  }
+}
