@@ -274,6 +274,37 @@ object SparkEntry {
         .agg(countDistinct("l_partkey").as("n_parts"),
           countDistinct("l_suppkey").as("n_supps"))),
 
+    // sketch aggregates — the documented 100x replacements for the
+    // exact forms above (approx_percentile = quantile sketch,
+    // approx_count_distinct = HLL++): map-side combinable, no per-group
+    // sort or distinct shuffle. Sketch outputs are engine-specific, so
+    // the oracle contract is banded: the catalog emits the EXACT values
+    // (hash-matched against DuckDB) plus an integer flag asserting the
+    // sketch landed within 5% of exact — a Spark upgrade that degrades
+    // sketch accuracy past the band flips the flag and fails the gate.
+    "q_approx_percentile" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+          expr("approx_percentile(l_quantity, 0.5, 10000)").as("__a50"),
+          expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("__a90"))
+        .select(col("l_returnflag"), col("p50_qty"), col("p90_price"),
+          (abs(col("__a50") - col("p50_qty")) <=
+            abs(col("p50_qty")) * 0.05).cast("int").as("p50_sketch_ok"),
+          (abs(col("__a90") - col("p90_price")) <=
+            abs(col("p90_price")) * 0.05).cast("int").as("p90_sketch_ok"))),
+
+    "q_approx_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct("l_partkey").as("n_parts"),
+          approx_count_distinct("l_partkey", 0.01).as("__ap"))
+        .select(col("l_returnflag"), col("n_parts"),
+          (abs(col("__ap") - col("n_parts")) <=
+            col("n_parts") * 0.05).cast("int").as("sketch_ok"))),
+
     // §2.10 near-dup: embedding-cosine pairs above threshold, SRP-LSH
     // bucketed (band/bucket shuffle key, exact cosine verified
     // in-bucket — never an all-pairs nested loop; the oracle recomputes
@@ -861,6 +892,22 @@ object SparkEntry {
       """SELECT l_returnflag,
          count(DISTINCT l_partkey) AS n_parts,
          count(DISTINCT l_suppkey) AS n_supps
+         FROM lineitem GROUP BY l_returnflag""",
+
+    // banded sketch contract: the oracle pins the exact values and
+    // expects the within-5%-of-exact flags to be 1 (see the catalog
+    // comment on q_approx_percentile)
+    "q_approx_percentile" ->
+      """SELECT l_returnflag,
+         round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+         round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+         1 AS p50_sketch_ok, 1 AS p90_sketch_ok
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "q_approx_distinct" ->
+      """SELECT l_returnflag,
+         count(DISTINCT l_partkey) AS n_parts,
+         1 AS sketch_ok
          FROM lineitem GROUP BY l_returnflag""",
 
     "q_cosine_dupes" -> OracleGen.cosineDupesLshSql(
