@@ -1,5 +1,6 @@
 package graft.tools
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.GraftSession
 import graft.crmls.Crmls
@@ -25,10 +26,33 @@ import graft.sources.Streams
   */
 object KafkaRoundTrip {
 
-  private def envelope(pk: Long): String =
+  /** Reference form of one synthetic envelope (kept as the spec's
+    * parity oracle for [[envelopeCol]]).
+    */
+  def envelope(pk: Long): String =
     s"""{"data":"{\\"ListingKeyNumeric\\":\\"LK$pk\\"}","uc_pk":"L$pk",""" +
       s""""uc_update_ts":"u$pk","uc_version":"1","uc_created_ts":"$pk",""" +
       s""""uc_row_type":"r","uc_type":"t","uc_valid_day":"1","uc_valid_ts":"$pk"}"""
+
+  /** Pure-column envelope builder: nested `to_json(struct(...))` — the
+    * inner call renders the `data` payload, the outer call escapes it
+    * into the envelope, byte-identical to [[envelope]] (to_json emits
+    * fields in struct order with no whitespace). Codegen'd, so the
+    * producer leg needs no UDF.
+    */
+  def envelopeCol(pk: Column): Column = {
+    val s = pk.cast("string")
+    to_json(struct(
+      to_json(struct(concat(lit("LK"), s).as("ListingKeyNumeric"))).as("data"),
+      concat(lit("L"), s).as("uc_pk"),
+      concat(lit("u"), s).as("uc_update_ts"),
+      lit("1").as("uc_version"),
+      s.as("uc_created_ts"),
+      lit("r").as("uc_row_type"),
+      lit("t").as("uc_type"),
+      lit("1").as("uc_valid_day"),
+      s.as("uc_valid_ts")))
+  }
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: KafkaRoundTrip <bootstrap> <topic> [n]")
@@ -40,7 +64,7 @@ object KafkaRoundTrip {
     // produce: one JSON envelope per record, keyed by pk
     spark.range(n)
       .select(col("id").cast("string").as("key"),
-        udf(envelope _).apply(col("id")).as("value"))
+        envelopeCol(col("id")).as("value"))
       .write.format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .option("topic", topic)
