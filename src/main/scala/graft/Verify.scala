@@ -35,7 +35,17 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // The two fixture-pinned oracles (engine-specific xxhash64 outputs)
+    // are valid only at the scale they were generated for. The driver's
+    // gate runs sf0.01 (the default map); a cross-scale run against the
+    // sf0.1 set swaps in the sf0.1 fixtures so the check stays total.
+    val oracles =
+      if (sfDir.replaceAll("/+$", "").endsWith("sf0.1"))
+        SparkEntry.oracleSql ++ Map(
+          "q_minhash_pairs" -> OracleFixtures.minhashPairsSqlSf01,
+          "q_simhash" -> OracleFixtures.simhashSqlSf01)
+      else SparkEntry.oracleSql
+    val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

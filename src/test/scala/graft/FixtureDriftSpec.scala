@@ -29,4 +29,24 @@ class FixtureDriftSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toSet
     assert(got === want, "simhash pipeline drifted from the pinned fixture")
   }
+
+  // sf0.1 variants (resource-backed; swapped into the oracle dump by
+  // Verify for cross-scale runs) — guarded here at the same commit
+  // granularity as the sf0.01 literals
+
+  test("q_minhash_pairs sf0.1 output still matches the pinned fixture") {
+    val got = SparkEntry.queries("q_minhash_pairs")(spark, sf("sf0.1"))
+      .as[(Long, Long)].collect().toSet
+    val want = spark.sql(OracleFixtures.minhashPairsSqlSf01)
+      .as[(Long, Long)].collect().toSet
+    assert(got === want, "minhash pipeline drifted from the sf0.1 fixture")
+  }
+
+  test("q_simhash sf0.1 output still matches the pinned fixture") {
+    val got = SparkEntry.queries("q_simhash")(spark, sf("sf0.1"))
+      .as[(Long, Long)].collect().toSet
+    val want = spark.sql(OracleFixtures.simhashSqlSf01)
+      .as[(Long, Long)].collect().toSet
+    assert(got === want, "simhash pipeline drifted from the sf0.1 fixture")
+  }
 }
