@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.streaming.{CrmlsStream, UpsertJoin}
+
+/** Streaming-pipeline throughput micro-bench: seeds a large CRMLS
+  * latest-state store, then drives N small micro-batches through
+  * [[CrmlsStream.processBatch]] against the hash-bucketed state and the
+  * durable upsert sink, reporting batches/sec and — the number the
+  * incremental-state design exists for — BYTES REWRITTEN per batch
+  * versus total state size. BucketedStateSpec proves untouched buckets
+  * stay byte-identical; this bench measures what that buys: per-batch
+  * I/O proportional to touched buckets, not to accumulated state
+  * (StreamBenchSpec pins the same property as a regression guard).
+  *
+  * Batch mix: listing updates (forward path), agent updates (reverse
+  * reference-index propagation), media attachments (pk-direct
+  * propagation) — the three affected-key discovery paths the job has.
+  *
+  * Knobs: SPARK_GRAFT_SB_BASE (seed listings, default 100000),
+  * SPARK_GRAFT_SB_BATCHES (default 20), SPARK_GRAFT_SB_OUT (report
+  * file, default STREAMBENCH.json).
+  */
+object StreamBench {
+
+  /** CRMLS envelope as one codegen'd column (same nested-to_json shape
+    * as the round-trip tool's producer).
+    */
+  def envelopeCol(pk: Column, ts: Column, data: Column): Column =
+    to_json(struct(
+      data.as("data"),
+      pk.as("uc_pk"),
+      concat(lit("u"), ts.cast("string")).as("uc_update_ts"),
+      lit("1").as("uc_version"),
+      ts.cast("string").as("uc_created_ts"),
+      lit("r").as("uc_row_type"),
+      lit("t").as("uc_type"),
+      lit("1").as("uc_valid_day"),
+      ts.cast("string").as("uc_valid_ts")))
+
+  /** Recursive (path -> size) snapshot of a directory tree. */
+  def fileSizes(dirs: Seq[String]): Map[String, Long] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (!f.exists()) Nil
+      else if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else Seq(f)
+    dirs.flatMap(d => walk(new java.io.File(d)))
+      .map(f => f.getPath -> f.length()).toMap
+  }
+
+  /** Bytes in files that are new or changed relative to `before`. */
+  def rewrittenBytes(before: Map[String, Long],
+                     after: Map[String, Long]): Long =
+    after.collect {
+      case (p, sz) if !before.get(p).contains(sz) => sz
+    }.sum
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SB_BASE", "100000").toInt
+    val nBatches = sys.env.getOrElse("SPARK_GRAFT_SB_BATCHES", "20").toInt
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_SB_OUT", "STREAMBENCH.json")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    // Bucket count is the incremental-I/O knob: a batch rewrites the
+    // buckets its keys hash to, so the rewrite fraction is roughly
+    // (distinct batch keys) / nBuckets. 16 buckets against a 200-row
+    // batch means EVERY bucket is touched and incremental maintenance
+    // buys nothing — size buckets well above per-batch key count (the
+    // RocksDB analog: many SSTs, few touched per write batch).
+    val nBuckets = sys.env.getOrElse("SPARK_GRAFT_SB_BUCKETS", "256").toInt
+    val nAgents = math.max(base / 10, 1)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sb").toString
+    val stateDir = s"$tmp/state"
+    val sinkDir = s"$tmp/sink"
+    val store = new CrmlsStream.StateStore(spark, stateDir, nBuckets)
+    val sink = new UpsertJoin.ParquetUpsertSink(spark, sinkDir, nBuckets)
+
+    def listingData(id: Column) = to_json(struct(
+      concat(lit("LK"), id.cast("string")).as("ListingKeyNumeric"),
+      concat(lit("A"), pmod(id, lit(nAgents)).cast("string"))
+        .as("ListAgentKeyNumeric")))
+    def listingBatch(ids: DataFrame, ts: Long): DataFrame =
+      ids.select(lit("listings").as("entity"), envelopeCol(
+        concat(lit("L"), col("id").cast("string")), lit(ts),
+        listingData(col("id"))).as("value"))
+    def agentBatch(ids: DataFrame, ts: Long): DataFrame =
+      ids.select(lit("agents").as("entity"), envelopeCol(
+        concat(lit("A"), col("id").cast("string")), lit(ts),
+        to_json(struct(concat(lit("v"), lit(ts)).as("name")))).as("value"))
+    def mediaBatch(ids: DataFrame, ts: Long): DataFrame =
+      ids.select(lit("media").as("entity"), envelopeCol(
+        concat(lit("M"), col("id").cast("string")), lit(ts),
+        to_json(struct(concat(lit("L"), col("id").cast("string"))
+          .as("ResourceRecordKeyNumeric")))).as("value"))
+
+    // ----------------------------------------------------------- seed
+    val t0 = System.nanoTime()
+    CrmlsStream.processBatch(spark,
+      listingBatch(spark.range(base).toDF("id"), ts = 100)
+        .unionByName(agentBatch(spark.range(nAgents).toDF("id"), ts = 100)),
+      store, sink)
+    val seedSec = (System.nanoTime() - t0) / 1e9
+
+    // -------------------------------------------------- micro-batches
+    // per batch: 30 listing updates + 5 agent updates (each fans out
+    // to ~base/nAgents listings via the reverse index) + 5 media rows
+    var snap = fileSizes(Seq(stateDir, sinkDir))
+    val times = new Array[Double](nBatches)
+    val rewrites = new Array[Long](nBatches)
+    val rowsPerBatch = 40
+    for (i <- 0 until nBatches) {
+      val ts = 1000L + i
+      def pick(n: Int, salt: Int) = spark.range(n).toDF("__j")
+        .select(pmod(col("__j") * 7919 + lit(i * 104729 + salt),
+          lit(base)).as("id"))
+      val batch = listingBatch(pick(30, 0), ts)
+        .unionByName(agentBatch(pick(5, 1)
+          .select(pmod(col("id"), lit(nAgents)).as("id")), ts))
+        .unionByName(mediaBatch(pick(5, 2), ts))
+      val b0 = System.nanoTime()
+      CrmlsStream.processBatch(spark, batch, store, sink)
+      times(i) = (System.nanoTime() - b0) / 1e9
+      val cur = fileSizes(Seq(stateDir, sinkDir))
+      rewrites(i) = rewrittenBytes(snap, cur)
+      snap = cur
+    }
+
+    val totalBytes = snap.values.sum
+    val meanSec = times.sum / nBatches
+    val meanRewrite = rewrites.sum.toDouble / nBatches
+    val json =
+      f"""{"seed_listings":$base,"seed_sec":$seedSec%.1f,""" +
+        f""""buckets":$nBuckets,""" +
+        f""""batches":$nBatches,"rows_per_batch":$rowsPerBatch,""" +
+        f""""mean_batch_sec":$meanSec%.3f,""" +
+        f""""batches_per_sec":${1.0 / meanSec}%.3f,""" +
+        f""""rows_per_sec":${rowsPerBatch / meanSec}%.0f,""" +
+        f""""mean_rewritten_mb_per_batch":${meanRewrite / 1e6}%.1f,""" +
+        f""""total_state_mb":${totalBytes / 1e6}%.1f,""" +
+        f""""rewrite_fraction":${meanRewrite / totalBytes}%.3f}"""
+    println(s"[streambench] $json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    spark.stop()
+  }
+}
