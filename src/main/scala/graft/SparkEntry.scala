@@ -177,6 +177,21 @@ object SparkEntry {
           coalesce(col("__p.missing"), lit("")).as("missing_val"))
     }),
 
+    // P2 at scale, Spark 4 path: the same extraction through
+    // VariantType (parse_json once -> shredded binary variant;
+    // field access is a cheap typed probe instead of a text re-parse).
+    // Semantics pinned to q_json_extract: extract as string, then
+    // SQL-cast — so the two paths must stay value-identical and share
+    // one oracle shape.
+    "q_json_extract_variant" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"), parse_json(col("props")).as("__v"))
+        .select(
+          col("event_id"),
+          try_variant_get(col("__v"), "$.k", "string").cast("long").as("k_val"),
+          coalesce(try_variant_get(col("__v"), "$.missing", "string"),
+            lit("")).as("missing_val"))),
+
     // W1: running aggregate over unbounded-preceding frame
     "q_window_running" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
@@ -296,14 +311,23 @@ object SparkEntry {
           (abs(col("__a90") - col("p90_price")) <=
             abs(col("p90_price")) * 0.05).cast("int").as("p90_sketch_ok"))),
 
-    "q_approx_distinct" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(countDistinct("l_partkey").as("n_parts"),
-          approx_count_distinct("l_partkey", 0.01).as("__ap"))
+    // exact and sketch sides aggregate SEPARATELY (3-row broadcast join
+    // to compare): count(distinct) plans a two-shuffle expand keyed on
+    // (group, value), and fusing the HLL into that same aggregate would
+    // drag the sketch buffer through the per-value phase — the sketch
+    // side must keep its canonical one-shuffle mergeable-partials shape
+    // (PlanHygieneSpec pins it)
+    "q_approx_distinct" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val exact = li.groupBy("l_returnflag")
+        .agg(countDistinct("l_partkey").as("n_parts"))
+      val sketch = li.groupBy("l_returnflag")
+        .agg(approx_count_distinct("l_partkey", 0.01).as("__ap"))
+      exact.join(sketch, Seq("l_returnflag"))
         .select(col("l_returnflag"), col("n_parts"),
           (abs(col("__ap") - col("n_parts")) <=
-            col("n_parts") * 0.05).cast("int").as("sketch_ok"))),
+            col("n_parts") * 0.05).cast("int").as("sketch_ok"))
+    }),
 
     // §2.10 near-dup: embedding-cosine pairs above threshold, SRP-LSH
     // bucketed (band/bucket shuffle key, exact cosine verified
@@ -793,6 +817,12 @@ object SparkEntry {
          GROUP BY p.event_id, p.user_id, p.ts""",
 
     "q_json_extract" ->
+      """SELECT event_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+         coalesce(json_extract_string(props, '$.missing'), '') AS missing_val
+         FROM events""",
+
+    "q_json_extract_variant" ->
       """SELECT event_id,
          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
          coalesce(json_extract_string(props, '$.missing'), '') AS missing_val

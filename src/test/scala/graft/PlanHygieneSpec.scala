@@ -118,6 +118,39 @@ class PlanHygieneSpec extends SparkTestBase {
       "map-side partial aggregation missing")
   }
 
+  test("q_approx_percentile / q_approx_distinct: sketches keep map-side partials") {
+    val pp = plan("q_approx_percentile")
+    // mergeable sketch state through one exchange — no per-group sort
+    assert(pp.contains("partial_percentile") || pp.contains("partial_approx"),
+      s"q_approx_percentile lost its partial aggregation:\n${pp.take(2000)}")
+    assert("Exchange hashpartitioning".r.findAllIn(pp).size === 1,
+      s"q_approx_percentile must shuffle exactly once:\n${pp.take(2000)}")
+    // the HLL side must keep its canonical shape: scan-side partial
+    // sketches grouped by the GROUP key only (never keyed per value,
+    // which is what fusing into the count-distinct expand would do)
+    val pd = plan("q_approx_distinct")
+    assert(
+      "HashAggregate\\(keys=\\[l_returnflag[^\\]]*\\], functions=\\[partial_approx_count_distinct"
+        .r.findAllIn(pd).nonEmpty,
+      s"HLL partials must be grouped by l_returnflag only:\n${pd.take(3000)}")
+  }
+
+  test("q_json_extract_variant: map-only scan, single parse") {
+    val p = plan("q_json_extract_variant")
+    assert(!p.contains("Exchange"),
+      s"variant extraction must stay scan-bound:\n${p.take(2000)}")
+    assert("parse_json".r.findAllIn(p).size <= 1,
+      "the document must be parsed once, not per field")
+  }
+
+  test("q_text_stats: native one-pass stats, no interpreted lambda in the plan") {
+    val p = plan("q_text_stats")
+    assert(!p.contains("Exchange"), "per-doc stats must not shuffle")
+    assert(!p.contains("LambdaFunction") && !p.contains("ArrayAggregate") &&
+      !p.contains("ArrayFilter"),
+      s"token stats fell back to higher-order functions:\n${p.take(2000)}")
+  }
+
   test("native dot product is codegen-capable (starred projection)") {
     // the tokenizing queries are bounded by ArrayTransform (a
     // CodegenFallback higher-order function), but ArrayDotProduct
