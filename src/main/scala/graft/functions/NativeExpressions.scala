@@ -133,6 +133,57 @@ object NativeExpressions {
       copy(child = c)
   }
 
+  /** LSH band bucket ids from an array of TOKEN hashes in one pass:
+    * the minhash signature ([[minhashEval]]) split into `bands` bands
+    * of `numHashes / bands` rows, each band chain-mixed into one
+    * 64-bit bucket id — the signature array is never materialized into
+    * the row and no per-band strings are built. Equality semantics
+    * match the string-join banding it replaces: two documents share a
+    * band bucket iff that band's signature rows are all equal
+    * (cross-band/birthday collisions at 2^-64 are the same class the
+    * string hash had).
+    */
+  def minhashBandsEval(arr: ArrayData, numHashes: Int, shingleSize: Int,
+                       bands: Int): ArrayData = {
+    val sig = minhashEval(arr, numHashes, shingleSize)
+    val rows = numHashes / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      // seed folds the band index so identical row values in different
+      // bands cannot alias each other's buckets
+      var h = mix64(0x9E3779B97F4A7C15L + b)
+      var j = 0
+      while (j < rows) {
+        h = mix64(h ^ sig.getLong(b * rows + j))
+        j += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  case class MinHashBandHashes(child: Expression, numHashes: Int,
+                               shingleSize: Int, bands: Int)
+      extends UnaryExpression {
+    require(bands >= 1 && numHashes % bands == 0,
+      s"numHashes ($numHashes) must divide into bands ($bands)")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def nullSafeEval(input: Any): Any =
+      minhashBandsEval(input.asInstanceOf[ArrayData], numHashes,
+        shingleSize, bands)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.NativeExpressions.minhashBandsEval(" +
+          s"$c, $numHashes, $shingleSize, $bands);")
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** 64-bit SimHash from an array of token hashes: per bit, sum of
     * +/-1 over tokens; sign becomes the fingerprint bit.
     */
@@ -483,6 +534,11 @@ object NativeExpressions {
                  shingleSize: Int): Column =
     ColumnBridge.column(MinHashSignature(
       ColumnBridge.expression(tokenHashes), numHashes, shingleSize))
+
+  def minhashBands(tokenHashes: Column, numHashes: Int, shingleSize: Int,
+                   bands: Int): Column =
+    ColumnBridge.column(MinHashBandHashes(
+      ColumnBridge.expression(tokenHashes), numHashes, shingleSize, bands))
 
   def simhash64(tokenHashes: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokenHashes)))

@@ -52,15 +52,18 @@ object DedupOps {
   def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
                             numHashes: Int = 32, bands: Int = 8,
                             shingleSize: Int = 3): DataFrame = {
-    val rows = numHashes / bands
-    val signed = minhashSignature(docs, textCol, numHashes, shingleSize)
-      .select(col(idCol), col("minhash_sig"))
-    val banded = signed.select(
+    // tokens -> band bucket ids in ONE native pass (signature computed
+    // and banded inside the expression — no per-band slice/cast/join
+    // string building, which dominated this operator's scan cost at
+    // multi-million-doc scale). Band EQUALITY is what the join below
+    // consumes, and that is preserved from the signature exactly, so
+    // candidate pairs are unchanged.
+    val tokenHashes =
+      transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t))
+    val banded = docs.select(
       col(idCol),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(b, array_join(
-          transform(slice(col("minhash_sig"), b * lit(rows) + 1, lit(rows)),
-            h => h.cast("string")), ",")))))
+      posexplode(graft.functions.NativeExpressions.minhashBands(
+        tokenHashes, numHashes, shingleSize, bands)))
       .toDF(idCol, "band_idx", "band_hash")
     val a = banded.select(col(idCol).as("id_a"), col("band_idx"), col("band_hash"))
     val b = banded.select(col(idCol).as("id_b"), col("band_idx"), col("band_hash"))
