@@ -42,7 +42,11 @@ object Bench {
       // a failed query reports -1, never a bogus tiny elapsed time
       (name, if (failed) -1.0 else times.min, times)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // 3-decimal (ms) precision keeps the compact stdout line under ~2 KB
+    // for the 68-query catalog — round 2's driver capture kept only a
+    // ~2 KB tail, so full-precision doubles risk clipping the head even
+    // without the runs map
+    val qs = results.map { case (k, v, _) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     // all runs per query, so a noisy host shows up as min<<max instead
     // of silently inflating the one reported number

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.crmls.Crmls
 import graft.streaming.{CrmlsStream, UpsertJoin}
 
 /** Streaming-pipeline throughput micro-bench: seeds a large CRMLS
@@ -23,21 +24,6 @@ import graft.streaming.{CrmlsStream, UpsertJoin}
   * file, default STREAMBENCH.json).
   */
 object StreamBench {
-
-  /** CRMLS envelope as one codegen'd column (same nested-to_json shape
-    * as the round-trip tool's producer).
-    */
-  def envelopeCol(pk: Column, ts: Column, data: Column): Column =
-    to_json(struct(
-      data.as("data"),
-      pk.as("uc_pk"),
-      concat(lit("u"), ts.cast("string")).as("uc_update_ts"),
-      lit("1").as("uc_version"),
-      ts.cast("string").as("uc_created_ts"),
-      lit("r").as("uc_row_type"),
-      lit("t").as("uc_type"),
-      lit("1").as("uc_valid_day"),
-      ts.cast("string").as("uc_valid_ts")))
 
   /** Recursive (path -> size) snapshot of a directory tree. */
   def fileSizes(dirs: Seq[String]): Map[String, Long] = {
@@ -88,15 +74,15 @@ object StreamBench {
       concat(lit("A"), pmod(id, lit(nAgents)).cast("string"))
         .as("ListAgentKeyNumeric")))
     def listingBatch(ids: DataFrame, ts: Long): DataFrame =
-      ids.select(lit("listings").as("entity"), envelopeCol(
+      ids.select(lit("listings").as("entity"), Crmls.envelopeCol(
         concat(lit("L"), col("id").cast("string")), lit(ts),
         listingData(col("id"))).as("value"))
     def agentBatch(ids: DataFrame, ts: Long): DataFrame =
-      ids.select(lit("agents").as("entity"), envelopeCol(
+      ids.select(lit("agents").as("entity"), Crmls.envelopeCol(
         concat(lit("A"), col("id").cast("string")), lit(ts),
         to_json(struct(concat(lit("v"), lit(ts)).as("name")))).as("value"))
     def mediaBatch(ids: DataFrame, ts: Long): DataFrame =
-      ids.select(lit("media").as("entity"), envelopeCol(
+      ids.select(lit("media").as("entity"), Crmls.envelopeCol(
         concat(lit("M"), col("id").cast("string")), lit(ts),
         to_json(struct(concat(lit("L"), col("id").cast("string"))
           .as("ResourceRecordKeyNumeric")))).as("value"))

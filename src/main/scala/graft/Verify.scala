@@ -37,10 +37,14 @@ object Verify {
     } + "\""
     // The two fixture-pinned oracles (engine-specific xxhash64 outputs)
     // are valid only at the scale they were generated for. The driver's
-    // gate runs sf0.01 (the default map); a cross-scale run against the
-    // sf0.1 set swaps in the sf0.1 fixtures so the check stays total.
+    // gate runs sf0.01 (the default map); a run against the sf0.1 set
+    // swaps in the sf0.1 fixtures so the check stays total. Detection
+    // is by directory suffix; SPARK_GRAFT_ORACLE_SCALE=sf0.1|sf0.01
+    // overrides it for data living at a differently-named path.
+    val scale = sys.env.getOrElse("SPARK_GRAFT_ORACLE_SCALE",
+      if (sfDir.replaceAll("/+$", "").endsWith("sf0.1")) "sf0.1" else "sf0.01")
     val oracles =
-      if (sfDir.replaceAll("/+$", "").endsWith("sf0.1"))
+      if (scale == "sf0.1")
         SparkEntry.oracleSql ++ Map(
           "q_minhash_pairs" -> OracleFixtures.minhashPairsSqlSf01,
           "q_simhash" -> OracleFixtures.simhashSqlSf01)

@@ -81,6 +81,25 @@ object Crmls {
   private val envelopeLongCols =
     Seq("uc_created_ts", "uc_valid_day", "uc_valid_ts")
 
+  /** One synthetic CRMLS envelope as a codegen'd JSON column — the
+    * inverse of [[project]] for harnesses/benches that need to PRODUCE
+    * envelopes (nested `to_json`: the inner call renders the `data`
+    * payload, the outer escapes it into the envelope; fields in
+    * [[envelopeSchema]] order, no whitespace). The single builder every
+    * producer-side tool shares, so the wire shape cannot fork.
+    */
+  def envelopeCol(pk: Column, ts: Column, data: Column): Column =
+    to_json(struct(
+      data.as("data"),
+      pk.as("uc_pk"),
+      concat(lit("u"), ts.cast("string")).as("uc_update_ts"),
+      lit("1").as("uc_version"),
+      ts.cast("string").as("uc_created_ts"),
+      lit("r").as("uc_row_type"),
+      lit("t").as("uc_type"),
+      lit("1").as("uc_valid_day"),
+      ts.cast("string").as("uc_valid_ts")))
+
   /** Project a raw frame with a JSON `value` column (Kafka value /
     * file line) into the entity's typed, prefixed columns. Works
     * identically on batch and streaming frames.

@@ -464,10 +464,16 @@ object NativeExpressions {
     *    which `filter` drops).
     */
   def tokenStatsEval(arr: ArrayData,
-                     stop: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String])
+                     stop: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String],
+                     needTypes: Boolean)
       : org.apache.spark.sql.catalyst.InternalRow = {
     val n = arr.numElements()
-    val seen = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](n * 2)
+    // the distinct-token set is the expensive part (hash + node alloc
+    // per token) — skip it entirely for the many derivations that never
+    // read type_count (stopword ratio, mean length, quality, langid)
+    val seen = if (needTypes)
+      new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](n * 2)
+    else null
     var sawNull = false
     var lenSum = 0L
     var stopCount = 0
@@ -476,13 +482,14 @@ object NativeExpressions {
       val t = arr.getUTF8String(i)
       if (t == null) sawNull = true
       else {
-        seen.add(t)
+        if (seen != null) seen.add(t)
         lenSum += t.numChars()
         if (stop.contains(t)) stopCount += 1
       }
       i += 1
     }
-    val typeCount = seen.size + (if (sawNull) 1 else 0)
+    val typeCount =
+      if (seen == null) -1 else seen.size + (if (sawNull) 1 else 0)
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](n, typeCount, if (sawNull) null else lenSum, stopCount))
   }
@@ -493,8 +500,14 @@ object NativeExpressions {
     * stopword-ratio and mean-token-length. Reference the same instance
     * several times in a projection and whole-stage codegen's
     * subexpression elimination evaluates the loop once per row.
+    *
+    * `needTypes = false` skips the distinct-token set build and emits
+    * `type_count = -1` — for derivations that never read it (langid
+    * instantiates one TokenStats per language profile, so the skip is
+    * per-profile work saved on every row).
     */
-  case class TokenStats(child: Expression, stopwords: Seq[String])
+  case class TokenStats(child: Expression, stopwords: Seq[String],
+                        needTypes: Boolean = true)
       extends UnaryExpression {
     override def dataType: DataType = StructType(Seq(
       StructField("token_count", IntegerType, nullable = false),
@@ -512,12 +525,13 @@ object NativeExpressions {
     }
 
     override def nullSafeEval(input: Any): Any =
-      tokenStatsEval(input.asInstanceOf[ArrayData], stopSet)
+      tokenStatsEval(input.asInstanceOf[ArrayData], stopSet, needTypes)
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val ref = ctx.addReferenceObj("graftStopSet", stopSet, "java.util.HashSet")
       nullSafeCodeGen(ctx, ev, c =>
-        s"${ev.value} = graft.functions.NativeExpressions.tokenStatsEval($c, $ref);")
+        s"${ev.value} = graft.functions.NativeExpressions.tokenStatsEval(" +
+          s"$c, $ref, $needTypes);")
     }
 
     override protected def withNewChildInternal(c: Expression): Expression =
@@ -555,8 +569,10 @@ object NativeExpressions {
   def ngramArray(toks: Column, n: Int): Column =
     ColumnBridge.column(NgramArray(ColumnBridge.expression(toks), n))
 
-  def tokenStats(toks: Column, stopwords: Seq[String]): Column =
-    ColumnBridge.column(TokenStats(ColumnBridge.expression(toks), stopwords))
+  def tokenStats(toks: Column, stopwords: Seq[String],
+                 needTypes: Boolean = true): Column =
+    ColumnBridge.column(TokenStats(
+      ColumnBridge.expression(toks), stopwords, needTypes))
 
   def rollingXxHash64(toks: Column): Column =
     ColumnBridge.column(RollingXxHash64(ColumnBridge.expression(toks)))

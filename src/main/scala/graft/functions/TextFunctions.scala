@@ -79,8 +79,13 @@ object TextFunctions {
   def textStatsOf(toks: Column, stop: Seq[String]): Column =
     NativeExpressions.tokenStats(toks, stop)
 
+  // derivations that never read type_count skip the distinct-token set
+  // build (needTypes = false -> type_count is -1 in that struct)
+  private def statsNoTypes(toks: Column, stop: Seq[String]): Column =
+    NativeExpressions.tokenStats(toks, stop, needTypes = false)
+
   def stopwordRatioOf(toks: Column, stop: Seq[String]): Column = {
-    val st = textStatsOf(toks, stop)
+    val st = statsNoTypes(toks, stop)
     st.getField("stop_count") / greatest(st.getField("token_count"), lit(1))
   }
 
@@ -100,7 +105,7 @@ object TextFunctions {
     ngramRepetitionRatioOf(tokens(text), n)
 
   def meanTokenLenOf(toks: Column): Column = {
-    val st = textStatsOf(toks, Nil)
+    val st = statsNoTypes(toks, Nil)
     st.getField("len_sum").cast("double") /
       greatest(st.getField("token_count"), lit(1))
   }
@@ -127,7 +132,7 @@ object TextFunctions {
 
   /** [[qualityScore]] over a pre-tokenized array column. */
   def qualityScoreOf(text: Column, toks: Column, stop: Seq[String]): Column = {
-    val st = textStatsOf(toks, stop)
+    val st = statsNoTypes(toks, stop)
     val n = st.getField("token_count")
     // length window: short docs score n/10 (ramp up), over-long docs
     // score 100000/n (decay) — both sides actually penalize

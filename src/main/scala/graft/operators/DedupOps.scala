@@ -55,9 +55,13 @@ object DedupOps {
     // tokens -> band bucket ids in ONE native pass (signature computed
     // and banded inside the expression — no per-band slice/cast/join
     // string building, which dominated this operator's scan cost at
-    // multi-million-doc scale). Band EQUALITY is what the join below
-    // consumes, and that is preserved from the signature exactly, so
-    // candidate pairs are unchanged.
+    // multi-million-doc scale). Band EQUALITY is preserved from the
+    // signature exactly, so candidate pairs are unchanged for non-null
+    // documents. NULL-text docs emit NO pairs (the null expression
+    // drops their banded rows) — deliberate: the previous string-join
+    // banding accidentally hashed every null doc into the same buckets
+    // and emitted all-null-pairs, which no dedup pipeline wants.
+    // Pinned by DedupOpsSpec.
     val tokenHashes =
       transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t))
     val banded = docs.select(

@@ -34,24 +34,15 @@ object KafkaRoundTrip {
       s""""uc_update_ts":"u$pk","uc_version":"1","uc_created_ts":"$pk",""" +
       s""""uc_row_type":"r","uc_type":"t","uc_valid_day":"1","uc_valid_ts":"$pk"}"""
 
-  /** Pure-column envelope builder: nested `to_json(struct(...))` — the
-    * inner call renders the `data` payload, the outer call escapes it
-    * into the envelope, byte-identical to [[envelope]] (to_json emits
-    * fields in struct order with no whitespace). Codegen'd, so the
-    * producer leg needs no UDF.
+  /** Pure-column envelope builder over the SHARED producer
+    * ([[Crmls.envelopeCol]] — nested `to_json`, codegen'd, no UDF),
+    * byte-identical to [[envelope]] (pinned by KafkaRoundTripSpec).
     */
   def envelopeCol(pk: Column): Column = {
     val s = pk.cast("string")
-    to_json(struct(
-      to_json(struct(concat(lit("LK"), s).as("ListingKeyNumeric"))).as("data"),
-      concat(lit("L"), s).as("uc_pk"),
-      concat(lit("u"), s).as("uc_update_ts"),
-      lit("1").as("uc_version"),
-      s.as("uc_created_ts"),
-      lit("r").as("uc_row_type"),
-      lit("t").as("uc_type"),
-      lit("1").as("uc_valid_day"),
-      s.as("uc_valid_ts")))
+    Crmls.envelopeCol(
+      concat(lit("L"), s), pk,
+      to_json(struct(concat(lit("LK"), s).as("ListingKeyNumeric"))))
   }
 
   def main(args: Array[String]): Unit = {

@@ -16,13 +16,16 @@ class StreamBenchSpec extends SparkTestBase {
 
   test("a small batch rewrites only the buckets of its own keys") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-sbspec").toString
-    val store = new CrmlsStream.StateStore(spark, s"$tmp/state")
-    val sink = new UpsertJoin.ParquetUpsertSink(spark, s"$tmp/sink")
+    // bucket count passed EXPLICITLY and reused for the expected-bucket
+    // computation below — a changed store default cannot desync them
+    val nBuckets = 16
+    val store = new CrmlsStream.StateStore(spark, s"$tmp/state", nBuckets)
+    val sink = new UpsertJoin.ParquetUpsertSink(spark, s"$tmp/sink", nBuckets)
     // ref-free listing payloads: no reference-index entries, so the
     // only writable state is the listing table + the sink — both keyed
     // by l_uc_pk, making the expected bucket set exactly computable
     def batch(ids: Seq[Int], ts: Long) = ids.toDF("id")
-      .select(lit("listings").as("entity"), StreamBench.envelopeCol(
+      .select(lit("listings").as("entity"), graft.crmls.Crmls.envelopeCol(
         concat(lit("L"), col("id").cast("string")), lit(ts),
         to_json(struct(lit("x").as("f")))).as("value"))
 
@@ -34,7 +37,7 @@ class StreamBenchSpec extends SparkTestBase {
     val after = StreamBench.fileSizes(Seq(tmp))
 
     val expectedBuckets = updateIds.map(i => s"L$i").toDF("k")
-      .select(BucketedState.bucketOf(col("k"), 16).as("b"))
+      .select(BucketedState.bucketOf(col("k"), nBuckets).as("b"))
       .as[Int].collect().toSet
     val allowedDirs = expectedBuckets.flatMap(b =>
       Seq(s"$tmp/state/listings/bucket_$b", s"$tmp/sink/bucket_$b"))

@@ -36,6 +36,18 @@ class DedupOpsSpec extends SparkTestBase {
       s"unrelated doc must not pair, got $pairs")
   }
 
+  test("minhash LSH: null-text docs emit no candidate pairs") {
+    val withNulls = Seq(
+      (1L, Option("a b c d e f")), (2L, Option("a b c d e f")),
+      (10L, Option.empty[String]), (11L, Option.empty[String])
+    ).toDF("doc_id", "text")
+    val pairs = DedupOps.minhashCandidatePairs(withNulls, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)),
+      s"null docs must never pair (got $pairs) — the pre-native banding " +
+        "hashed all null docs into one bucket and paired them")
+  }
+
   test("simhash: identical fp for copies, near for near-dups, far for unrelated") {
     val fps = DedupOps.simhash(docs, "text")
       .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
