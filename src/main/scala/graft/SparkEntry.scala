@@ -518,8 +518,24 @@ object SparkEntry {
     // distinct trigrams each non-train doc shares with any train doc
     // (inverted-index join on ngram, never doc x doc; cap None so the
     // oracle's exact df matches — the operator default caps hot ngrams)
+    // §2.10 training-data assembly: source mixture weights as
+    // deterministic repetition (weight 2.5 = 2 full epochs + a
+    // deterministic half-sample third; 0.25 = quarter-sample) — the
+    // duty-cycle mixing step combining corpus sources for pretraining
+    "q_source_mix" -> ((s, dir) =>
+      TrainingOps.sourceWeightedMix(t(s, dir, "documents"), "doc_id",
+        "source", Map("src0" -> 2.5, "src1" -> 0.25))
+        .select("doc_id", "source", "epoch")),
+
     "q_contamination" -> ((s, dir) =>
       TrainingOps.crossSplitContamination(t(s, dir, "documents"),
+        "doc_id", "text", n = 3, trainFrac = 0.8, valFrac = 0.1,
+        maxNgramDf = None)),
+
+    // the Bloom-prefiltered 100x form — same parameters, same oracle
+    // (pre-filter is semantics-preserving; see the operator's scaladoc)
+    "q_contamination_bloom" -> ((s, dir) =>
+      TrainingOps.crossSplitContaminationBloom(t(s, dir, "documents"),
         "doc_id", "text", n = 3, trainFrac = 0.8, valFrac = 0.1,
         maxNgramDf = None)),
 
@@ -736,6 +752,32 @@ object SparkEntry {
   )
 
   // ---------------------------------------------------------------- oracle
+
+  /** Shared by q_contamination and q_contamination_bloom — the Bloom
+    * variant is output-identical by construction, so one oracle pins
+    * both (and a drift between the two operators shows up as exactly
+    * one of the rows going red).
+    */
+  private val ContaminationOracleSql: String =
+    raw"""WITH s AS (
+         SELECT doc_id,
+           CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                  THEN 'train'
+                WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                  THEN 'val'
+                ELSE 'test' END AS split,
+           string_split_regex(trim(text), '\s+') AS toks
+         FROM documents),
+       g AS (
+         SELECT doc_id, split, array_to_string(toks[i:(i+2)], ' ') AS ngram
+         FROM s, unnest(range(1, len(toks) - 1)) AS u(i)
+         WHERE len(toks) >= 3),
+       tg AS (SELECT DISTINCT ngram FROM g WHERE split = 'train'),
+       eg AS (SELECT DISTINCT doc_id, split, ngram FROM g WHERE split <> 'train')
+       SELECT eg.doc_id, eg.split,
+         count(DISTINCT eg.ngram) AS n_contaminated
+       FROM eg JOIN tg USING (ngram)
+       GROUP BY eg.doc_id, eg.split"""
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -1169,26 +1211,27 @@ object SparkEntry {
                 ELSE 'changed' END AS status
          FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id""",
 
-    "q_contamination" ->
-      raw"""WITH s AS (
-           SELECT doc_id,
-             CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
-                    THEN 'train'
-                  WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
-                    THEN 'val'
-                  ELSE 'test' END AS split,
-             string_split_regex(trim(text), '\s+') AS toks
-           FROM documents),
-         g AS (
-           SELECT doc_id, split, array_to_string(toks[i:(i+2)], ' ') AS ngram
-           FROM s, unnest(range(1, len(toks) - 1)) AS u(i)
-           WHERE len(toks) >= 3),
-         tg AS (SELECT DISTINCT ngram FROM g WHERE split = 'train'),
-         eg AS (SELECT DISTINCT doc_id, split, ngram FROM g WHERE split <> 'train')
-         SELECT eg.doc_id, eg.split,
-           count(DISTINCT eg.ngram) AS n_contaminated
-         FROM eg JOIN tg USING (ngram)
-         GROUP BY eg.doc_id, eg.split""",
+    // mirrored constants: weights {src0: 2.5, src1: 0.25, default 1.0}
+    // -> floor CASE (2/0/1) + frac thresholds ('8000'/'4000'/'0000' =
+    // floor(frac * 65536) in hex), seed "mix" — same quantization as
+    // the operator's keepFraction
+    "q_source_mix" ->
+      raw"""WITH w AS (
+           SELECT doc_id, source,
+             (CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0 ELSE 1 END
+              + CASE WHEN substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 4) <
+                       (CASE source WHEN 'src0' THEN '8000'
+                             WHEN 'src1' THEN '4000' ELSE '0000' END)
+                     THEN 1 ELSE 0 END) AS copies
+           FROM documents)
+         SELECT doc_id, source, CAST(u.e AS BIGINT) AS epoch
+         FROM w, unnest(range(copies)) AS u(e)""",
+
+    "q_contamination" -> ContaminationOracleSql,
+
+    // identical semantics by construction (Bloom pre-filter: no false
+    // negatives, false positives die in the exact join) -> same oracle
+    "q_contamination_bloom" -> ContaminationOracleSql,
 
     "q_pack" ->
       raw"""WITH d AS (SELECT doc_id,

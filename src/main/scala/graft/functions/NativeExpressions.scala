@@ -410,6 +410,41 @@ object NativeExpressions {
       copy(child = c)
   }
 
+  /** Membership probe against a pre-built
+    * `org.apache.spark.util.sketch.BloomFilter` (the public sketch the
+    * engine's `df.stat.bloomFilter` produces). Probes the raw UTF-8
+    * bytes — byte-identical hashing to `putString`'s insertion path,
+    * with no per-row String allocation. The filter travels to executors
+    * as the expression's serialized byte image and is deserialized once
+    * per task via the transient lazy val.
+    */
+  def bloomMightContain(bf: org.apache.spark.util.sketch.BloomFilter,
+                        s: org.apache.spark.unsafe.types.UTF8String): Boolean =
+    bf.mightContainBinary(s.getBytes)
+
+  case class BloomMightContain(child: Expression, filterBytes: Array[Byte])
+      extends UnaryExpression {
+    override def dataType: DataType = BooleanType
+
+    @transient private lazy val bf =
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(filterBytes))
+
+    override def nullSafeEval(input: Any): Any =
+      bloomMightContain(bf,
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("graftBloom", bf,
+        "org.apache.spark.util.sketch.BloomFilter")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.NativeExpressions.bloomMightContain($ref, $c);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** Chained-xxhash64 left fold over a token array (shared loop body
     * for eval and generated code). Bit-identical to
     * `aggregate(toks, 0L, (acc, t) => xxhash64(acc, t))`: each step
@@ -576,4 +611,12 @@ object NativeExpressions {
 
   def rollingXxHash64(toks: Column): Column =
     ColumnBridge.column(RollingXxHash64(ColumnBridge.expression(toks)))
+
+  def mightContain(s: Column,
+                   bf: org.apache.spark.util.sketch.BloomFilter): Column = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    ColumnBridge.column(BloomMightContain(
+      ColumnBridge.expression(s), bos.toByteArray))
+  }
 }

@@ -104,6 +104,52 @@ object TrainingOps {
     df.withColumn("shuffle_key", hashKey(col(idCol), seed))
       .orderBy(col("shuffle_key"))
 
+  /** Source-weighted mixture: realize per-source sampling weights as
+    * deterministic document repetition — the mixing step pretraining
+    * runs apply to combine sources at different duty cycles. Weight 2.5
+    * emits every doc of that source twice plus a deterministic 50%
+    * half-sample third copy (`epoch` = 0..copies-1 tags the repeats);
+    * weight 0.25 keeps a quarter of the docs; unlisted sources take
+    * `defaultWeight`.
+    *
+    * Map-only — a pure function of (seed, id, source): no shuffle, and
+    * re-runs / retries / external engines reproduce the exact same
+    * mixture (the fractional part reuses the md5-prefix threshold of
+    * [[hashSample]], quantized at 1/65536).
+    */
+  def sourceWeightedMix(df: DataFrame, idCol: String, sourceCol: String,
+                        weights: Map[String, Double],
+                        defaultWeight: Double = 1.0,
+                        seed: String = "mix"): DataFrame = {
+    val all = weights.values ++ Seq(defaultWeight)
+    require(all.forall(w => w >= 0 && w <= 1000),
+      "weights must be in [0, 1000]")
+    require(!df.columns.contains("epoch"),
+      "column name epoch is reserved by sourceWeightedMix")
+    def base(w: Double): Int = math.floor(w).toInt
+    def frac(w: Double): Double = w - math.floor(w)
+    // per-source constants resolve at plan time -> the whole operator
+    // is a literal when-chain over the source column
+    val sorted = weights.toSeq.sortBy(_._1)
+    val baseExpr = sorted.foldLeft(lit(base(defaultWeight)): Column) {
+      case (acc, (s, w)) => when(col(sourceCol) === lit(s), lit(base(w))).otherwise(acc)
+    }
+    val acceptExpr = sorted.foldLeft(
+      keepFraction(col(idCol), frac(defaultWeight), seed): Column) {
+      case (acc, (s, w)) =>
+        when(col(sourceCol) === lit(s),
+          keepFraction(col(idCol), frac(w), seed)).otherwise(acc)
+    }
+    val copies = (baseExpr + acceptExpr.cast("int")).as("__copies")
+    df.withColumn("__copies", copies)
+      .withColumn("epoch",
+        explode(when(col("__copies") > 0,
+          sequence(lit(0), col("__copies") - 1))
+          .otherwise(array().cast("array<int>"))))
+      .withColumn("epoch", col("epoch").cast("long"))
+      .drop("__copies")
+  }
+
   /** Train/eval contamination report: for every CONTAMINATED non-train
     * document (clean documents emit no row), how
     * many distinct token n-grams it shares with ANY train document —
@@ -143,6 +189,54 @@ object TrainingOps {
       // plain count: the left side is already distinct per
       // (doc, split, ngram) and trainGrams per ngram, so the join
       // cannot duplicate pairs — countDistinct would re-pay the dedup
+      .groupBy("doc_id", "split")
+      .agg(count(lit(1)).as("n_contaminated"))
+  }
+
+  /** [[crossSplitContamination]] with a Bloom-filter pre-filter on the
+    * train side — the 100x form. The exact operator's dominant cost at
+    * corpus scale is distinct-ing the TRAIN n-gram stream (train is the
+    * 80% side); almost none of those n-grams ever match an eval n-gram.
+    * This variant builds a Bloom filter over the distinct eval-side
+    * n-grams (driver-held sketch, ~1.2 MB per million n-grams at 1% —
+    * the same footprint class as the IVF centroid collect) and drops
+    * non-matching train n-grams BEFORE the distinct/df aggregation, so
+    * the heavy shuffle carries only probable overlaps.
+    *
+    * Output is IDENTICAL to [[crossSplitContamination]]: a Bloom filter
+    * has no false negatives, and its false positives die in the exact
+    * equi-join (they have no eval-side partner) — so the same oracle
+    * verifies both, and TrainingOpsSpec asserts equality outright.
+    *
+    * @param expectedEvalNgrams Bloom sizing; overestimating costs bits
+    *                           (1.2 MB / million at fpp 0.03),
+    *                           underestimating costs extra false
+    *                           positives — never correctness
+    */
+  def crossSplitContaminationBloom(docs: DataFrame, idCol: String,
+                                   textCol: String, n: Int = 3,
+                                   trainFrac: Double = 0.8,
+                                   valFrac: Double = 0.1,
+                                   seed: String = "split",
+                                   maxNgramDf: Option[Long] = Some(1000L),
+                                   expectedEvalNgrams: Long = 1000000L,
+                                   bloomFpp: Double = 0.03): DataFrame = {
+    val grams = assignSplit(docs, idCol, trainFrac, valFrac, seed)
+      .select(col(idCol).as("doc_id"), col("split"),
+        explode(TF.ngrams(col(textCol), n)).as("ngram"))
+    val nonTrain = grams.filter(col("split") =!= "train")
+      .select("doc_id", "split", "ngram").distinct()
+    val bf = nonTrain.select("ngram").stat
+      .bloomFilter("ngram", math.max(expectedEvalNgrams, 1L), bloomFpp)
+    val pre = grams.filter(col("split") === "train")
+      .filter(graft.functions.NativeExpressions.mightContain(col("ngram"), bf))
+    val trainGrams = maxNgramDf match {
+      case Some(cap) => pre.select("ngram", "doc_id").distinct()
+        .groupBy("ngram").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= cap).select("ngram")
+      case None => pre.select("ngram").distinct()
+    }
+    nonTrain.join(trainGrams, "ngram")
       .groupBy("doc_id", "split")
       .agg(count(lit(1)).as("n_contaminated"))
   }

@@ -88,8 +88,8 @@ class PlanHygieneSpec extends SparkTestBase {
       s"quantization must stay scan-bound, no exchange:\n${p.take(2000)}")
   }
 
-  test("q_redact / q_split / q_sample: map-only corpus passes") {
-    Seq("q_redact", "q_split", "q_sample").foreach { q =>
+  test("q_redact / q_split / q_sample / q_source_mix: map-only corpus passes") {
+    Seq("q_redact", "q_split", "q_sample", "q_source_mix").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q must not shuffle:\n${p.take(1000)}")
     }
@@ -149,6 +149,14 @@ class PlanHygieneSpec extends SparkTestBase {
     assert(!p.contains("LambdaFunction") && !p.contains("ArrayAggregate") &&
       !p.contains("ArrayFilter"),
       s"token stats fell back to higher-order functions:\n${p.take(2000)}")
+  }
+
+  test("q_contamination_bloom: bloom probe sits on the train scan side") {
+    val p = plan("q_contamination_bloom")
+    assert(p.toLowerCase.contains("bloommightcontain"),
+      s"train n-grams must pass the Bloom pre-filter before aggregation:\n${p.take(2000)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "must stay an inverted-index equi-join")
   }
 
   test("native dot product is codegen-capable (starred projection)") {

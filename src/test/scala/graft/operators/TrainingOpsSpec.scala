@@ -88,6 +88,57 @@ class TrainingOpsSpec extends SparkTestBase {
       planted, "id", "text", n = 3, maxNgramDf = Some(0L)).count() === 0L)
   }
 
+  test("crossSplitContaminationBloom equals the exact operator (incl. tiny filters)") {
+    // same planted-leak corpus as above; richer texts so the train
+    // n-gram stream is non-trivial relative to the eval side
+    val texts = (1L to 80L).map(i =>
+      (i, s"u${i}a u${i}b u${i}c u${i}d shared${i % 7}x shared${i % 7}y"))
+    val base = texts.toDF("id", "text")
+    def sortedRows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, String, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val exact = sortedRows(TrainingOps.crossSplitContamination(
+      base, "id", "text", n = 3, maxNgramDf = None))
+    // a deliberately UNDERSIZED filter (high false-positive rate) must
+    // still be exact — FPs die in the join, FNs cannot exist
+    Seq(1000000L, 8L).foreach { sizing =>
+      val bloom = sortedRows(TrainingOps.crossSplitContaminationBloom(
+        base, "id", "text", n = 3, maxNgramDf = None,
+        expectedEvalNgrams = sizing))
+      assert(bloom === exact, s"bloom variant diverged at sizing=$sizing")
+    }
+    // df-cap path goes through the same pre-filter
+    assert(TrainingOps.crossSplitContaminationBloom(
+      base, "id", "text", n = 3, maxNgramDf = Some(0L)).count() === 0L)
+  }
+
+  test("sourceWeightedMix: integer epochs exact, fractional parts deterministic") {
+    val docs = (1L to 400L).map(i => (i, s"src${i % 4}")).toDF("id", "source")
+    val mixed = TrainingOps.sourceWeightedMix(docs, "id", "source",
+      Map("src0" -> 3.0, "src1" -> 0.5, "src2" -> 0.0))
+    val bySrc = mixed.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySrc("src0") === 300L, "weight 3.0 = exactly 3 epochs each")
+    assert(!bySrc.contains("src2"), "weight 0.0 drops the source entirely")
+    assert(bySrc("src3") === 100L, "unlisted source keeps default weight 1.0")
+    // fractional: ~half of 100 docs, deterministic across runs
+    assert(bySrc("src1") > 25L && bySrc("src1") < 75L, bySrc.toString)
+    val again = TrainingOps.sourceWeightedMix(docs, "id", "source",
+      Map("src0" -> 3.0, "src1" -> 0.5, "src2" -> 0.0))
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(again === bySrc, "mixture must be deterministic")
+    // epoch tags: weight-3 docs carry epochs 0,1,2
+    val epochs = mixed.filter(col("source") === "src0")
+      .filter(col("id") === 4L).select("epoch").as[Long].collect().sorted
+    assert(epochs.toSeq === Seq(0L, 1L, 2L))
+    // a weight-2.5 source emits 2 or 3 copies per doc, never else
+    val frac = TrainingOps.sourceWeightedMix(docs, "id", "source",
+      Map("src0" -> 2.5))
+      .filter(col("source") === "src0")
+      .groupBy("id").count().as[(Long, Long)].collect()
+    assert(frac.forall(c => c._2 == 2L || c._2 == 3L))
+    assert(frac.exists(_._2 == 2L) && frac.exists(_._2 == 3L))
+  }
+
   test("corpusDiff labels added/removed/changed/unchanged correctly") {
     val v1 = Seq((1L, "same"), (2L, "will change"), (3L, "will vanish"))
       .toDF("id", "text")
