@@ -165,6 +165,28 @@ object Stress {
       (hits.count(), "")
     }
 
+    // -------------------------- decontamination: exact vs Bloom form
+    // dup groups span split boundaries (members have different ids, so
+    // assignSplit scatters them), giving a large genuine train/eval
+    // overlap; the two operators must agree row-for-row, and the Bloom
+    // pre-filter's win is the wall-time gap between these two phases.
+    var exactRows = 0L
+    phase("contamination_exact") {
+      val r = operators.TrainingOps.crossSplitContamination(
+        docs.toDF("id", "text"), "id", "text", n = 3, maxNgramDf = None)
+      exactRows = r.count()
+      (exactRows, "")
+    }
+    phase("contamination_bloom") {
+      val r = operators.TrainingOps.crossSplitContaminationBloom(
+        docs.toDF("id", "text"), "id", "text", n = 3, maxNgramDf = None,
+        expectedEvalNgrams = 16000000L)
+      val n = r.count()
+      require(n == exactRows,
+        s"bloom decontamination diverged: $n vs exact $exactRows")
+      (n, s""","matches_exact":true""")
+    }
+
     // ----------------------------------------------- sequence packing
     // 256 shards (shardHexChars = 2): the documented scale posture.
     phase("pack") {

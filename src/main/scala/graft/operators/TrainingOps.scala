@@ -211,7 +211,16 @@ object TrainingOps {
     * @param expectedEvalNgrams Bloom sizing; overestimating costs bits
     *                           (1.2 MB / million at fpp 0.03),
     *                           underestimating costs extra false
-    *                           positives — never correctness
+    *                           positives — never correctness.
+    *                           Scale boundary (honest): one driver-held
+    *                           filter is right while eval-side distinct
+    *                           n-grams stay ~<=100 M (~120 MB). Beyond
+    *                           that, raise fpp (FPs only add join
+    *                           volume), shard the filter by
+    *                           `hash(ngram) % k`, or use the exact
+    *                           operator — eval sets are benchmarks, so
+    *                           in practice this side stays small even
+    *                           when train is 100 TB.
     */
   def crossSplitContaminationBloom(docs: DataFrame, idCol: String,
                                    textCol: String, n: Int = 3,
@@ -226,7 +235,10 @@ object TrainingOps {
         explode(TF.ngrams(col(textCol), n)).as("ngram"))
     val nonTrain = grams.filter(col("split") =!= "train")
       .select("doc_id", "split", "ngram").distinct()
-    val bf = nonTrain.select("ngram").stat
+    // the filter is built from the RAW eval gram stream — insertion is
+    // idempotent, so pre-distincting would only add a shuffle; the
+    // build is a map-side tree aggregate with zero exchanges
+    val bf = grams.filter(col("split") =!= "train").select("ngram").stat
       .bloomFilter("ngram", math.max(expectedEvalNgrams, 1L), bloomFpp)
     val pre = grams.filter(col("split") === "train")
       .filter(graft.functions.NativeExpressions.mightContain(col("ngram"), bf))
