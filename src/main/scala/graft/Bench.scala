@@ -43,9 +43,10 @@ object Bench {
       (name, if (failed) -1.0 else times.min, times)
     }
     // 3-decimal (ms) precision keeps the compact stdout line under ~2 KB
-    // for the 68-query catalog — round 2's driver capture kept only a
-    // ~2 KB tail, so full-precision doubles risk clipping the head even
-    // without the runs map
+    // (~1.7 KB at the current 70-query catalog; re-check if it grows
+    // past ~80) — round 2's driver capture kept only a ~2 KB tail, so
+    // full-precision doubles risk clipping the head even without the
+    // runs map
     val qs = results.map { case (k, v, _) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     // all runs per query, so a noisy host shows up as min<<max instead

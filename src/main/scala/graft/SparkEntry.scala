@@ -514,10 +514,6 @@ object SparkEntry {
           round(col("tfidf"), 6).as("tfidf"))
     }),
 
-    // §2.10 training-data assembly: train/eval contamination report —
-    // distinct trigrams each non-train doc shares with any train doc
-    // (inverted-index join on ngram, never doc x doc; cap None so the
-    // oracle's exact df matches — the operator default caps hot ngrams)
     // §2.10 training-data assembly: source mixture weights as
     // deterministic repetition (weight 2.5 = 2 full epochs + a
     // deterministic half-sample third; 0.25 = quarter-sample) — the
@@ -527,6 +523,10 @@ object SparkEntry {
         "source", Map("src0" -> 2.5, "src1" -> 0.25))
         .select("doc_id", "source", "epoch")),
 
+    // §2.10 training-data assembly: train/eval contamination report —
+    // distinct trigrams each non-train doc shares with any train doc
+    // (inverted-index join on ngram, never doc x doc; cap None so the
+    // oracle's exact df matches — the operator default caps hot ngrams)
     "q_contamination" -> ((s, dir) =>
       TrainingOps.crossSplitContamination(t(s, dir, "documents"),
         "doc_id", "text", n = 3, trainFrac = 0.8, valFrac = 0.1,

@@ -413,29 +413,29 @@ object NativeExpressions {
   /** Membership probe against a pre-built
     * `org.apache.spark.util.sketch.BloomFilter` (the public sketch the
     * engine's `df.stat.bloomFilter` produces). Probes the raw UTF-8
-    * bytes — byte-identical hashing to `putString`'s insertion path,
-    * with no per-row String allocation. The filter travels to executors
-    * as the expression's serialized byte image and is deserialized once
-    * per task via the transient lazy val.
+    * bytes — byte-identical hashing to the string insertion path
+    * (`bloom_filter_agg`'s StringType updater inserts
+    * `UTF8String.getBytes` via `putBinary`), with no per-row String
+    * allocation. The filter is held DIRECTLY (BloomFilterImpl is
+    * Serializable with content-based equals), so structurally equal
+    * probes canonicalize together for subexpression elimination and
+    * the plan carries exactly one copy of the payload.
     */
   def bloomMightContain(bf: org.apache.spark.util.sketch.BloomFilter,
                         s: org.apache.spark.unsafe.types.UTF8String): Boolean =
     bf.mightContainBinary(s.getBytes)
 
-  case class BloomMightContain(child: Expression, filterBytes: Array[Byte])
+  case class BloomMightContain(child: Expression,
+                               filter: org.apache.spark.util.sketch.BloomFilter)
       extends UnaryExpression {
     override def dataType: DataType = BooleanType
 
-    @transient private lazy val bf =
-      org.apache.spark.util.sketch.BloomFilter.readFrom(
-        new java.io.ByteArrayInputStream(filterBytes))
-
     override def nullSafeEval(input: Any): Any =
-      bloomMightContain(bf,
+      bloomMightContain(filter,
         input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-      val ref = ctx.addReferenceObj("graftBloom", bf,
+      val ref = ctx.addReferenceObj("graftBloom", filter,
         "org.apache.spark.util.sketch.BloomFilter")
       nullSafeCodeGen(ctx, ev, c =>
         s"${ev.value} = graft.functions.NativeExpressions.bloomMightContain($ref, $c);")
@@ -613,10 +613,6 @@ object NativeExpressions {
     ColumnBridge.column(RollingXxHash64(ColumnBridge.expression(toks)))
 
   def mightContain(s: Column,
-                   bf: org.apache.spark.util.sketch.BloomFilter): Column = {
-    val bos = new java.io.ByteArrayOutputStream()
-    bf.writeTo(bos)
-    ColumnBridge.column(BloomMightContain(
-      ColumnBridge.expression(s), bos.toByteArray))
-  }
+                   bf: org.apache.spark.util.sketch.BloomFilter): Column =
+    ColumnBridge.column(BloomMightContain(ColumnBridge.expression(s), bf))
 }

@@ -124,8 +124,8 @@ object TrainingOps {
     val all = weights.values ++ Seq(defaultWeight)
     require(all.forall(w => w >= 0 && w <= 1000),
       "weights must be in [0, 1000]")
-    require(!df.columns.contains("epoch"),
-      "column name epoch is reserved by sourceWeightedMix")
+    Seq("epoch", "__copies").foreach(r => require(!df.columns.contains(r),
+      s"column name $r is reserved by sourceWeightedMix"))
     def base(w: Double): Int = math.floor(w).toInt
     def frac(w: Double): Double = w - math.floor(w)
     // per-source constants resolve at plan time -> the whole operator
@@ -170,10 +170,27 @@ object TrainingOps {
                               trainFrac: Double = 0.8, valFrac: Double = 0.1,
                               seed: String = "split",
                               maxNgramDf: Option[Long] = Some(1000L)): DataFrame = {
-    val grams = assignSplit(docs, idCol, trainFrac, valFrac, seed)
+    val grams = splitGrams(docs, idCol, textCol, n, trainFrac, valFrac, seed)
+    contaminationReport(grams.filter(col("split") === "train"),
+      grams.filter(col("split") =!= "train"), maxNgramDf)
+  }
+
+  private def splitGrams(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int, trainFrac: Double, valFrac: Double,
+                         seed: String): DataFrame =
+    assignSplit(docs, idCol, trainFrac, valFrac, seed)
       .select(col(idCol).as("doc_id"), col("split"),
         explode(TF.ngrams(col(textCol), n)).as("ngram"))
-    val train = grams.filter(col("split") === "train")
+
+  /** The shared df-cap + inverted-index join tail of both contamination
+    * operators — ONE implementation, so the Bloom variant's
+    * output-identity contract is structural, not a maintained
+    * duplicate. `train` may be Bloom-prefiltered; semantics are
+    * unchanged either way (the per-ngram df counts of surviving
+    * n-grams are unaffected by dropping whole other n-grams).
+    */
+  private def contaminationReport(train: DataFrame, nonTrain: DataFrame,
+                                  maxNgramDf: Option[Long]): DataFrame = {
     val trainGrams = maxNgramDf match {
       // the per-doc distinct exists only to make the df count right —
       // the uncapped path goes straight to the ngram distinct (one
@@ -183,8 +200,7 @@ object TrainingOps {
         .filter(col("__df") <= cap).select("ngram")
       case None => train.select("ngram").distinct()
     }
-    grams.filter(col("split") =!= "train")
-      .select("doc_id", "split", "ngram").distinct()
+    nonTrain.select("doc_id", "split", "ngram").distinct()
       .join(trainGrams, "ngram")
       // plain count: the left side is already distinct per
       // (doc, split, ngram) and trainGrams per ngram, so the join
@@ -230,27 +246,19 @@ object TrainingOps {
                                    maxNgramDf: Option[Long] = Some(1000L),
                                    expectedEvalNgrams: Long = 1000000L,
                                    bloomFpp: Double = 0.03): DataFrame = {
-    val grams = assignSplit(docs, idCol, trainFrac, valFrac, seed)
-      .select(col(idCol).as("doc_id"), col("split"),
-        explode(TF.ngrams(col(textCol), n)).as("ngram"))
-    val nonTrain = grams.filter(col("split") =!= "train")
-      .select("doc_id", "split", "ngram").distinct()
+    val grams = splitGrams(docs, idCol, textCol, n, trainFrac, valFrac, seed)
     // the filter is built from the RAW eval gram stream — insertion is
-    // idempotent, so pre-distincting would only add a shuffle; the
-    // build is a map-side tree aggregate with zero exchanges
+    // idempotent, so pre-distincting it would add a full-data shuffle
+    // for nothing. The build itself (bloom_filter_agg) does partial
+    // aggregation per partition, then ships ONE serialized filter
+    // buffer per partition through a single-partition exchange — build
+    // cost ~ filter size x partitions, so oversizing the filter is paid
+    // per partition, not just on the driver.
     val bf = grams.filter(col("split") =!= "train").select("ngram").stat
       .bloomFilter("ngram", math.max(expectedEvalNgrams, 1L), bloomFpp)
     val pre = grams.filter(col("split") === "train")
       .filter(graft.functions.NativeExpressions.mightContain(col("ngram"), bf))
-    val trainGrams = maxNgramDf match {
-      case Some(cap) => pre.select("ngram", "doc_id").distinct()
-        .groupBy("ngram").agg(count(lit(1)).as("__df"))
-        .filter(col("__df") <= cap).select("ngram")
-      case None => pre.select("ngram").distinct()
-    }
-    nonTrain.join(trainGrams, "ngram")
-      .groupBy("doc_id", "split")
-      .agg(count(lit(1)).as("n_contaminated"))
+    contaminationReport(pre, grams.filter(col("split") =!= "train"), maxNgramDf)
   }
 
   /** Snapshot diff between two corpus versions: per document id,

@@ -63,4 +63,23 @@ class OracleCouplingSpec extends SparkTestBase {
     assert(o.contains("< 'cc'") && o.contains("< 'e6'"))
     assert(o.contains("toks[i:(i+2)]"), "trigram slice must match n=3")
   }
+
+  test("q_contamination_bloom shares q_contamination's oracle verbatim") {
+    // the Bloom variant's whole contract is output-identity — the
+    // oracles must be the SAME string, not two copies that can drift
+    assert(oracle("q_contamination_bloom") eq oracle("q_contamination"))
+  }
+
+  test("q_source_mix oracle mirrors the weights, seed, and frac thresholds") {
+    val o = oracle("q_source_mix")
+    // catalog weights {src0: 2.5, src1: 0.25, default 1.0}
+    assert(o.contains("md5('mix:'"), "seed must stay 'mix'")
+    assert(o.contains("WHEN 'src0' THEN 2") && o.contains("WHEN 'src1' THEN 0")
+      && o.contains("ELSE 1 END"), "floor-epoch CASE must match the weights")
+    assert(o.contains(f"'${math.floor(65536 * 0.5).toInt}%04x'"), // '8000'
+      "src0 frac threshold (2.5 -> .5)")
+    assert(o.contains(f"'${math.floor(65536 * 0.25).toInt}%04x'"), // '4000'
+      "src1 frac threshold (0.25)")
+    assert(o.contains("'0000'"), "default frac threshold (1.0 -> .0)")
+  }
 }
