@@ -171,8 +171,14 @@ object SimilaritySearch {
 
     // each corpus vector lives in exactly one cell and each probe
     // probes nProbe distinct cells, so (probe, neighbor) pairs are
-    // already unique — no dedup pass needed
-    val scored = probeCells.join(corpusCells, Seq("cell_id"))
+    // already unique — no dedup pass needed.
+    // The probe side is broadcast EXPLICITLY: IVF serves bounded probe
+    // batches by construction (corpus-scale self-search is srpTopK's
+    // job), and leaving the choice to size estimates let the join
+    // degrade to sort-merge on cell_id — a 64-distinct-value key, so
+    // every task sorts huge key runs (observed 8x wall-time flips at
+    // the 1M-vector stress tier before the hint).
+    val scored = broadcast(probeCells).join(corpusCells, Seq("cell_id"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"),
         VectorFunctions.cosineWithNorms(col("__pv"), col("__cv"),
