@@ -192,6 +192,26 @@ object SparkEntry {
           coalesce(try_variant_get(col("__v"), "$.missing", "string"),
             lit("")).as("missing_val"))),
 
+    // VariantType STORAGE leg: the shredded binary variant column is
+    // written to parquet and read back before field extraction — the
+    // round-trip must be value-identical to the in-memory path (same
+    // oracle as q_json_extract_variant; VariantStorageSpec pins
+    // in-memory == round-trip row-for-row). This is the lakehouse
+    // shape: parse once at ingest, store the variant, probe fields at
+    // query time without ever re-parsing text.
+    "q_variant_roundtrip" -> ((s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft-variant-rt-" +
+        Integer.toHexString(dir.hashCode)
+      t(s, dir, "events")
+        .select(col("event_id"), parse_json(col("props")).as("props_v"))
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out).select(
+        col("event_id"),
+        try_variant_get(col("props_v"), "$.k", "string").cast("long").as("k_val"),
+        coalesce(try_variant_get(col("props_v"), "$.missing", "string"),
+          lit("")).as("missing_val"))
+    }),
+
     // W1: running aggregate over unbounded-preceding frame
     "q_window_running" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
@@ -659,6 +679,20 @@ object SparkEntry {
       DedupOps.duplicateClusters(confirmed)
     }),
 
+    // §2.10 near-dup: the DISTRIBUTED connected-components tier under
+    // the same recursive-CTE oracle — driverThreshold = 0 forces the
+    // iterative min-label propagation path that 100 TB pair graphs
+    // take (the default tier would collect this tiny graph to the
+    // driver; PlanHygieneSpec asserts the two tiers' plan shapes)
+    "q_dup_clusters_dist" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 40)
+      val confirmed = DedupOps.tokenJaccardPairs(d, "doc_id", "text",
+          maxDocFreq = None)
+        .filter(col("jaccard") > 0.5)
+        .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+      DedupOps.duplicateClusters(confirmed, driverThreshold = 0L)
+    }),
+
     // §2.10 near-dup: MinHash-LSH candidate pairs (xxhash64 signatures
     // are engine-specific, so the oracle is the pinned sf0.01 fixture
     // in OracleFixtures; semantics via ScalaTest planted dups)
@@ -870,6 +904,13 @@ object SparkEntry {
          coalesce(json_extract_string(props, '$.missing'), '') AS missing_val
          FROM events""",
 
+    // storage round-trip must not change a single value: same oracle
+    "q_variant_roundtrip" ->
+      """SELECT event_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+         coalesce(json_extract_string(props, '$.missing'), '') AS missing_val
+         FROM events""",
+
     "q_window_running" ->
       """SELECT event_id, user_id, ts,
          sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -1071,6 +1112,33 @@ object SparkEntry {
          WHERE doc_id NOT IN (SELECT doc_b FROM losers)""",
 
     "q_dup_clusters" ->
+      raw"""WITH d AS (SELECT * FROM documents WHERE doc_id < 40),
+         tok AS (
+           SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+           FROM d),
+         sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+           FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         confirmed AS (
+           SELECT id_a, id_b FROM pairs
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) > 0.5),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM confirmed
+           UNION SELECT id_b, id_a FROM confirmed),
+         reach AS (
+           WITH RECURSIVE r(id, root) AS (
+             SELECT DISTINCT src, src FROM edges
+             UNION
+             SELECT e.dst, r.root FROM r JOIN edges e ON e.src = r.id)
+           SELECT * FROM r)
+         SELECT id, min(root) AS label FROM reach GROUP BY id""",
+
+    // identical oracle to q_dup_clusters: the tiers must agree exactly
+    "q_dup_clusters_dist" ->
       raw"""WITH d AS (SELECT * FROM documents WHERE doc_id < 40),
          tok AS (
            SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok

@@ -42,6 +42,20 @@ object StreamBench {
       case (p, sz) if !before.get(p).contains(sz) => sz
     }.sum
 
+  /** Spark-job counter: the fused processBatch contract is O(1) driver
+    * actions per micro-batch (<=4), independent of entity mix — this
+    * measures the actual scheduled-job count so the claim is evidence,
+    * not argument. (AQE query stages and broadcast materializations
+    * inside one action also surface as jobs, so the reported number is
+    * an upper bound on actions.)
+    */
+  private final class JobCounter extends org.apache.spark.scheduler.SparkListener {
+    val count = new java.util.concurrent.atomic.AtomicInteger(0)
+    override def onJobStart(
+        jobStart: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+      count.incrementAndGet()
+  }
+
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SB_BASE", "100000").toInt
     val nBatches = sys.env.getOrElse("SPARK_GRAFT_SB_BATCHES", "20").toInt
@@ -55,13 +69,25 @@ object StreamBench {
     // RocksDB analog: many SSTs, few touched per write batch).
     val nBuckets = sys.env.getOrElse("SPARK_GRAFT_SB_BUCKETS", "256").toInt
     val nAgents = math.max(base / 10, 1)
+    // AQE re-plans every exchange as its own stage-job with runtime
+    // statistics — worth it for 100 GB shuffles, pure scheduling
+    // overhead for a 40-row micro-batch. Off by default HERE (the
+    // streaming driver session; the batch/bench sessions keep it on):
+    // a micro-batch plan over bucketed state has nothing for AQE to
+    // re-decide, and per-batch latency is the metric.
+    val aqe = sys.env.getOrElse("SPARK_GRAFT_SB_AQE", "false")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // micro-batch exchanges carry tens-to-thousands of rows; 8
+      // reducers keeps full parallelism for the seed write while not
+      // paying 16+ task launches per exchange per batch
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel(
+      if (sys.env.contains("SPARK_GRAFT_SB_LOGINFO")) "INFO" else "WARN")
 
     val tmp = java.nio.file.Files.createTempDirectory("graft-sb").toString
     val stateDir = s"$tmp/state"
@@ -96,42 +122,61 @@ object StreamBench {
     val seedSec = (System.nanoTime() - t0) / 1e9
 
     // -------------------------------------------------- micro-batches
-    // per batch: 30 listing updates + 5 agent updates (each fans out
-    // to ~base/nAgents listings via the reverse index) + 5 media rows
-    var snap = fileSizes(Seq(stateDir, sinkDir))
-    val times = new Array[Double](nBatches)
-    val rewrites = new Array[Long](nBatches)
-    val rowsPerBatch = 40
-    for (i <- 0 until nBatches) {
-      val ts = 1000L + i
-      def pick(n: Int, salt: Int) = spark.range(n).toDF("__j")
-        .select(pmod(col("__j") * 7919 + lit(i * 104729 + salt),
-          lit(base)).as("id"))
-      val batch = listingBatch(pick(30, 0), ts)
-        .unionByName(agentBatch(pick(5, 1)
-          .select(pmod(col("id"), lit(nAgents)).as("id")), ts))
-        .unionByName(mediaBatch(pick(5, 2), ts))
-      val b0 = System.nanoTime()
-      CrmlsStream.processBatch(spark, batch, store, sink)
-      times(i) = (System.nanoTime() - b0) / 1e9
-      val cur = fileSizes(Seq(stateDir, sinkDir))
-      rewrites(i) = rewrittenBytes(snap, cur)
-      snap = cur
-    }
+    // per batch at the base 40-row mix: 30 listing updates + 5 agent
+    // updates (each fans out to ~base/nAgents listings via the reverse
+    // index) + 5 media rows — the three affected-key discovery paths.
+    // A second, 100x-larger mix (4000 rows) measures how the fixed
+    // per-job driver overhead amortizes: if rows/sec doesn't rise
+    // steeply with batch size, the pipeline is driver-bound, not
+    // data-bound.
+    val counter = new JobCounter
+    spark.sparkContext.addSparkListener(counter)
 
-    val totalBytes = snap.values.sum
-    val meanSec = times.sum / nBatches
-    val meanRewrite = rewrites.sum.toDouble / nBatches
-    val json =
-      f"""{"seed_listings":$base,"seed_sec":$seedSec%.1f,""" +
-        f""""buckets":$nBuckets,""" +
-        f""""batches":$nBatches,"rows_per_batch":$rowsPerBatch,""" +
+    def runMix(listingRows: Int, agentRows: Int, mediaRows: Int,
+               saltBase: Int): String = {
+      val rowsPerBatch = listingRows + agentRows + mediaRows
+      var snap = fileSizes(Seq(stateDir, sinkDir))
+      val times = new Array[Double](nBatches)
+      val rewrites = new Array[Long](nBatches)
+      val jobs = new Array[Int](nBatches)
+      for (i <- 0 until nBatches) {
+        val ts = 1000L + saltBase + i
+        def pick(n: Int, salt: Int) = spark.range(n).toDF("__j")
+          .select(pmod(col("__j") * 7919 + lit(i * 104729 + salt + saltBase),
+            lit(base)).as("id"))
+        val batch = listingBatch(pick(listingRows, 0), ts)
+          .unionByName(agentBatch(pick(agentRows, 1)
+            .select(pmod(col("id"), lit(nAgents)).as("id")), ts))
+          .unionByName(mediaBatch(pick(mediaRows, 2), ts))
+        val j0 = counter.count.get()
+        val b0 = System.nanoTime()
+        CrmlsStream.processBatch(spark, batch, store, sink)
+        times(i) = (System.nanoTime() - b0) / 1e9
+        jobs(i) = counter.count.get() - j0
+        val cur = fileSizes(Seq(stateDir, sinkDir))
+        rewrites(i) = rewrittenBytes(snap, cur)
+        snap = cur
+      }
+      val totalBytes = snap.values.sum
+      val meanSec = times.sum / nBatches
+      val meanRewrite = rewrites.sum.toDouble / nBatches
+      f""""batches":$nBatches,"rows_per_batch":$rowsPerBatch,""" +
         f""""mean_batch_sec":$meanSec%.3f,""" +
         f""""batches_per_sec":${1.0 / meanSec}%.3f,""" +
         f""""rows_per_sec":${rowsPerBatch / meanSec}%.0f,""" +
+        f""""mean_jobs_per_batch":${jobs.sum.toDouble / nBatches}%.1f,""" +
         f""""mean_rewritten_mb_per_batch":${meanRewrite / 1e6}%.1f,""" +
         f""""total_state_mb":${totalBytes / 1e6}%.1f,""" +
-        f""""rewrite_fraction":${meanRewrite / totalBytes}%.3f}"""
+        f""""rewrite_fraction":${meanRewrite / totalBytes}%.3f"""
+
+    }
+
+    val small = runMix(30, 5, 5, saltBase = 0)
+    val large = runMix(3000, 500, 500, saltBase = 7001)
+    val json =
+      f"""{"seed_listings":$base,"seed_sec":$seedSec%.1f,""" +
+        f""""buckets":$nBuckets,""" + small +
+        s""","large_batch":{$large}}"""
     println(s"[streambench] $json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

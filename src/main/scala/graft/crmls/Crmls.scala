@@ -81,6 +81,21 @@ object Crmls {
   private val envelopeLongCols =
     Seq("uc_created_ts", "uc_valid_day", "uc_valid_ts")
 
+  /** The exact output schema of [[project]] for an entity, statically.
+    * Lets state readers pass an explicit schema (no parquet footer
+    * inference job per micro-batch) — CrmlsSpec pins it equal to
+    * `project(...).schema` so the two can never drift.
+    */
+  def projectionSchema(spec: EntitySpec): StructType = StructType(
+    // the coalesce-to-"" string columns analyze as non-nullable; the
+    // long casts and get_json_object extras stay nullable
+    StructField(spec.prefix + "data", StringType, nullable = false) +:
+      (envelopeStringCols.map(c =>
+        StructField(spec.prefix + c, StringType, nullable = false)) ++
+        envelopeLongCols.map(c => StructField(spec.prefix + c, LongType)) ++
+        spec.extraKeys.map { case (_, name) =>
+          StructField(spec.prefix + name, StringType) }))
+
   /** One synthetic CRMLS envelope as a codegen'd JSON column — the
     * inverse of [[project]] for harnesses/benches that need to PRODUCE
     * envelopes (nested `to_json`: the inner call renders the `data`

@@ -147,7 +147,9 @@ object SimilaritySearch {
     */
   def ivfTopK(probes: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, nCells: Int = 16,
-              nProbe: Int = 4, refineIters: Int = 0): DataFrame = {
+              nProbe: Int = 4, refineIters: Int = 0,
+              maxBroadcastBytes: Option[Long] = None,
+              saltFactor: Int = 8): DataFrame = {
     val cents = refineCentroids(corpus, idCol, vecCol,
       centroidLiterals(corpus, idCol, vecCol, nCells).toSeq, refineIters)
 
@@ -172,13 +174,41 @@ object SimilaritySearch {
     // each corpus vector lives in exactly one cell and each probe
     // probes nProbe distinct cells, so (probe, neighbor) pairs are
     // already unique — no dedup pass needed.
-    // The probe side is broadcast EXPLICITLY: IVF serves bounded probe
-    // batches by construction (corpus-scale self-search is srpTopK's
-    // job), and leaving the choice to size estimates let the join
-    // degrade to sort-merge on cell_id — a 64-distinct-value key, so
-    // every task sorts huge key runs (observed 8x wall-time flips at
-    // the 1M-vector stress tier before the hint).
-    val scored = broadcast(probeCells).join(corpusCells, Seq("cell_id"))
+    //
+    // Join strategy is a TWO-TIER choice made at plan time from the
+    // probe side's size estimate (no extra job):
+    //
+    //  - bounded probe batches (the normal IVF serving shape) are
+    //    broadcast EXPLICITLY: leaving the choice to size estimates
+    //    let the join degrade to sort-merge on cell_id — a
+    //    64-distinct-value key, so every task sorts huge key runs
+    //    (observed 8x wall-time flips at the 1M-vector stress tier
+    //    before the hint).
+    //  - probe sides past the broadcast threshold take a SALTED
+    //    shuffled-hash join instead of OOMing the driver: the corpus
+    //    side salts on hash(neighbor_id) % saltFactor and the probe
+    //    side replicates per salt, widening the join key to
+    //    (cell_id, salt) — nCells x saltFactor distinct keys, so the
+    //    exchange actually parallelizes despite the low-cardinality
+    //    cell key, and each pair still matches exactly once. Degrades
+    //    predictably: cost grows with |P| x saltFactor replication,
+    //    never with driver memory.
+    val threshold = maxBroadcastBytes.getOrElse(
+      try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        probes.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+      catch { case scala.util.control.NonFatal(_) => 10L << 20 })
+    val probeEstimate =
+      probeCells.queryExecution.optimizedPlan.stats.sizeInBytes
+    val scored = (if (threshold >= 0 && probeEstimate <= threshold) {
+      broadcast(probeCells).join(corpusCells, Seq("cell_id"))
+    } else {
+      val saltedCorpus = corpusCells.withColumn("__salt",
+        pmod(xxhash64(col("neighbor_id")), lit(saltFactor)).cast("int"))
+      val saltedProbes = probeCells.withColumn("__salt",
+        explode(typedlit((0 until saltFactor).toSeq)))
+      saltedProbes.hint("shuffle_hash")
+        .join(saltedCorpus, Seq("cell_id", "__salt"))
+    })
       .filter(col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"),
         VectorFunctions.cosineWithNorms(col("__pv"), col("__cv"),

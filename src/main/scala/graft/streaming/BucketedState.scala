@@ -3,6 +3,7 @@ package graft.streaming
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Hash-bucketed parquet state directory: the incremental-maintenance
   * substrate behind [[CrmlsStream.StateStore]] and
@@ -69,19 +70,29 @@ object BucketedState {
   }
 
   /** Read only the given buckets' current rows (None if none exist —
-    * e.g. the very first batch).
+    * e.g. the very first batch). Pass `schema` when the table's shape is
+    * statically known: it skips parquet footer schema inference — a
+    * per-read driver job that dominates micro-batch latency when every
+    * batch re-opens several state tables. Files carrying extra columns
+    * (the union-schema writes of [[overwriteEntityBuckets]]) are
+    * column-pruned to the schema; files missing a schema column read it
+    * as null.
     */
-  def readBuckets(spark: SparkSession, dir: String,
-                  buckets: Seq[Int]): Option[DataFrame] = {
+  def readBuckets(spark: SparkSession, dir: String, buckets: Seq[Int],
+                  schema: Option[StructType] = None): Option[DataFrame] = {
     recover(dir)
-    val existing = buckets.filter(b => Files.exists(bucketDir(dir, b)))
+    val existing = buckets.distinct.filter(b => Files.exists(bucketDir(dir, b)))
     if (existing.isEmpty) None
-    else Some(spark.read.parquet(existing.map(b => bucketDir(dir, b).toString): _*))
+    else {
+      val reader = schema.fold(spark.read)(s => spark.read.schema(s))
+      Some(reader.parquet(existing.map(b => bucketDir(dir, b).toString): _*))
+    }
   }
 
   /** Full-state read across every bucket. */
-  def readAll(spark: SparkSession, dir: String): Option[DataFrame] =
-    readBuckets(spark, dir, listBuckets(dir))
+  def readAll(spark: SparkSession, dir: String,
+              schema: Option[StructType] = None): Option[DataFrame] =
+    readBuckets(spark, dir, listBuckets(dir), schema)
 
   private def deleteRecursively(p: Path): Unit = {
     val f = p.toFile
@@ -102,7 +113,11 @@ object BucketedState {
     recover(dir)
     val tmp = Paths.get(dir, ".inflight")
     deleteRecursively(tmp)
+    // repartition on the bucket column => each bucket dir gets exactly
+    // ONE file (the RocksDB-SST analog); without it every shuffle task
+    // contributes a file per bucket and state reads drown in tiny files
     merged.filter(col(BucketColName).isin(touched: _*))
+      .repartition(col(BucketColName))
       .write.partitionBy(BucketColName).mode("overwrite").parquet(tmp.toString)
     touched.foreach { b =>
       val fresh = tmp.resolve(s"$BucketColName=$b")
@@ -110,15 +125,73 @@ object BucketedState {
       // only if the merge genuinely emitted nothing for it — in the
       // upsert flows every touched bucket retains >=1 row per key, so
       // a missing partition dir means "no change", not "delete all"
-      if (Files.exists(fresh)) {
-        val live = bucketDir(dir, b)
-        val trash = Paths.get(dir, s".old_bucket_$b")
-        deleteRecursively(trash)
-        if (Files.exists(live))
-          Files.move(live, trash, StandardCopyOption.ATOMIC_MOVE)
-        Files.move(fresh, live, StandardCopyOption.ATOMIC_MOVE)
-        deleteRecursively(trash)
-      }
+      if (Files.exists(fresh)) swapIn(dir, b, fresh)
+    }
+    deleteRecursively(tmp)
+  }
+
+  /** Promote a freshly-written bucket dir to live via the two-rename
+    * swap (live -> trash, fresh -> live) that [[recover]] can heal.
+    */
+  private def swapIn(dir: String, b: Int, fresh: Path): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    val live = bucketDir(dir, b)
+    val trash = Paths.get(dir, s".old_bucket_$b")
+    deleteRecursively(trash)
+    if (Files.exists(live))
+      Files.move(live, trash, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(fresh, live, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(trash)
+  }
+
+  val EntityColName = "__entity"
+
+  /** Multi-table variant of [[overwriteBuckets]]: `merged` carries an
+    * [[EntityColName]] column naming the sub-table (state dir
+    * `$rootDir/$entity/bucket_N`) next to [[BucketColName]], and ONE
+    * dynamic-partition write job covers every (entity, bucket) this
+    * batch touches — the fused alternative to one write job per state
+    * table, which is what makes a micro-batch driver-job-bound at
+    * scale. `touched` lists the buckets eligible for the rename swap
+    * per entity; partitions outside it are discarded with the inflight
+    * dir, and a touched bucket whose merge emitted no rows keeps its
+    * old content (same contract as [[overwriteBuckets]]).
+    */
+  def overwriteEntityBuckets(spark: SparkSession, rootDir: String,
+                             merged: DataFrame,
+                             touched: Map[String, Seq[Int]]): Unit = {
+    if (touched.isEmpty) return
+    writeEntityInflight(spark, rootDir, merged, touched)
+    promoteEntityBuckets(rootDir, touched)
+  }
+
+  /** Phase 1 of [[overwriteEntityBuckets]]: the one dynamic-partition
+    * write job into `.inflight`. Touches NO live file, so it can run
+    * concurrently with readers of the current state generation.
+    */
+  def writeEntityInflight(spark: SparkSession, rootDir: String,
+                          merged: DataFrame,
+                          touched: Map[String, Seq[Int]]): Unit = {
+    touched.keys.foreach(e => recover(s"$rootDir/$e"))
+    Files.createDirectories(Paths.get(rootDir))
+    val tmp = Paths.get(rootDir, ".inflight")
+    deleteRecursively(tmp)
+    merged.repartition(col(EntityColName), col(BucketColName))
+      .write.partitionBy(EntityColName, BucketColName)
+      .mode("overwrite").parquet(tmp.toString)
+  }
+
+  /** Phase 2: driver-side rename swaps promoting the inflight
+    * partitions to live. MUST run only after every reader of the
+    * previous generation has finished — a path-based file open after
+    * the swap would miss.
+    */
+  def promoteEntityBuckets(rootDir: String,
+                           touched: Map[String, Seq[Int]]): Unit = {
+    val tmp = Paths.get(rootDir, ".inflight")
+    for ((e, bs) <- touched; b <- bs.distinct) {
+      val fresh = tmp.resolve(s"$EntityColName=$e").resolve(s"$BucketColName=$b")
+      if (Files.exists(fresh)) swapIn(s"$rootDir/$e", b, fresh)
     }
     deleteRecursively(tmp)
   }

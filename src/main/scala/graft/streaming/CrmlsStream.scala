@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import graft.crmls.Crmls
 import graft.operators.LatestVersion
 
@@ -30,6 +31,36 @@ import graft.operators.LatestVersion
   *     world, the same observable behavior as Flink's retract stream
   *     (new row supersedes old by l_uc_pk).
   *
+  * Driver-job budget — the 100 TB latency constraint: a micro-batch
+  * driver that schedules one Spark action per entity per sub-step is
+  * the pipeline's bottleneck long before the data is (the reference
+  * runs ONE continuously-scheduled dataflow; the micro-batch analog
+  * must keep its per-batch job count O(1), not O(entities)). The whole
+  * of [[processBatch]] is therefore FOUR actions, independent of how
+  * many entities the batch touches:
+  *
+  *   J1  discovery — one aggregation over the tagged batch computing
+  *       every touched-bucket set at once: per-entity state buckets,
+  *       reverse-index write buckets, and (for listing/media/history
+  *       deltas) the directly-affected listing + sink buckets.
+  *   J2  state write — the six argmax merges AND the reverse-index
+  *       set-merge union into ONE frame (canonical union schema,
+  *       entity discriminator column) written by ONE dynamic-partition
+  *       job; the driver then rename-swaps exactly the touched
+  *       (entity, bucket) dirs ([[BucketedState.overwriteEntityBuckets]]).
+  *   J3  (only when a dimension delta is present) affected-key
+  *       discovery — bucket-pruned reverse-index lookup joined to the
+  *       dim delta keys; collects just the affected listings' state +
+  *       sink BUCKET ids, never the keys themselves.
+  *   J4  re-join + sink upsert — affected listing buckets, semi-joined
+  *       to the affected keys, through the 11-way join against the
+  *       current dim states, merged into the sink's touched buckets
+  *       (precomputed in J1/J3, so the sink schedules no discovery
+  *       action of its own).
+  *
+  * All state reads pass static schemas ([[Crmls.projectionSchema]]) —
+  * zero parquet-inference jobs.
+  *
   * At 100 TB: every state table is hash-bucketed ([[BucketedState]]);
   * a batch WRITES only the buckets its keys touch, and step 3 READS
   * only the index/listing buckets its delta keys hash to — per-batch
@@ -47,6 +78,83 @@ object CrmlsStream {
     "l_co_list_office_key", "l_co_buyer_office_key",
     "l_listing_key")
 
+  /** Reverse-index sub-table name and schema: (ref_col, ref_val) ->
+    * l_uc_pk, bucketed by ref_val. Entries are append-only: when a
+    * listing's reference CHANGES, the stale entry survives and can only
+    * cause a harmless false-positive re-join of that listing.
+    */
+  private val IdxName = "listing_ref_idx"
+  private val IdxSchema = StructType(Seq(
+    StructField("ref_col", StringType), StructField("ref_val", StringType),
+    StructField("l_uc_pk", StringType)))
+
+  /** Which listing delta columns are candidate listing pks directly
+    * (media/history reference the listing PK itself, so their delta
+    * keys ARE candidate pks — nonexistent ones drop in the semi-join).
+    */
+  private val DirectPkSources: Seq[(String, String)] = Seq(
+    "listings" -> "l_uc_pk",
+    "media" -> "m_resource_record_key",
+    "history" -> "h_resource_record_key")
+
+  /** Dimension entities whose updates fan out to listings via the
+    * reverse index: (entity, delta key column, index ref_cols).
+    */
+  private val DimLookups: Seq[(String, String, Seq[String])] = Seq(
+    ("agents", "a_uc_pk", Seq(
+      "l_list_agent_key", "l_buyer_agent_key",
+      "l_co_list_agent_key", "l_co_buyer_agent_key")),
+    ("openhouses", "o_listing_key", Seq("l_listing_key")),
+    ("offices", "ofc_uc_pk", Seq(
+      "l_list_office_key", "l_buyer_office_key",
+      "l_co_list_office_key", "l_co_buyer_office_key")))
+
+  /** Union schema over the six entity projections + the reverse index
+    * (first occurrence wins on shared names — `l_uc_pk` is shared by
+    * design). Every J2 write emits exactly these columns, so state
+    * files have ONE physical schema regardless of which entities a
+    * batch touched; per-entity reads column-prune back down to the
+    * entity's own fields.
+    */
+  private lazy val canonicalFields: Seq[StructField] = {
+    val all = Crmls.allEntities.flatMap(s => Crmls.projectionSchema(s).fields) ++
+      IdxSchema.fields
+    all.foldLeft(Vector.empty[StructField]) { (acc, f) =>
+      if (acc.exists(_.name == f.name)) acc else acc :+ f
+    }
+  }
+
+  private def canonicalize(df: DataFrame, entity: String,
+                           bucket: Column): DataFrame = {
+    val have = df.columns.toSet
+    df.select(
+      lit(entity).as(BucketedState.EntityColName) +:
+        bucket.as(BucketedState.BucketColName) +:
+        canonicalFields.map(f =>
+          (if (have(f.name)) col(f.name)
+           else lit(null).cast(f.dataType)).as(f.name)): _*)
+  }
+
+  private def emptyOf(spark: SparkSession, schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+
+  /** Driver-tier cap for the reverse-index probe: past this many index
+    * rows the affected-key resolution falls back to a distributed join.
+    */
+  private val DriverAffectedMaxRows: Int = 100000
+
+  /** Bucket ids of a bounded key list, computed WITHOUT a job: the
+    * projection over a local relation folds at optimize time, so the
+    * same xxhash64-based bucket expression the state was written with
+    * evaluates driver-side (never reimplement the hash on the JVM side
+    * — drift between the two would silently read wrong buckets).
+    */
+  private def localBuckets(spark: SparkSession, vals: Seq[String],
+                           n: Int): Seq[Int] =
+    spark.createDataset(vals)(org.apache.spark.sql.Encoders.STRING).toDF("v")
+      .select(BucketedState.bucketOf(col("v"), n).as("b"))
+      .collect().map(_.getInt(0)).distinct.sorted
+
   /** Latest-state storage abstraction: hash-bucketed parquet dirs for
     * tests/local ([[BucketedState]]), MERGE-capable table format in
     * production. A batch rewrites only the buckets containing its keys
@@ -54,14 +162,101 @@ object CrmlsStream {
     * (CRMLSJoiner.scala:57-59), and untouched buckets' files stay
     * byte-identical.
     */
-  final class StateStore(spark: SparkSession, dir: String,
-                         nBuckets: Int = 16) extends Serializable {
-    private def path(entity: String) = s"$dir/$entity"
+  final class StateStore(spark: SparkSession,
+                         private[streaming] val dir: String,
+                         private[streaming] val nBuckets: Int = 16)
+      extends Serializable {
+    private[streaming] def path(entity: String) = s"$dir/$entity"
 
     def read(entity: String): Option[DataFrame] =
       BucketedState.readAll(spark, path(entity))
 
-    /** Argmax-merge a delta into the entity's latest-state table.
+    /** Cross-batch snapshot cache for the DIMENSION states: the 11-way
+      * join broadcasts each dim once per role per batch, and without a
+      * cache every broadcast build re-lists and re-scans the entity's
+      * whole bucket tree — that, not the join itself, dominated
+      * micro-batch latency. A snapshot is served until a write touches
+      * the entity. Dims at or under [[LocalSnapshotMaxRows]] are held
+      * as driver-local relations — their broadcast builds then run
+      * entirely driver-side, scheduling ZERO tasks per batch (the
+      * RocksDB-resident-dim analog); larger dims fall back to a
+      * persisted distributed snapshot. A dim too big for either would
+      * already be past broadcastability, which is the real scale limit
+      * of the join shape (Crmls.joinAll's documented fallback drops
+      * the hint).
+      */
+    @transient private lazy val snapshots =
+      scala.collection.mutable.Map.empty[String, Either[Array[Row], DataFrame]]
+
+    private[streaming] val LocalSnapshotMaxRows: Int = 200000
+
+    private def localDf(rows: Array[Row],
+                        schema: StructType): DataFrame =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+
+    private[streaming] def cachedReadAll(
+        entity: String, schema: StructType): Option[DataFrame] =
+      synchronized {
+        snapshots.get(entity) match {
+          case Some(Left(rows)) => Some(localDf(rows, schema))
+          case Some(Right(df)) => Some(df)
+          case None =>
+            BucketedState.readAll(spark, path(entity), Some(schema)).map { df =>
+              val probe = df.limit(LocalSnapshotMaxRows + 1).collect()
+              if (probe.length <= LocalSnapshotMaxRows) {
+                snapshots(entity) = Left(probe)
+                localDf(probe, schema)
+              } else {
+                val p = df.persist()
+                snapshots(entity) = Right(p)
+                p
+              }
+            }
+        }
+      }
+
+    /** In-place refresh of a LOCAL snapshot after a batch merged
+      * `touchedBuckets`: untouched rows are kept (filtered driver-side
+      * — a LocalRelation filter folds at optimize time, no job) and the
+      * touched buckets' new content is collected from the lazy merged
+      * frame (one small job over only those buckets). Returns true when
+      * refreshed; false means there was no local snapshot to maintain
+      * (caller should invalidate instead). Avoids re-probing the whole
+      * bucket tree every batch for a dim that changes by a handful of
+      * keys.
+      */
+    private[streaming] def tryRefreshLocal(
+        entity: String, schema: StructType, touchedBuckets: Seq[Int],
+        keyCol: org.apache.spark.sql.Column, merged: DataFrame): Boolean =
+      synchronized {
+        snapshots.get(entity) match {
+          case Some(Left(rows)) =>
+            val untouched = localDf(rows, schema)
+              .filter(!BucketedState.bucketOf(keyCol, nBuckets)
+                .isin(touchedBuckets: _*))
+              .collect()
+            val fresh = merged.collect()
+            if (untouched.length + fresh.length <= LocalSnapshotMaxRows) {
+              snapshots(entity) = Left(untouched ++ fresh)
+              true
+            } else { snapshots.remove(entity); false }
+          case _ => false
+        }
+      }
+
+    /** Drop (and unpersist) a cached snapshot — MUST NOT run while a
+      * reader of the current generation is in flight.
+      */
+    private[streaming] def invalidate(entity: String): Unit = synchronized {
+      snapshots.remove(entity).foreach {
+        case Right(df) => df.unpersist()
+        case Left(_) => ()
+      }
+    }
+
+    /** Argmax-merge a delta into the entity's latest-state table
+      * (standalone single-table form; [[processBatch]] fuses all its
+      * merges into one write instead — see the J2 job note above).
       *
       * Tie note: state tables keep exactly ONE row per key
       * (`latestOne`, keyed tiebreak), where the reference's batch dedup
@@ -71,16 +266,7 @@ object CrmlsStream {
       */
     def upsertLatest(entity: String, delta: DataFrame, keyCol: String,
                      tsCol: String): DataFrame = {
-      import org.apache.spark.sql.functions.col
-      // deterministic tie resolution: newer batch wins over existing
-      // state; within one batch, ties fall to a content-hash order —
-      // never to shuffle arrival order (task retries must converge).
-      def tagged(df: DataFrame, isNew: Int) = df.withColumn("__tie",
-        org.apache.spark.sql.functions.struct(
-          org.apache.spark.sql.functions.lit(isNew),
-          org.apache.spark.sql.functions.xxhash64(
-            org.apache.spark.sql.functions.struct(df.columns.map(
-              org.apache.spark.sql.functions.col): _*))))
+      invalidate(entity)
       val cached = delta.cache()
       try {
         // which buckets does this batch touch? (one tiny job; the delta
@@ -90,8 +276,8 @@ object CrmlsStream {
           .distinct().collect().map(_.getInt(0)).toSeq.sorted
         // merge against ONLY the touched buckets' current rows
         val merged = BucketedState.readBuckets(spark, path(entity), touched) match {
-          case Some(cur) => tagged(cur, 0).unionByName(tagged(cached, 1))
-          case None => tagged(cached, 1)
+          case Some(cur) => tieTagged(cur, 0).unionByName(tieTagged(cached, 1))
+          case None => tieTagged(cached, 1)
         }
         val latest = LatestVersion.latestOne(
           merged, keyCol, tsCol, tiebreakCol = "__tie").drop("__tie")
@@ -101,44 +287,18 @@ object CrmlsStream {
       } finally cached.unpersist()
       read(entity).get
     }
-
-    /** Set-merge a delta into a bucketed table (distinct rows, no
-      * timestamp semantics) — used for secondary-index state.
-      */
-    def upsertSet(entity: String, delta: DataFrame, bucketKeyCol: String): Unit = {
-      import org.apache.spark.sql.functions.col
-      val cached = delta.cache()
-      try {
-        val touched = cached
-          .select(BucketedState.bucketOf(col(bucketKeyCol), nBuckets).as("__b"))
-          .distinct().collect().map(_.getInt(0)).toSeq.sorted
-        val merged = (BucketedState.readBuckets(spark, path(entity), touched) match {
-          case Some(cur) => cur.unionByName(cached)
-          case None => cached
-        }).distinct()
-          .withColumn(BucketedState.BucketColName,
-            BucketedState.bucketOf(col(bucketKeyCol), nBuckets))
-        BucketedState.overwriteBuckets(spark, path(entity), merged, touched)
-      } finally cached.unpersist()
-    }
-
-    /** Bucket-pruned read: only the buckets that could contain the
-      * given key values (the state's bucket column must be the same
-      * expression the table was written with). At scale this is the
-      * difference between probing a few index buckets and scanning the
-      * whole state table per micro-batch.
-      */
-    def readForKeys(entity: String, keys: DataFrame,
-                    keyCol: String): Option[DataFrame] = {
-      import org.apache.spark.sql.functions.col
-      val touched = keys
-        .select(BucketedState.bucketOf(col(keyCol), nBuckets).as("__b"))
-        .distinct().collect().map(_.getInt(0)).toSeq
-      BucketedState.readBuckets(spark, path(entity), touched)
-    }
   }
 
-  /** Per-batch merge + affected-key re-join + upsert. Factored out of
+  /** Deterministic merge-tie tag: newer batch wins over existing state;
+    * within one batch, ties fall to a content-hash order — never to
+    * shuffle arrival order (task retries must converge).
+    */
+  private def tieTagged(df: DataFrame, isNew: Int): DataFrame =
+    df.withColumn("__tie",
+      struct(lit(isNew), xxhash64(struct(df.columns.map(col): _*))))
+
+  /** Per-batch merge + affected-key re-join + upsert — four Spark
+    * actions total (see the job-budget scaladoc above). Factored out of
     * the streaming query so batch tests can drive it directly.
     *
     * @param taggedBatch columns: entity (string), value (envelope JSON)
@@ -146,104 +306,249 @@ object CrmlsStream {
   def processBatch(spark: SparkSession, taggedBatch: DataFrame,
                    store: StateStore, sink: UpsertJoin.UpsertSink): Unit = {
     import Crmls._
-    val specs = allEntities.map(s => s.name -> s).toMap
-    val cached = taggedBatch.cache()
+    val profile = sys.env.contains("SPARK_GRAFT_SB_PROFILE")
+    var t0 = System.nanoTime()
+    def mark(phase: String): Unit = if (profile) {
+      val t1 = System.nanoTime()
+      println(f"[profile] $phase%-12s ${(t1 - t0) / 1e9}%6.2fs")
+      t0 = t1
+    }
+    val storeN = store.nBuckets
+    // a micro-batch is tiny relative to its source partitioning (a
+    // unioned multi-topic stream easily carries 40 rows in 40+
+    // partitions) and every J1 discovery branch re-scans it — coalesce
+    // first or task-launch count, not data, dominates the batch
+    val cached = taggedBatch.coalesce(1).cache()
     val scratch = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try {
-      // one action to learn which entities this batch touches (not six
-      // per-entity isEmpty probes — driver round-trips per micro-batch
-      // are the latency floor of the whole pipeline)
-      val present = cached.select("entity").distinct()
-        .collect().map(_.getString(0)).toSet
-      // 1-2. project + merge each entity's delta into latest-state
-      val deltas: Map[String, DataFrame] = specs.flatMap { case (name, spec) =>
-        if (!present.contains(name)) None
+      val deltas: Map[String, DataFrame] = allEntities.map(s =>
+        s.name -> project(
+          cached.filter(col("entity") === s.name).select("value"), s)).toMap
+
+      def directKeys(name: String, keyCol: String): DataFrame =
+        deltas(name).select(col(keyCol).as("l_uc_pk"))
+          .filter(col("l_uc_pk").isNotNull)
+
+      val refEntries = deltas("listings").select(col("l_uc_pk"),
+          explode(array(ListingRefCols.map(c =>
+            struct(lit(c).as("ref_col"), col(c).as("ref_val"))): _*)).as("r"))
+        .select(col("r.ref_col"), col("r.ref_val"), col("l_uc_pk"))
+        .filter(col("ref_val").isNotNull)
+
+      // ---- J1: ONE discovery aggregation for every touched-bucket set
+      // AND the (bounded) key values the driver tier needs: direct
+      // candidate pks and dim delta keys ride the same collect, so no
+      // later step schedules a job just to learn a key list
+      def tb(tag: String, df: DataFrame, key: Column, n: Int) =
+        df.select(lit(tag).as("t"), BucketedState.bucketOf(key, n).as("b"),
+          lit(null).cast("string").as("v"))
+      def tv(tag: String, df: DataFrame, value: Column) =
+        df.select(lit(tag).as("t"), lit(null).cast("int").as("b"),
+          value.as("v"))
+      val discovery =
+        allEntities.map(s => tb(s.name, deltas(s.name), col(s.dedupKeyCol), storeN)) ++
+          Seq(tb(IdxName, refEntries, col("ref_val"), storeN)) ++
+          DirectPkSources.map { case (n, k) =>
+            tv("__pk", directKeys(n, k), col("l_uc_pk")) } ++
+          DimLookups.map { case (n, k, _) =>
+            tv("__dim:" + n,
+              deltas(n).select(col(k).as("__k")).filter(col("__k").isNotNull),
+              col("__k")) }
+      val discRows = discovery.reduce(_ unionByName _).distinct().collect()
+      val touched: Map[String, Seq[Int]] = discRows.filter(!_.isNullAt(1))
+        .groupBy(_.getString(0))
+        .map { case (t, rs) => t -> rs.map(_.getInt(1)).toSeq.sorted }
+      val directPks: Seq[String] = discRows
+        .filter(r => r.getString(0) == "__pk" && !r.isNullAt(2))
+        .map(_.getString(2)).toSeq
+      val dimKeys: Map[String, Set[String]] = discRows
+        .filter(_.getString(0).startsWith("__dim:"))
+        .groupBy(_.getString(0).stripPrefix("__dim:"))
+        .map { case (n, rs) => n -> rs.map(_.getString(2)).toSet }
+      val present = allEntities.map(_.name).filter(touched.contains)
+      mark("J1:discover")
+      if (present.isEmpty) return
+
+      // ---- merged latest-state frames per present entity: LAZY plans
+      // over the PRE-write file generation. Both the persistence write
+      // (J2) and the re-join (J4) consume these, which is what lets
+      // the two jobs run CONCURRENTLY — neither reads anything the
+      // other mutates (the inflight write creates new files only;
+      // bucket promotion waits for both).
+      val specByName = allEntities.map(s => s.name -> s).toMap
+      val mergedByName: Map[String, DataFrame] = present.map { name =>
+        val spec = specByName(name)
+        val schema = projectionSchema(spec)
+        val all = BucketedState.readBuckets(
+            spark, store.path(name), touched(name), Some(schema)) match {
+          case Some(cur) => tieTagged(cur, 0).unionByName(tieTagged(deltas(name), 1))
+          case None => tieTagged(deltas(name), 1)
+        }
+        name -> LatestVersion.latestOne(all, spec.dedupKeyCol,
+          spec.prefix + "uc_created_ts", tiebreakCol = "__tie").drop("__tie")
+      }.toMap
+      val entityBranches = present.map { name =>
+        val spec = specByName(name)
+        canonicalize(mergedByName(name), name,
+          BucketedState.bucketOf(col(spec.dedupKeyCol), storeN))
+      }
+      val idxBranch = touched.get(IdxName).map { idxTouched =>
+        val merged = (BucketedState.readBuckets(
+            spark, store.path(IdxName), idxTouched, Some(IdxSchema)) match {
+          case Some(cur) => cur.unionByName(refEntries)
+          case None => refEntries
+        }).distinct()
+        canonicalize(merged, IdxName,
+          BucketedState.bucketOf(col("ref_val"), storeN))
+      }
+      val touchedByEntity = (present.map(n => n -> touched(n)) ++
+        idxBranch.map(_ => IdxName -> touched(IdxName))).toMap
+
+      // ---- J3 (dims only): affected listing pks = direct + reverse-
+      // index fan-out, resolved against the PRE-write index. Equivalent
+      // to post-write: the entries this batch adds come from its own
+      // listing delta, and those listings are already in the direct set.
+      //
+      // TIERED like duplicateClusters: the normal case collects only
+      // the PROBED index buckets (bounded: |dim delta keys| buckets,
+      // each 1/nBuckets of the index) and resolves the fan-out
+      // driver-side — the affected set then rides the plan as a local
+      // relation, so its broadcast and both bucket computations
+      // schedule ZERO jobs. A probe past DriverAffectedMaxRows falls
+      // back to the distributed lookup join, degrading to one extra
+      // job, never to driver memory.
+      val dims = DimLookups.filter(d => present.contains(d._1))
+      val affectedLocalPks: Option[Seq[String]] =
+        if (dims.isEmpty) Some(directPks.distinct)
         else {
-          val raw = cached.filter(col("entity") === name).select("value")
-          val projected = project(raw, spec)
-          store.upsertLatest(name, projected, spec.dedupKeyCol,
-            spec.prefix + "uc_created_ts")
-          Some(name -> projected)
+          val lookupBuckets = dims.flatMap(d => touched(d._1)).distinct
+          BucketedState.readBuckets(spark, store.path(IdxName),
+              lookupBuckets, Some(IdxSchema)) match {
+            case None => Some(directPks.distinct)
+            case Some(idx) =>
+              val probe = idx.limit(DriverAffectedMaxRows + 1).collect()
+              if (probe.length > DriverAffectedMaxRows) None
+              else {
+                val fanout = dims.flatMap { case (name, _, refCols) =>
+                  val keys = dimKeys.getOrElse(name, Set.empty)
+                  val rc = refCols.toSet
+                  probe.iterator
+                    .filter(r => rc.contains(r.getString(0)) &&
+                      keys.contains(r.getString(1)))
+                    .map(_.getString(2))
+                }
+                Some((directPks ++ fanout).distinct)
+              }
+          }
         }
-      }
-      if (deltas.isEmpty) return
-
-      def state(spec: Crmls.EntitySpec): DataFrame =
-        store.read(spec.name).getOrElse(
-          project(spark.emptyDataset[String](
-            org.apache.spark.sql.Encoders.STRING).toDF("value"), spec))
-
-      // 2b. maintain the listing reference index: (ref_col, ref_val) ->
-      // l_uc_pk for every dimension-join column. The index is bucketed
-      // by ref_val, so a dimension delta's reverse lookup reads only
-      // the buckets its keys hash to — never the full listing state.
-      // Entries are append-only: when a listing's reference CHANGES,
-      // the stale entry survives and can only cause a harmless
-      // false-positive re-join of that listing.
-      deltas.get("listings").foreach { ld =>
-        val refEntries = ld.select(col("l_uc_pk"),
-            explode(array(ListingRefCols.map(c =>
-              struct(lit(c).as("ref_col"), col(c).as("ref_val"))): _*)).as("r"))
-          .select(col("r.ref_col"), col("r.ref_val"), col("l_uc_pk"))
-          .filter(col("ref_val").isNotNull)
-        store.upsertSet("listing_ref_idx", refEntries, bucketKeyCol = "ref_val")
-      }
-
-      // 3. affected listing pks: listing deltas + bucket-pruned
-      // reverse-index lookups for updated dimension keys. Media and
-      // history reference the listing PK itself, so their delta keys
-      // ARE candidate pks (nonexistent ones drop in the semi-join
-      // below) — no lookup needed at all.
-      def affectedVia(deltaName: String, dimKey: String,
-                      listingCols: Seq[String]): DataFrame = {
-        // cached: evaluated once for the bucket-discovery collect in
-        // readForKeys and again in the index join
-        val keys = deltas(deltaName).select(col(dimKey).as("__k"))
-          .filter(col("__k").isNotNull).distinct().cache()
-        scratch += keys
-        store.readForKeys("listing_ref_idx", keys, "__k") match {
-          case Some(idx) =>
-            idx.filter(col("ref_col").isin(listingCols: _*))
-              .join(broadcast(keys), col("ref_val") === col("__k"))
-              .select(col("l_uc_pk"))
-          case None => spark.emptyDataFrame.select(lit("").as("l_uc_pk")).limit(0)
+      val affectedOpt: Option[(DataFrame, Seq[Int], Seq[Int])] =
+        affectedLocalPks match {
+          case Some(pks) if pks.isEmpty => None
+          case Some(pks) =>
+            val affDf = spark.createDataset(pks)(
+              org.apache.spark.sql.Encoders.STRING).toDF("l_uc_pk")
+            Some((affDf, localBuckets(spark, pks, storeN),
+              sink.bucketCount.map(n => localBuckets(spark, pks, n))
+                .getOrElse(Nil)))
+          case None =>
+            // distributed fallback: lookup join + bucket collect
+            val direct = DirectPkSources.filter(p => present.contains(p._1))
+              .map { case (n, k) => directKeys(n, k) }
+            val idxRead = BucketedState.readBuckets(spark, store.path(IdxName),
+              dims.flatMap(d => touched(d._1)), Some(IdxSchema))
+            val fanout = idxRead.toSeq.flatMap { idx =>
+              dims.map { case (name, keyCol, refCols) =>
+                val keys = deltas(name).select(col(keyCol).as("__k"))
+                  .filter(col("__k").isNotNull).distinct()
+                idx.filter(col("ref_col").isin(refCols: _*))
+                  .join(broadcast(keys), col("ref_val") === col("__k"))
+                  .select(col("l_uc_pk"))
+              }
+            }
+            if (direct.isEmpty && fanout.isEmpty) None
+            else {
+              val aff = (direct ++ fanout).reduce(_ unionByName _)
+                .filter(col("l_uc_pk").isNotNull).distinct().cache()
+              scratch += aff
+              val pairs = aff.select(
+                  BucketedState.bucketOf(col("l_uc_pk"), storeN).as("sb"),
+                  sink.bucketCount.map(n =>
+                    BucketedState.bucketOf(col("l_uc_pk"), n))
+                    .getOrElse(lit(-1)).as("kb"))
+                .distinct().collect()
+              Some((aff, pairs.map(_.getInt(0)).distinct.sorted,
+                pairs.map(_.getInt(1)).distinct.sorted))
+            }
         }
+      mark("J3:affected")
+
+      // ---- J2 ∥ J4: launch the inflight state write on a worker
+      // thread, run the re-join + sink merge on this one. Neither
+      // mutates live files; promotion + cache invalidation happen after
+      // both so no path-based open can land on a moved file. Crash
+      // consistency is unchanged: an exception on either side leaves
+      // the previous state generation live, the batch replays, and both
+      // merges are idempotent keyed upserts.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val unionFrame = (entityBranches ++ idxBranch.toSeq).reduce(_ unionByName _)
+      val stateWrite = Future {
+        BucketedState.writeEntityInflight(spark, store.dir, unionFrame,
+          touchedByEntity)
       }
-      val fromListings = deltas.get("listings")
-        .map(_.select(col("l_uc_pk"))).toSeq
-      val fromAgents = deltas.get("agents")
-        .map(_ => affectedVia("agents", "a_uc_pk", Seq(
-          "l_list_agent_key", "l_buyer_agent_key",
-          "l_co_list_agent_key", "l_co_buyer_agent_key"))).toSeq
-      val fromOh = deltas.get("openhouses")
-        .map(_ => affectedVia("openhouses", "o_listing_key", Seq("l_listing_key"))).toSeq
-      val fromOffices = deltas.get("offices")
-        .map(_ => affectedVia("offices", "ofc_uc_pk", Seq(
-          "l_list_office_key", "l_buyer_office_key",
-          "l_co_list_office_key", "l_co_buyer_office_key"))).toSeq
-      val fromMedia = deltas.get("media")
-        .map(_.select(col("m_resource_record_key").as("l_uc_pk"))).toSeq
-      val fromHistory = deltas.get("history")
-        .map(_.select(col("h_resource_record_key").as("l_uc_pk"))).toSeq
-
-      // cached: evaluated for the bucket-discovery collect in
-      // readForKeys below and again in the left-semi join
-      val affected = (fromListings ++ fromAgents ++ fromOh ++ fromOffices ++
-        fromMedia ++ fromHistory)
-        .reduce(_ unionByName _).filter(col("l_uc_pk").isNotNull).distinct()
-        .cache()
-      scratch += affected
-
-      // 4. re-join only the affected listings against current dim
-      // states; the listing state read is bucket-pruned by the
-      // affected pks (listing state is bucketed by l_uc_pk)
-      val affectedListings = store
-        .readForKeys("listings", affected, "l_uc_pk")
-        .getOrElse(state(listings))
-        .join(broadcast(affected), Seq("l_uc_pk"), "left_semi")
-      val joined = joinAll(affectedListings, state(agents), state(openHouses),
-        state(offices), state(media), state(history))
-      sink.upsert("l_uc_pk", joined)
+      try {
+        affectedOpt.foreach { case (affected, affBuckets, sinkBuckets) =>
+          // touched listing buckets come from the lazy merged frame
+          // (this batch's updates included); untouched-but-affected
+          // buckets read from disk — files this batch never replaces
+          val lSchema = projectionSchema(listings)
+          val listingParts = BucketedState.readBuckets(
+              spark, store.path("listings"),
+              affBuckets.filterNot(touched.getOrElse("listings", Nil).toSet),
+              Some(lSchema)).toSeq ++ mergedByName.get("listings").toSeq
+          if (listingParts.nonEmpty) {
+            val affectedListings = listingParts.reduce(_ unionByName _)
+              .join(broadcast(affected), Seq("l_uc_pk"), "left_semi")
+            // dim state = cached snapshot minus touched buckets, plus
+            // the lazy merged frame (dims cache as driver-local
+            // relations, so their role broadcasts schedule zero tasks)
+            def fullState(spec: Crmls.EntitySpec): DataFrame = {
+              val schema = projectionSchema(spec)
+              val snap = store.cachedReadAll(spec.name, schema)
+              if (!present.contains(spec.name))
+                snap.getOrElse(emptyOf(spark, schema))
+              else {
+                val untouched = snap
+                  .map(_.filter(!BucketedState.bucketOf(
+                    col(spec.dedupKeyCol), storeN)
+                    .isin(touched(spec.name): _*)))
+                  .getOrElse(emptyOf(spark, schema))
+                untouched.unionByName(mergedByName(spec.name))
+              }
+            }
+            val joined = joinAll(affectedListings, fullState(agents),
+              fullState(openHouses), fullState(offices), fullState(media),
+              fullState(history))
+            sink.upsertPrepared("l_uc_pk", joined, sinkBuckets)
+          }
+        }
+        mark("J4:join-sink")
+      } finally Await.ready(stateWrite, Duration.Inf)
+      Await.result(stateWrite, Duration.Inf) // rethrow a write failure
+      // refresh small dim snapshots in place from the merged frames
+      // (pre-write files are still live until promotion) — one tiny job
+      // per touched dim instead of a full bucket-tree re-probe next
+      // batch; anything not refreshable is invalidated and re-probed
+      val dimSpecs = Seq(agents, openHouses, offices, media, history)
+      val refreshed = dimSpecs.filter(s => present.contains(s.name))
+        .filter(spec => store.tryRefreshLocal(spec.name,
+          projectionSchema(spec), touched(spec.name),
+          col(spec.dedupKeyCol), mergedByName(spec.name)))
+        .map(_.name).toSet
+      BucketedState.promoteEntityBuckets(store.dir, touchedByEntity)
+      present.filterNot(refreshed).foreach(store.invalidate)
+      mark("J2:promote")
     } finally {
       scratch.foreach(_.unpersist())
       cached.unpersist()

@@ -20,6 +20,21 @@ object UpsertJoin {
   trait UpsertSink {
     def upsert(keyCol: String, batch: DataFrame): Unit
     def snapshot(spark: SparkSession): DataFrame
+
+    /** Bucket count when the sink is hash-bucketed — lets a caller fold
+      * sink-bucket discovery into its own discovery job instead of the
+      * sink scheduling one more action per batch.
+      */
+    def bucketCount: Option[Int] = None
+
+    /** Upsert with precomputed touched buckets (for bucketed sinks this
+      * is a single write job; `touched` must cover every bucket the
+      * batch's keys hash to — a superset is fine, extra buckets are
+      * read-checked and left unswapped). Non-bucketed sinks ignore the
+      * hint.
+      */
+    def upsertPrepared(keyCol: String, batch: DataFrame,
+                       touched: Seq[Int]): Unit = upsert(keyCol, batch)
   }
 
   final class InMemorySink(schemaHolder: Array[org.apache.spark.sql.types.StructType])
@@ -50,32 +65,94 @@ object UpsertJoin {
     * the streaming side is unchanged. Snapshot size is one row per
     * live key, not history.
     */
+  /** @param changelogDir when set, every upsert ALSO appends the
+    *   batch's delta as a retract-style changelog — (op=false, oldRow)
+    *   / (op=true, newRow) pairs stamped with a monotone batch_id.
+    *   This is the wire observable the reference actually emits
+    *   (`toRetractStream`, reference CRMLSJoiner.scala:489): the upsert
+    *   table is the CONVERGED state, the changelog is the change
+    *   stream; replaying the changelog in batch order reconstructs the
+    *   snapshot exactly (ChangelogSinkSpec). No-op upserts (key
+    *   rewritten with identical content) emit nothing, so the log
+    *   carries changes, not traffic. The log is plain append-only
+    *   parquet: a replayed batch appends its delta twice (the upsert
+    *   table itself stays correct — the merge is idempotent);
+    *   production points this at a transactional log (e.g. a table
+    *   format's CDF) for exactly-once.
+    */
   final class ParquetUpsertSink(spark: SparkSession, dir: String,
-                                nBuckets: Int = 16)
+                                nBuckets: Int = 16,
+                                changelogDir: Option[String] = None)
       extends UpsertSink with Serializable {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
 
+    private var epoch: Long = 0L
+
+    override def bucketCount: Option[Int] = Some(nBuckets)
+
     def upsert(keyCol: String, batch: DataFrame): Unit = {
-      def tagged(df: DataFrame, isNew: Int) = df.withColumn("__tie",
-        struct(lit(isNew), xxhash64(struct(df.columns.map(col): _*))))
       val cached = batch.cache()
       try {
         val touched = cached
           .select(BucketedState.bucketOf(col(keyCol), nBuckets).as("__b"))
           .distinct().collect().map(_.getInt(0)).toSeq.sorted
-        val all = BucketedState.readBuckets(spark, dir, touched) match {
-          case Some(cur) => tagged(cur, 0).unionByName(tagged(cached, 1))
-          case None => tagged(cached, 1)
-        }
-        val w = Window.partitionBy(col(keyCol)).orderBy(col("__tie").desc)
-        val merged = all.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1)
-          .drop("__tie", "__rn")
-          .withColumn(BucketedState.BucketColName,
-            BucketedState.bucketOf(col(keyCol), nBuckets))
-        BucketedState.overwriteBuckets(spark, dir, merged, touched)
+        mergeWrite(keyCol, cached, touched, readSchema = None)
       } finally cached.unpersist()
+    }
+
+    /** Precomputed-bucket path: no discovery collect, and the current
+      * sink rows are read with the batch's schema (the merge schema by
+      * construction) — zero inference jobs, ONE write job per batch.
+      */
+    override def upsertPrepared(keyCol: String, batch: DataFrame,
+                                touched: Seq[Int]): Unit =
+      if (touched.nonEmpty)
+        mergeWrite(keyCol, batch, touched.sorted, Some(batch.schema))
+
+    private def mergeWrite(keyCol: String, batch: DataFrame,
+                           touched: Seq[Int],
+                           readSchema: Option[org.apache.spark.sql.types.StructType]): Unit = {
+      def tagged(df: DataFrame, isNew: Int) = df.withColumn("__tie",
+        struct(lit(isNew), xxhash64(struct(df.columns.map(col): _*))))
+      val cur = BucketedState.readBuckets(spark, dir, touched, readSchema)
+      val all = cur match {
+        case Some(c) => tagged(c, 0).unionByName(tagged(batch, 1))
+        case None => tagged(batch, 1)
+      }
+      val w = Window.partitionBy(col(keyCol)).orderBy(col("__tie").desc)
+      val merged = all.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__tie", "__rn")
+        .withColumn(BucketedState.BucketColName,
+          BucketedState.bucketOf(col(keyCol), nBuckets))
+      // changelog append reads the PRE-write generation — it must
+      // complete before overwriteBuckets swaps the bucket files
+      changelogDir.foreach { clDir =>
+        emitChangelog(clDir, keyCol, cur, merged.drop(BucketedState.BucketColName),
+          batch)
+      }
+      BucketedState.overwriteBuckets(spark, dir, merged, touched)
+    }
+
+    /** Retract-pair delta for one upsert batch: for every batch key,
+      * (false, previous row) if one existed and changed, (true, new
+      * row) if inserted or changed. Row-level exceptAll does the
+      * change detection — identical rewrites cancel out.
+      */
+    private def emitChangelog(clDir: String, keyCol: String,
+                              cur: Option[DataFrame], merged: DataFrame,
+                              batch: DataFrame): Unit = {
+      val batchKeys = batch.select(col(keyCol)).distinct()
+      val newRows = merged.join(batchKeys, Seq(keyCol), "left_semi")
+      val oldRows = cur.map(_.join(batchKeys, Seq(keyCol), "left_semi"))
+      val inserts = oldRows.fold(newRows)(o => newRows.exceptAll(o))
+        .withColumn("op", lit(true))
+      val deletes = oldRows.map(_.exceptAll(newRows).withColumn("op", lit(false)))
+      val delta = deletes.fold(inserts)(d => d.unionByName(inserts))
+        .withColumn("batch_id", lit(epoch))
+      epoch += 1
+      delta.write.mode("append").parquet(clDir)
     }
 
     def snapshot(spark: SparkSession): DataFrame =

@@ -159,6 +159,25 @@ class PlanHygieneSpec extends SparkTestBase {
       "must stay an inverted-index equi-join")
   }
 
+  test("q_dup_clusters tiers: driver tier is a local scan, dist tier provably iterates") {
+    // the default tier collects the (tiny) pair graph and runs exact
+    // union-find on the driver — its result frame is a materialized
+    // local relation, no distributed join left in the plan
+    val driver = plan("q_dup_clusters")
+    assert(!driver.contains("Join"),
+      s"driver union-find tier must not leave a distributed join:\n${driver.take(2000)}")
+    // driverThreshold = 0 must force the iterative min-label
+    // propagation: the final label frame's LINEAGE (analyzed plan —
+    // the result itself is cached, so the physical plan is an
+    // in-memory scan) keeps the edges-to-labels join + per-vertex min
+    val dist = SparkEntry.queries("q_dup_clusters_dist")(spark, sf("sf0.001"))
+      .queryExecution.analyzed.toString
+    assert(dist.contains("Join"),
+      s"distributed tier must join labels to edges:\n${dist.take(2000)}")
+    assert(dist.contains("min("),
+      "distributed tier must take per-vertex min(label)")
+  }
+
   test("native dot product is codegen-capable (starred projection)") {
     // the tokenizing queries are bounded by ArrayTransform (a
     // CodegenFallback higher-order function), but ArrayDotProduct

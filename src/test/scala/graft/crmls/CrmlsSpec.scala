@@ -89,4 +89,14 @@ class CrmlsSpec extends SparkTestBase {
     val p = Crmls.project(bad, Crmls.listings)
     assert(p.head().getAs[String]("l_listing_key") === null)
   }
+
+  test("projectionSchema equals the analyzed schema of project() for every entity") {
+    // state readers pass projectionSchema as an explicit parquet read
+    // schema (no inference job per micro-batch) — the two must not drift
+    val empty = raw(Nil)
+    Crmls.allEntities.foreach { spec =>
+      assert(Crmls.project(empty, spec).schema === Crmls.projectionSchema(spec),
+        s"schema drift for entity ${spec.name}")
+    }
+  }
 }

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** The retract-stream observable (reference CRMLSJoiner.scala:489
+  * `toRetractStream`): the upsert sink's optional changelog must emit
+  * (false, oldRow)/(true, newRow) pairs whose in-order replay
+  * reconstructs the converged snapshot exactly.
+  */
+class ChangelogSinkSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("changelog replay reconstructs the snapshot; updates emit retract pairs") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cl").toString
+    val sink = new UpsertJoin.ParquetUpsertSink(spark, s"$tmp/out",
+      nBuckets = 8, changelogDir = Some(s"$tmp/cl"))
+
+    sink.upsert("k", Seq(("a", 1L, "v1"), ("b", 1L, "v1")).toDF("k", "ts", "p"))
+    sink.upsert("k", Seq(("a", 2L, "v2"), ("c", 1L, "v1")).toDF("k", "ts", "p"))
+    // no-op rewrite: identical content must emit NO changelog rows
+    sink.upsert("k", Seq(("b", 1L, "v1")).toDF("k", "ts", "p"))
+
+    val log = spark.read.parquet(s"$tmp/cl")
+      .select("batch_id", "op", "k", "ts", "p")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1),
+        (r.getString(2), r.getLong(3), r.getString(4))))
+
+    // batch 0: two inserts, no retracts
+    assert(log.filter(_._1 == 0).toSet ===
+      Set((0L, true, ("a", 1L, "v1")), (0L, true, ("b", 1L, "v1"))))
+    // batch 1: a's update = retract pair; c = plain insert
+    assert(log.filter(_._1 == 1).toSet ===
+      Set((1L, false, ("a", 1L, "v1")), (1L, true, ("a", 2L, "v2")),
+        (1L, true, ("c", 1L, "v1"))))
+    // batch 2: idempotent rewrite emitted nothing
+    assert(!log.exists(_._1 == 2))
+
+    // replay: apply batches in order into a keyed map — false removes
+    // the row, true upserts it; the result must equal the sink snapshot
+    val replayed = scala.collection.mutable.Map.empty[String, (String, Long, String)]
+    log.sortBy(_._1).foreach {
+      case (_, true, row) => replayed(row._1) = row
+      case (_, false, row) => if (replayed.get(row._1).contains(row)) replayed.remove(row._1)
+    }
+    val snapshot = sink.snapshot(spark).select("k", "ts", "p")
+      .collect().map(r => r.getString(0) -> ((r.getString(0), r.getLong(1), r.getString(2))))
+      .toMap
+    assert(replayed.toMap === snapshot)
+  }
+
+  test("changelog off by default: no side output, merge unchanged") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-nocl").toString
+    val sink = new UpsertJoin.ParquetUpsertSink(spark, s"$tmp/out", nBuckets = 4)
+    sink.upsert("k", Seq(("a", 1L, "x")).toDF("k", "ts", "p"))
+    assert(!new java.io.File(s"$tmp/cl").exists())
+    assert(sink.snapshot(spark).count() === 1)
+  }
+}
