@@ -205,7 +205,7 @@ object SimilaritySearch {
       val saltedCorpus = corpusCells.withColumn("__salt",
         pmod(xxhash64(col("neighbor_id")), lit(saltFactor)).cast("int"))
       val saltedProbes = probeCells.withColumn("__salt",
-        explode(typedlit((0 until saltFactor).toSeq)))
+        explode(array((0 until saltFactor).map(lit): _*)))
       saltedProbes.hint("shuffle_hash")
         .join(saltedCorpus, Seq("cell_id", "__salt"))
     })

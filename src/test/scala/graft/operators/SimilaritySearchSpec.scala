@@ -59,6 +59,34 @@ class SimilaritySearchSpec extends SparkTestBase {
       s"refined-IVF recall@top1 too low: $hits/${brute.size}")
   }
 
+  test("ivfTopK large-probe fallback: identical results, shuffled-hash plan") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val probes = emb.filter(col("vec_id") < 32)
+    def run(maxBroadcast: Long) = SimilaritySearch.ivfTopK(
+      probes, emb, "vec_id", "embedding",
+      k = 5, nCells = 16, nProbe = 4, maxBroadcastBytes = Some(maxBroadcast))
+    val broadcastPath = run(Long.MaxValue)
+    val fallbackPath = run(1L) // probe estimate always exceeds 1 byte
+    // plan shapes: bounded probes broadcast; oversized probes take the
+    // salted shuffled-hash join (and never a sort-merge over cell_id)
+    val bPlan = broadcastPath.queryExecution.executedPlan.toString
+    val fPlan = fallbackPath.queryExecution.executedPlan.toString
+    assert(bPlan.contains("BroadcastHashJoin"), bPlan.take(1500))
+    assert(fPlan.contains("ShuffledHashJoin"), fPlan.take(1500))
+    assert(!fPlan.contains("SortMergeJoin"),
+      "fallback must not sort-merge on the low-cardinality cell key")
+    assert(!fPlan.contains("BroadcastHashJoin") ||
+      !fPlan.contains("probe_id#"), // no probe-side broadcast remains
+      fPlan.take(1500))
+    // identical output row sets (rank ties resolved identically: the
+    // aggregator's ordering is deterministic on (cosine, neighbor_id))
+    val b = broadcastPath.select("probe_id", "rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect().toSet
+    val f = fallbackPath.select("probe_id", "rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(b === f, "the two join strategies must agree exactly")
+  }
+
   test("cosineDupePairsLsh: results are a subset of the exact all-pairs verifier") {
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
       .filter(col("vec_id") < 300)
