@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -37,22 +37,57 @@ import org.apache.spark.sql.functions._
   */
 object Stress {
 
-  /** Accumulates the largest per-stage shuffle read/write seen since
-    * the last reset. Listener delivery is async; [[snapshot]] sleeps
-    * briefly so the final stage's completion event lands first.
+  /** Accumulates, since the last reset: the largest per-stage shuffle
+    * read/write, total memory/disk spill, and the per-task duration
+    * spread of the heaviest stage (max/median — the number that says
+    * whether a hot key serialized the stage). Listener delivery is
+    * async; [[snapshot]] sleeps briefly so the final stage's completion
+    * event lands first.
     */
-  private class ShuffleMaxListener extends SparkListener {
+  private class PhaseMetricsListener extends SparkListener {
     @volatile var maxWrite = 0L
     @volatile var maxRead = 0L
+    @volatile var memSpill = 0L
+    @volatile var diskSpill = 0L
+    private val taskMs =
+      scala.collection.concurrent.TrieMap.empty[Int, scala.collection.mutable.ArrayBuffer[Long]]
     override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
       val m = e.stageInfo.taskMetrics
       if (m != null) {
         maxWrite = math.max(maxWrite, m.shuffleWriteMetrics.bytesWritten)
         maxRead = math.max(maxRead, m.shuffleReadMetrics.totalBytesRead)
+        memSpill += m.memoryBytesSpilled
+        diskSpill += m.diskBytesSpilled
       }
     }
-    def reset(): Unit = { maxWrite = 0L; maxRead = 0L }
-    def snapshot(): (Long, Long) = { Thread.sleep(500); (maxWrite, maxRead) }
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+      if (e.taskInfo != null)
+        taskMs.getOrElseUpdate(e.stageId,
+          scala.collection.mutable.ArrayBuffer.empty[Long]) += e.taskInfo.duration
+    def reset(): Unit = synchronized {
+      maxWrite = 0L; maxRead = 0L; memSpill = 0L; diskSpill = 0L
+      taskMs.clear()
+    }
+    /** (maxWrite, maxRead, memSpill, diskSpill, maxOverMedian): the
+      * spread is the WORST max/median task-time ratio over stages with
+      * >= 4 tasks whose slowest task ran >= 1 s — i.e. "did any
+      * substantial stage serialize on a hot key". (Taking only the
+      * heaviest-total stage would hide a skewed join behind a balanced
+      * downstream aggregate of the same phase.)
+      */
+    def snapshot(): (Long, Long, Long, Long, Double) = {
+      Thread.sleep(500)
+      val spread = taskMs.values
+        .filter(ds => ds.size >= 4 && ds.max >= 1000L)
+        .flatMap { ds =>
+          val sorted = ds.toArray.sorted
+          val med = sorted(sorted.length / 2)
+          // a sub-100ms median means the stage was cheap everywhere
+          // except scheduling noise — a huge ratio there is not skew
+          if (med < 100L) None else Some(sorted.last.toDouble / med)
+        }.maxOption.getOrElse(1.0)
+      (maxWrite, maxRead, memSpill, diskSpill, spread)
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -61,14 +96,27 @@ object Stress {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_STRESS_OUT", "STRESS.json")
     val dim = 64
+    // Shuffle partitions scale with the corpus, exactly as a cluster
+    // job sizes reducers to the data rather than the core count: a
+    // fixed 32 at the 50 M-doc tier put ~15 M exploded n-grams into
+    // every final-aggregate partition and turned the contamination
+    // distinct and the banded-join sort memory-shaped (~100 GB spill).
+    // Tier-1 sizing (5 M docs / 1 M vecs) resolves to `cpus`, keeping
+    // the canonical STRESS.json comparable across rounds; AQE (on by
+    // default) coalesces the small stages back down.
+    val shufflePartitions = math.max(cpus.toInt,
+      math.min(2048L, nDocs / 500000L + nVecs / 250000L).toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      // top-k UDAF buffers are k-bounded: keep ObjectHashAggregate
+      // hash-based past the 128-key default (see TopKAggregator scaladoc)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val listener = new ShuffleMaxListener
+    val listener = new PhaseMetricsListener
     spark.sparkContext.addSparkListener(listener)
 
     // optional comma-separated phase filter (substring match) — lets a
@@ -84,10 +132,18 @@ object Stress {
       val t0 = System.nanoTime()
       val (rows, extra) = body
       val sec = (System.nanoTime() - t0) / 1e9
-      val (w, r) = listener.snapshot()
+      // nudge the ContextCleaner: shuffle files of a finished phase are
+      // only deleted once their RDDs are GC'd — at tier-2 sizing the
+      // accumulated map outputs of three ANN phases can exceed local
+      // disk before any of them becomes garbage on its own
+      System.gc()
+      val (w, r, mem, disk, spread) = listener.snapshot()
       val line = f"""{"phase":"$name","rows":$rows,"sec":$sec%.2f,""" +
         f""""max_stage_shuffle_write_mb":${w / 1e6}%.1f,""" +
-        f""""max_stage_shuffle_read_mb":${r / 1e6}%.1f$extra}"""
+        f""""max_stage_shuffle_read_mb":${r / 1e6}%.1f,""" +
+        f""""memory_spill_mb":${mem / 1e6}%.1f,""" +
+        f""""disk_spill_mb":${disk / 1e6}%.1f,""" +
+        f""""task_time_max_over_median":$spread%.1f$extra}"""
       println(s"[stress] $line")
       report += line
     }
@@ -135,20 +191,32 @@ object Stress {
     // but a one-JVM harness must order around it to report numbers
     // that mean anything.
     // ------------------------------------------- cosine near-dup (LSH)
-    // bitsPerBand ~ log2(nVecs) per the operator's own sizing note.
+    // bitsPerBand ~ log2(nVecs) per the operator's own sizing note —
+    // computed from the actual corpus size, not hardcoded: at 10 M
+    // vectors a 20-bit band holds ~10 random vectors per bucket and the
+    // in-bucket quadratic explodes ~40x (the first tier-2 attempt
+    // filled local disk exactly this way; the knob IS the scale lever)
+    val srpBits = math.max(18,
+      (math.log(nVecs.toDouble) / math.log(2.0)).ceil.toInt + 2)
     phase("cosine_lsh") {
       val dupes = operators.SimilaritySearch.cosineDupePairsLsh(
         vecs, "vec_id", "embedding", threshold = 0.95,
-        bands = 8, bitsPerBand = 20, maxDim = dim)
-      (dupes.count(), "")
+        bands = 8, bitsPerBand = srpBits, maxDim = dim)
+      (dupes.count(), s""","bits_per_band":$srpBits""")
     }
 
     // ------------------------------------------------------- IVF ANN
+    // nCells grows with the corpus (classic IVF: ~sqrt(N), here
+    // corpus/40k capped to [64, 1024]) so per-cell candidate lists —
+    // and with them the probe-side scored stream into the top-k —
+    // stay bounded as the corpus scales; a fixed 64 cells at 10 M
+    // vectors fans 640 M scored rows into the aggregate
+    val nCells = math.max(64, math.min(1024, (nVecs / 40000).toInt))
     phase("ivf_ann") {
       val hits = operators.SimilaritySearch.ivfTopK(
         vecs.filter(col("vec_id") < 1024), vecs, "vec_id", "embedding",
-        k = 10, nCells = 64, nProbe = 4)
-      (hits.count(), "")
+        k = 10, nCells = nCells, nProbe = 4)
+      (hits.count(), s""","n_cells":$nCells""")
     }
 
     // ------------------------------------------------------- SRP ANN
@@ -157,7 +225,8 @@ object Stress {
     phase("srp_ann") {
       val hits = operators.SimilaritySearch.srpTopK(
         vecs.filter(col("vec_id") < 1024), vecs, "vec_id", "embedding",
-        k = 10, bands = 4, bitsPerBand = 16, maxDim = dim)
+        k = 10, bands = 4, bitsPerBand = math.max(16, srpBits - 4),
+        maxDim = dim)
       (hits.count(), "")
     }
 
@@ -236,6 +305,114 @@ object Stress {
         .head().getLong(0)
       (n, "")
     }
+
+    // ------------------------------------------------ skew stress tier
+    // Hot keys planted at sizes where even the UNPROTECTED run is
+    // feasible by construction — the point is to MEASURE the df caps
+    // and AQE skew-join engaging (task_time_max_over_median in the
+    // phase lines), not to detonate the harness.
+    def withConf(kv: (String, String)*)(body: => Unit): Unit = {
+      val olds = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+      kv.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body finally olds.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+
+    // One hot token planted into every (skewDocs/10000)-th doc: token
+    // df 10k vs the background df of 4 — a 2500x inverted-index skew.
+    // Groups are 4 consecutive ids and the marker lands at most once
+    // per group, so the >0.9-Jaccard pair count is IDENTICAL with and
+    // without the cap (marked-unmarked in-group pairs score 12/13
+    // either way) — the cap changes the plan's skew, not the answer.
+    val skewDocs = math.min(nDocs, 2000000L)
+    val hotEvery = math.max(skewDocs / 10000L, 4L)
+    val sdocs = docs.filter(col("id") < skewDocs)
+      .withColumn("text",
+        when(pmod(col("id"), lit(hotEvery)) === 0,
+          concat(col("text"), lit(" ffhotffhot"))).otherwise(col("text")))
+      .persist()
+    var uncappedPairs = -1L
+    phase("jaccard_skew_uncapped_noaqe") {
+      // the naked failure mode: no df cap AND no AQE — the hot token's
+      // partition serializes the join stage (the spread number)
+      var n = 0L
+      withConf("spark.sql.adaptive.enabled" -> "false") {
+        n = operators.DedupOps
+          .tokenJaccardPairs(sdocs, "id", "text", maxDocFreq = None)
+          .filter(col("jaccard") > 0.9).count()
+      }
+      uncappedPairs = n
+      (n, s""","hot_df":${skewDocs / hotEvery}""")
+    }
+    phase("jaccard_skew_uncapped") {
+      // AQE's skew split rebalances the tasks but still PAYS for the
+      // hot token's quadratic pair stream — cap beats split
+      val n = operators.DedupOps
+        .tokenJaccardPairs(sdocs, "id", "text", maxDocFreq = None)
+        .filter(col("jaccard") > 0.9).count()
+      require(uncappedPairs < 0 || n == uncappedPairs,
+        s"AQE changed the answer: $n vs $uncappedPairs")
+      (n, s""","hot_df":${skewDocs / hotEvery},"matches_noaqe":true""")
+    }
+    phase("jaccard_skew_capped") {
+      val n = operators.DedupOps
+        .tokenJaccardPairs(sdocs, "id", "text") // default df cap 1000
+        .filter(col("jaccard") > 0.9).count()
+      require(uncappedPairs < 0 || n == uncappedPairs,
+        s"df cap changed the confirmed-pair answer: $n vs $uncappedPairs")
+      (n, s""","cap":${operators.DedupOps.DefaultMaxDocFreq},"matches_uncapped":true""")
+    }
+    sdocs.unpersist()
+
+    // One SRP bucket holding 3k identical vectors (every band maps them
+    // to the same bucket): the candidate self-join has one hot
+    // (band, bucket) key carrying C(3k,2) ~ 4.5M pairs. Broadcast is
+    // disabled so the join is shuffle-shaped (the skew-able case);
+    // "before" pins AQE off, "after" lets AQE's skew-join split the hot
+    // partition. The planted answer (exactly C(3k,2) cosine-1 pairs)
+    // must be identical in both.
+    val skewVecs = math.min(nVecs, 300000L)
+    val hotVecs = 3000L
+    val expectedHotPairs = hotVecs * (hotVecs - 1) / 2
+    val svecs = spark.range(skewVecs).toDF("vec_id")
+      .withColumn("__seed", when(col("vec_id") < hotVecs, lit(424242L))
+        .otherwise(col("vec_id") + 20000000000L))
+      .withColumn("embedding",
+        transform(sequence(lit(0), lit(dim - 1)),
+          j => pmod(xxhash64(col("__seed"), j), lit(2000001L))
+            .cast("double") / 1000000.0 - 1.0).cast("array<float>"))
+      .drop("__seed")
+      .persist()
+    svecs.count()
+    def srpSkewCount(): Long = operators.SimilaritySearch.cosineDupePairsLsh(
+      svecs, "vec_id", "embedding", threshold = 0.95,
+      bands = 4, bitsPerBand = 18, maxDim = dim).count()
+    phase("srp_skew_noaqe") {
+      var n = 0L
+      withConf(
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1") { n = srpSkewCount() }
+      require(n == expectedHotPairs,
+        s"planted hot-bucket pairs: got $n, expected $expectedHotPairs")
+      (n, s""","hot_bucket_vecs":$hotVecs""")
+    }
+    phase("srp_skew_aqe") {
+      var n = 0L
+      withConf(
+        "spark.sql.adaptive.enabled" -> "true",
+        "spark.sql.adaptive.skewJoin.enabled" -> "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4m",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1") { n = srpSkewCount() }
+      require(n == expectedHotPairs,
+        s"AQE skew split changed the answer: $n vs $expectedHotPairs")
+      (n, s""","hot_bucket_vecs":$hotVecs,"matches_noaqe":true""")
+    }
+    svecs.unpersist()
+    docs.unpersist()
 
     val json = report.mkString("[", ",\n", "]\n")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
