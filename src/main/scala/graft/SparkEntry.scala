@@ -774,6 +774,18 @@ object SparkEntry {
         .select("probe_id", "neighbor_id", "rank")
     }),
 
+    // same computation forced onto the oversized-probe tier: a zero
+    // broadcast budget selects the salted shuffled-hash join, so the
+    // fallback path carries its own oracle row rather than only the
+    // identity spec (the tier a 100x probe volume actually runs on)
+    "q_ivf_ann_salted" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilaritySearch.ivfTopK(
+        emb.filter(col("vec_id") < 64), emb, "vec_id", "embedding",
+        k = 5, nCells = 16, nProbe = 4, maxBroadcastBytes = Some(0L))
+        .select("probe_id", "neighbor_id", "rank")
+    }),
+
     // §2.10 similarity search: SRP-LSH approximate top-k (oracle
     // recomputes the bucketing from the deterministic hyperplanes)
     "q_srp_ann" -> ((s, dir) => {
@@ -1031,6 +1043,11 @@ object SparkEntry {
       probeMax = 64, k = 5, bands = 4, bitsPerBand = 8, dim = 64),
 
     "q_ivf_ann" -> OracleGen.ivfAnnSql(
+      probeMax = 64, k = 5, nCells = 16, nProbe = 4, dim = 64),
+
+    // the salted fallback must produce EXACTLY the broadcast tier's
+    // rows — same oracle SQL, independently recomputed by DuckDB
+    "q_ivf_ann_salted" -> OracleGen.ivfAnnSql(
       probeMax = 64, k = 5, nCells = 16, nProbe = 4, dim = 64),
 
     "q_topk" ->

@@ -10,6 +10,9 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // top-k UDAF buffers are k-bounded: keep ObjectHashAggregate
+      // hash-based past the 128-key default (see TopKAggregator scaladoc)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -573,6 +573,96 @@ object NativeExpressions {
       copy(child = c)
   }
 
+  /** Shared loop body for [[NearestCells]] eval and generated code:
+    * decode the vector once, one fused dot-product loop per centroid
+    * over the flat matrix, then selection-pick the `take` best by
+    * (neg-cosine asc, cell ordinal asc).
+    *
+    * Bit-identical to the Column construction it replaces
+    * (`array_sort` over nCells `struct(-coalesce(cosine, -2.0), cid)`
+    * entries): dots sum in index order, cosine = dot / (norm * cn)
+    * only when the product is nonzero (else the 2.0 sorts-last
+    * sentinel), ties break to the lower ordinal, and NaN keys order
+    * last exactly as Spark's nan-safe double ordering does. The
+    * struct-array form additionally broke down at large nCells: 250
+    * cosine subtrees blow past codegen limits, so the hot assignment
+    * ran interpreted and allocated a struct array per row just to
+    * read back its ids.
+    */
+  def nearestCellsEval(arr: ArrayData, cents: Array[Double],
+                       cellNorms: Array[Double], dim: Int, take: Int,
+                       isFloat: Boolean): ArrayData = {
+    val nCells = cellNorms.length
+    val len = arr.numElements()
+    val v = new Array[Double](len)
+    var i = 0
+    while (i < len) {
+      v(i) = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      i += 1
+    }
+    var ss = 0.0
+    i = 0
+    while (i < len) { ss += v(i) * v(i); i += 1 }
+    val vNorm = math.sqrt(ss)
+    val keys = new Array[Double](nCells)
+    val m = math.min(len, dim)
+    var c = 0
+    while (c < nCells) {
+      val d = vNorm * cellNorms(c)
+      var s = 0.0
+      val off = c * dim
+      var j = 0
+      while (j < m) { s += v(j) * cents(off + j); j += 1 }
+      keys(c) = if (d != 0.0) -(s / d) else 2.0
+      c += 1
+    }
+    val k = math.min(take, nCells)
+    val out = new Array[Long](k)
+    val used = new Array[Boolean](nCells)
+    var t = 0
+    while (t < k) {
+      var best = -1
+      var c2 = 0
+      while (c2 < nCells) {
+        if (!used(c2) &&
+            (best < 0 || java.lang.Double.compare(keys(c2), keys(best)) < 0))
+          best = c2
+        c2 += 1
+      }
+      used(best) = true
+      out(t) = best.toLong
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** The `take` nearest coarse-quantizer cell ordinals for a vector,
+    * best first — the IVF assignment primitive. The centroid matrix
+    * reaches generated code as a REFERENCE (one `double[]`), never as
+    * plan literals.
+    */
+  case class NearestCells(child: Expression, centroids: Array[Double],
+                          cellNorms: Array[Double], dim: Int, take: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    private lazy val isFloat = elemKind(child.dataType) == 0
+
+    override def nullSafeEval(input: Any): Any =
+      nearestCellsEval(input.asInstanceOf[ArrayData], centroids, cellNorms,
+        dim, take, isFloat)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cRef = ctx.addReferenceObj("ivfCentroids", centroids, "double[]")
+      val nRef = ctx.addReferenceObj("ivfCellNorms", cellNorms, "double[]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.NativeExpressions.nearestCellsEval(" +
+          s"$c, $cRef, $nRef, $dim, $take, $isFloat);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   // ------------------------------------------------------- Column API
 
   def dot(a: Column, b: Column): Column =
@@ -615,4 +705,9 @@ object NativeExpressions {
   def mightContain(s: Column,
                    bf: org.apache.spark.util.sketch.BloomFilter): Column =
     ColumnBridge.column(BloomMightContain(ColumnBridge.expression(s), bf))
+
+  def nearestCells(vec: Column, centroids: Array[Double],
+                   cellNorms: Array[Double], dim: Int, take: Int): Column =
+    ColumnBridge.column(NearestCells(
+      ColumnBridge.expression(vec), centroids, cellNorms, dim, take))
 }

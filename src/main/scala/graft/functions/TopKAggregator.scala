@@ -101,6 +101,18 @@ object TopKAggregator {
     * identical (score desc, id asc) ordering — correct, just without
     * the map-side truncation. String ties break by UTF-8 byte order on
     * every path (Spark's native string ordering).
+    *
+    * Scale note: the UDAF plans as ObjectHashAggregateExec, whose
+    * hash map falls back to SORT-based aggregation after
+    * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`
+    * distinct keys (default 128). For top-k that fallback is pure
+    * loss: the buffers are bounded at k rows, so the hash map stays
+    * small at any group count, while the sort pays for the FULL
+    * scored stream (observed: 30 GB of spill on a 640 M-row candidate
+    * stream at the 10 M-vector stress tier, from 1024 probe groups
+    * tripping the 128-key default). Every graft session builder
+    * raises the threshold to 131072; buffers here are k-bounded so
+    * hash aggregation is safe at any realistic group count.
     */
   def groupedTopK(scored: DataFrame, groupCol: String, idCol: String,
                   scoreCol: String, k: Int): DataFrame = {

@@ -71,7 +71,12 @@ object DedupOps {
       .toDF(idCol, "band_idx", "band_hash")
     val a = banded.select(col(idCol).as("id_a"), col("band_idx"), col("band_hash"))
     val b = banded.select(col(idCol).as("id_b"), col("band_idx"), col("band_hash"))
-    a.join(b, Seq("band_idx", "band_hash"))
+    // shuffle_hash, not sort-merge: the join feeds an unordered
+    // distinct, so SMJ's sort of BOTH banded sides (corpus x bands
+    // rows each) is pure loss — it was the operator's only spill at
+    // the 50 M-doc stress tier (31 GB). A hash build per partition is
+    // bounded by rows/partition, which the partition count controls.
+    a.join(b.hint("shuffle_hash"), Seq("band_idx", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
   }

@@ -72,19 +72,30 @@ object SimilaritySearch {
         (idx.toLong, v, math.sqrt(ss))
       }
 
-  /** Row-local nearest-cell array: (negated similarity, cell_id) structs
-    * sorted ascending, i.e. best cell first; null similarities (zero
-    * vectors) sort last via the -(-2.0) sentinel.
+  /** Row-local `take`-nearest-cell ids, best first — one native loop
+    * over the centroid matrix (NearestCells). Ordering contract is the
+    * sorted-struct-array form this replaces, bit for bit: (cosine
+    * desc, cell_id asc), zero-norm similarities last. The struct-array
+    * form additionally stopped codegen-ing past ~100 cells (250 cosine
+    * subtrees per row at the 10 M-vector stress tier ran interpreted
+    * and sorted a struct array per row just to read back ids).
+    *
+    * Cell ids are ORDINALS over the id-sorted seed set, which is
+    * exactly the matrix row order — asserted here, relied on below.
     */
-  private def sortedCells(vec: Column,
-                          cents: Seq[(Long, Array[Double], Double)]): Column = {
-    val n = VectorFunctions.norm(vec)
-    val entries = cents.map { case (cid, cv, cn) =>
-      val sim = VectorFunctions.cosineWithNorms(
-        vec, typedlit(cv.toSeq), n, lit(cn))
-      struct((-coalesce(sim, lit(-2.0))).as("neg_sim"), lit(cid).as("cell_id"))
+  private def nearestCells(vec: Column,
+                           cents: Seq[(Long, Array[Double], Double)],
+                           take: Int): Column = {
+    val dim = cents.head._2.length
+    val flat = new Array[Double](cents.length * dim)
+    val norms = new Array[Double](cents.length)
+    cents.zipWithIndex.foreach { case ((cid, cv, cn), i) =>
+      require(cid == i, s"cell ids must be ordinals, got $cid at $i")
+      require(cv.length == dim, "centroid dim mismatch")
+      System.arraycopy(cv, 0, flat, i * dim, dim)
+      norms(i) = cn
     }
-    array_sort(array(entries: _*))
+    graft.functions.NativeExpressions.nearestCells(vec, flat, norms, dim, take)
   }
 
   /** Lloyd-refine the coarse quantizer: assign every corpus vector to
@@ -108,7 +119,7 @@ object SimilaritySearch {
       val assigned = corpus
         .select(VectorFunctions.toDouble(col(vecCol)).as("__v"))
         .withColumn("cell_id",
-          element_at(sortedCells(col("__v"), cur), 1).getField("cell_id"))
+          element_at(nearestCells(col("__v"), cur, take = 1), 1))
       val means = assigned
         .select(col("cell_id"), posexplode(col("__v")))
         .groupBy("cell_id", "pos").agg(avg("col").as("m"))
@@ -162,14 +173,14 @@ object SimilaritySearch {
     val corpusCells = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
       .withColumn("cell_id", coalesce(
-        element_at(sortedCells(col("__cv"), cents), 1).getField("cell_id"),
+        element_at(nearestCells(col("__cv"), cents, take = 1), 1),
         lit(-1L)))
     val probeCells = probes
       .select(col(idCol).as("probe_id"), col(vecCol).as("__pv"))
       .withColumn("__cell",
-        explode(slice(sortedCells(col("__pv"), cents), 1, nProbe)))
+        explode(nearestCells(col("__pv"), cents, take = nProbe)))
       .select(col("probe_id"), col("__pv"),
-        coalesce(col("__cell.cell_id"), lit(-1L)).as("cell_id"))
+        coalesce(col("__cell"), lit(-1L)).as("cell_id"))
 
     // each corpus vector lives in exactly one cell and each probe
     // probes nProbe distinct cells, so (probe, neighbor) pairs are
