@@ -111,7 +111,8 @@ object Stress {
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       // top-k UDAF buffers are k-bounded: keep ObjectHashAggregate
       // hash-based past the 128-key default (see TopKAggregator scaladoc)
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_OHA_THRESHOLD", "131072"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
