@@ -93,7 +93,14 @@ object StreamBench {
     val stateDir = s"$tmp/state"
     val sinkDir = s"$tmp/sink"
     val store = new CrmlsStream.StateStore(spark, stateDir, nBuckets)
-    val sink = new UpsertJoin.ParquetUpsertSink(spark, sinkDir, nBuckets)
+    // delta (LSM) sink mode: a micro-batch APPENDS its delta instead of
+    // read+rewriting every touched sink bucket — the merge cost moves
+    // to one amortized compaction every 10 batches. Identical table
+    // (LsmUpsertSinkSpec); this is the production posture for
+    // high-frequency small batches, and the compactions land INSIDE the
+    // measured batches, so the mean is honest.
+    val sink = new UpsertJoin.ParquetUpsertSink(spark, sinkDir, nBuckets,
+      deltaCompactEvery = sys.env.getOrElse("SPARK_GRAFT_SB_COMPACT", "10").toInt)
 
     def listingData(id: Column) = to_json(struct(
       concat(lit("LK"), id.cast("string")).as("ListingKeyNumeric"),

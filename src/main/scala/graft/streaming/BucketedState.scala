@@ -94,7 +94,7 @@ object BucketedState {
               schema: Option[StructType] = None): Option[DataFrame] =
     readBuckets(spark, dir, listBuckets(dir), schema)
 
-  private def deleteRecursively(p: Path): Unit = {
+  private[streaming] def deleteRecursively(p: Path): Unit = {
     val f = p.toFile
     if (f.exists()) {
       if (f.isDirectory) f.listFiles().foreach(c => deleteRecursively(c.toPath))

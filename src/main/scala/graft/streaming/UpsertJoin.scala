@@ -79,15 +79,66 @@ object UpsertJoin {
     *   table itself stays correct — the merge is idempotent);
     *   production points this at a transactional log (e.g. a table
     *   format's CDF) for exactly-once.
+    * @param deltaCompactEvery 0 (default) = merge-on-write: every
+    *   upsert reads + rewrites its touched buckets. > 0 = LSM-style
+    *   merge-on-read: an upsert appends ONE small delta file (per-batch
+    *   write I/O is O(batch rows), and no state read at all), and every
+    *   N batches a compaction folds the accumulated deltas into the
+    *   bucket files. Precedence is the append generation (later batch
+    *   beats earlier beats base), exactly the sequential-merge order,
+    *   so snapshots are IDENTICAL to merge-on-write
+    *   (LsmUpsertSinkSpec). This is the posture for high-frequency
+    *   small batches — the merge-on-write form pays a read+rewrite of
+    *   every touched bucket per batch, which is the parquet small-file
+    *   tax that floors micro-batch latency. Crash-safe the same way
+    *   the merge path is: deltas are only deleted after their
+    *   compaction promotes, and re-applying an already-compacted delta
+    *   is a no-op (latest-wins on identical content). Incompatible
+    *   with changelogDir (retract pairs need the pre-image read this
+    *   mode exists to avoid).
     */
   final class ParquetUpsertSink(spark: SparkSession, dir: String,
                                 nBuckets: Int = 16,
-                                changelogDir: Option[String] = None)
+                                changelogDir: Option[String] = None,
+                                deltaCompactEvery: Int = 0)
       extends UpsertSink with Serializable {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
 
+    require(deltaCompactEvery == 0 || changelogDir.isEmpty,
+      "changelog emission needs the pre-image read that delta mode skips")
+
     private var epoch: Long = 0L
+
+    private def deltaDir = s"$dir/__delta"
+    /** Committed generation dirs (g<N> with a _SUCCESS marker), sorted.
+      * A dir without the marker is a crashed write that no reader ever
+      * acknowledged — deleted on sight.
+      */
+    private def deltaGenDirs: Seq[java.io.File] = {
+      val d = new java.io.File(deltaDir)
+      if (!d.exists()) Nil
+      else d.listFiles().toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("g"))
+        .flatMap { f =>
+          if (new java.io.File(f, "_SUCCESS").exists()) Some(f)
+          else { BucketedState.deleteRecursively(f.toPath); None }
+        }
+        .sortBy(_.getName.stripPrefix("g").toLong)
+    }
+    /** Next append generation; deltas surviving a restart keep their
+      * precedence because the new instance starts past their max —
+      * recovered from the dir names, no Spark job.
+      */
+    private var gen: Long =
+      if (deltaCompactEvery > 0)
+        deltaGenDirs.lastOption
+          .map(_.getName.stripPrefix("g").toLong + 1L).getOrElse(0L)
+      else 0L
+    // force a compaction on the first append after a restart that found
+    // pending deltas — their touched-bucket set is no longer known
+    private var sinceCompact: Int = if (gen > 0L) deltaCompactEvery else 0
+    @transient private var deltaSchema: org.apache.spark.sql.types.StructType = _
 
     override def bucketCount: Option[Int] = Some(nBuckets)
 
@@ -97,7 +148,8 @@ object UpsertJoin {
         val touched = cached
           .select(BucketedState.bucketOf(col(keyCol), nBuckets).as("__b"))
           .distinct().collect().map(_.getInt(0)).toSeq.sorted
-        mergeWrite(keyCol, cached, touched, readSchema = None)
+        if (deltaCompactEvery > 0) appendDelta(keyCol, cached)
+        else mergeWrite(keyCol, cached, touched, readSchema = None)
       } finally cached.unpersist()
     }
 
@@ -107,8 +159,71 @@ object UpsertJoin {
       */
     override def upsertPrepared(keyCol: String, batch: DataFrame,
                                 touched: Seq[Int]): Unit =
-      if (touched.nonEmpty)
-        mergeWrite(keyCol, batch, touched.sorted, Some(batch.schema))
+      if (touched.nonEmpty) {
+        if (deltaCompactEvery > 0) appendDelta(keyCol, batch)
+        else mergeWrite(keyCol, batch, touched.sorted, Some(batch.schema))
+      }
+
+    /** Delta-mode upsert: dedup the batch per key with the SAME
+      * deterministic survivor as the merge path (max content hash),
+      * stamp the generation, append ONE file. No state read, no bucket
+      * rewrite — those costs move to the amortized [[compact]].
+      */
+    private def appendDelta(keyCol: String, batch: DataFrame): Unit = {
+      val w = Window.partitionBy(col(keyCol))
+        .orderBy(xxhash64(struct(batch.columns.map(col): _*)).desc)
+      val stamped = batch
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .drop("__rn")
+        .withColumn("__gen", lit(gen))
+        .withColumn(BucketedState.BucketColName,
+          BucketedState.bucketOf(col(keyCol), nBuckets))
+      deltaSchema = stamped.schema
+      // one gen = one dir = one file + its own _SUCCESS: the append is
+      // atomic per batch (a crashed write has no marker and is swept),
+      // and no existing-file listing happens on the write path
+      stamped.coalesce(1).write.mode("overwrite").parquet(s"$deltaDir/g$gen")
+      // the key column name, durable next to the deltas it keys — a
+      // restarted instance's snapshot() must dedup on the right column
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(deltaDir, ".keycol"),
+        keyCol.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      gen += 1
+      sinceCompact += 1
+      if (sinceCompact >= deltaCompactEvery) compact(keyCol)
+    }
+
+    /** Fold every pending delta into the bucket files: latest
+      * generation wins per key (base reads as generation -1), exactly
+      * the order sequential merge-on-write applied. Deltas are removed
+      * only after the bucket swaps promote; a crash in between replays
+      * them onto the already-merged base, where latest-wins makes the
+      * replay a no-op.
+      */
+    private def compact(keyCol: String): Unit = {
+      val gens = deltaGenDirs
+      if (gens.isEmpty) { sinceCompact = 0; return }
+      val reader = Option(deltaSchema).fold(spark.read)(s => spark.read.schema(s))
+      val del = reader.parquet(gens.map(_.getPath): _*)
+      val touched = del.select(col(BucketedState.BucketColName))
+        .distinct().collect().map(_.getInt(0)).toSeq.sorted
+      val rowCols = del.columns
+        .filter(c => c != "__gen" && c != BucketedState.BucketColName)
+      val base = BucketedState.readBuckets(spark, dir, touched,
+        Option(deltaSchema).map(s => org.apache.spark.sql.types.StructType(
+          s.fields.filter(f => f.name != "__gen" && f.name != BucketedState.BucketColName))))
+        .map(_.withColumn("__gen", lit(-1L))
+          .withColumn(BucketedState.BucketColName,
+            BucketedState.bucketOf(col(keyCol), nBuckets)))
+      val all = base.fold(del)(b => del.unionByName(b))
+      val w = Window.partitionBy(col(keyCol)).orderBy(col("__gen").desc)
+      val merged = all.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn", "__gen")
+        .select((BucketedState.BucketColName +: rowCols.toSeq).map(col): _*)
+      BucketedState.overwriteBuckets(spark, dir, merged, touched)
+      BucketedState.deleteRecursively(java.nio.file.Paths.get(deltaDir))
+      sinceCompact = 0
+    }
 
     private def mergeWrite(keyCol: String, batch: DataFrame,
                            touched: Seq[Int],
@@ -155,9 +270,39 @@ object UpsertJoin {
       delta.write.mode("append").parquet(clDir)
     }
 
-    def snapshot(spark: SparkSession): DataFrame =
-      BucketedState.readAll(spark, dir).getOrElse(
-        throw new IllegalStateException(s"no state written yet under $dir"))
+    /** Converged table. Merge-on-write: just the bucket files. Delta
+      * mode additionally folds pending deltas in at read time (the
+      * "merge-on-read" half of the LSM trade) — same latest-wins
+      * ordering as [[compact]], so the result is independent of when
+      * compactions happened to run.
+      */
+    def snapshot(spark: SparkSession): DataFrame = {
+      val base = BucketedState.readAll(spark, dir)
+      val gens = if (deltaCompactEvery > 0) deltaGenDirs else Nil
+      val del = if (gens.nonEmpty)
+        Some(Option(deltaSchema).fold(spark.read)(s => spark.read.schema(s))
+          .parquet(gens.map(_.getPath): _*))
+      else None
+      (base, del) match {
+        case (Some(b), None) => b
+        case (None, None) => throw new IllegalStateException(
+          s"no state written yet under $dir")
+        case (b, Some(d)) =>
+          import org.apache.spark.sql.expressions.Window
+          val rowCols = d.columns
+            .filter(c => c != "__gen" && c != BucketedState.BucketColName).toSeq
+          val all = b.map(_.withColumn("__gen", lit(-1L)))
+            .fold(d.drop(BucketedState.BucketColName))(
+              _.unionByName(d.drop(BucketedState.BucketColName)))
+          val keyPath = java.nio.file.Paths.get(deltaDir, ".keycol")
+          val keyCol = new String(java.nio.file.Files.readAllBytes(keyPath),
+            java.nio.charset.StandardCharsets.UTF_8)
+          val w = Window.partitionBy(col(keyCol)).orderBy(col("__gen").desc)
+          all.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn", "__gen")
+            .select(rowCols.map(col): _*)
+      }
+    }
   }
 
   /** Drive a streaming fact source through a per-batch join against
