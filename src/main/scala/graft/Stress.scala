@@ -231,6 +231,25 @@ object Stress {
       (hits.count(), "")
     }
 
+    // ------------------------------------------- quantized-rescore ANN
+    // the int8 candidate sieve scans the FULL corpus per probe (that is
+    // its contract — a sieve, not an index), so the probe budget scales
+    // inversely with the corpus to keep pairs ~2e8 per run; the planted
+    // identical pairs give an exact check — every probe's rank-1
+    // neighbor must be its twin (probe ids < nDupVecs pair as (2i,2i+1))
+    val qProbes = math.max(64L, math.min(256L, 200000000L / nVecs))
+    phase("quantized_ann") {
+      val hits = operators.SimilaritySearch.quantizedTopK(
+        vecs.filter(col("vec_id") < qProbes), vecs, "vec_id", "embedding",
+        k = 10, refine = 4)
+      val twinsFound = hits.filter(col("rank") === 1)
+        .filter(col("neighbor_id") ===
+          col("probe_id").bitwiseXOR(lit(1L))).count()
+      require(twinsFound == qProbes,
+        s"quantized top-1 must be the planted twin for all $qProbes probes, got $twinsFound")
+      (hits.count(), s""","twins_found":$twinsFound,"probes":$qProbes""")
+    }
+
     vecs.unpersist()
 
     // ------------------------------------- minhash LSH candidate pairs
@@ -263,6 +282,25 @@ object Stress {
       (n, s""","distinct_labels":$distinctLabels""")
     }
     pairs.unpersist()
+
+    // --------------------------------------- duplicated-span detection
+    // every dup-group doc is a verbatim copy, so its full 12-token body
+    // is ONE maximal span [1, 12]; unique docs (16-hex-char words from
+    // unique seeds) share no 8-gram. Exact expectation: nDupDocs rows,
+    // all spanning the whole document. The shuffle is O(corpus gram
+    // positions) = 5 rows/doc of (hash, doc, pos) — the operator's
+    // documented wordcount-shaped asymptotics, measured here.
+    phase("span_dedup") {
+      val spans = operators.SpanDedup
+        .duplicatedSpans(docs, "id", "text", width = 8).persist()
+      val n = spans.count()
+      val fullSpans = spans
+        .filter(col("span_start") === 1 && col("span_tokens") === 12).count()
+      spans.unpersist()
+      require(n == nDupDocs && fullSpans == n,
+        s"planted spans: got $n rows / $fullSpans full-doc, expected $nDupDocs")
+      (n, s""","full_doc_spans":$fullSpans""")
+    }
 
     // -------------------------- decontamination: exact vs Bloom form
     // dup groups span split boundaries (members have different ids, so

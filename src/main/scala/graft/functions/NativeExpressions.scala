@@ -184,6 +184,51 @@ object NativeExpressions {
       copy(child = c)
   }
 
+  /** Rolling fixed-width gram hashes from an array of token hashes in
+    * one pass: out(i) = chain-mix of tokens i..i+width-1, for i in
+    * [0, n-width]; empty below `width` tokens. Equal windows hash equal
+    * by construction; distinct windows collide at the usual 2^-64.
+    * Replaces the `transform(sequence, i -> xxhash64(slice(...)))`
+    * formulation, which pays an interpreted higher-order dispatch plus
+    * a fresh 8-element array copy per gram — the per-element-closure
+    * cost class every other text primitive here already eliminated.
+    */
+  def gramHashesEval(arr: ArrayData, width: Int): ArrayData = {
+    val n = arr.numElements()
+    val m = n - width + 1
+    if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = 0x2545F4914F6CDD1DL
+      var j = 0
+      while (j < width) {
+        h = mix64(h ^ arr.getLong(i + j))
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  case class GramHashes(child: Expression, width: Int)
+      extends UnaryExpression {
+    require(width >= 1, s"width must be positive, got $width")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def nullSafeEval(input: Any): Any =
+      gramHashesEval(input.asInstanceOf[ArrayData], width)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.NativeExpressions.gramHashesEval(" +
+          s"$c, $width);")
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** 64-bit SimHash from an array of token hashes: per bit, sum of
     * +/-1 over tokens; sign becomes the fingerprint bit.
     */
@@ -681,6 +726,10 @@ object NativeExpressions {
 
   def simhash64(tokenHashes: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokenHashes)))
+
+  def gramHashes(tokenHashes: Column, width: Int): Column =
+    ColumnBridge.column(GramHashes(
+      ColumnBridge.expression(tokenHashes), width))
 
   def srpBucketArray(vec: Column, bands: Int, bitsPerBand: Int,
                      maxDim: Int): Column =

@@ -46,14 +46,11 @@ object SpanDedup {
                                   textCol: String, width: Int): DataFrame = {
     val tokenHashes = transform(TextFunctions.tokens(col(textCol)),
       t => xxhash64(t))
-    // Gram hash at 1-based position i = xxhash64 over the width
-    // consecutive token hashes. Documents shorter than `width` tokens
-    // emit nothing. (`sequence(1, n)` with n < 1 would generate a
-    // DESCENDING sequence — guard explicitly.)
-    val grams = when(size(tokenHashes) >= width,
-      transform(sequence(lit(1), size(tokenHashes) - width + 1),
-        i => xxhash64(slice(tokenHashes, i, lit(width)))))
-      .otherwise(array().cast("array<bigint>"))
+    // Each token string hashed once, then ONE native pass produces the
+    // rolling width-gram hashes (NativeExpressions.GramHashes) —
+    // documents shorter than `width` tokens emit nothing.
+    val grams = graft.functions.NativeExpressions.gramHashes(
+      tokenHashes, width)
     val positioned = docs
       .select(col(idCol).as("doc_id"), posexplode(grams))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),

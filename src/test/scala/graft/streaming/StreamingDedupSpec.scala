@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.SparkTestBase
+import graft.operators.DedupOps
+
+/** Streaming dedup must catch duplicates ACROSS micro-batches (the
+  * whole point of the state), agree with the batch banding on what
+  * collides, and emit each candidate exactly once.
+  */
+class StreamingDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+  private val nearDup = (1 to 60).map(i => if (i == 30) "CHANGED" else s"tok$i").mkString(" ")
+  private val unrelated = (100 to 160).map(i => s"zzz$i").mkString(" ")
+
+  test("exactDedupStream keeps the first arrival per distinct text across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = StreamingDedup.exactDedupStream(docs, "doc_id", "text")
+      .writeStream.format("memory").queryName("exact_dedup_out")
+      .outputMode("append").start()
+    input.addData((1L, base), (2L, unrelated))
+    q.processAllAvailable()
+    input.addData((3L, base)) // exact copy, later batch: must be dropped
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("exact_dedup_out")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L))
+  }
+
+  test("minhashDedupStream flags near-dups across batches, exactly once, batch-consistent") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = StreamingDedup.nearDupPairsStream(docs, "doc_id", "text")
+      .writeStream.format("memory").queryName("near_dedup_out")
+      .outputMode("append").start()
+
+    input.addData((1L, base), (3L, unrelated))
+    q.processAllAvailable()
+    input.addData((2L, nearDup), (4L, base)) // near-dup + exact copy, later batch
+    q.processAllAvailable()
+    input.addData((4L, base)) // replayed doc: champion unchanged, same bucket
+    q.processAllAvailable()
+    q.stop()
+
+    val emitted = spark.table("near_dedup_out")
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val pairs = emitted.toSet
+    assert(pairs.contains((1L, 4L)), "exact copy must collide with the champion")
+    assert(pairs.contains((1L, 2L)), s"near-dup must collide, got $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated doc must not pair, got $pairs")
+
+    // exactly-once per (band, newcomer): no duplicate emissions even
+    // though doc 4 was replayed in a later batch
+    val perBand = spark.table("near_dedup_out")
+      .select("id_a", "id_b", "band").as[(Long, Long, Int)].collect()
+    assert(perBand.distinct.length === perBand.length,
+      s"replays must not re-emit, got ${perBand.toSeq}")
+
+    // stream candidates (champion-normalized) must be a subset of the
+    // batch operator's full pair graph over the same corpus
+    val batchPairs = DedupOps.minhashCandidatePairs(
+      Seq((1L, base), (2L, nearDup), (3L, unrelated), (4L, base))
+        .toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.subsetOf(batchPairs),
+      s"stream pairs $pairs must be a subset of batch pairs $batchPairs")
+  }
+
+  test("in-batch arrival order does not change champions (docId order wins)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = StreamingDedup.nearDupPairsStream(docs, "doc_id", "text")
+      .writeStream.format("memory").queryName("order_dedup_out")
+      .outputMode("append").start()
+    // higher id listed first within the batch — champion must still be 5
+    input.addData((9L, base), (5L, base), (7L, base))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("order_dedup_out")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((5L, 7L), (5L, 9L)),
+      s"lowest id must be champion regardless of arrival order, got $pairs")
+  }
+}
