@@ -843,6 +843,20 @@ object SparkEntry {
         col("l_orderkey") === col("o_orderkey"))
         .select("l_orderkey", "l_linenumber", "l_extendedprice",
           "o_orderstatus", "o_totalprice")
+    }),
+
+    // data layout: Z-order (Morton) clustering — the multi-column
+    // pruning layout. The oracle pins content identity through the
+    // quantile-sketch + interleave + range-partitioned write; the
+    // clustering claim itself is measured by LayoutSpec's
+    // files-touched probe (either clustered column prunes)
+    "q_zorder" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft-zorder"
+      Layout.zorderWrite(
+        t(s, dir, "lineitem").select("l_orderkey", "l_partkey",
+          "l_suppkey", "l_quantity"),
+        Seq("l_orderkey", "l_partkey"), path, numFiles = 16, bits = 8)
+      s.read.parquet(path)
     })
   )
 
@@ -1618,6 +1632,11 @@ object SparkEntry {
     "q_bucketed_join" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice,
                 o_orderstatus, o_totalprice
-         FROM lineitem JOIN orders ON l_orderkey = o_orderkey"""
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey""",
+
+    // the z-ordered layout must not change a single row either
+    "q_zorder" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
+         FROM lineitem"""
   )
 }

@@ -229,6 +229,42 @@ object NativeExpressions {
       copy(child = c)
   }
 
+  /** Quantile-bucket assignment by binary search over a referenced
+    * sorted boundary array: returns the count of boundaries <= v, i.e.
+    * the 0-based bucket index. Row-local — the scale-correct
+    * replacement for a global ntile() window (which would move the
+    * whole table through one partition): boundaries come from a
+    * one-pass approxQuantile sketch, assignment is O(log nTiles) per
+    * row with the boundary array shared as a codegen reference.
+    */
+  def searchBucketEval(v: Double, bounds: Array[Double]): Long = {
+    var lo = 0
+    var hi = bounds.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (bounds(mid) <= v) lo = mid + 1 else hi = mid
+    }
+    lo.toLong
+  }
+
+  case class SearchBucket(child: Expression, boundaries: Array[Double])
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+
+    override def nullSafeEval(input: Any): Any =
+      searchBucketEval(input.asInstanceOf[Double], boundaries)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bRef = ctx.addReferenceObj("bucketBounds", boundaries, "double[]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.NativeExpressions.searchBucketEval(" +
+          s"$c, $bRef);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** 64-bit SimHash from an array of token hashes: per bit, sum of
     * +/-1 over tokens; sign becomes the fingerprint bit.
     */
@@ -730,6 +766,9 @@ object NativeExpressions {
   def gramHashes(tokenHashes: Column, width: Int): Column =
     ColumnBridge.column(GramHashes(
       ColumnBridge.expression(tokenHashes), width))
+
+  def searchBucket(v: Column, boundaries: Array[Double]): Column =
+    ColumnBridge.column(SearchBucket(ColumnBridge.expression(v), boundaries))
 
   def srpBucketArray(vec: Column, bands: Int, bitsPerBand: Int,
                      maxDim: Int): Column =
