@@ -485,6 +485,22 @@ object SparkEntry {
           trainFrac = 0.8, valFrac = 0.1)
         .select("doc_id", "split")),
 
+    // §2.10 assembly: leakage-safe split — near-dup clusters (from the
+    // same pair graph as q_dup_clusters) are split as ONE unit, keyed
+    // on the cluster's canonical label, so train/eval never straddles
+    // a near-duplicate
+    "q_split_leakfree" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val probe = d.filter(col("doc_id") < 40)
+      val confirmed = DedupOps.tokenJaccardPairs(probe, "doc_id", "text",
+          maxDocFreq = None)
+        .filter(col("jaccard") > 0.5)
+        .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+      val labels = DedupOps.duplicateClusters(confirmed)
+      TrainingOps.assignSplitByCluster(d, "doc_id", labels)
+        .select("doc_id", "split")
+    }),
+
     // §2.10 training-data assembly: deterministic hash sampling (stable
     // across reruns/retries/engines, unlike rand()-based sample)
     "q_sample" -> ((s, dir) =>
@@ -1637,6 +1653,43 @@ object SparkEntry {
     // the z-ordered layout must not change a single row either
     "q_zorder" ->
       """SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
-         FROM lineitem"""
+         FROM lineitem""",
+
+    // q_dup_clusters' recursive-CTE labels + q_split's md5 thresholds,
+    // keyed on coalesce(cluster label, doc id)
+    "q_split_leakfree" ->
+      raw"""WITH d AS (SELECT * FROM documents WHERE doc_id < 40),
+         tok AS (
+           SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+           FROM d),
+         sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+           FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         confirmed AS (
+           SELECT id_a, id_b FROM pairs
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) > 0.5),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM confirmed
+           UNION SELECT id_b, id_a FROM confirmed),
+         reach AS (
+           WITH RECURSIVE r(id, root) AS (
+             SELECT DISTINCT src, src FROM edges
+             UNION
+             SELECT e.dst, r.root FROM r JOIN edges e ON e.src = r.id)
+           SELECT * FROM r),
+         labels AS (SELECT id, min(root) AS label FROM reach GROUP BY id)
+         SELECT doc_id,
+           CASE WHEN substr(md5('split:' ||
+                  CAST(coalesce(l.label, doc_id) AS VARCHAR)), 1, 2) < 'cc'
+                  THEN 'train'
+                WHEN substr(md5('split:' ||
+                  CAST(coalesce(l.label, doc_id) AS VARCHAR)), 1, 2) < 'e6'
+                  THEN 'val'
+                ELSE 'test' END AS split
+         FROM documents LEFT JOIN labels l ON l.id = doc_id"""
   )
 }

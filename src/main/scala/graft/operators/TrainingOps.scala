@@ -63,6 +63,33 @@ object TrainingOps {
         .otherwise("test"))
   }
 
+  /** Leakage-safe split: near-duplicate documents must land in the
+    * SAME split — a dup cluster straddling train/eval leaks eval
+    * content into training, the contamination [[crossSplitContamination]]
+    * exists to catch after the fact. This prevents it at assignment
+    * time: the split hash is keyed on the cluster's canonical label
+    * (from [[DedupOps.duplicateClusters]]) instead of the doc id;
+    * unclustered docs key on their own id. Assignment stays a pure
+    * function of (seed, canonical key): adding or removing OTHER
+    * documents never moves a doc between splits unless its cluster
+    * membership itself changed.
+    *
+    * The label join is an equi-join on the id — at corpus scale the
+    * label table holds only clustered docs (the dup fraction), and the
+    * shuffle carries (id, label) pairs, never text.
+    */
+  def assignSplitByCluster(docs: DataFrame, idCol: String,
+                           clusterLabels: DataFrame,
+                           trainFrac: Double = 0.8, valFrac: Double = 0.1,
+                           seed: String = "split"): DataFrame = {
+    val labels = clusterLabels
+      .select(col("id").as(idCol), col("label").as("__cluster"))
+    val keyed = docs.join(labels, Seq(idCol), "left")
+      .withColumn("__split_key", coalesce(col("__cluster"), col(idCol)))
+    assignSplit(keyed, "__split_key", trainFrac, valFrac, seed)
+      .drop("__split_key", "__cluster")
+  }
+
   /** Keep ~`fraction` of rows, decided per row by hash bucket (65536
     * buckets from the first four hex chars). Unlike `df.sample`, the
     * kept set is a pure function of (seed, id): stable across reruns,

@@ -222,4 +222,23 @@ class TrainingOpsSpec extends SparkTestBase {
     assert(p1.sorted === (1L to 2000L))
     assert(p3.sorted === (1L to 2000L))
   }
+
+  test("assignSplitByCluster: clusters move as one unit, singletons unchanged") {
+    val docs = (1L to 500L).toDF("doc_id")
+    // two clusters: {10,11,12} (canonical 10) and {200,201} (canonical 200)
+    val labels = Seq((10L, 10L), (11L, 10L), (12L, 10L),
+      (200L, 200L), (201L, 200L)).toDF("id", "label")
+    val got = TrainingOps.assignSplitByCluster(docs, "doc_id", labels)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(Set(got(10L), got(11L), got(12L)).size === 1,
+      "cluster members must share a split")
+    assert(Set(got(200L), got(201L)).size === 1)
+    // the cluster's split is the canonical member's plain assignment
+    val plain = TrainingOps.assignSplit((1L to 500L).toDF("doc_id"), "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(got(11L) === plain(10L) && got(201L) === plain(200L))
+    // unclustered docs are assigned exactly as assignSplit would
+    val unclustered = got.keySet -- Set(10L, 11L, 12L, 200L, 201L)
+    assert(unclustered.forall(id => got(id) === plain(id)))
+  }
 }
