@@ -180,10 +180,66 @@ object StreamBench {
 
     val small = runMix(30, 5, 5, saltBase = 0)
     val large = runMix(3000, 500, 500, saltBase = 7001)
+
+    // -------------------- streaming near-dup dedup (StreamingDedup)
+    // Seed `base/10` docs into the (band, bucket) champion state, then
+    // sustain batches with a 10% planted exact-dup rate; report docs/sec
+    // and that every planted dup was flagged. State lives in the
+    // default HDFS-backed store under the checkpoint; per-batch cost is
+    // the banding scan + the touched buckets' state read/write.
+    val dedupJson = {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val nSeed = math.max(base / 10, 1000)
+      val batchRows = 1000
+      val dupEvery = 10
+      def docText(seed: Long): String =
+        (0 until 12).map(i => java.lang.Long.toHexString(
+          graft.functions.NativeExpressions.mix64(seed * 31 + i))).mkString(" ")
+      val input = MemoryStream[(Long, String)]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-sbd").toString
+      val q = streaming.StreamingDedup.nearDupPairsStream(
+          input.toDF().toDF("doc_id", "text"), "doc_id", "text")
+        .writeStream.format("memory").queryName("sb_dedup_out")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      val s0 = System.nanoTime()
+      input.addData((0L until nSeed).map(i => (i, docText(i))))
+      q.processAllAvailable()
+      val dedupSeedSec = (System.nanoTime() - s0) / 1e9
+      val times = new Array[Double](nBatches)
+      for (b <- 0 until nBatches) {
+        val ids = (0 until batchRows).map(j => nSeed + b.toLong * batchRows + j)
+        val rows = ids.map { id =>
+          // every dupEvery-th row duplicates a seed doc's text exactly
+          if (id % dupEvery == 0) (id, docText((id / dupEvery) % nSeed))
+          else (id, docText(id + 1000000000L))
+        }
+        val b0 = System.nanoTime()
+        input.addData(rows)
+        q.processAllAvailable()
+        times(b) = (System.nanoTime() - b0) / 1e9
+      }
+      // planted exact dups collide in EVERY band with their seed; one
+      // distinct (id_a, id_b) pair per planted dup is the floor
+      val planted = nBatches * batchRows / dupEvery
+      val caught = spark.table("sb_dedup_out")
+        .filter(col("id_b") >= nSeed)
+        .select("id_a", "id_b").distinct().count()
+      q.stop()
+      val meanSec = times.sum / nBatches
+      f""""dedup_stream":{"seed_docs":$nSeed,"seed_sec":$dedupSeedSec%.1f,""" +
+        f""""batches":$nBatches,"rows_per_batch":$batchRows,""" +
+        f""""mean_batch_sec":$meanSec%.3f,""" +
+        f""""docs_per_sec":${batchRows / meanSec}%.0f,""" +
+        f""""planted_dups":$planted,"caught_pairs":$caught}"""
+    }
+
     val json =
       f"""{"seed_listings":$base,"seed_sec":$seedSec%.1f,""" +
         f""""buckets":$nBuckets,""" + small +
-        s""","large_batch":{$large}}"""
+        s""","large_batch":{$large},""" + dedupJson + "}"
     println(s"[streambench] $json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

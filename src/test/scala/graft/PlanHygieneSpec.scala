@@ -178,6 +178,28 @@ class PlanHygieneSpec extends SparkTestBase {
       "distributed tier must take per-vertex min(label)")
   }
 
+  test("q_dup_spans: exchanges carry (hash, doc, pos) — never document text") {
+    val p = plan("q_dup_spans")
+    val exchangeKeys = "Exchange hashpartitioning\\([^)]*".r.findAllIn(p).toList
+    assert(exchangeKeys.nonEmpty)
+    assert(exchangeKeys.forall(k => !k.contains("text")),
+      s"span dedup must shuffle gram hashes, not text: $exchangeKeys")
+    assert(!p.contains("Join"), "span detection is window-based, no self-join")
+  }
+
+  test("q_quantized_ann: both ranking stages keep map-side partial top-k") {
+    val p = plan("q_quantized_ann")
+    assert(!p.contains("Window"), "quantized ANN must not rank with a window")
+    assert("partial_topk".r.findAllIn(p).size >= 2,
+      "both the candidate sieve and the exact rescore must truncate map-side")
+  }
+
+  test("q_scd2: one window pass, no self-join") {
+    val p = plan("q_scd2")
+    assert(!p.contains("Join"), "SCD2 must not join the change log to itself")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(2000))
+  }
+
   test("native dot product is codegen-capable (starred projection)") {
     // the tokenizing queries are bounded by ArrayTransform (a
     // CodegenFallback higher-order function), but ArrayDotProduct
