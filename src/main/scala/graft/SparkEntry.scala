@@ -764,6 +764,26 @@ object SparkEntry {
           size(col("features")).cast("long").as("n_dims"))
     }),
 
+    // §2.10 multimodal: the REAL container-demux tier (Mp4Demux sample
+    // tables) driven through its documented degrade path — corpus bytes
+    // are not MP4s, so every row takes the stub-grid fallback and the
+    // oracle pins that the fallback is exactly q_frames' contract; the
+    // real-MP4 leg is pinned sample-exact by Mp4DemuxSpec
+    "q_frames_demux" -> ((s, dir) => {
+      val media = t(s, dir, "documents").filter(col("doc_id") < 100).select(
+        col("doc_id").as("media_id"),
+        lit("video").as("kind"),
+        lit("video/mp4").as("mime"),
+        col("text").cast("binary").as("content"),
+        struct(
+          lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+          lit(null).cast("int").as("sample_rate"),
+          col("n_chars").cast("long").as("duration_ms")).as("meta"))
+      multimodal.Multimodal.demuxVideoFrames(media, keyframesOnly = false)
+        .select(col("media_id"), col("frame_ts_ms"),
+          size(col("features")).cast("long").as("n_dims"))
+    }),
+
     // §2.10 similarity: int8 scalar quantization of embeddings (4x
     // smaller candidate-generation bytes; floor-based rounding so the
     // codes are engine-reproducible). Emitted per-dimension so the
@@ -1526,6 +1546,13 @@ object SparkEntry {
          FROM documents WHERE doc_id < 200""",
 
     "q_frames" ->
+      """SELECT doc_id AS media_id, t AS frame_ts_ms,
+                CAST(16 AS BIGINT) AS n_dims
+         FROM documents, unnest(range(0, n_chars, 500)) AS u(t)
+         WHERE doc_id < 100""",
+
+    // the demux tier's fallback must be exactly the q_frames grid
+    "q_frames_demux" ->
       """SELECT doc_id AS media_id, t AS frame_ts_ms,
                 CAST(16 AS BIGINT) AS n_dims
          FROM documents, unnest(range(0, n_chars, 500)) AS u(t)

@@ -22,8 +22,12 @@ import org.apache.spark.sql.types._
   * `javax.imageio`, WAV/AIFF/AU PCM via `javax.sound.sampled` — and
   * anything unparseable falls back to [[StubCodec]]'s deterministic
   * byte-hash fakes, so non-media bytes still flow and fixture oracles
-  * stay reproducible. Exotic codecs (HEIC, mp4 demux, opus) would slot
-  * in the same fallback chain via an external library.
+  * stay reproducible. Video containers get a REAL demux tier too:
+  * [[Mp4Demux]] walks the ISO-BMFF sample tables and
+  * [[demuxVideoFrames]] emits per-sample container timing, keyframe
+  * flags, and undecoded codec payloads. Exotic pixel codecs (HEIC,
+  * H.264 decode, opus) would slot in the same fallback chain via an
+  * external library.
   */
 object Multimodal {
 
@@ -316,6 +320,53 @@ object Multimodal {
           vals(contentIdx) = resized
           vals(metaIdx) = newMeta
           Row.fromSeq(vals.toSeq)
+        }
+      }
+    }
+  }
+
+  /** REAL container tier for video: parse the MP4 sample tables
+    * ([[Mp4Demux]]) and emit one row per video sample with its
+    * CONTAINER timing, keyframe flag, and undecoded codec payload —
+    * optionally keyframes only, the usual sampling policy (sync
+    * samples decode standalone). Bytes that are not a parseable MP4
+    * degrade to the stub's duration grid (is_sync = true), so a crawl
+    * partition mixing real videos and mislabeled blobs still flows.
+    */
+  def demuxVideoFrames(df: DataFrame, keyframesOnly: Boolean = true,
+                       featureDims: Int = 16): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_ts_ms", LongType),
+      StructField("is_sync", BooleanType),
+      StructField("frame", BinaryType),
+      StructField("features", ArrayType(FloatType))))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val idIdx = df.schema.fieldIndex("media_id")
+    val contentIdx = df.schema.fieldIndex("content")
+    val metaIdx = df.schema.fieldIndex("meta")
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](contentIdx)
+        Mp4Demux.demux(bytes) match {
+          case Some(track) =>
+            track.samples.iterator
+              .filter(s => !keyframesOnly || s.isSync)
+              .flatMap { s =>
+                Mp4Demux.samplePayload(bytes, s).map { payload =>
+                  Row(r.getLong(idIdx), s.tsMs, s.isSync, payload,
+                    JdkCodec.imageFeatures(payload, featureDims).toSeq)
+                }
+              }
+          case None =>
+            val meta = r.getAs[Row](metaIdx)
+            val dur = if (meta == null || meta.isNullAt(3)) 0L else meta.getLong(3)
+            StubCodec.sampleFrames(bytes, dur, everyMs = 500L)
+              .iterator.map { case (ts, frame) =>
+                Row(r.getLong(idIdx), ts, true, frame,
+                  JdkCodec.imageFeatures(frame, featureDims).toSeq)
+              }
         }
       }
     }

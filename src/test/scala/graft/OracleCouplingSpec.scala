@@ -20,6 +20,19 @@ class OracleCouplingSpec extends SparkTestBase {
     assert(oracle("q_split").contains("md5('split:'"))
   }
 
+  test("q_split_leakfree oracle mirrors the split thresholds AND the cluster keying") {
+    val trainMax = f"${math.floor(256 * 0.8).toInt}%02x"
+    val valMax = f"${math.floor(256 * 0.9).toInt}%02x"
+    assert(oracle("q_split_leakfree").contains(s"< '$trainMax'"))
+    assert(oracle("q_split_leakfree").contains(s"< '$valMax'"))
+    // the hash key must be the canonical cluster label, doc id fallback
+    assert(oracle("q_split_leakfree").contains("md5('split:'"))
+    assert(oracle("q_split_leakfree").contains("coalesce(l.label, doc_id)"))
+    // same Jaccard threshold and probe bound as q_dup_clusters' graph
+    assert(oracle("q_split_leakfree").contains("> 0.5"))
+    assert(oracle("q_split_leakfree").contains("doc_id < 40"))
+  }
+
   test("q_sample / q_stratified oracles carry the 65536-bucket thresholds") {
     assert(oracle("q_sample").contains(
       f"< '${math.floor(65536 * 0.25).toInt}%04x'")) // '4000'
