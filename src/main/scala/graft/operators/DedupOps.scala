@@ -227,6 +227,24 @@ object DedupOps {
   }
 
   private def distributedClusters(pairs: DataFrame, maxIter: Int): DataFrame = {
+    val spark = pairs.sparkSession
+    // AQE re-plans every exchange of every iteration as its own query
+    // stage with runtime stats — the right call for one 100 GB join,
+    // pure per-iteration driver latency for a convergence loop that
+    // schedules the same three small exchanges `diameter` times. Turn
+    // it off for the loop's jobs only (results are unaffected; AQE is
+    // a physical-planning concern) and restore the caller's setting.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevAqe = spark.conf.getOption(aqeKey)
+    spark.conf.set(aqeKey, "false")
+    try distributedClustersLoop(pairs, maxIter)
+    finally prevAqe match {
+      case Some(v) => spark.conf.set(aqeKey, v)
+      case None => spark.conf.unset(aqeKey)
+    }
+  }
+
+  private def distributedClustersLoop(pairs: DataFrame, maxIter: Int): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().cache()
