@@ -1612,7 +1612,8 @@ object SparkEntry {
            FROM x) t
          WHERE rank <= 5""",
 
-    // duplicated 8-gram positions -> gaps-and-islands -> maximal spans
+    // duplicated 8-gram positions -> INTERVAL merge (a start at p covers
+    // [p, p+7], so starts <= 8 apart share a span) -> maximal spans
     "q_dup_spans" ->
       raw"""WITH t AS (SELECT doc_id,
              string_split_regex(trim(text), '\s+') AS arr FROM documents),
@@ -1626,11 +1627,16 @@ object SparkEntry {
              FROM g) x
            WHERE c > 1),
          i AS (SELECT doc_id, pos,
-             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-           FROM d)
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+                  THEN 1 ELSE 0 END AS brk
+           FROM d),
+         s AS (SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+           FROM i)
          SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
                 max(pos) + 8 - min(pos) AS span_tokens
-         FROM i GROUP BY doc_id, grp""",
+         FROM s GROUP BY doc_id, grp""",
 
     "q_span_stats" ->
       raw"""WITH t AS (SELECT doc_id,
@@ -1645,11 +1651,16 @@ object SparkEntry {
              FROM g) x
            WHERE c > 1),
          i AS (SELECT doc_id, pos,
-             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+                  THEN 1 ELSE 0 END AS brk
            FROM d),
+         s2 AS (SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+           FROM i),
          spans AS (
            SELECT doc_id, max(pos) + 8 - min(pos) AS span_tokens
-           FROM i GROUP BY doc_id, grp),
+           FROM s2 GROUP BY doc_id, grp),
          agg AS (
            SELECT doc_id, CAST(sum(span_tokens) AS BIGINT) AS dup_tokens,
                   count(*) AS n_spans

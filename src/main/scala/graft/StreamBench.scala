@@ -228,6 +228,11 @@ object StreamBench {
         .filter(col("id_b") >= nSeed)
         .select("id_a", "id_b").distinct().count()
       q.stop()
+      // exact dups collide in EVERY band, and each pairs only with its
+      // bucket champion: missing OR extra pairs both mean the state
+      // machinery regressed — fail the bench, don't just report it
+      require(caught == planted,
+        s"planted-dup recall broke: caught $caught of $planted")
       val meanSec = times.sum / nBatches
       f""""dedup_stream":{"seed_docs":$nSeed,"seed_sec":$dedupSeedSec%.1f,""" +
         f""""batches":$nBatches,"rows_per_batch":$batchRows,""" +

@@ -112,16 +112,24 @@ object Mp4Demux {
 
   private def buildSamples(b: Array[Byte], stbl: Box,
                            timescale: Long): Option[Vector[Sample]] = {
-    // ---- stsz: per-sample byte sizes
+    // ---- stsz: per-sample byte sizes. The uniform-size branch has no
+    // table entries to bound the declared count, so a corrupt 200-byte
+    // blob can claim 10^9 samples — every sample must occupy >= 1 byte
+    // of THIS blob, so count and uniform*count are both bounded by the
+    // blob length before any allocation (the contract is None, never
+    // an OOM the NonFatal catch can't see).
     val sizes = child(b, stbl, "stsz").flatMap { x =>
       val o = x.start
       if (x.end - o < 12) None
       else {
         val uniform = u32(b, o + 4)
-        val n = u32(b, o + 8).toInt
-        if (uniform != 0) Some(Array.fill(n)(uniform.toInt))
-        else if (x.end - o - 12 >= 4L * n)
-          Some(Array.tabulate(n)(i => u32(b, o + 12 + 4 * i).toInt))
+        val n = u32(b, o + 8)
+        if (n < 0 || n > b.length) None
+        else if (uniform != 0) {
+          if (uniform * n > b.length) None
+          else Some(Array.fill(n.toInt)(uniform.toInt))
+        } else if (x.end - o - 12 >= 4L * n)
+          Some(Array.tabulate(n.toInt)(i => u32(b, o + 12 + 4 * i).toInt))
         else None
       }
     }

@@ -204,10 +204,17 @@ object SimilaritySearch {
     //    cell key, and each pair still matches exactly once. Degrades
     //    predictably: cost grows with |P| x saltFactor replication,
     //    never with driver memory.
-    val threshold = maxBroadcastBytes.getOrElse(
-      try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-        probes.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold"))
-      catch { case scala.util.control.NonFatal(_) => 10L << 20 })
+    val threshold = maxBroadcastBytes.getOrElse {
+      val raw = try probes.sparkSession.conf
+        .get("spark.sql.autoBroadcastJoinThreshold")
+      catch { case scala.util.control.NonFatal(_) => "10MB" }
+      // plain numbers first: byteStringAsBytes rejects "-1", and a user
+      // who DISABLED broadcast (threshold -1) must get the salted
+      // fallback, not a silently-restored 10MB default
+      raw.trim.toLongOption.getOrElse(
+        try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+        catch { case scala.util.control.NonFatal(_) => 10L << 20 })
+    }
     val probeEstimate =
       probeCells.queryExecution.optimizedPlan.stats.sizeInBytes
     val scored = (if (threshold >= 0 && probeEstimate <= threshold) {

@@ -73,11 +73,20 @@ object SpanDedup {
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
                       width: Int = 8): DataFrame = {
     val dup = duplicatedPositions(docs, idCol, textCol, width)
-    // gaps-and-islands: consecutive duplicated gram starts collapse into
-    // one group; the span extends width-1 tokens past the last start.
+    // Interval merge, not start-run merge: a duplicated start at p
+    // covers tokens [p, p+width-1], so starts p and q (p < q) belong to
+    // the same maximal span iff q <= p + width — even when the start
+    // positions themselves are not consecutive (two repeats of "A B"
+    // inside "A B x A B" duplicate starts 1 and 4 but every token in
+    // between is covered). Grouping consecutive STARTS instead would
+    // emit overlapping spans and double-count their tokens (dup
+    // fractions above 1.0).
     val w = Window.partitionBy("doc_id").orderBy("pos")
     dup
-      .withColumn("__grp", col("pos") - row_number().over(w))
+      .withColumn("__brk",
+        when(col("pos") - lag("pos", 1).over(w) > width, 1L).otherwise(0L))
+      .withColumn("__grp", sum("__brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("doc_id"), col("__grp"))
       .agg(min("pos").as("span_start"),
         (max("pos") + (width - 1)).as("span_end"))

@@ -16,9 +16,12 @@ import graft.functions.{NativeExpressions, TextFunctions}
   *
   *  - [[exactDedupStream]]: content-hash exact dedup, declarative —
   *    Spark's `dropDuplicates` on the md5 key keeps the first arrival
-  *    per distinct text forever (or within the watermark when one is
-  *    set upstream: bounded state for time-windowed dedup policies).
-  *    State per distinct document is ONE 32-char key row.
+  *    per distinct text FOREVER (state = one 32-char key row per
+  *    distinct document; a watermark does NOT bound it, because the
+  *    dedup subset carries no event-time column). For a bounded
+  *    time-windowed policy use [[exactDedupStreamWithinWatermark]],
+  *    which goes through `dropDuplicatesWithinWatermark` so state
+  *    older than the watermark delay is actually evicted.
   *
   *  - [[minhashDedupStream]]: MinHash-LSH NEAR-dup detection as a
   *    `flatMapGroupsWithState` over (band, bucket) groups. Each bucket
@@ -52,6 +55,19 @@ object StreamingDedup {
                        textCol: String): DataFrame =
     docs.withColumn("content_hash", md5(col(textCol)))
       .dropDuplicates("content_hash")
+
+  /** Time-bounded exact dedup: duplicates are only suppressed within
+    * the watermark delay of the first arrival, and state for hashes
+    * older than the watermark is evicted — the policy for unbounded
+    * streams where an occasional re-emission after `delay` is
+    * acceptable but unbounded state is not.
+    */
+  def exactDedupStreamWithinWatermark(docs: DataFrame, textCol: String,
+                                      tsCol: String,
+                                      delay: String): DataFrame =
+    docs.withColumn("content_hash", md5(col(textCol)))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("content_hash")
 
   /** A doc exploded to one row per LSH band bucket. */
   final case class BandedDoc(docId: Long, band: Int, bucket: Long)

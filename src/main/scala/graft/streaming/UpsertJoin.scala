@@ -108,7 +108,23 @@ object UpsertJoin {
     require(deltaCompactEvery == 0 || changelogDir.isEmpty,
       "changelog emission needs the pre-image read that delta mode skips")
 
-    private var epoch: Long = 0L
+    /** Changelog batch stamp. Recovered from the existing log on
+      * construction (max batch_id + 1): a restarted sink instance must
+      * keep appending AFTER the batches already emitted, or a replay
+      * sorted by batch_id would order post-restart updates before the
+      * old tail and reconstruct a stale snapshot. One bounded read of
+      * the changelog's batch_id column, only when a log exists.
+      */
+    private var epoch: Long = changelogDir match {
+      case Some(clDir) if new java.io.File(clDir).exists() &&
+          new java.io.File(clDir).listFiles() != null &&
+          new java.io.File(clDir).listFiles().exists(_.getName.endsWith(".parquet")) =>
+        spark.read.parquet(clDir).agg(max(col("batch_id"))).head() match {
+          case r if r.isNullAt(0) => 0L
+          case r => r.getLong(0) + 1L
+        }
+      case _ => 0L
+    }
 
     private def deltaDir = s"$dir/__delta"
     /** Committed generation dirs (g<N> with a _SUCCESS marker), sorted.
@@ -142,16 +158,21 @@ object UpsertJoin {
 
     override def bucketCount: Option[Int] = Some(nBuckets)
 
-    def upsert(keyCol: String, batch: DataFrame): Unit = {
-      val cached = batch.cache()
-      try {
-        val touched = cached
-          .select(BucketedState.bucketOf(col(keyCol), nBuckets).as("__b"))
-          .distinct().collect().map(_.getInt(0)).toSeq.sorted
-        if (deltaCompactEvery > 0) appendDelta(keyCol, cached)
-        else mergeWrite(keyCol, cached, touched, readSchema = None)
-      } finally cached.unpersist()
-    }
+    def upsert(keyCol: String, batch: DataFrame): Unit =
+      if (deltaCompactEvery > 0) {
+        // delta mode appends the whole batch in one job — running the
+        // touched-bucket discovery collect here would spend exactly the
+        // per-batch driver round-trip this mode exists to avoid
+        appendDelta(keyCol, batch)
+      } else {
+        val cached = batch.cache()
+        try {
+          val touched = cached
+            .select(BucketedState.bucketOf(col(keyCol), nBuckets).as("__b"))
+            .distinct().collect().map(_.getInt(0)).toSeq.sorted
+          mergeWrite(keyCol, cached, touched, readSchema = None)
+        } finally cached.unpersist()
+      }
 
     /** Precomputed-bucket path: no discovery collect, and the current
       * sink rows are read with the batch's schema (the merge schema by

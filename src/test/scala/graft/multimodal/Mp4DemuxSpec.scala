@@ -92,6 +92,25 @@ class Mp4DemuxSpec extends SparkTestBase {
       java.util.Arrays.copyOf(mp4, 30), track.samples.last).isEmpty)
   }
 
+  test("corrupt stsz claiming 10^9 uniform samples yields None, not an allocation") {
+    // uniform-size stsz has no table entries to bound the count — the
+    // demuxer must refuse counts that cannot fit the blob BEFORE
+    // allocating (an OOM Error would sail past the NonFatal catch)
+    val mdhd = full("mdhd", 0, be32(0), be32(0), be32(1000), be32(700))
+    val hdlr = full("hdlr", 0, be32(0), "vide".getBytes("ISO-8859-1"),
+      new Array[Byte](12))
+    val stts = full("stts", 0, be32(1), be32(1000000000), be32(1))
+    val stszBomb = full("stsz", 0, be32(1) /* uniform 1 byte */,
+      be32(1000000000L) /* 1e9 samples */)
+    val stsc = full("stsc", 0, be32(1), be32(1), be32(1), be32(1))
+    val stco = full("stco", 0, be32(1), be32(16))
+    val stbl = box("stbl", stts, stszBomb, stsc, stco)
+    val moov = box("moov", box("trak", box("mdia", mdhd, hdlr,
+      box("minf", stbl))))
+    val blob = box("ftyp", "isom".getBytes("ISO-8859-1"), be32(0)) ++ moov
+    assert(Mp4Demux.demux(blob).isEmpty)
+  }
+
   test("demuxVideoFrames: real MP4 rows use container timing; junk falls back to the grid") {
     import scala.jdk.CollectionConverters._
     val (mp4, _) = buildMp4()

@@ -46,6 +46,29 @@ class SpanDedupSpec extends SparkTestBase {
       s"both in-document copies must span, got $got")
   }
 
+  test("overlapping duplicated grams merge into ONE span — no double counting") {
+    // doc X: starts 1 and 3 are duplicated (via two different witness
+    // docs) but start 2 is not. The covering intervals [1,8] and [3,10]
+    // overlap, so X must emit a single span [1,10] of 10 tokens — NOT
+    // two overlapping spans whose token counts sum to 16 (the start-run
+    // islanding bug: dup_fraction > 1).
+    val tox = (1 to 10).map(i => s"t$i")
+    val corpus = Seq(
+      (1L, tox.mkString(" ")),
+      (2L, "wa " + tox.take(8).mkString(" ")),
+      (3L, tox.drop(2).mkString(" ") + " wb")
+    ).toDF("doc_id", "text")
+    val spans = SpanDedup.duplicatedSpans(corpus, "doc_id", "text", width = 8)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(spans.filter(_._1 == 1L) === Set((1L, 1L, 10L, 10L)),
+      s"overlapping intervals must merge, got ${spans.filter(_._1 == 1L)}")
+    val stats = SpanDedup.spanStats(corpus, "doc_id", "text", width = 8)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(stats.forall(_._5 <= 1.0),
+      s"dup_fraction must never exceed 1.0, got ${stats.toSeq}")
+    assert(stats.find(_._1 == 1L).get._5 === 1.0)
+  }
+
   test("spanStats matches spans and reports zero rows for clean docs") {
     val got = SpanDedup.spanStats(docs, "doc_id", "text", width = 8)
       .as[(Long, Long, Long, Long, Double)].collect()

@@ -50,6 +50,35 @@ class ChangelogSinkSpec extends SparkTestBase {
     assert(replayed.toMap === snapshot)
   }
 
+  test("restarted sink resumes batch_id past the existing log") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cl-rs").toString
+    val first = new UpsertJoin.ParquetUpsertSink(spark, s"$tmp/out",
+      nBuckets = 8, changelogDir = Some(s"$tmp/cl"))
+    first.upsert("k", Seq(("a", 1L, "v1")).toDF("k", "ts", "p"))
+    first.upsert("k", Seq(("a", 2L, "v2")).toDF("k", "ts", "p"))
+
+    // a NEW sink instance over the same dirs (process restart): its
+    // batches must stamp AFTER the existing log, or a batch_id-ordered
+    // replay would put this update before the old tail and lose it
+    val restarted = new UpsertJoin.ParquetUpsertSink(spark, s"$tmp/out",
+      nBuckets = 8, changelogDir = Some(s"$tmp/cl"))
+    restarted.upsert("k", Seq(("a", 3L, "v3")).toDF("k", "ts", "p"))
+
+    val log = spark.read.parquet(s"$tmp/cl")
+      .select("batch_id", "op", "k", "ts", "p")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1),
+        (r.getString(2), r.getLong(3), r.getString(4))))
+    assert(log.map(_._1).max === 2L,
+      s"restart must continue at batch 2, got ${log.map(_._1).toSet}")
+
+    val replayed = scala.collection.mutable.Map.empty[String, (String, Long, String)]
+    log.sortBy(_._1).foreach {
+      case (_, true, row) => replayed(row._1) = row
+      case (_, false, row) => if (replayed.get(row._1).contains(row)) replayed.remove(row._1)
+    }
+    assert(replayed.toMap === Map("a" -> (("a", 3L, "v3"))))
+  }
+
   test("changelog off by default: no side output, merge unchanged") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-nocl").toString
     val sink = new UpsertJoin.ParquetUpsertSink(spark, s"$tmp/out", nBuckets = 4)
