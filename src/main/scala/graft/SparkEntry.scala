@@ -868,7 +868,10 @@ object SparkEntry {
     // on the join key, so the join itself plans with ZERO exchanges
     // (BucketingSpec pins the plan shape; this row pins the values)
     "q_bucketed_join" -> ((s, dir) => {
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft-bucketed"
+      // appId-scoped path: two concurrent local sessions (a Verify and
+      // a Bench, say) must not clobber each other's table files
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft-bucketed-" +
+        s.sparkContext.applicationId
       Bucketing.writeBucketed(
         t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice"),
         "graft_li_bucketed", 16, "l_orderkey", s"$base/li")
@@ -887,7 +890,8 @@ object SparkEntry {
     // clustering claim itself is measured by LayoutSpec's
     // files-touched probe (either clustered column prunes)
     "q_zorder" -> ((s, dir) => {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft-zorder"
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft-zorder-" +
+        s.sparkContext.applicationId
       Layout.zorderWrite(
         t(s, dir, "lineitem").select("l_orderkey", "l_partkey",
           "l_suppkey", "l_quantity"),

@@ -32,6 +32,30 @@ class StreamingDedupSpec extends SparkTestBase {
     assert(kept === Set(1L, 2L))
   }
 
+  test("exactDedupStreamWithinWatermark suppresses dups inside the window, evicts after") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val q = StreamingDedup.exactDedupStreamWithinWatermark(
+        docs, "text", "ts", "10 seconds")
+      .writeStream.format("memory").queryName("wm_dedup_out")
+      .outputMode("append").start()
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    input.addData((1L, ts(100), base), (2L, ts(101), base)) // dup inside window
+    q.processAllAvailable()
+    // advance the watermark far past the first arrival, then replay the
+    // same text: state was evicted, so the doc is emitted again
+    input.addData((3L, ts(500), unrelated))
+    q.processAllAvailable()
+    input.addData((4L, ts(501), base))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("wm_dedup_out").select("doc_id")
+      .as[Long].collect().toSet
+    assert(kept === Set(1L, 3L, 4L),
+      s"in-window dup dropped, post-eviction replay re-emitted; got $kept")
+  }
+
   test("minhashDedupStream flags near-dups across batches, exactly once, batch-consistent") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
