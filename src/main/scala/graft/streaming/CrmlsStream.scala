@@ -274,9 +274,22 @@ object CrmlsStream {
         val touched = cached
           .select(BucketedState.bucketOf(col(keyCol), nBuckets).as("__b"))
           .distinct().collect().map(_.getInt(0)).toSeq.sorted
-        // merge against ONLY the touched buckets' current rows
+        // merge against ONLY the touched buckets' current rows. The
+        // state's column set must match the delta's: a store populated
+        // by processBatch carries the canonical UNION schema, and
+        // silently unioning a narrower delta against it would either
+        // throw deep in the union or — worse — rewrite buckets with a
+        // narrower schema and corrupt later schema-less reads. Fail
+        // with the actual mismatch instead.
         val merged = BucketedState.readBuckets(spark, path(entity), touched) match {
-          case Some(cur) => tieTagged(cur, 0).unionByName(tieTagged(cached, 1))
+          case Some(cur) =>
+            val curCols = cur.columns.toSet
+            val deltaCols = cached.columns.toSet
+            require(curCols == deltaCols,
+              s"upsertLatest($entity): delta columns $deltaCols do not match " +
+                s"existing state columns $curCols — a store written by " +
+                "processBatch (union schema) must be updated via processBatch")
+            tieTagged(cur, 0).unionByName(tieTagged(cached, 1))
           case None => tieTagged(cached, 1)
         }
         val latest = LatestVersion.latestOne(
@@ -317,8 +330,17 @@ object CrmlsStream {
     // a micro-batch is tiny relative to its source partitioning (a
     // unioned multi-topic stream easily carries 40 rows in 40+
     // partitions) and every J1 discovery branch re-scans it — coalesce
-    // first or task-launch count, not data, dominates the batch
-    val cached = taggedBatch.coalesce(1).cache()
+    // first or task-launch count, not data, dominates the batch. But a
+    // CATCH-UP batch (backfill, Trigger.AvailableNow) can carry
+    // millions of rows: one task would then parse every envelope
+    // serially and one executor would hold the whole cache. Partition
+    // count is the zero-job proxy for batch size: narrow sources stay
+    // at 1 (the latency regime this path is tuned for), wide sources
+    // keep bounded parallelism.
+    val srcParts = taggedBatch.rdd.getNumPartitions
+    val cached = taggedBatch
+      .coalesce(if (srcParts <= 16) 1 else math.min(64, srcParts / 4))
+      .cache()
     val scratch = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try {
       val deltas: Map[String, DataFrame] = allEntities.map(s =>
@@ -338,23 +360,38 @@ object CrmlsStream {
       // ---- J1: ONE discovery aggregation for every touched-bucket set
       // AND the (bounded) key values the driver tier needs: direct
       // candidate pks and dim delta keys ride the same collect, so no
-      // later step schedules a job just to learn a key list
+      // later step schedules a job just to learn a key list. The
+      // collect is CAPPED: bucket rows are bounded by construction
+      // ((entities + 1) x nBuckets) and the value rows by the driver
+      // budget, so the limit detects a catch-up batch whose key lists
+      // would OOM the driver. On overflow the bucket legs re-collect
+      // alone (bounded; one extra job on the rare path only) and the
+      // key lists fall to the distributed J3 fallback — truncated
+      // driver lists are never used.
       def tb(tag: String, df: DataFrame, key: Column, n: Int) =
         df.select(lit(tag).as("t"), BucketedState.bucketOf(key, n).as("b"),
           lit(null).cast("string").as("v"))
       def tv(tag: String, df: DataFrame, value: Column) =
         df.select(lit(tag).as("t"), lit(null).cast("int").as("b"),
           value.as("v"))
-      val discovery =
+      val bucketLegs =
         allEntities.map(s => tb(s.name, deltas(s.name), col(s.dedupKeyCol), storeN)) ++
-          Seq(tb(IdxName, refEntries, col("ref_val"), storeN)) ++
+          Seq(tb(IdxName, refEntries, col("ref_val"), storeN))
+      val discovery = bucketLegs ++
           DirectPkSources.map { case (n, k) =>
             tv("__pk", directKeys(n, k), col("l_uc_pk")) } ++
           DimLookups.map { case (n, k, _) =>
             tv("__dim:" + n,
               deltas(n).select(col(k).as("__k")).filter(col("__k").isNotNull),
               col("__k")) }
-      val discRows = discovery.reduce(_ unionByName _).distinct().collect()
+      val discLimit =
+        (allEntities.size + 1) * storeN + DriverAffectedMaxRows + 1
+      var discRows = discovery.reduce(_ unionByName _).distinct()
+        .limit(discLimit).collect()
+      val discoveryOverflow = discRows.length >= discLimit
+      if (discoveryOverflow) {
+        discRows = bucketLegs.reduce(_ unionByName _).distinct().collect()
+      }
       val touched: Map[String, Seq[Int]] = discRows.filter(!_.isNullAt(1))
         .groupBy(_.getString(0))
         .map { case (t, rs) => t -> rs.map(_.getInt(1)).toSeq.sorted }
@@ -419,7 +456,8 @@ object CrmlsStream {
       // job, never to driver memory.
       val dims = DimLookups.filter(d => present.contains(d._1))
       val affectedLocalPks: Option[Seq[String]] =
-        if (dims.isEmpty) Some(directPks.distinct)
+        if (discoveryOverflow) None // key lists overflowed the driver budget
+        else if (dims.isEmpty) Some(directPks.distinct)
         else {
           val lookupBuckets = dims.flatMap(d => touched(d._1)).distinct
           BucketedState.readBuckets(spark, store.path(IdxName),

@@ -51,8 +51,7 @@ object StreamingDedup {
     * same way (dropDuplicates is semantics-preserving across modes), so
     * batch-stream equivalence is testable directly.
     */
-  def exactDedupStream(docs: DataFrame, idCol: String,
-                       textCol: String): DataFrame =
+  def exactDedupStream(docs: DataFrame, textCol: String): DataFrame =
     docs.withColumn("content_hash", md5(col(textCol)))
       .dropDuplicates("content_hash")
 
@@ -97,6 +96,14 @@ object StreamingDedup {
   def bandedStream(docs: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 32, bands: Int = 8,
                    shingleSize: Int = 3): Dataset[BandedDoc] = {
+    // fail at plan time, not hours into the stream: a silent
+    // cast("long") of a string id yields null on the first non-numeric
+    // value and kills the query at encoding (non-nullable docId)
+    val idType = docs.schema(idCol).dataType
+    require(Seq("byte", "short", "integer", "long")
+      .contains(idType.typeName),
+      s"$idCol must be an integral id column, got $idType " +
+        "(hash or dictionary-encode string ids upstream)")
     val tokenHashes =
       transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t))
     docs.select(col(idCol).cast("long").as("docId"),

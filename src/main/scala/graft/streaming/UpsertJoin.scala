@@ -29,8 +29,11 @@ object UpsertJoin {
 
     /** Upsert with precomputed touched buckets (for bucketed sinks this
       * is a single write job; `touched` must cover every bucket the
-      * batch's keys hash to — a superset is fine, extra buckets are
-      * read-checked and left unswapped). Non-bucketed sinks ignore the
+      * batch's keys hash to). A superset is CORRECT but not free: an
+      * extra bucket's rows are read, merged unchanged, rewritten, and
+      * swapped — content-identical, but rewrite I/O all the same (and
+      * the new files are not byte-identical to the old). Callers that
+      * can pass the exact set should. Non-bucketed sinks ignore the
       * hint.
       */
     def upsertPrepared(keyCol: String, batch: DataFrame,
@@ -128,17 +131,23 @@ object UpsertJoin {
 
     private def deltaDir = s"$dir/__delta"
     /** Committed generation dirs (g<N> with a _SUCCESS marker), sorted.
-      * A dir without the marker is a crashed write that no reader ever
-      * acknowledged — deleted on sight.
+      * @param sweep delete marker-less (crashed) generation dirs. Only
+      *   WRITE paths may sweep: snapshot() is a documented read API and
+      *   can run concurrently with an in-flight append — a read-path
+      *   sweep could delete the very generation being written (between
+      *   its part files landing and its _SUCCESS marker).
       */
-    private def deltaGenDirs: Seq[java.io.File] = {
+    private def deltaGenDirs(sweep: Boolean): Seq[java.io.File] = {
       val d = new java.io.File(deltaDir)
       if (!d.exists()) Nil
       else d.listFiles().toSeq
         .filter(f => f.isDirectory && f.getName.startsWith("g"))
         .flatMap { f =>
           if (new java.io.File(f, "_SUCCESS").exists()) Some(f)
-          else { BucketedState.deleteRecursively(f.toPath); None }
+          else {
+            if (sweep) BucketedState.deleteRecursively(f.toPath)
+            None
+          }
         }
         .sortBy(_.getName.stripPrefix("g").toLong)
     }
@@ -148,7 +157,7 @@ object UpsertJoin {
       */
     private var gen: Long =
       if (deltaCompactEvery > 0)
-        deltaGenDirs.lastOption
+        deltaGenDirs(sweep = true).lastOption
           .map(_.getName.stripPrefix("g").toLong + 1L).getOrElse(0L)
       else 0L
     // force a compaction on the first append after a restart that found
@@ -200,15 +209,21 @@ object UpsertJoin {
         .withColumn(BucketedState.BucketColName,
           BucketedState.bucketOf(col(keyCol), nBuckets))
       deltaSchema = stamped.schema
+      // the key column name, durable next to the deltas it keys — a
+      // restarted instance's snapshot() must dedup on the right column.
+      // Written BEFORE the generation commits: the reverse order had a
+      // crash window where a committed gen existed without .keycol and
+      // a restarted snapshot() threw instead of serving the table (the
+      // opposite orphan — .keycol with zero gens — is harmless).
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(deltaDir))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(deltaDir, ".keycol"),
+        keyCol.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       // one gen = one dir = one file + its own _SUCCESS: the append is
       // atomic per batch (a crashed write has no marker and is swept),
       // and no existing-file listing happens on the write path
       stamped.coalesce(1).write.mode("overwrite").parquet(s"$deltaDir/g$gen")
-      // the key column name, durable next to the deltas it keys — a
-      // restarted instance's snapshot() must dedup on the right column
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(deltaDir, ".keycol"),
-        keyCol.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       gen += 1
       sinceCompact += 1
       if (sinceCompact >= deltaCompactEvery) compact(keyCol)
@@ -222,7 +237,7 @@ object UpsertJoin {
       * replay a no-op.
       */
     private def compact(keyCol: String): Unit = {
-      val gens = deltaGenDirs
+      val gens = deltaGenDirs(sweep = true)
       if (gens.isEmpty) { sinceCompact = 0; return }
       val reader = Option(deltaSchema).fold(spark.read)(s => spark.read.schema(s))
       val del = reader.parquet(gens.map(_.getPath): _*)
@@ -299,7 +314,7 @@ object UpsertJoin {
       */
     def snapshot(spark: SparkSession): DataFrame = {
       val base = BucketedState.readAll(spark, dir)
-      val gens = if (deltaCompactEvery > 0) deltaGenDirs else Nil
+      val gens = if (deltaCompactEvery > 0) deltaGenDirs(sweep = false) else Nil
       val del = if (gens.nonEmpty)
         Some(Option(deltaSchema).fold(spark.read)(s => spark.read.schema(s))
           .parquet(gens.map(_.getPath): _*))

@@ -52,6 +52,42 @@ class BucketingSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       s"expected exactly one file per bucket, got ${files.map(_.getName).toSeq}")
   }
 
+  test("bucketed layout + custom as-of exec compose: zero-shuffle temporal join") {
+    // the as-of exec demands ClusteredDistribution(key) at exactly
+    // numShufflePartitions on BOTH sides; tables bucketed into that
+    // count satisfy it straight off the scan — a temporal join over a
+    // 100 TB fact table without re-shuffling it is the whole point of
+    // paying the bucketed write once
+    import java.sql.Timestamp
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    def ts(s: Long) = new Timestamp(s * 1000)
+    val probes = (1 to 300).map(i => (i.toLong % 23, ts(100 + i), i.toLong))
+      .toDF("k", "pts", "probe_id")
+    val builds = (1 to 200).map(i => (i.toLong % 23, ts(80 + i * 2), i.toLong, i * 1.5))
+      .toDF("k", "bts", "event_id", "v")
+    Bucketing.writeBucketed(probes, "spec_asof_probe_b", n, "k", tmp("asof-p"))
+    Bucketing.writeBucketed(builds, "spec_asof_build_b", n, "k", tmp("asof-b"))
+
+    val joined = graft.plans.AsOfJoinPlan.asOf(
+      spark.table("spec_asof_probe_b"), spark.table("spec_asof_build_b"),
+      key = "k", probeTs = "pts", buildTs = "bts", tiebreak = "event_id",
+      buildCols = Seq("bts", "v"))
+    val exchanges = collectWithSubqueries(joined.queryExecution.executedPlan) {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty,
+      s"bucketed as-of must not shuffle:\n${joined.queryExecution.executedPlan}")
+
+    // same rows as the rewrite-based operator over the raw frames
+    val want = AsOfJoin.asOf(probes, builds, key = "k", probeTs = "pts",
+      buildTs = "bts", buildCols = Seq("bts", "v"), tiebreak = "event_id")
+      .select("probe_id", "b_bts", "b_v")
+      .as[(Long, Option[Timestamp], Option[Double])].collect().toSet
+    val got = joined.select("probe_id", "b_bts", "b_v")
+      .as[(Long, Option[Timestamp], Option[Double])].collect().toSet
+    assert(got === want)
+  }
+
   test("aggregation on the bucket key also runs shuffle-free") {
     Bucketing.writeBucketed(facts, "spec_agg_b", 8, "k", tmp("agg"))
     val agg = spark.table("spec_agg_b").groupBy("k")

@@ -19,7 +19,7 @@ class StreamingDedupSpec extends SparkTestBase {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
     val docs = input.toDF().toDF("doc_id", "text")
-    val q = StreamingDedup.exactDedupStream(docs, "doc_id", "text")
+    val q = StreamingDedup.exactDedupStream(docs, "text")
       .writeStream.format("memory").queryName("exact_dedup_out")
       .outputMode("append").start()
     input.addData((1L, base), (2L, unrelated))
