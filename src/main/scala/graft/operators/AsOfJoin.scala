@@ -54,12 +54,26 @@ object AsOfJoin {
         "rename them before the as-of join")
   }
 
+  /** The carried build columns surface as `prefix + name` — those must
+    * not collide with probe columns, or the output carries duplicate
+    * names that detonate on first by-name reference downstream (the
+    * same guard RangeJoin.intervalJoin applies).
+    */
+  private def assertNoPrefixClash(probe: DataFrame, buildCols: Seq[String],
+                                  prefix: String): Unit = {
+    val clash = buildCols.map(prefix + _).filter(probe.columns.contains)
+    require(clash.isEmpty,
+      s"prefixed build column(s) ${clash.mkString(", ")} collide with probe " +
+        "columns; pick a different prefix")
+  }
+
   def asOf(probe: DataFrame, build: DataFrame, key: String,
            probeTs: String, buildTs: String,
            buildCols: Seq[String], tiebreak: String,
            prefix: String = "b_"): DataFrame = {
     assertNoReserved(probe, "probe")
     assertNoReserved(build, "build")
+    assertNoPrefixClash(probe, buildCols, prefix)
     val probeCols = probe.columns.toSeq
     // One unified schema: probe columns (null on build rows) + the build
     // payload packed in a struct (null on probe rows). Packing matters:
@@ -108,6 +122,7 @@ object AsOfJoin {
     assertNoReserved(probe, "probe")
     require(!build.columns.exists(_.startsWith("__r_")),
       "build input uses reserved internal prefix __r_; rename before the as-of join")
+    assertNoPrefixClash(probe, buildCols, prefix)
     val probeCols = probe.columns.toSeq
     val b = build.select(((key +: buildTs +: tiebreak +: buildCols).distinct)
       .map(c => col(c).as("__r_" + c)): _*)

@@ -36,7 +36,10 @@ object Bucketing {
                     bucketCol: String, path: String,
                     sortCols: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // no pre-drop: mode(overwrite) replaces the table atomically from
+    // the catalog's view — an explicit DROP first would leave NO table
+    // at all if the write job then fails, breaking readers that were
+    // fine before the re-ingest
     val sorts = if (sortCols.isEmpty) Seq(bucketCol) else sortCols
     df.repartition(numBuckets, col(bucketCol))
       .write

@@ -18,9 +18,16 @@ object DedupOps {
   /** Exact dedup by content hash: keeps the lowest-id row per distinct
     * text. One map-side-combinable aggregation — a single shuffle on the
     * 128-bit hash, never on the document body.
+    *
+    * NULL-text documents emit NO group: GROUP BY treats nulls as equal,
+    * so without the filter a crawl's null docs would collapse into ONE
+    * "duplicate" group and a drop-the-losers pass would delete them
+    * all — the same policy [[minhashCandidatePairs]] documents for the
+    * near-dup tier.
     */
   def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.groupBy(md5(col(textCol)).as("content_hash"))
+    docs.filter(col(textCol).isNotNull)
+      .groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
   /** MinHash signatures: `numHashes` minimum `xxhash64(seed, shingle)`
@@ -194,7 +201,11 @@ object DedupOps {
     *    near-cliques). Cost O(diameter x |edges| shuffle); refuses to
     *    return silently-truncated labels if maxIter is hit.
     *
-    * @return (id, label) — label is the cluster's canonical (min) id
+    * @return (id, label) — label is the cluster's canonical (min) id.
+    *   On the distributed tier the returned frame is CACHED (its
+    *   lineage is the whole convergence loop — recomputing it would
+    *   re-run every iteration): a long-lived session labeling many
+    *   corpora should `.unpersist()` each result once consumed.
     */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20,
                         driverThreshold: Long = 1000000L): DataFrame = {

@@ -170,16 +170,22 @@ object SimilaritySearch {
     // nCells-dot assignment expression into a filter. coalesce with a
     // non-nullable sentinel makes the column provably non-null, so the
     // constraint folds away and the assignment is evaluated once.
+    // norms ride the pre-join projections: computed once per VECTOR,
+    // so the per-pair work below is exactly one dot product (the
+    // invariant bruteTopK documents; recomputing them inside the pair
+    // projection costs 3 dots per candidate)
     val corpusCells = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("__cn", VectorFunctions.norm(col("__cv")))
       .withColumn("cell_id", coalesce(
         element_at(nearestCells(col("__cv"), cents, take = 1), 1),
         lit(-1L)))
     val probeCells = probes
       .select(col(idCol).as("probe_id"), col(vecCol).as("__pv"))
+      .withColumn("__pn", VectorFunctions.norm(col("__pv")))
       .withColumn("__cell",
         explode(nearestCells(col("__pv"), cents, take = nProbe)))
-      .select(col("probe_id"), col("__pv"),
+      .select(col("probe_id"), col("__pv"), col("__pn"),
         coalesce(col("__cell"), lit(-1L)).as("cell_id"))
 
     // each corpus vector lives in exactly one cell and each probe
@@ -230,8 +236,7 @@ object SimilaritySearch {
       .filter(col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"),
         VectorFunctions.cosineWithNorms(col("__pv"), col("__cv"),
-          VectorFunctions.norm(col("__pv")),
-          VectorFunctions.norm(col("__cv"))).as("cosine"))
+          col("__pn"), col("__cn")).as("cosine"))
     TopKAggregator.groupedTopK(scored, "probe_id", "neighbor_id", "cosine", k)
       .select("probe_id", "neighbor_id", "rank", "cosine")
   }
@@ -285,9 +290,14 @@ object SimilaritySearch {
                          bitsPerBand: Int = 8, maxDim: Int = 512): DataFrame = {
     val banded = srpBanded(vecs, "__id", "__v", idCol, vecCol,
       bands, bitsPerBand, maxDim)
-    // candidate ids only through the dedup — vectors rejoin by id after
+    // candidate ids only through the dedup — vectors rejoin by id after.
+    // shuffle_hash like DedupOps' banded self-join: the join feeds an
+    // unordered distinct, so sort-merge's sort of BOTH (corpus x bands)
+    // sides is pure loss (the measured 31 GB spill shape at the
+    // 50 M-doc tier)
     val cand = banded.select(col("__id").as("id_a"), col("band"), col("bucket"))
-      .join(banded.select(col("__id").as("id_b"), col("band"), col("bucket")),
+      .join(banded.select(col("__id").as("id_b"), col("band"), col("bucket"))
+          .hint("shuffle_hash"),
         Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
@@ -370,7 +380,13 @@ object SimilaritySearch {
       bands, bitsPerBand, maxDim)
     val c = srpBanded(corpus, "neighbor_id", "__cv", idCol, vecCol,
       bands, bitsPerBand, maxDim)
-    val candIds = p.drop("__pv").join(c.drop("__cv"), Seq("band", "bucket"))
+    // the candidate join feeds an unordered distinct — hint the probe
+    // side as the shuffled-hash build so neither banded side gets
+    // sort-merge-sorted for an order nothing consumes (same measured
+    // rationale as the dedup banding; the probe side is the smaller
+    // build by construction even when |P| is large)
+    val candIds = p.drop("__pv").hint("shuffle_hash")
+      .join(c.drop("__cv"), Seq("band", "bucket"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .select("probe_id", "neighbor_id").distinct()
     val pv = probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pv"))

@@ -44,6 +44,10 @@ object SkewJoin {
     require(Set("inner", "left_outer", "left", "leftouter", "left_semi",
       "leftsemi").contains(joinType.toLowerCase.replace("_", "")),
       s"saltedJoin supports inner/left join types, got $joinType")
+    // a fact-side __salt would be silently overwritten (then dropped),
+    // a dim-side one makes the join condition ambiguous — reject both
+    require(!fact.columns.contains("__salt") && !dim.columns.contains("__salt"),
+      "inputs use the reserved column name __salt; rename before the salted join")
     val basis = saltExpr.getOrElse(struct(fact.columns.map(col): _*))
     val saltedFact = fact.withColumn("__salt",
       pmod(xxhash64(basis), lit(saltBuckets)).cast("int"))

@@ -127,9 +127,12 @@ object TrainingOps {
     * reshuffling).
     */
   def deterministicShuffle(df: DataFrame, idCol: String,
-                           seed: String = "epoch0"): DataFrame =
+                           seed: String = "epoch0"): DataFrame = {
+    require(!df.columns.contains("shuffle_key"),
+      "input already has a shuffle_key column; rename it before shuffling")
     df.withColumn("shuffle_key", hashKey(col(idCol), seed))
       .orderBy(col("shuffle_key"))
+  }
 
   /** Source-weighted mixture: realize per-source sampling weights as
     * deterministic document repetition — the mixing step pretraining
@@ -340,7 +343,10 @@ object TrainingOps {
     require(capacity > 0, "capacity must be positive")
     require(shardHexChars >= 1 && shardHexChars <= 8,
       "shardHexChars must be in [1, 8]")
-    val reserved = Seq("__hk", "__ntok", "__cum")
+    // output names too: a frame ALREADY carrying pack columns (e.g. a
+    // re-pack of packed data) must not have them silently overwritten
+    val reserved = Seq("__hk", "__ntok", "__cum",
+      "pack_shard", "pack_bin", "bin_offset")
     reserved.foreach(r => require(!df.columns.contains(r),
       s"column name $r is reserved by packSequences"))
     val w = org.apache.spark.sql.expressions.Window

@@ -37,6 +37,13 @@ object UnigramLm {
 
   /** Score each document against a unigram model built from the corpus
     * itself: (idCol, n_tokens, logprob = mean ln p(token)).
+    *
+    * Contract: a document that yields NO tokens (null or empty text)
+    * emits NO row — "unscorable" is distinct from "low quality", and a
+    * mean log-prob over zero tokens has no meaningful value. Pipelines
+    * thresholding on logprob should left-join the scores back and
+    * decide the no-row case explicitly (drop, keep, or route to a
+    * separate queue) rather than receive a fabricated score.
     */
   def score(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     scoreAgainst(docs, idCol, textCol, model(docs, textCol),

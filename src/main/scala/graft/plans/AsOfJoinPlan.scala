@@ -168,6 +168,10 @@ object AsOfJoinPlan {
   def asOf(probe: DataFrame, build: DataFrame, key: String,
            probeTs: String, buildTs: String, tiebreak: String,
            buildCols: Seq[String], prefix: String = "b_"): DataFrame = {
+    val prefixClash = buildCols.map(prefix + _).filter(probe.columns.contains)
+    require(prefixClash.isEmpty,
+      s"prefixed build column(s) ${prefixClash.mkString(", ")} collide with " +
+        "probe columns; pick a different prefix")
     val spark = probe.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =

@@ -25,6 +25,17 @@ class DedupOpsSpec extends SparkTestBase {
     assert(got === Set((1L, 2L), (2L, 1L), (3L, 1L)))
   }
 
+  test("exactDedup: null-text docs form no group (GROUP BY would merge them all)") {
+    val withNulls = Seq(
+      (1L, Option("same")), (2L, Option("same")),
+      (10L, Option.empty[String]), (11L, Option.empty[String])
+    ).toDF("doc_id", "text")
+    val got = DedupOps.exactDedup(withNulls, "doc_id", "text")
+      .select("doc_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L)),
+      s"null docs must not collapse into one dup group, got $got")
+  }
+
   test("minhash LSH surfaces planted near-dup and exact pairs, not unrelated") {
     val pairs = DedupOps.minhashCandidatePairs(docs, "doc_id", "text",
       numHashes = 32, bands = 16, shingleSize = 3)
