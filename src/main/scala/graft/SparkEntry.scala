@@ -884,6 +884,14 @@ object SparkEntry {
           "o_orderstatus", "o_totalprice")
     }),
 
+    // corpus profiling: the ANALYZE pass a pipeline runs over a new
+    // data drop — per-column row/null counts, exact NDV, min/max —
+    // all exact, one job (the 100x form swaps exact NDV for the HLL
+    // sketch via approxNdv, same trade as q_approx_distinct)
+    "q_profile" -> ((s, dir) =>
+      Profile.profile(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"))),
+
     // data layout: Z-order (Morton) clustering — the multi-column
     // pruning layout. The oracle pins content identity through the
     // quantile-sketch + interleave + range-partitioned write; the
@@ -1695,6 +1703,32 @@ object SparkEntry {
     // the z-ordered layout must not change a single row either
     "q_zorder" ->
       """SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
+         FROM lineitem""",
+
+    "q_profile" ->
+      """SELECT 'l_orderkey' AS col_name, count(*) AS n_rows,
+           count(*) - count(l_orderkey) AS n_null,
+           count(DISTINCT l_orderkey) AS n_distinct,
+           CAST(min(l_orderkey) AS VARCHAR) AS min_val,
+           CAST(max(l_orderkey) AS VARCHAR) AS max_val
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_linenumber', count(*), count(*) - count(l_linenumber),
+           count(DISTINCT l_linenumber),
+           CAST(min(l_linenumber) AS VARCHAR),
+           CAST(max(l_linenumber) AS VARCHAR)
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_quantity', count(*), count(*) - count(l_quantity),
+           count(DISTINCT l_quantity),
+           CAST(min(l_quantity) AS VARCHAR),
+           CAST(max(l_quantity) AS VARCHAR)
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+           count(DISTINCT l_returnflag),
+           CAST(min(l_returnflag) AS VARCHAR),
+           CAST(max(l_returnflag) AS VARCHAR)
          FROM lineitem""",
 
     // q_dup_clusters' recursive-CTE labels + q_split's md5 thresholds,
