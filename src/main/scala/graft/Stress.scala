@@ -324,8 +324,7 @@ object Stress {
     phase("contamination_bloom") {
       val d = contaminationDigest(
         operators.TrainingOps.crossSplitContaminationBloom(
-          docs, "id", "text", n = 3, maxNgramDf = None,
-          expectedEvalNgrams = 16000000L))
+          docs, "id", "text", n = 3, maxNgramDf = None))
       require(d == exactDigest,
         s"bloom decontamination diverged: $d vs exact $exactDigest")
       (d._1, s""","total_overlap":${d._2},"matches_exact":true""")

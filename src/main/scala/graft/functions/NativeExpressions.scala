@@ -526,6 +526,30 @@ object NativeExpressions {
       copy(child = c)
   }
 
+  /** [[BloomMightContain]] for a LongType probe — pairs with the
+    * integral insertion path (`bloom_filter_agg`'s LongType updater
+    * calls `putLong`). Probing a fixed-width key skips even the byte
+    * materialization of the string form.
+    */
+  case class BloomMightContainLong(child: Expression,
+                                   filter: org.apache.spark.util.sketch.BloomFilter)
+      extends UnaryExpression {
+    override def dataType: DataType = BooleanType
+
+    override def nullSafeEval(input: Any): Any =
+      filter.mightContainLong(input.asInstanceOf[Long])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("graftBloom", filter,
+        "org.apache.spark.util.sketch.BloomFilter")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = $ref.mightContainLong($c);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** Chained-xxhash64 left fold over a token array (shared loop body
     * for eval and generated code). Bit-identical to
     * `aggregate(toks, 0L, (acc, t) => xxhash64(acc, t))`: each step
@@ -793,6 +817,10 @@ object NativeExpressions {
   def mightContain(s: Column,
                    bf: org.apache.spark.util.sketch.BloomFilter): Column =
     ColumnBridge.column(BloomMightContain(ColumnBridge.expression(s), bf))
+
+  def mightContainLong(c: Column,
+                       bf: org.apache.spark.util.sketch.BloomFilter): Column =
+    ColumnBridge.column(BloomMightContainLong(ColumnBridge.expression(c), bf))
 
   def nearestCells(vec: Column, centroids: Array[Double],
                    cellNorms: Array[Double], dim: Int, take: Int): Column =

@@ -202,15 +202,39 @@ object TrainingOps {
                               maxNgramDf: Option[Long] = Some(1000L)): DataFrame = {
     val grams = splitGrams(docs, idCol, textCol, n, trainFrac, valFrac, seed)
     contaminationReport(grams.filter(col("split") === "train"),
-      grams.filter(col("split") =!= "train"), maxNgramDf)
+      evalDistinct(grams), maxNgramDf)
   }
 
+  /** Exploded (doc, split, gram) stream with the n-gram identity
+    * carried as a 128-bit hash pair instead of the string. This is the
+    * contamination family's memory shape at corpus scale: every
+    * exchange and aggregation downstream moves two fixed-width longs
+    * (UnsafeRow dense fast path) instead of variable-length gram
+    * strings several times their size — the restructure that took the
+    * 50 M-doc stress tier from ~36 GB of aggregation spill to ~zero.
+    * Collisions would need BOTH independent 64-bit hashes to collide
+    * (~2^-128 per pair — no corpus reaches the birthday bound), so the
+    * report is the same one the string join produces.
+    */
   private def splitGrams(docs: DataFrame, idCol: String, textCol: String,
                          n: Int, trainFrac: Double, valFrac: Double,
                          seed: String): DataFrame =
     assignSplit(docs, idCol, trainFrac, valFrac, seed)
       .select(col(idCol).as("doc_id"), col("split"),
         explode(TF.ngrams(col(textCol), n)).as("ngram"))
+      .filter(col("ngram").isNotNull)
+      .select(col("doc_id"), col("split"),
+        xxhash64(col("ngram")).as("__gh1"),
+        xxhash64(col("ngram"), lit(1)).as("__gh2"))
+
+  /** Distinct (doc, split, gram-hash) rows of the non-train side,
+    * pre-partitioned on the gram hash so the downstream join needs no
+    * further exchange of this side.
+    */
+  private def evalDistinct(grams: DataFrame): DataFrame =
+    grams.filter(col("split") =!= "train")
+      .repartition(col("__gh1"))
+      .select("doc_id", "split", "__gh1", "__gh2").distinct()
 
   /** The shared df-cap + inverted-index join tail of both contamination
     * operators — ONE implementation, so the Bloom variant's
@@ -218,22 +242,34 @@ object TrainingOps {
     * duplicate. `train` may be Bloom-prefiltered; semantics are
     * unchanged either way (the per-ngram df counts of surviving
     * n-grams are unaffected by dropping whole other n-grams).
+    *
+    * Exchange discipline: each side is repartitioned on `__gh1` ONCE;
+    * every aggregation (per-doc distinct, df count, gram distinct) and
+    * the inverted-index join itself then satisfy their distribution
+    * from that partitioning and run exchange-free in the same stage.
+    * Only the final per-doc count re-shuffles, and it carries just the
+    * matched pairs. Train doc ids collapse to a 64-bit hash for the df
+    * count (the ids never reach the output; a collision would need two
+    * same-hash docs sharing the same 128-bit gram).
     */
   private def contaminationReport(train: DataFrame, nonTrain: DataFrame,
                                   maxNgramDf: Option[Long]): DataFrame = {
+    val trainPart = train.repartition(col("__gh1"))
     val trainGrams = maxNgramDf match {
       // the per-doc distinct exists only to make the df count right —
-      // the uncapped path goes straight to the ngram distinct (one
+      // the uncapped path goes straight to the gram distinct (one
       // aggregation over the exploded stream, not two)
-      case Some(cap) => train.select("ngram", "doc_id").distinct()
-        .groupBy("ngram").agg(count(lit(1)).as("__df"))
-        .filter(col("__df") <= cap).select("ngram")
-      case None => train.select("ngram").distinct()
+      case Some(cap) => trainPart
+        .select(col("__gh1"), col("__gh2"), xxhash64(col("doc_id")).as("__dh"))
+        .distinct()
+        .groupBy("__gh1", "__gh2").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= cap).select("__gh1", "__gh2")
+      case None => trainPart.select("__gh1", "__gh2").distinct()
     }
-    nonTrain.select("doc_id", "split", "ngram").distinct()
-      .join(trainGrams, "ngram")
+    nonTrain
+      .join(trainGrams, Seq("__gh1", "__gh2"))
       // plain count: the left side is already distinct per
-      // (doc, split, ngram) and trainGrams per ngram, so the join
+      // (doc, split, gram) and trainGrams per gram, so the join
       // cannot duplicate pairs — countDistinct would re-pay the dedup
       .groupBy("doc_id", "split")
       .agg(count(lit(1)).as("n_contaminated"))
@@ -254,8 +290,13 @@ object TrainingOps {
     * equi-join (they have no eval-side partner) — so the same oracle
     * verifies both, and TrainingOpsSpec asserts equality outright.
     *
-    * @param expectedEvalNgrams Bloom sizing; overestimating costs bits
-    *                           (1.2 MB / million at fpp 0.03),
+    * @param expectedEvalNgrams Bloom sizing; 0 (the default) sizes the
+    *                           filter from the OBSERVED distinct
+    *                           eval-gram count (one count job over the
+    *                           already-materialized eval side — honest
+    *                           sizing at any scale). A positive value
+    *                           forces that size: overestimating costs
+    *                           bits (1.2 MB / million at fpp 0.03),
     *                           underestimating costs extra false
     *                           positives — never correctness.
     *                           Scale boundary (honest): one driver-held
@@ -274,21 +315,32 @@ object TrainingOps {
                                    valFrac: Double = 0.1,
                                    seed: String = "split",
                                    maxNgramDf: Option[Long] = Some(1000L),
-                                   expectedEvalNgrams: Long = 1000000L,
+                                   expectedEvalNgrams: Long = 0L,
                                    bloomFpp: Double = 0.03): DataFrame = {
     val grams = splitGrams(docs, idCol, textCol, n, trainFrac, valFrac, seed)
-    // the filter is built from the RAW eval gram stream — insertion is
-    // idempotent, so pre-distincting it would add a full-data shuffle
-    // for nothing. The build itself (bloom_filter_agg) does partial
-    // aggregation per partition, then ships ONE serialized filter
-    // buffer per partition through a single-partition exchange — build
-    // cost ~ filter size x partitions, so oversizing the filter is paid
-    // per partition, not just on the driver.
-    val bf = grams.filter(col("split") =!= "train").select("ngram").stat
-      .bloomFilter("ngram", math.max(expectedEvalNgrams, 1L), bloomFpp)
+    // the eval side is cached once — it feeds the filter build, the
+    // sizing count, and the report join; distinct rows of fixed-width
+    // hashes, a fraction of the raw stream. The ContextCleaner drops
+    // the cache when the returned plan (its only reference) is GC'd.
+    val eval = evalDistinct(grams).persist()
+    // sizing: the observed distinct gram count unless overridden —
+    // exchange-free over the cached eval side (same partitioning)
+    val nEval =
+      if (expectedEvalNgrams > 0L) expectedEvalNgrams
+      else math.max(eval.select("__gh1", "__gh2").distinct().count(), 1L)
+    // the filter inserts the 64-bit gram hash (the 128-bit pair's
+    // first half — a gh1 collision just behaves as one more false
+    // positive and dies in the exact join). Coalesce the build to a
+    // few partitions: bloom_filter_agg ships one serialized filter
+    // buffer PER partition through a single-partition exchange, so at
+    // wide parallelism the build would move partitions x filter bytes
+    // for no correctness gain.
+    val bf = eval.select("__gh1")
+      .coalesce(8).stat.bloomFilter("__gh1", nEval, bloomFpp)
     val pre = grams.filter(col("split") === "train")
-      .filter(graft.functions.NativeExpressions.mightContain(col("ngram"), bf))
-    contaminationReport(pre, grams.filter(col("split") =!= "train"), maxNgramDf)
+      .filter(graft.functions.NativeExpressions
+        .mightContainLong(col("__gh1"), bf))
+    contaminationReport(pre, eval, maxNgramDf)
   }
 
   /** Snapshot diff between two corpus versions: per document id,

@@ -188,6 +188,49 @@ object CrmlsStream {
     @transient private lazy val snapshots =
       scala.collection.mutable.Map.empty[String, Either[Array[Row], DataFrame]]
 
+    /** Lookup-map tier over the local snapshots ([[DimEnrich]]): one
+      * driver-built hash map per dimension, shipped via
+      * `SparkContext.broadcast` ONCE and reused across batches until
+      * the dimension's state changes. This is what lets the J4
+      * enrichment probe dims with zero per-batch broadcast-exchange
+      * builds (the RocksDB-resident-state analog).
+      */
+    @transient private lazy val dimMaps = scala.collection.mutable.Map
+      .empty[String, org.apache.spark.broadcast.Broadcast[Map[String, Array[Any]]]]
+
+    private def rebuildMap(entity: String, rows: Array[Row],
+                           schema: StructType, keyCol: String)
+        : org.apache.spark.broadcast.Broadcast[Map[String, Array[Any]]] = {
+      dimMaps.remove(entity).foreach(_.destroy())
+      val bc = spark.sparkContext.broadcast(
+        DimEnrich.buildLookup(rows.iterator, schema, keyCol))
+      dimMaps(entity) = bc
+      bc
+    }
+
+    /** The entity's current lookup map, building (and caching) it from
+      * the local snapshot on first use. None = the entity's state is
+      * past the local tier — the caller must fall back to the SQL join
+      * form. An entity with no state at all gets an empty map (a left
+      * join against an empty dim).
+      */
+    private[streaming] def lookupMap(spec: Crmls.EntitySpec,
+        schema: StructType)
+        : Option[org.apache.spark.broadcast.Broadcast[Map[String, Array[Any]]]] =
+      synchronized {
+        dimMaps.get(spec.name).map(Some(_)).getOrElse {
+          cachedReadAll(spec.name, schema) match {
+            case None =>
+              Some(rebuildMap(spec.name, Array.empty, schema, spec.dedupKeyCol))
+            case Some(_) => snapshots.get(spec.name) match {
+              case Some(Left(rows)) =>
+                Some(rebuildMap(spec.name, rows, schema, spec.dedupKeyCol))
+              case _ => None
+            }
+          }
+        }
+      }
+
     private[streaming] val LocalSnapshotMaxRows: Int = 200000
 
     private def localDf(rows: Array[Row],
@@ -215,43 +258,67 @@ object CrmlsStream {
         }
       }
 
-    /** In-place refresh of a LOCAL snapshot after a batch merged
-      * `touchedBuckets`: untouched rows are kept (filtered driver-side
-      * — a LocalRelation filter folds at optimize time, no job) and the
-      * touched buckets' new content is collected from the lazy merged
-      * frame (one small job over only those buckets). Returns true when
-      * refreshed; false means there was no local snapshot to maintain
-      * (caller should invalidate instead). Avoids re-probing the whole
-      * bucket tree every batch for a dim that changes by a handful of
-      * keys.
+    /** In-place refresh of a LOCAL snapshot (and its lookup map) after
+      * a batch merged `touchedBuckets`: untouched rows are kept
+      * (filtered driver-side — a LocalRelation filter folds at optimize
+      * time, no job; when no snapshot exists yet they are bootstrapped
+      * from the untouched buckets' files) and the touched buckets' new
+      * content is collected from the lazy merged frame (one small job
+      * over only those buckets). Returns true when refreshed; false
+      * means the entity is past the local tier (caller should
+      * invalidate instead). Avoids re-probing the whole bucket tree
+      * every batch for a dim that changes by a handful of keys.
+      *
+      * Runs BEFORE the batch's state write: `merged` reads the
+      * pre-write file generation, so on a write failure + replay the
+      * recomputation converges to the same rows (idempotent).
       */
     private[streaming] def tryRefreshLocal(
-        entity: String, schema: StructType, touchedBuckets: Seq[Int],
-        keyCol: org.apache.spark.sql.Column, merged: DataFrame): Boolean =
+        spec: Crmls.EntitySpec, schema: StructType,
+        touchedBuckets: Seq[Int], merged: DataFrame): Boolean =
       synchronized {
-        snapshots.get(entity) match {
+        val keyCol = col(spec.dedupKeyCol)
+        val untouchedOpt: Option[Array[Row]] = snapshots.get(spec.name) match {
           case Some(Left(rows)) =>
-            val untouched = localDf(rows, schema)
+            Some(localDf(rows, schema)
               .filter(!BucketedState.bucketOf(keyCol, nBuckets)
                 .isin(touchedBuckets: _*))
-              .collect()
+              .collect())
+          case Some(Right(_)) => None
+          case None =>
+            val others = BucketedState.listBuckets(path(spec.name))
+              .filterNot(touchedBuckets.toSet)
+            BucketedState.readBuckets(spark, path(spec.name), others,
+                Some(schema)) match {
+              case None => Some(Array.empty[Row])
+              case Some(df) =>
+                val probe = df.limit(LocalSnapshotMaxRows + 1).collect()
+                if (probe.length > LocalSnapshotMaxRows) None else Some(probe)
+            }
+        }
+        untouchedOpt match {
+          case None => false
+          case Some(untouched) =>
             val fresh = merged.collect()
             if (untouched.length + fresh.length <= LocalSnapshotMaxRows) {
-              snapshots(entity) = Left(untouched ++ fresh)
+              val rows = untouched ++ fresh
+              snapshots(spec.name) = Left(rows)
+              rebuildMap(spec.name, rows, schema, spec.dedupKeyCol)
               true
-            } else { snapshots.remove(entity); false }
-          case _ => false
+            } else { invalidate(spec.name); false }
         }
       }
 
-    /** Drop (and unpersist) a cached snapshot — MUST NOT run while a
-      * reader of the current generation is in flight.
+    /** Drop (and unpersist) a cached snapshot and its lookup map —
+      * MUST NOT run while a reader of the current generation is in
+      * flight.
       */
     private[streaming] def invalidate(entity: String): Unit = synchronized {
       snapshots.remove(entity).foreach {
         case Right(df) => df.unpersist()
         case Left(_) => ()
       }
+      dimMaps.remove(entity).foreach(_.destroy())
     }
 
     /** Argmax-merge a delta into the entity's latest-state table
@@ -520,6 +587,32 @@ object CrmlsStream {
         }
       mark("J3:affected")
 
+      // ---- dim snapshot + lookup-map maintenance, BEFORE the join:
+      // dims whose state changed this batch fold their merged content
+      // into the local snapshot and broadcast map NOW (one small job
+      // each over only the touched buckets — the job the post-write
+      // refresh used to run anyway), so J4 probes post-merge values
+      // with ZERO per-batch broadcast-exchange builds. Unchanged dims
+      // serve their cached map untouched.
+      val refreshed: Set[String] = DimEnrich.dimEntities
+        .filter(s => present.contains(s.name))
+        .filter(spec => store.tryRefreshLocal(spec, projectionSchema(spec),
+          touched(spec.name), mergedByName(spec.name)))
+        .map(_.name).toSet
+      // the map-enrichment tier applies only when EVERY dim resolves a
+      // lookup map with post-merge content; any dim past the local
+      // tier falls the whole join back to the joinAll broadcast plan
+      val dimMapsOpt = {
+        val ms = DimEnrich.dimEntities.flatMap { spec =>
+          if (present.contains(spec.name) && !refreshed.contains(spec.name))
+            None
+          else store.lookupMap(spec, projectionSchema(spec))
+            .map(spec.name -> _)
+        }
+        if (ms.size == DimEnrich.dimEntities.size) Some(ms.toMap) else None
+      }
+      mark("J3:dimmaps")
+
       // ---- J2 ∥ J4: launch the inflight state write on a worker
       // thread, run the re-join + sink merge on this one. Neither
       // mutates live files; promotion + cache invalidation happen after
@@ -548,13 +641,15 @@ object CrmlsStream {
           if (listingParts.nonEmpty) {
             val affectedListings = listingParts.reduce(_ unionByName _)
               .join(broadcast(affected), Seq("l_uc_pk"), "left_semi")
-            // dim state = cached snapshot minus touched buckets, plus
-            // the lazy merged frame (dims cache as driver-local
-            // relations, so their role broadcasts schedule zero tasks)
+            // dim state for the fallback SQL join: cached snapshot
+            // minus touched buckets, plus the lazy merged frame — but a
+            // dim already refreshed above serves its (post-merge)
+            // snapshot directly
             def fullState(spec: Crmls.EntitySpec): DataFrame = {
               val schema = projectionSchema(spec)
               val snap = store.cachedReadAll(spec.name, schema)
-              if (!present.contains(spec.name))
+              if (!present.contains(spec.name) ||
+                  refreshed.contains(spec.name))
                 snap.getOrElse(emptyOf(spark, schema))
               else {
                 val untouched = snap
@@ -565,25 +660,20 @@ object CrmlsStream {
                 untouched.unionByName(mergedByName(spec.name))
               }
             }
-            val joined = joinAll(affectedListings, fullState(agents),
-              fullState(openHouses), fullState(offices), fullState(media),
-              fullState(history))
+            val joined = dimMapsOpt match {
+              case Some(maps) => DimEnrich.enrich(affectedListings, maps)
+              case None => joinAll(affectedListings, fullState(agents),
+                fullState(openHouses), fullState(offices), fullState(media),
+                fullState(history))
+            }
             sink.upsertPrepared("l_uc_pk", joined, sinkBuckets)
           }
         }
         mark("J4:join-sink")
       } finally Await.ready(stateWrite, Duration.Inf)
       Await.result(stateWrite, Duration.Inf) // rethrow a write failure
-      // refresh small dim snapshots in place from the merged frames
-      // (pre-write files are still live until promotion) — one tiny job
-      // per touched dim instead of a full bucket-tree re-probe next
-      // batch; anything not refreshable is invalidated and re-probed
-      val dimSpecs = Seq(agents, openHouses, offices, media, history)
-      val refreshed = dimSpecs.filter(s => present.contains(s.name))
-        .filter(spec => store.tryRefreshLocal(spec.name,
-          projectionSchema(spec), touched(spec.name),
-          col(spec.dedupKeyCol), mergedByName(spec.name)))
-        .map(_.name).toSet
+      // dims were refreshed pre-join; anything not refreshable there
+      // (past the local tier) is invalidated and re-probed on demand
       BucketedState.promoteEntityBuckets(store.dir, touchedByEntity)
       present.filterNot(refreshed).foreach(store.invalidate)
       mark("J2:promote")
