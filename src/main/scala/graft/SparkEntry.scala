@@ -892,6 +892,30 @@ object SparkEntry {
       Profile.profile(t(s, dir, "lineitem"),
         Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"))),
 
+    // the 100x profiling tier: approx_count_distinct (one ordinary
+    // aggregation, mergeable HLL partials — no multi-distinct expand).
+    // Banded contract like q_approx_distinct: the exact NDV rides along
+    // to assert the sketch lands within 5% (+10 absolute for tiny
+    // cardinalities); the oracle replays the exact columns and pins
+    // ndv_ok = 1
+    "q_profile_approx" -> ((s, dir) => {
+      val cols = Seq("l_orderkey", "l_returnflag")
+      val li = t(s, dir, "lineitem")
+      val ap = Profile.profile(li, cols, approxNdv = true, ndvRsd = 0.01)
+        .select(col("col_name"), col("n_distinct").as("__ap"))
+      Profile.profile(li, cols).join(ap, Seq("col_name"))
+        .select(col("col_name"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min_val"), col("max_val"),
+          (abs(col("__ap") - col("n_distinct")) <=
+            greatest(col("n_distinct") * 0.05, lit(10)))
+            .cast("int").as("ndv_ok"))
+    }),
+
+    // equi-width histogram profiling — plain IEEE-double bin math, so
+    // the oracle recomputes the exact same bins in SQL
+    "q_profile_hist" -> ((s, dir) =>
+      Profile.histogram(t(s, dir, "lineitem"), "l_extendedprice", 16)),
+
     // data layout: Z-order (Morton) clustering — the multi-column
     // pruning layout. The oracle pins content identity through the
     // quantile-sketch + interleave + range-partitioned write; the
@@ -1730,6 +1754,34 @@ object SparkEntry {
            CAST(min(l_returnflag) AS VARCHAR),
            CAST(max(l_returnflag) AS VARCHAR)
          FROM lineitem""",
+
+    "q_profile_approx" ->
+      """SELECT 'l_orderkey' AS col_name, count(*) AS n_rows,
+           count(*) - count(l_orderkey) AS n_null,
+           count(DISTINCT l_orderkey) AS n_distinct,
+           CAST(min(l_orderkey) AS VARCHAR) AS min_val,
+           CAST(max(l_orderkey) AS VARCHAR) AS max_val,
+           1 AS ndv_ok
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+           count(DISTINCT l_returnflag),
+           CAST(min(l_returnflag) AS VARCHAR),
+           CAST(max(l_returnflag) AS VARCHAR),
+           1
+         FROM lineitem""",
+
+    "q_profile_hist" ->
+      """WITH b AS (
+           SELECT CAST(min(l_extendedprice) AS DOUBLE) AS lo,
+                  CAST(max(l_extendedprice) AS DOUBLE) AS hi
+           FROM lineitem)
+         SELECT CAST(LEAST(FLOOR((CAST(l_extendedprice AS DOUBLE) - lo)
+                  / ((hi - lo) / 16)), 15) AS BIGINT) AS bin,
+                count(*) AS n
+         FROM lineitem, b
+         WHERE l_extendedprice IS NOT NULL
+         GROUP BY 1""",
 
     // q_dup_clusters' recursive-CTE labels + q_split's md5 thresholds,
     // keyed on coalesce(cluster label, doc id)

@@ -333,15 +333,39 @@ object Stress {
     // ----------------------------------------------- sequence packing
     // 256 shards (shardHexChars = 2): the documented scale posture.
     phase("pack") {
+      val sized = docs.select(col("id"),
+        (lit(20) + pmod(xxhash64(col("id")), lit(81))).as("n_tok"))
       val packed = operators.TrainingOps.packSequences(
-        docs.select(col("id"),
-          (lit(20) + pmod(xxhash64(col("id")), lit(81))).as("n_tok")),
-        "id", col("n_tok"), capacity = 2048, shardHexChars = 2)
+        sized, "id", col("n_tok"), capacity = 2048, shardHexChars = 2)
       // count() would prune the windowed cumsum; aggregate the packing
       // columns so the whole layout is actually computed
       val n = packed.agg(countDistinct(col("pack_shard"), col("pack_bin")))
         .head().getLong(0)
-      (n, "")
+      // split-document comparison: chunking breaks any doc straddling
+      // a bin boundary; FFD breaks only docs longer than the capacity
+      // (none here), at the cost of some padding
+      val chunkSplit = packed
+        .filter(col("bin_offset") + col("n_tok") > 2048).count()
+      (n, s""","chunk_split_docs":$chunkSplit""")
+    }
+
+    phase("pack_ffd") {
+      val sized = docs.select(col("id"),
+        (lit(20) + pmod(xxhash64(col("id")), lit(81))).as("n_tok"))
+      val ffd = operators.TrainingOps.packSequencesFfd(
+        sized, "id", col("n_tok"), capacity = 2048, shardHexChars = 2)
+        .persist()
+      val agg = ffd.agg(
+        countDistinct(col("pack_shard"), col("pack_bin")),
+        sum((col("pack_tokens") < col("n_tok")).cast("long")),
+        sum(col("pack_tokens"))).head()
+      val (bins, split, tokens) = (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+      ffd.unpersist()
+      // every doc fits the capacity, so FFD must split NOTHING; bins
+      // carry the padding trade (utilization = tokens / (bins * cap))
+      require(split == 0L, s"FFD split $split docs that fit the capacity")
+      (bins, f""","ffd_split_docs":$split,""" +
+        f""""bin_utilization":${tokens.toDouble / (bins * 2048L)}%.4f""")
     }
 
     // ------------------------------------------------ skew stress tier

@@ -389,6 +389,82 @@ object TrainingOps {
     * @param tokenCountCol token count per row (e.g.
     *                      `TextFunctions.tokenCount(col("text"))`)
     */
+  /** First-fit-decreasing sequence packing: within each shard,
+    * documents are placed whole into the first bin with room, largest
+    * first — the packing LLM pipelines use when document INTEGRITY
+    * matters more than zero padding. Where [[packSequences]] cuts the
+    * concatenated stream at bin boundaries (splitting ~1 doc per bin),
+    * FFD splits NOTHING that fits: only documents longer than
+    * `capacity` are truncated to it (flagged via `pack_tokens` <
+    * token count). The trade is padding: bins are full only up to the
+    * best first-fit, so FFD emits slightly more bins.
+    *
+    * Distribution: same shard scheme as [[packSequences]] (md5 prefix,
+    * 16^chars independent shards); each shard's FFD is a sequential
+    * in-task pass over its size-sorted rows with an open-bin registry.
+    * Per-task memory is O(bins in shard); at 100 TB raise
+    * `shardHexChars` so one shard's bin registry stays small — the
+    * same knob, same reasoning, as the cumsum form. Deterministic: a
+    * pure function of (seed, ids, token counts) — the sort key is
+    * (size desc, hash, id), so reruns, retries, and permuted inputs
+    * produce the identical layout (TrainingOpsSpec pins it).
+    *
+    * Output: input columns + `pack_shard`, `pack_bin` (creation order
+    * within shard), `pack_tokens` (tokens placed = min(count,
+    * capacity)).
+    */
+  def packSequencesFfd(df: DataFrame, idCol: String, tokenCountCol: Column,
+                       capacity: Long, shardHexChars: Int = 1,
+                       seed: String = "pack"): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    require(shardHexChars >= 1 && shardHexChars <= 8,
+      "shardHexChars must be in [1, 8]")
+    val reserved = Seq("__hk", "__ntok", "pack_shard", "pack_bin", "pack_tokens")
+    reserved.foreach(r => require(!df.columns.contains(r),
+      s"column name $r is reserved by packSequencesFfd"))
+    val base = df
+      .withColumn("__hk", hashKey(col(idCol), seed))
+      .withColumn("__ntok", tokenCountCol.cast("long"))
+      .withColumn("pack_shard", substring(col("__hk"), 1, shardHexChars))
+    val outSchema = org.apache.spark.sql.types.StructType(
+      base.schema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("pack_bin",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("pack_tokens",
+          org.apache.spark.sql.types.LongType)))
+    val shardI = base.schema.fieldIndex("pack_shard")
+    val ntokI = base.schema.fieldIndex("__ntok")
+    val cap = capacity
+    base
+      .repartition(col("pack_shard"))
+      .sortWithinPartitions(col("pack_shard"), col("__ntok").desc,
+        col("__hk"), col(idCol))
+      .mapPartitions { iter =>
+        // per-shard open-bin registry: remaining capacity per bin id.
+        // Shards arrive contiguously (sorted); reset at the boundary.
+        var shard: String = null
+        var remaining = scala.collection.mutable.ArrayBuffer.empty[Long]
+        iter.map { row =>
+          val s = row.getString(shardI)
+          if (s != shard) {
+            shard = s
+            remaining = scala.collection.mutable.ArrayBuffer.empty[Long]
+          }
+          val ntok = if (row.isNullAt(ntokI)) 0L else math.max(row.getLong(ntokI), 0L)
+          val placed = math.min(ntok, cap)
+          var b = 0
+          while (b < remaining.length && remaining(b) < placed) b += 1
+          if (b == remaining.length) remaining += cap
+          remaining(b) -= placed
+          org.apache.spark.sql.Row.fromSeq(
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(
+              Array.tabulate[Any](row.length)(row.get) ++
+                Array[Any](b.toLong, placed)))
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+      .drop("__hk", "__ntok")
+  }
+
   def packSequences(df: DataFrame, idCol: String, tokenCountCol: Column,
                     capacity: Long, shardHexChars: Int = 1,
                     seed: String = "pack"): DataFrame = {

@@ -37,6 +37,23 @@ object BucketedState {
   def bucketOf(key: Column, nBuckets: Int): Column =
     pmod(xxhash64(key), lit(nBuckets)).cast("int")
 
+  /** Driver-side evaluation of [[bucketOf]] for a string key —
+    * bit-identical to the SQL expression (same XxHash64 with the
+    * expression's default seed 42, null folds to the seed, pmod
+    * semantics), pinned by BucketedStateSpec so the two can never
+    * drift. Lets the micro-batch driver tier compute bucket sets for
+    * bounded key lists without building a plan per batch.
+    */
+  def bucketOfLocal(key: String, nBuckets: Int): Int = {
+    val h =
+      if (key == null) 42L
+      else org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(key),
+        org.apache.spark.sql.types.StringType, 42L)
+    val m = h % nBuckets
+    (if (m < 0) m + nBuckets else m).toInt
+  }
+
   private def bucketDir(dir: String, b: Int): Path =
     Paths.get(dir, s"bucket_$b")
 

@@ -138,22 +138,65 @@ object CrmlsStream {
   private def emptyOf(spark: SparkSession, schema: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
 
+  /** [[canonicalize]] variant for the FUSED merge: carries the merge
+    * key, timestamp and tie columns alongside so all branch merges run
+    * as ONE window over (entity, key) instead of one window plan per
+    * entity — same per-entity ordering (ts desc, tie desc), a fraction
+    * of the per-batch plan analysis.
+    */
+  private def canonicalizeMerge(df: DataFrame, entity: String,
+                                bucket: Column, key: Column,
+                                ts: Column): DataFrame = {
+    val have = df.columns.toSet
+    df.select(
+      lit(entity).as(BucketedState.EntityColName) +:
+        bucket.as(BucketedState.BucketColName) +:
+        key.as("__mkey") +: ts.as("__mts") +: col("__tie").as("__mtie") +:
+        canonicalFields.map(f =>
+          (if (have(f.name)) col(f.name)
+           else lit(null).cast(f.dataType)).as(f.name)): _*)
+  }
+
   /** Driver-tier cap for the reverse-index probe: past this many index
     * rows the affected-key resolution falls back to a distributed join.
     */
   private val DriverAffectedMaxRows: Int = 100000
 
-  /** Bucket ids of a bounded key list, computed WITHOUT a job: the
-    * projection over a local relation folds at optimize time, so the
-    * same xxhash64-based bucket expression the state was written with
-    * evaluates driver-side (never reimplement the hash on the JVM side
-    * — drift between the two would silently read wrong buckets).
+  /** Driver tier for batch materialization: a micro-batch at or under
+    * this many raw rows is collected once and parsed via local-relation
+    * projections (which fold at optimize time), so discovery schedules
+    * no aggregation job and builds no per-batch mega-plan. Catch-up
+    * batches past it keep the distributed discovery aggregation.
     */
-  private def localBuckets(spark: SparkSession, vals: Seq[String],
-                           n: Int): Seq[Int] =
-    spark.createDataset(vals)(org.apache.spark.sql.Encoders.STRING).toDF("v")
-      .select(BucketedState.bucketOf(col("v"), n).as("b"))
-      .collect().map(_.getInt(0)).distinct.sorted
+  private val DriverBatchMaxRows: Int = 50000
+
+  /** Fused-merge tier: when the batch's merge output (state rows in
+    * touched buckets + delta rows, known exactly driver-side) is at or
+    * under this bound and every touched entity is local-snapshot
+    * resident, ALL per-entity merges materialize in ONE collect and the
+    * state write runs from driver memory.
+    */
+  private val FusedCollectMaxRows: Int = 80000
+
+  private def localDfOf(spark: SparkSession, rows: Array[Row],
+                        schema: StructType): DataFrame =
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+
+  /** canonical-row field positions: canonicalize() emits (entity,
+    * bucket, canonicalFields...), so field `name` sits at offset
+    * 2 + its canonicalFields index.
+    */
+  private lazy val canonIdx: Map[String, Int] =
+    canonicalFields.zipWithIndex.map { case (f, i) => f.name -> (i + 2) }.toMap
+
+  private def extractEntityRows(collected: Array[Row], entity: String,
+                                schema: StructType): Array[Row] = {
+    val idxs = schema.fields.map(f => canonIdx(f.name))
+    collected.iterator.filter(_.getString(0) == entity)
+      .map(r => Row.fromSeq(scala.collection.immutable.ArraySeq
+        .unsafeWrapArray(idxs.map(r.get))))
+      .toArray
+  }
 
   /** Latest-state storage abstraction: hash-bucketed parquet dirs for
     * tests/local ([[BucketedState]]), MERGE-capable table format in
@@ -171,22 +214,30 @@ object CrmlsStream {
     def read(entity: String): Option[DataFrame] =
       BucketedState.readAll(spark, path(entity))
 
-    /** Cross-batch snapshot cache for the DIMENSION states: the 11-way
-      * join broadcasts each dim once per role per batch, and without a
-      * cache every broadcast build re-lists and re-scans the entity's
-      * whole bucket tree — that, not the join itself, dominated
-      * micro-batch latency. A snapshot is served until a write touches
-      * the entity. Dims at or under [[LocalSnapshotMaxRows]] are held
-      * as driver-local relations — their broadcast builds then run
-      * entirely driver-side, scheduling ZERO tasks per batch (the
-      * RocksDB-resident-dim analog); larger dims fall back to a
-      * persisted distributed snapshot. A dim too big for either would
-      * already be past broadcastability, which is the real scale limit
-      * of the join shape (Crmls.joinAll's documented fallback drops
-      * the hint).
+    /** Cross-batch snapshot cache for the latest-state tables: without
+      * it every batch re-lists and re-scans bucket trees — that, not
+      * the join itself, dominated micro-batch latency. A snapshot is
+      * served until a write touches the entity. Entities at or under
+      * their local cap are held as driver-resident row arrays (with
+      * each row's bucket precomputed, so per-batch untouched/touched
+      * splits are a plain array scan) — the RocksDB-resident-state
+      * analog; larger entities fall back to a persisted distributed
+      * snapshot. A dim too big for either would already be past
+      * broadcastability, which is the real scale limit of the join
+      * shape (Crmls.joinAll's documented fallback drops the hint).
       */
+    private[streaming] final case class LocalSnap(rows: Array[Row],
+                                                  buckets: Array[Int])
+
     @transient private lazy val snapshots =
-      scala.collection.mutable.Map.empty[String, Either[Array[Row], DataFrame]]
+      scala.collection.mutable.Map.empty[String, Either[LocalSnap, DataFrame]]
+
+    /** Driver lookup over the reverse index ((ref_col, ref_val) ->
+      * listing pks), maintained next to the index's [[LocalSnap]] —
+      * the affected-key fan-out then resolves with zero jobs.
+      */
+    @transient private var idxMap: Option[scala.collection.mutable.HashMap[
+      (String, String), scala.collection.mutable.ArrayBuffer[String]]] = None
 
     /** Lookup-map tier over the local snapshots ([[DimEnrich]]): one
       * driver-built hash map per dimension, shipped via
@@ -219,12 +270,12 @@ object CrmlsStream {
         : Option[org.apache.spark.broadcast.Broadcast[Map[String, Array[Any]]]] =
       synchronized {
         dimMaps.get(spec.name).map(Some(_)).getOrElse {
-          cachedReadAll(spec.name, schema) match {
+          cachedReadAll(spec.name, schema, spec.dedupKeyCol) match {
             case None =>
               Some(rebuildMap(spec.name, Array.empty, schema, spec.dedupKeyCol))
             case Some(_) => snapshots.get(spec.name) match {
-              case Some(Left(rows)) =>
-                Some(rebuildMap(spec.name, rows, schema, spec.dedupKeyCol))
+              case Some(Left(snap)) =>
+                Some(rebuildMap(spec.name, snap.rows, schema, spec.dedupKeyCol))
               case _ => None
             }
           }
@@ -232,22 +283,123 @@ object CrmlsStream {
       }
 
     private[streaming] val LocalSnapshotMaxRows: Int = 200000
+    // the reverse index's rows are three short strings — hold more of
+    // them than of the wide entity projections
+    private[streaming] val IdxLocalMaxRows: Int = 1000000
+    private def capFor(entity: String): Int =
+      if (entity == IdxName) IdxLocalMaxRows else LocalSnapshotMaxRows
 
     private def localDf(rows: Array[Row],
                         schema: StructType): DataFrame =
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
 
-    private[streaming] def cachedReadAll(
-        entity: String, schema: StructType): Option[DataFrame] =
+    private def mkSnap(entity: String, rows: Array[Row],
+                       schema: StructType, keyColName: String): LocalSnap = {
+      val ki = schema.fieldIndex(keyColName)
+      val buckets = new Array[Int](rows.length)
+      var i = 0
+      while (i < rows.length) {
+        buckets(i) = BucketedState.bucketOfLocal(
+          if (rows(i).isNullAt(ki)) null else rows(i).getString(ki), nBuckets)
+        i += 1
+      }
+      LocalSnap(rows, buckets)
+    }
+
+    private def installSnap(entity: String, snap: LocalSnap,
+                            schema: StructType, keyColName: String,
+                            buildMap: Boolean): Unit = {
+      snapshots(entity) = Left(snap)
+      if (buildMap) rebuildMap(entity, snap.rows, schema, keyColName)
+      if (entity == IdxName) rebuildIdxMap(snap.rows)
+    }
+
+    private def rebuildIdxMap(rows: Array[Row]): Unit = {
+      val m = scala.collection.mutable.HashMap.empty[
+        (String, String), scala.collection.mutable.ArrayBuffer[String]]
+      rows.foreach { r =>
+        m.getOrElseUpdate((r.getString(0), r.getString(1)),
+          scala.collection.mutable.ArrayBuffer.empty[String]) += r.getString(2)
+      }
+      idxMap = Some(m)
+    }
+
+    /** Driver fan-out over the reverse index: listing pks referenced by
+      * any (refCol in refCols, key in keys) entry. None = no local
+      * index (fall back to the file probe).
+      */
+    private[streaming] def idxFanout(
+        lookups: Seq[(Seq[String], Set[String])]): Option[Seq[String]] =
+      synchronized {
+        idxMap.map { m =>
+          lookups.flatMap { case (refCols, keys) =>
+            refCols.flatMap(rc => keys.iterator.flatMap(k =>
+              m.getOrElse((rc, k), Nil)))
+          }
+        }
+      }
+
+    private[streaming] def localSnap(entity: String): Option[LocalSnap] =
       synchronized {
         snapshots.get(entity) match {
-          case Some(Left(rows)) => Some(localDf(rows, schema))
+          case Some(Left(s)) => Some(s)
+          case _ => None
+        }
+      }
+
+    /** The entity's current rows in `touched` buckets as a driver-local
+      * relation — the zero-I/O `cur` source for the per-batch merge.
+      */
+    private[streaming] def localTouchedDf(entity: String, schema: StructType,
+                                          touched: Seq[Int]): Option[DataFrame] =
+      localSnap(entity).map { snap =>
+        val t = touched.toSet
+        val keep = Array.newBuilder[Row]
+        var i = 0
+        while (i < snap.rows.length) {
+          if (t.contains(snap.buckets(i))) keep += snap.rows(i)
+          i += 1
+        }
+        localDf(keep.result(), schema)
+      }
+
+    /** True when the entity can participate in the fused local merge:
+      * either a local snapshot exists, or the entity has no state at
+      * all yet (the merge output is then just the delta).
+      */
+    private[streaming] def localOrEmpty(entity: String): Boolean =
+      localSnap(entity).isDefined ||
+        BucketedState.listBuckets(path(entity)).isEmpty
+
+    /** Rows of the entity's snapshot residing in `touched` buckets —
+      * the exact upper-bound contribution of existing state to a merge
+      * over those buckets (used to bound the fused collect).
+      */
+    private[streaming] def localTouchedCount(entity: String,
+                                             touched: Seq[Int]): Int =
+      localSnap(entity).fold(0) { snap =>
+        val t = touched.toSet
+        var c = 0; var i = 0
+        while (i < snap.rows.length) {
+          if (t.contains(snap.buckets(i))) c += 1
+          i += 1
+        }
+        c
+      }
+
+    private[streaming] def cachedReadAll(
+        entity: String, schema: StructType,
+        keyColName: String): Option[DataFrame] =
+      synchronized {
+        snapshots.get(entity) match {
+          case Some(Left(snap)) => Some(localDf(snap.rows, schema))
           case Some(Right(df)) => Some(df)
           case None =>
             BucketedState.readAll(spark, path(entity), Some(schema)).map { df =>
-              val probe = df.limit(LocalSnapshotMaxRows + 1).collect()
-              if (probe.length <= LocalSnapshotMaxRows) {
-                snapshots(entity) = Left(probe)
+              val probe = df.limit(capFor(entity) + 1).collect()
+              if (probe.length <= capFor(entity)) {
+                installSnap(entity, mkSnap(entity, probe, schema, keyColName),
+                  schema, keyColName, buildMap = false)
                 localDf(probe, schema)
               } else {
                 val p = df.persist()
@@ -258,54 +410,70 @@ object CrmlsStream {
         }
       }
 
+    /** Untouched-bucket rows for a refresh: from the local snapshot (a
+      * plain array scan) or — when no snapshot exists yet — bootstrapped
+      * from the untouched buckets' files (one read job, first touch
+      * only). None = past the local tier.
+      */
+    private def untouchedRows(entity: String, schema: StructType,
+                              keyColName: String,
+                              touchedBuckets: Seq[Int]): Option[Array[Row]] = {
+      val t = touchedBuckets.toSet
+      snapshots.get(entity) match {
+        case Some(Left(snap)) =>
+          val keep = Array.newBuilder[Row]
+          var i = 0
+          while (i < snap.rows.length) {
+            if (!t.contains(snap.buckets(i))) keep += snap.rows(i)
+            i += 1
+          }
+          Some(keep.result())
+        case Some(Right(_)) => None
+        case None =>
+          val others = BucketedState.listBuckets(path(entity)).filterNot(t)
+          BucketedState.readBuckets(spark, path(entity), others,
+              Some(schema)) match {
+            case None => Some(Array.empty[Row])
+            case Some(df) =>
+              val probe = df.limit(capFor(entity) + 1).collect()
+              if (probe.length > capFor(entity)) None else Some(probe)
+          }
+      }
+    }
+
     /** In-place refresh of a LOCAL snapshot (and its lookup map) after
-      * a batch merged `touchedBuckets`: untouched rows are kept
-      * (filtered driver-side — a LocalRelation filter folds at optimize
-      * time, no job; when no snapshot exists yet they are bootstrapped
-      * from the untouched buckets' files) and the touched buckets' new
-      * content is collected from the lazy merged frame (one small job
-      * over only those buckets). Returns true when refreshed; false
-      * means the entity is past the local tier (caller should
-      * invalidate instead). Avoids re-probing the whole bucket tree
-      * every batch for a dim that changes by a handful of keys.
-      *
-      * Runs BEFORE the batch's state write: `merged` reads the
-      * pre-write file generation, so on a write failure + replay the
-      * recomputation converges to the same rows (idempotent).
+      * a batch merged `touchedBuckets`: untouched rows are kept and the
+      * touched buckets' new content comes either from the lazy merged
+      * frame (one small job) or — on the fused path — from rows the
+      * caller already collected. Returns true when refreshed; false
+      * means the entity is past the local tier (the snapshot is then
+      * invalidated). Runs BEFORE the batch's state write: the merged
+      * content derives from the pre-write file generation plus the
+      * delta, so on a write failure + replay the recomputation
+      * converges to the same rows (idempotent).
       */
     private[streaming] def tryRefreshLocal(
-        spec: Crmls.EntitySpec, schema: StructType,
-        touchedBuckets: Seq[Int], merged: DataFrame): Boolean =
+        entity: String, schema: StructType, keyColName: String,
+        touchedBuckets: Seq[Int], merged: DataFrame,
+        buildMap: Boolean): Boolean =
+      refreshFromRows(entity, schema, keyColName, touchedBuckets,
+        () => merged.collect(), buildMap)
+
+    private[streaming] def refreshFromRows(
+        entity: String, schema: StructType, keyColName: String,
+        touchedBuckets: Seq[Int], fresh: () => Array[Row],
+        buildMap: Boolean): Boolean =
       synchronized {
-        val keyCol = col(spec.dedupKeyCol)
-        val untouchedOpt: Option[Array[Row]] = snapshots.get(spec.name) match {
-          case Some(Left(rows)) =>
-            Some(localDf(rows, schema)
-              .filter(!BucketedState.bucketOf(keyCol, nBuckets)
-                .isin(touchedBuckets: _*))
-              .collect())
-          case Some(Right(_)) => None
-          case None =>
-            val others = BucketedState.listBuckets(path(spec.name))
-              .filterNot(touchedBuckets.toSet)
-            BucketedState.readBuckets(spark, path(spec.name), others,
-                Some(schema)) match {
-              case None => Some(Array.empty[Row])
-              case Some(df) =>
-                val probe = df.limit(LocalSnapshotMaxRows + 1).collect()
-                if (probe.length > LocalSnapshotMaxRows) None else Some(probe)
-            }
-        }
-        untouchedOpt match {
-          case None => false
+        untouchedRows(entity, schema, keyColName, touchedBuckets) match {
+          case None => invalidate(entity); false
           case Some(untouched) =>
-            val fresh = merged.collect()
-            if (untouched.length + fresh.length <= LocalSnapshotMaxRows) {
-              val rows = untouched ++ fresh
-              snapshots(spec.name) = Left(rows)
-              rebuildMap(spec.name, rows, schema, spec.dedupKeyCol)
+            val freshRows = fresh()
+            if (untouched.length + freshRows.length <= capFor(entity)) {
+              installSnap(entity,
+                mkSnap(entity, untouched ++ freshRows, schema, keyColName),
+                schema, keyColName, buildMap)
               true
-            } else { invalidate(spec.name); false }
+            } else { invalidate(entity); false }
         }
       }
 
@@ -319,6 +487,7 @@ object CrmlsStream {
         case Left(_) => ()
       }
       dimMaps.remove(entity).foreach(_.destroy())
+      if (entity == IdxName) idxMap = None
     }
 
     /** Argmax-merge a delta into the entity's latest-state table
@@ -410,81 +579,140 @@ object CrmlsStream {
       .cache()
     val scratch = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try {
-      val deltas: Map[String, DataFrame] = allEntities.map(s =>
-        s.name -> project(
-          cached.filter(col("entity") === s.name).select("value"), s)).toMap
+      // ---- J1: batch materialization + discovery. DRIVER TIER: one
+      // bounded collect of the raw tagged batch; the six envelope
+      // projections then evaluate over driver-local relations
+      // (ConvertToLocalRelation folds them at optimize time) and every
+      // touched-bucket set, key list and reverse-index entry is plain
+      // driver code — no discovery aggregation job, no mega-plan to
+      // analyze per batch. A catch-up batch past the row budget keeps
+      // the distributed discovery aggregation (the legacy leg below),
+      // whose collect is CAPPED so truncated key lists are never used.
+      val probeRows = cached.limit(DriverBatchMaxRows + 1).collect()
+      val driverTier = probeRows.length <= DriverBatchMaxRows
+      val specByName = allEntities.map(s => s.name -> s).toMap
+      def mkRefEntries(listingDf: DataFrame): DataFrame =
+        listingDf.select(col("l_uc_pk"),
+            explode(array(ListingRefCols.map(c =>
+              struct(lit(c).as("ref_col"), col(c).as("ref_val"))): _*)).as("r"))
+          .select(col("r.ref_col"), col("r.ref_val"), col("l_uc_pk"))
+          .filter(col("ref_val").isNotNull)
 
-      def directKeys(name: String, keyCol: String): DataFrame =
-        deltas(name).select(col(keyCol).as("l_uc_pk"))
-          .filter(col("l_uc_pk").isNotNull)
+      var deltaRows: Map[String, Array[Row]] = Map.empty
+      var refRows: Array[Row] = Array.empty
+      var touched: Map[String, Seq[Int]] = Map.empty
+      var directPks: Seq[String] = Nil
+      var dimKeys: Map[String, Set[String]] = Map.empty
+      var discoveryOverflow = false
 
-      val refEntries = deltas("listings").select(col("l_uc_pk"),
-          explode(array(ListingRefCols.map(c =>
-            struct(lit(c).as("ref_col"), col(c).as("ref_val"))): _*)).as("r"))
-        .select(col("r.ref_col"), col("r.ref_val"), col("l_uc_pk"))
-        .filter(col("ref_val").isNotNull)
-
-      // ---- J1: ONE discovery aggregation for every touched-bucket set
-      // AND the (bounded) key values the driver tier needs: direct
-      // candidate pks and dim delta keys ride the same collect, so no
-      // later step schedules a job just to learn a key list. The
-      // collect is CAPPED: bucket rows are bounded by construction
-      // ((entities + 1) x nBuckets) and the value rows by the driver
-      // budget, so the limit detects a catch-up batch whose key lists
-      // would OOM the driver. On overflow the bucket legs re-collect
-      // alone (bounded; one extra job on the rare path only) and the
-      // key lists fall to the distributed J3 fallback — truncated
-      // driver lists are never used.
-      def tb(tag: String, df: DataFrame, key: Column, n: Int) =
-        df.select(lit(tag).as("t"), BucketedState.bucketOf(key, n).as("b"),
-          lit(null).cast("string").as("v"))
-      def tv(tag: String, df: DataFrame, value: Column) =
-        df.select(lit(tag).as("t"), lit(null).cast("int").as("b"),
-          value.as("v"))
-      val bucketLegs =
-        allEntities.map(s => tb(s.name, deltas(s.name), col(s.dedupKeyCol), storeN)) ++
-          Seq(tb(IdxName, refEntries, col("ref_val"), storeN))
-      val discovery = bucketLegs ++
-          DirectPkSources.map { case (n, k) =>
-            tv("__pk", directKeys(n, k), col("l_uc_pk")) } ++
-          DimLookups.map { case (n, k, _) =>
-            tv("__dim:" + n,
-              deltas(n).select(col(k).as("__k")).filter(col("__k").isNotNull),
-              col("__k")) }
-      val discLimit =
-        (allEntities.size + 1) * storeN + DriverAffectedMaxRows + 1
-      var discRows = discovery.reduce(_ unionByName _).distinct()
-        .limit(discLimit).collect()
-      val discoveryOverflow = discRows.length >= discLimit
-      if (discoveryOverflow) {
-        discRows = bucketLegs.reduce(_ unionByName _).distinct().collect()
+      val deltas: Map[String, DataFrame] = if (driverTier) {
+        val eIdx = cached.columns.indexOf("entity")
+        val vIdx = cached.columns.indexOf("value")
+        val valueSchema = StructType(Seq(StructField("value", StringType)))
+        deltaRows = allEntities.map { s =>
+          val vals = probeRows.iterator
+            .filter(r => r.getString(eIdx) == s.name)
+            .map(r => Row(r.getString(vIdx))).toArray
+          s.name -> (if (vals.isEmpty) Array.empty[Row]
+            else project(localDfOf(spark, vals, valueSchema), s).collect())
+        }.toMap
+        val lSchema = projectionSchema(listings)
+        val pkI = lSchema.fieldIndex("l_uc_pk")
+        val refIdx = ListingRefCols.map(c => c -> lSchema.fieldIndex(c))
+        refRows = deltaRows("listings").flatMap { r =>
+          refIdx.collect { case (c, i) if !r.isNullAt(i) =>
+            Row(c, r.getString(i), r.getString(pkI)) }
+        }
+        def bucketsOf(rows: Array[Row], ki: Int): Seq[Int] =
+          rows.iterator.map(r => BucketedState.bucketOfLocal(
+            if (r.isNullAt(ki)) null else r.getString(ki), storeN))
+            .toSet.toSeq.sorted
+        touched = allEntities.flatMap { s =>
+          val rows = deltaRows(s.name)
+          if (rows.isEmpty) None
+          else Some(s.name -> bucketsOf(rows,
+            projectionSchema(s).fieldIndex(s.dedupKeyCol)))
+        }.toMap ++
+          (if (refRows.isEmpty) Map.empty[String, Seq[Int]]
+           else Map(IdxName -> bucketsOf(refRows, 1)))
+        directPks = DirectPkSources.flatMap { case (n, k) =>
+          val ki = projectionSchema(specByName(n)).fieldIndex(k)
+          deltaRows(n).iterator.filter(!_.isNullAt(ki)).map(_.getString(ki))
+        }.distinct
+        dimKeys = DimLookups.flatMap { case (n, k, _) =>
+          val ki = projectionSchema(specByName(n)).fieldIndex(k)
+          val ks = deltaRows(n).iterator
+            .filter(!_.isNullAt(ki)).map(_.getString(ki)).toSet
+          if (ks.isEmpty) None else Some(n -> ks)
+        }.toMap
+        allEntities.map(s => s.name ->
+          localDfOf(spark, deltaRows(s.name), projectionSchema(s))).toMap
+      } else {
+        val planDeltas: Map[String, DataFrame] = allEntities.map(s =>
+          s.name -> project(
+            cached.filter(col("entity") === s.name).select("value"), s)).toMap
+        def directKeysDf(name: String, keyCol: String): DataFrame =
+          planDeltas(name).select(col(keyCol).as("l_uc_pk"))
+            .filter(col("l_uc_pk").isNotNull)
+        val refEntriesPlan = mkRefEntries(planDeltas("listings"))
+        def tb(tag: String, df: DataFrame, key: Column, n: Int) =
+          df.select(lit(tag).as("t"), BucketedState.bucketOf(key, n).as("b"),
+            lit(null).cast("string").as("v"))
+        def tv(tag: String, df: DataFrame, value: Column) =
+          df.select(lit(tag).as("t"), lit(null).cast("int").as("b"),
+            value.as("v"))
+        val bucketLegs =
+          allEntities.map(s =>
+            tb(s.name, planDeltas(s.name), col(s.dedupKeyCol), storeN)) ++
+            Seq(tb(IdxName, refEntriesPlan, col("ref_val"), storeN))
+        val discovery = bucketLegs ++
+            DirectPkSources.map { case (n, k) =>
+              tv("__pk", directKeysDf(n, k), col("l_uc_pk")) } ++
+            DimLookups.map { case (n, k, _) =>
+              tv("__dim:" + n,
+                planDeltas(n).select(col(k).as("__k"))
+                  .filter(col("__k").isNotNull),
+                col("__k")) }
+        val discLimit =
+          (allEntities.size + 1) * storeN + DriverAffectedMaxRows + 1
+        var discRows = discovery.reduce(_ unionByName _).distinct()
+          .limit(discLimit).collect()
+        discoveryOverflow = discRows.length >= discLimit
+        if (discoveryOverflow) {
+          discRows = bucketLegs.reduce(_ unionByName _).distinct().collect()
+        }
+        touched = discRows.filter(!_.isNullAt(1))
+          .groupBy(_.getString(0))
+          .map { case (t, rs) => t -> rs.map(_.getInt(1)).toSeq.sorted }
+        directPks = discRows
+          .filter(r => r.getString(0) == "__pk" && !r.isNullAt(2))
+          .map(_.getString(2)).toSeq
+        dimKeys = discRows
+          .filter(_.getString(0).startsWith("__dim:"))
+          .groupBy(_.getString(0).stripPrefix("__dim:"))
+          .map { case (n, rs) => n -> rs.map(_.getString(2)).toSet }
+        planDeltas
       }
-      val touched: Map[String, Seq[Int]] = discRows.filter(!_.isNullAt(1))
-        .groupBy(_.getString(0))
-        .map { case (t, rs) => t -> rs.map(_.getInt(1)).toSeq.sorted }
-      val directPks: Seq[String] = discRows
-        .filter(r => r.getString(0) == "__pk" && !r.isNullAt(2))
-        .map(_.getString(2)).toSeq
-      val dimKeys: Map[String, Set[String]] = discRows
-        .filter(_.getString(0).startsWith("__dim:"))
-        .groupBy(_.getString(0).stripPrefix("__dim:"))
-        .map { case (n, rs) => n -> rs.map(_.getString(2)).toSet }
       val present = allEntities.map(_.name).filter(touched.contains)
       mark("J1:discover")
       if (present.isEmpty) return
 
       // ---- merged latest-state frames per present entity: LAZY plans
-      // over the PRE-write file generation. Both the persistence write
-      // (J2) and the re-join (J4) consume these, which is what lets
-      // the two jobs run CONCURRENTLY — neither reads anything the
-      // other mutates (the inflight write creates new files only;
-      // bucket promotion waits for both).
-      val specByName = allEntities.map(s => s.name -> s).toMap
+      // over the PRE-write generation — local snapshot rows where
+      // resident (zero state-file I/O), bucket files otherwise. Both
+      // the persistence write (J2) and the re-join (J4) consume these,
+      // which is what lets the two jobs run CONCURRENTLY — neither
+      // reads anything the other mutates (the inflight write creates
+      // new files only; bucket promotion waits for both).
+      val refEntriesDf: DataFrame =
+        if (driverTier) localDfOf(spark, refRows, IdxSchema)
+        else mkRefEntries(deltas("listings"))
       val mergedByName: Map[String, DataFrame] = present.map { name =>
         val spec = specByName(name)
         val schema = projectionSchema(spec)
-        val all = BucketedState.readBuckets(
-            spark, store.path(name), touched(name), Some(schema)) match {
+        val all = store.localTouchedDf(name, schema, touched(name))
+            .orElse(BucketedState.readBuckets(
+              spark, store.path(name), touched(name), Some(schema))) match {
           case Some(cur) => tieTagged(cur, 0).unionByName(tieTagged(deltas(name), 1))
           case None => tieTagged(deltas(name), 1)
         }
@@ -496,15 +724,16 @@ object CrmlsStream {
         canonicalize(mergedByName(name), name,
           BucketedState.bucketOf(col(spec.dedupKeyCol), storeN))
       }
-      val idxBranch = touched.get(IdxName).map { idxTouched =>
-        val merged = (BucketedState.readBuckets(
-            spark, store.path(IdxName), idxTouched, Some(IdxSchema)) match {
-          case Some(cur) => cur.unionByName(refEntries)
-          case None => refEntries
+      val idxMergedOpt = touched.get(IdxName).map { idxTouched =>
+        (store.localTouchedDf(IdxName, IdxSchema, idxTouched)
+            .orElse(BucketedState.readBuckets(
+              spark, store.path(IdxName), idxTouched, Some(IdxSchema))) match {
+          case Some(cur) => cur.unionByName(refEntriesDf)
+          case None => refEntriesDf
         }).distinct()
-        canonicalize(merged, IdxName,
-          BucketedState.bucketOf(col("ref_val"), storeN))
       }
+      val idxBranch = idxMergedOpt.map(m =>
+        canonicalize(m, IdxName, BucketedState.bucketOf(col("ref_val"), storeN)))
       val touchedByEntity = (present.map(n => n -> touched(n)) ++
         idxBranch.map(_ => IdxName -> touched(IdxName))).toMap
 
@@ -513,38 +742,42 @@ object CrmlsStream {
       // to post-write: the entries this batch adds come from its own
       // listing delta, and those listings are already in the direct set.
       //
-      // TIERED like duplicateClusters: the normal case collects only
-      // the PROBED index buckets (bounded: |dim delta keys| buckets,
-      // each 1/nBuckets of the index) and resolves the fan-out
-      // driver-side — the affected set then rides the plan as a local
-      // relation, so its broadcast and both bucket computations
-      // schedule ZERO jobs. A probe past DriverAffectedMaxRows falls
-      // back to the distributed lookup join, degrading to one extra
-      // job, never to driver memory.
+      // THREE tiers: (a) a driver-resident index resolves the fan-out
+      // as plain map lookups — zero jobs; (b) otherwise the PROBED
+      // index buckets are collected (bounded: |dim delta keys| buckets,
+      // each 1/nBuckets of the index) and scanned driver-side; (c) a
+      // probe past DriverAffectedMaxRows falls back to the distributed
+      // lookup join, degrading to one extra job, never to driver
+      // memory.
       val dims = DimLookups.filter(d => present.contains(d._1))
       val affectedLocalPks: Option[Seq[String]] =
         if (discoveryOverflow) None // key lists overflowed the driver budget
         else if (dims.isEmpty) Some(directPks.distinct)
-        else {
-          val lookupBuckets = dims.flatMap(d => touched(d._1)).distinct
-          BucketedState.readBuckets(spark, store.path(IdxName),
-              lookupBuckets, Some(IdxSchema)) match {
-            case None => Some(directPks.distinct)
-            case Some(idx) =>
-              val probe = idx.limit(DriverAffectedMaxRows + 1).collect()
-              if (probe.length > DriverAffectedMaxRows) None
-              else {
-                val fanout = dims.flatMap { case (name, _, refCols) =>
-                  val keys = dimKeys.getOrElse(name, Set.empty)
-                  val rc = refCols.toSet
-                  probe.iterator
-                    .filter(r => rc.contains(r.getString(0)) &&
-                      keys.contains(r.getString(1)))
-                    .map(_.getString(2))
+        else store.idxFanout(dims.map { case (name, _, refCols) =>
+            (refCols, dimKeys.getOrElse(name, Set.empty[String])) }) match {
+          case Some(fanout) =>
+            val pks = (directPks ++ fanout).distinct
+            if (pks.size > DriverAffectedMaxRows) None else Some(pks)
+          case None =>
+            val lookupBuckets = dims.flatMap(d => touched(d._1)).distinct
+            BucketedState.readBuckets(spark, store.path(IdxName),
+                lookupBuckets, Some(IdxSchema)) match {
+              case None => Some(directPks.distinct)
+              case Some(idx) =>
+                val probe = idx.limit(DriverAffectedMaxRows + 1).collect()
+                if (probe.length > DriverAffectedMaxRows) None
+                else {
+                  val fanout = dims.flatMap { case (name, _, refCols) =>
+                    val keys = dimKeys.getOrElse(name, Set.empty[String])
+                    val rc = refCols.toSet
+                    probe.iterator
+                      .filter(r => rc.contains(r.getString(0)) &&
+                        keys.contains(r.getString(1)))
+                      .map(_.getString(2))
+                  }
+                  Some((directPks ++ fanout).distinct)
                 }
-                Some((directPks ++ fanout).distinct)
-              }
-          }
+            }
         }
       val affectedOpt: Option[(DataFrame, Seq[Int], Seq[Int])] =
         affectedLocalPks match {
@@ -552,13 +785,17 @@ object CrmlsStream {
           case Some(pks) =>
             val affDf = spark.createDataset(pks)(
               org.apache.spark.sql.Encoders.STRING).toDF("l_uc_pk")
-            Some((affDf, localBuckets(spark, pks, storeN),
-              sink.bucketCount.map(n => localBuckets(spark, pks, n))
+            Some((affDf,
+              pks.map(BucketedState.bucketOfLocal(_, storeN)).distinct.sorted,
+              sink.bucketCount.map(n =>
+                pks.map(BucketedState.bucketOfLocal(_, n)).distinct.sorted)
                 .getOrElse(Nil)))
           case None =>
             // distributed fallback: lookup join + bucket collect
             val direct = DirectPkSources.filter(p => present.contains(p._1))
-              .map { case (n, k) => directKeys(n, k) }
+              .map { case (n, k) =>
+                deltas(n).select(col(k).as("l_uc_pk"))
+                  .filter(col("l_uc_pk").isNotNull) }
             val idxRead = BucketedState.readBuckets(spark, store.path(IdxName),
               dims.flatMap(d => touched(d._1)), Some(IdxSchema))
             val fanout = idxRead.toSeq.flatMap { idx =>
@@ -587,18 +824,98 @@ object CrmlsStream {
         }
       mark("J3:affected")
 
-      // ---- dim snapshot + lookup-map maintenance, BEFORE the join:
-      // dims whose state changed this batch fold their merged content
-      // into the local snapshot and broadcast map NOW (one small job
-      // each over only the touched buckets — the job the post-write
-      // refresh used to run anyway), so J4 probes post-merge values
-      // with ZERO per-batch broadcast-exchange builds. Unchanged dims
-      // serve their cached map untouched.
-      val refreshed: Set[String] = DimEnrich.dimEntities
-        .filter(s => present.contains(s.name))
-        .filter(spec => store.tryRefreshLocal(spec, projectionSchema(spec),
-          touched(spec.name), mergedByName(spec.name)))
-        .map(_.name).toSet
+      // ---- snapshot + lookup-map maintenance, BEFORE the join and the
+      // write. FUSED tier: every touched entity is local-resident and
+      // the merge output is bounded, so ALL merges materialize in ONE
+      // collect; snapshots, dim maps and the reverse-index map refresh
+      // from those rows driver-side, and the state write itself runs
+      // from driver memory (zero state-file reads in the whole batch).
+      // LEGACY tier: per-entity refresh collects (one small job each
+      // over only the touched buckets), lazy distributed write.
+      //
+      // Either way the refresh precedes the write: merged content
+      // derives from the pre-write generation plus the delta, so on a
+      // write failure + replay the recomputation converges (idempotent
+      // argmax), and a JVM crash simply rebuilds from files.
+      val branchEntities: Seq[String] =
+        present ++ touched.get(IdxName).map(_ => IdxName).toSeq
+      def schemaOf(entity: String): (StructType, String) =
+        if (entity == IdxName) (IdxSchema, "ref_val")
+        else (projectionSchema(specByName(entity)),
+          specByName(entity).dedupKeyCol)
+      def isDim(entity: String): Boolean =
+        DimEnrich.dimEntities.exists(_.name == entity)
+      val unionFrame = (entityBranches ++ idxBranch.toSeq).reduce(_ unionByName _)
+      // fused single-window form of the same merges (fast tier only):
+      // per-branch narrow selects carrying (__mkey, __mts, __mtie),
+      // unioned, ONE row_number window over (entity, key). The idx
+      // branch keys on the whole triple with constant ts/tie, which
+      // reduces to exactly its distinct()
+      def fusedMergeFrame(): DataFrame = {
+        val branches = present.map { name =>
+          val spec = specByName(name)
+          val schema = projectionSchema(spec)
+          val all = store.localTouchedDf(name, schema, touched(name))
+              .orElse(BucketedState.readBuckets(
+                spark, store.path(name), touched(name), Some(schema))) match {
+            case Some(cur) =>
+              tieTagged(cur, 0).unionByName(tieTagged(deltas(name), 1))
+            case None => tieTagged(deltas(name), 1)
+          }
+          canonicalizeMerge(all, name,
+            BucketedState.bucketOf(col(spec.dedupKeyCol), storeN),
+            col(spec.dedupKeyCol), col(spec.prefix + "uc_created_ts"))
+        } ++ touched.get(IdxName).map { idxTouched =>
+          val all = store.localTouchedDf(IdxName, IdxSchema, idxTouched)
+              .orElse(BucketedState.readBuckets(
+                spark, store.path(IdxName), idxTouched, Some(IdxSchema))) match {
+            case Some(cur) => cur.unionByName(refEntriesDf)
+            case None => refEntriesDf
+          }
+          canonicalizeMerge(
+            all.withColumn("__tie", struct(lit(0), lit(0L))), IdxName,
+            BucketedState.bucketOf(col("ref_val"), storeN),
+            concat_ws("\u0000", col("ref_col"), col("ref_val"),
+              col("l_uc_pk")),
+            lit(0L))
+        }.toSeq
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(BucketedState.EntityColName), col("__mkey"))
+          .orderBy(col("__mts").desc, col("__mtie").desc)
+        branches.reduce(_ unionByName _)
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .drop("__rn", "__mkey", "__mts", "__mtie")
+      }
+      val estRows =
+        if (!driverTier) Int.MaxValue
+        else branchEntities.map(e => store.localTouchedCount(e, touched(e))).sum +
+          deltaRows.valuesIterator.map(_.length).sum + refRows.length
+      val fastMerge = estRows <= FusedCollectMaxRows &&
+        branchEntities.forall(store.localOrEmpty)
+
+      var collectedUnion: Option[(Array[Row], StructType)] = None
+      val refreshed: Set[String] =
+        if (fastMerge) {
+          val fused = fusedMergeFrame()
+          val collected = fused.collect() // ONE job: every merge
+          collectedUnion = Some((collected, fused.schema))
+          branchEntities.filter { e =>
+            val (schema, keyCol) = schemaOf(e)
+            store.refreshFromRows(e, schema, keyCol, touched(e),
+              () => extractEntityRows(collected, e, schema),
+              buildMap = isDim(e))
+          }.toSet
+        } else {
+          (branchEntities.filter(_ != IdxName).filter { e =>
+            val (schema, keyCol) = schemaOf(e)
+            store.tryRefreshLocal(e, schema, keyCol, touched(e),
+              mergedByName(e), buildMap = isDim(e))
+          } ++ idxMergedOpt.toSeq.flatMap(m =>
+            if (store.tryRefreshLocal(IdxName, IdxSchema, "ref_val",
+              touched(IdxName), m, buildMap = false)) Seq(IdxName) else Nil))
+            .toSet
+        }
       // the map-enrichment tier applies only when EVERY dim resolves a
       // lookup map with post-merge content; any dim past the local
       // tier falls the whole join back to the joinAll broadcast plan
@@ -611,43 +928,63 @@ object CrmlsStream {
         }
         if (ms.size == DimEnrich.dimEntities.size) Some(ms.toMap) else None
       }
-      mark("J3:dimmaps")
+      mark(if (fastMerge) "J2:merge" else "J3:refresh")
 
       // ---- J2 ∥ J4: launch the inflight state write on a worker
-      // thread, run the re-join + sink merge on this one. Neither
-      // mutates live files; promotion + cache invalidation happen after
-      // both so no path-based open can land on a moved file. Crash
-      // consistency is unchanged: an exception on either side leaves
-      // the previous state generation live, the batch replays, and both
-      // merges are idempotent keyed upserts.
+      // thread (from driver memory on the fused tier, the lazy merge
+      // plans otherwise), run the re-join + sink merge on this one.
+      // Neither mutates live files; promotion + cache invalidation
+      // happen after both so no path-based open can land on a moved
+      // file. Crash consistency: an exception on either side leaves
+      // the previous state generation live, the batch replays, and
+      // both merges are idempotent keyed upserts.
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
-      val unionFrame = (entityBranches ++ idxBranch.toSeq).reduce(_ unionByName _)
+      val writeFrame = collectedUnion
+        .map { case (rows, schema) => localDfOf(spark, rows, schema) }
+        .getOrElse(unionFrame)
       val stateWrite = Future {
-        BucketedState.writeEntityInflight(spark, store.dir, unionFrame,
+        BucketedState.writeEntityInflight(spark, store.dir, writeFrame,
           touchedByEntity)
       }
       try {
         affectedOpt.foreach { case (affected, affBuckets, sinkBuckets) =>
-          // touched listing buckets come from the lazy merged frame
-          // (this batch's updates included); untouched-but-affected
-          // buckets read from disk — files this batch never replaces
           val lSchema = projectionSchema(listings)
-          val listingParts = BucketedState.readBuckets(
-              spark, store.path("listings"),
-              affBuckets.filterNot(touched.getOrElse("listings", Nil).toSet),
-              Some(lSchema)).toSeq ++ mergedByName.get("listings").toSeq
-          if (listingParts.nonEmpty) {
-            val affectedListings = listingParts.reduce(_ unionByName _)
-              .join(broadcast(affected), Seq("l_uc_pk"), "left_semi")
+          // affected listing rows: a driver filter of the
+          // (post-refresh) listing snapshot when resident — zero file
+          // reads; otherwise touched buckets come from the lazy merged
+          // frame and untouched-but-affected buckets read from disk
+          // (files this batch never replaces)
+          val affectedListingsOpt: Option[DataFrame] =
+            (affectedLocalPks, store.localSnap("listings")) match {
+              case (Some(pks), Some(snap))
+                  if !present.contains("listings") ||
+                    refreshed.contains("listings") =>
+                val pkI = lSchema.fieldIndex("l_uc_pk")
+                val pkSet = pks.toSet
+                Some(localDfOf(spark, snap.rows.filter(r =>
+                  !r.isNullAt(pkI) && pkSet.contains(r.getString(pkI))),
+                  lSchema))
+              case _ =>
+                val listingParts = BucketedState.readBuckets(
+                    spark, store.path("listings"),
+                    affBuckets.filterNot(
+                      touched.getOrElse("listings", Nil).toSet),
+                    Some(lSchema)).toSeq ++ mergedByName.get("listings").toSeq
+                if (listingParts.isEmpty) None
+                else Some(listingParts.reduce(_ unionByName _)
+                  .join(broadcast(affected), Seq("l_uc_pk"), "left_semi"))
+            }
+          affectedListingsOpt.foreach { affectedListings =>
             // dim state for the fallback SQL join: cached snapshot
             // minus touched buckets, plus the lazy merged frame — but a
             // dim already refreshed above serves its (post-merge)
             // snapshot directly
             def fullState(spec: Crmls.EntitySpec): DataFrame = {
               val schema = projectionSchema(spec)
-              val snap = store.cachedReadAll(spec.name, schema)
+              val snap = store.cachedReadAll(spec.name, schema,
+                spec.dedupKeyCol)
               if (!present.contains(spec.name) ||
                   refreshed.contains(spec.name))
                 snap.getOrElse(emptyOf(spark, schema))
@@ -672,10 +1009,10 @@ object CrmlsStream {
         mark("J4:join-sink")
       } finally Await.ready(stateWrite, Duration.Inf)
       Await.result(stateWrite, Duration.Inf) // rethrow a write failure
-      // dims were refreshed pre-join; anything not refreshable there
+      // snapshots were refreshed pre-join; anything not refreshable
       // (past the local tier) is invalidated and re-probed on demand
       BucketedState.promoteEntityBuckets(store.dir, touchedByEntity)
-      present.filterNot(refreshed).foreach(store.invalidate)
+      branchEntities.filterNot(refreshed).foreach(store.invalidate)
       mark("J2:promote")
     } finally {
       scratch.foreach(_.unpersist())

@@ -194,10 +194,35 @@ object UpsertJoin {
         else mergeWrite(keyCol, batch, touched.sorted, Some(batch.schema))
       }
 
+    /** In-flight asynchronous compaction, if any. Compaction is
+      * self-contained (reads a FIXED list of committed generations +
+      * their touched base buckets, promotes new bucket files, deletes
+      * exactly the generations it read), so it can safely overlap
+      * subsequent appends — they only create NEW generation dirs.
+      * Running it off-thread takes the periodic multi-second rewrite
+      * out of the batch latency path; the next compaction (or any
+      * [[snapshot]] read) joins it first. A crash mid-compaction is
+      * the documented no-op-replay case either way.
+      */
+    @transient private var compacting: Option[scala.concurrent.Future[Unit]] =
+      None
+
+    private def joinCompaction(): Unit = {
+      compacting.foreach(f => scala.concurrent.Await.result(f,
+        scala.concurrent.duration.Duration.Inf))
+      compacting = None
+    }
+
+    /** Block until any in-flight compaction has settled (tests and
+      * orderly shutdown).
+      */
+    private[streaming] def awaitCompaction(): Unit = joinCompaction()
+
     /** Delta-mode upsert: dedup the batch per key with the SAME
       * deterministic survivor as the merge path (max content hash),
       * stamp the generation, append ONE file. No state read, no bucket
-      * rewrite — those costs move to the amortized [[compact]].
+      * rewrite — those costs move to the amortized [[compact]], which
+      * runs asynchronously.
       */
     private def appendDelta(keyCol: String, batch: DataFrame): Unit = {
       val w = Window.partitionBy(col(keyCol))
@@ -226,19 +251,27 @@ object UpsertJoin {
       stamped.coalesce(1).write.mode("overwrite").parquet(s"$deltaDir/g$gen")
       gen += 1
       sinceCompact += 1
-      if (sinceCompact >= deltaCompactEvery) compact(keyCol)
+      if (sinceCompact >= deltaCompactEvery) {
+        joinCompaction() // one compaction in flight at a time
+        val gens = deltaGenDirs(sweep = true)
+        sinceCompact = 0
+        if (gens.nonEmpty) {
+          import scala.concurrent.ExecutionContext.Implicits.global
+          compacting = Some(scala.concurrent.Future(compact(keyCol, gens)))
+        }
+      }
     }
 
-    /** Fold every pending delta into the bucket files: latest
+    /** Fold the given pending deltas into the bucket files: latest
       * generation wins per key (base reads as generation -1), exactly
-      * the order sequential merge-on-write applied. Deltas are removed
-      * only after the bucket swaps promote; a crash in between replays
-      * them onto the already-merged base, where latest-wins makes the
-      * replay a no-op.
+      * the order sequential merge-on-write applied. Deletes EXACTLY
+      * the generation dirs it was given, only after the bucket swaps
+      * promote — generations appended while an async compaction runs
+      * are untouched, and a crash in between replays the compacted
+      * deltas onto the already-merged base, where latest-wins makes
+      * the replay a no-op.
       */
-    private def compact(keyCol: String): Unit = {
-      val gens = deltaGenDirs(sweep = true)
-      if (gens.isEmpty) { sinceCompact = 0; return }
+    private def compact(keyCol: String, gens: Seq[java.io.File]): Unit = {
       val reader = Option(deltaSchema).fold(spark.read)(s => spark.read.schema(s))
       val del = reader.parquet(gens.map(_.getPath): _*)
       val touched = del.select(col(BucketedState.BucketColName))
@@ -257,8 +290,7 @@ object UpsertJoin {
         .filter(col("__rn") === 1).drop("__rn", "__gen")
         .select((BucketedState.BucketColName +: rowCols.toSeq).map(col): _*)
       BucketedState.overwriteBuckets(spark, dir, merged, touched)
-      BucketedState.deleteRecursively(java.nio.file.Paths.get(deltaDir))
-      sinceCompact = 0
+      gens.foreach(g => BucketedState.deleteRecursively(g.toPath))
     }
 
     private def mergeWrite(keyCol: String, batch: DataFrame,
@@ -313,6 +345,7 @@ object UpsertJoin {
       * compactions happened to run.
       */
     def snapshot(spark: SparkSession): DataFrame = {
+      joinCompaction() // serve a settled view, not a mid-swap one
       val base = BucketedState.readAll(spark, dir)
       val gens = if (deltaCompactEvery > 0) deltaGenDirs(sweep = false) else Nil
       val del = if (gens.nonEmpty)

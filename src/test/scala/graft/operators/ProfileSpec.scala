@@ -39,4 +39,36 @@ class ProfileSpec extends SparkTestBase {
       Profile.profile(table, Seq("nope"))
     }
   }
+
+  test("equi-width histogram: bins partition the rows exactly") {
+    // ids 1..1000, 10 bins over [1, 1000]: width 99.9; every row lands
+    // in exactly one bin and the top edge folds into the last bin
+    val h = Profile.histogram(table, "id", 10)
+      .as[(Long, Long)].collect().toMap
+    assert(h.values.sum === 1000L)
+    assert(h.keySet === (0L until 10L).toSet)
+    // nulls excluded: 100 nulls in `maybe`
+    val hm = Profile.histogram(table, "maybe", 4).as[(Long, Long)].collect()
+    assert(hm.map(_._2).sum === 900L)
+    // empty / all-null input yields no bins
+    assert(Profile.histogram(table.filter($"id" < 0), "id", 4).count() === 0L)
+  }
+
+  test("equi-depth histogram: depths within the sketch band, full cover") {
+    val n = 1000L
+    val bins = 10
+    val h = Profile.quantileHistogram(table, "id", bins, relativeError = 0.001)
+      .as[(Long, Double, Double, Long)].collect().sortBy(_._1)
+    // all rows covered exactly once
+    assert(h.map(_._4).sum === n)
+    // each depth within the sketch band of n/bins (plus one boundary row)
+    val target = n.toDouble / bins
+    val tol = 2 * 0.001 * n + 2
+    h.foreach { case (b, _, _, c) =>
+      assert(math.abs(c - target) <= tol, s"bin $b depth $c vs $target")
+    }
+    // boundaries are increasing and span the column range
+    assert(h.head._2 === 1.0 && h.last._3 === 1000.0)
+    assert(h.forall { case (_, lo, hi, _) => lo < hi })
+  }
 }

@@ -162,6 +162,46 @@ class TrainingOpsSpec extends SparkTestBase {
     assert(got === Map(1L -> "unchanged", 2L -> "removed", 3L -> "changed"))
   }
 
+  test("packSequencesFfd: capacity invariant, no doc loss, determinism, less splitting") {
+    import org.apache.spark.sql.functions._
+    val capacity = 100L
+    // sizes from tiny to oversized (150 > capacity)
+    val docs = (1L to 500L).map(i => (i, 5L + (i * 7919) % 146))
+      .toDF("id", "n_tok")
+    val packed = TrainingOps.packSequencesFfd(
+      docs, "id", col("n_tok"), capacity, shardHexChars = 1)
+    val rows = packed.select("id", "n_tok", "pack_shard", "pack_bin", "pack_tokens")
+      .as[(Long, Long, String, Long, Long)].collect()
+
+    // no doc lost or duplicated
+    assert(rows.map(_._1).sorted.toSeq === (1L to 500L))
+    // capacity invariant per (shard, bin)
+    rows.groupBy(r => (r._3, r._4)).foreach { case (bin, rs) =>
+      assert(rs.map(_._5).sum <= capacity, s"bin $bin over capacity")
+    }
+    // only oversized docs are truncated, and exactly to capacity
+    rows.foreach { case (id, n, _, _, placed) =>
+      if (n <= capacity) assert(placed === n, s"doc $id split despite fitting")
+      else assert(placed === capacity, s"oversized doc $id not truncated to cap")
+    }
+    // deterministic under input permutation
+    val shuffled = TrainingOps.packSequencesFfd(
+      docs.orderBy(rand(42)), "id", col("n_tok"), capacity, shardHexChars = 1)
+      .select("id", "pack_shard", "pack_bin", "pack_tokens")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(shuffled === rows.map(r => (r._1, r._3, r._4, r._5)).sortBy(_._1).toSeq)
+
+    // strictly fewer broken documents than concat-and-chunk on the
+    // same corpus: chunking splits any doc straddling a bin boundary
+    val chunked = TrainingOps.packSequences(
+      docs, "id", col("n_tok"), capacity, shardHexChars = 1)
+      .select("id", "n_tok", "bin_offset").as[(Long, Long, Long)].collect()
+    val chunkSplit = chunked.count { case (_, n, off) => off + n > capacity }
+    val ffdSplit = rows.count { case (_, n, _, _, placed) => placed < n }
+    assert(ffdSplit < chunkSplit,
+      s"FFD split $ffdSplit docs, chunking split $chunkSplit")
+  }
+
   test("packSequences matches a sequential re-pack of each shard") {
     val rnd = new scala.util.Random(7)
     val corpus = (1L to 500L)

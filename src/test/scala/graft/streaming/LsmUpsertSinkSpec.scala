@@ -61,6 +61,7 @@ class LsmUpsertSinkSpec extends SparkTestBase {
     val compacted = new UpsertJoin.ParquetUpsertSink(spark, s"$tmp/s", 4,
       deltaCompactEvery = 1)
     compacted.upsert("k", batchDf(batches(1)))
+    compacted.awaitCompaction() // compaction runs async off the batch path
     val before = graft.StreamBench.fileSizes(Seq(s"$tmp/s"))
     assert(before.keys.exists(_.contains("bucket_")), "compaction ran")
 
