@@ -822,6 +822,20 @@ object SparkEntry {
         .select("probe_id", "neighbor_id", "rank")
     }),
 
+    // §2.10 similarity search: graph-routed ANN (SPANN/DiskANN shape:
+    // driver-built small-world graph over the lowest-id node set,
+    // row-local beam-search routing). Run at EXHAUSTIVE beam
+    // (ef = nNodes) so routing is the exact node argmax and the oracle
+    // can replay the whole index in SQL — the beam-limited tier is
+    // covered by GraphAnnSpec's recall + determinism tests
+    "q_graph_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      GraphAnn.graphTopK(
+        emb.filter(col("vec_id") < 64), emb, "vec_id", "embedding",
+        k = 5, nNodes = 32, m = 4, nProbe = 3, ef = 32)
+        .select("probe_id", "neighbor_id", "rank")
+    }),
+
     // §2.10 similarity search: SRP-LSH approximate top-k (oracle
     // recomputes the bucketing from the deterministic hyperplanes)
     "q_srp_ann" -> ((s, dir) => {
@@ -1179,6 +1193,14 @@ object SparkEntry {
 
     "q_ivf_ann" -> OracleGen.ivfAnnSql(
       probeMax = 64, k = 5, nCells = 16, nProbe = 4, dim = 64),
+
+    // graph-ANN at exhaustive beam (ef = nNodes): routing over the
+    // connected small-world graph IS the exact argmax over the node
+    // set, so the oracle is the IVF replay with the node set as the
+    // centroid set (the beam-limited serving shape is spec territory:
+    // GraphAnnSpec recall + equivalence tests)
+    "q_graph_ann" -> OracleGen.ivfAnnSql(
+      probeMax = 64, k = 5, nCells = 32, nProbe = 3, dim = 64),
 
     // the salted fallback must produce EXACTLY the broadcast tier's
     // rows — same oracle SQL, independently recomputed by DuckDB

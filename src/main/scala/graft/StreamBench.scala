@@ -139,15 +139,23 @@ object StreamBench {
     val counter = new JobCounter
     spark.sparkContext.addSparkListener(counter)
 
+    // Warm-up batches (excluded from the stats, reported alongside):
+    // the FIRST batch of a mix pays one-time plan analysis + codegen
+    // compilation (~8-10 s observed) that a long-running streaming job
+    // pays once per restart, not per batch — steady-state latency is
+    // the metric, so measure after the JIT/codegen caches are hot.
+    val nWarmup = sys.env.getOrElse("SPARK_GRAFT_SB_WARMUP", "2").toInt
+
     def runMix(listingRows: Int, agentRows: Int, mediaRows: Int,
                saltBase: Int): String = {
       val rowsPerBatch = listingRows + agentRows + mediaRows
-      var snap = fileSizes(Seq(stateDir, sinkDir))
       val times = new Array[Double](nBatches)
       val rewrites = new Array[Long](nBatches)
       val jobs = new Array[Int](nBatches)
-      for (i <- 0 until nBatches) {
-        val ts = 1000L + saltBase + i
+      var warmupSec = 0.0
+      var snap: Map[String, Long] = null
+      for (i <- -nWarmup until nBatches) {
+        val ts = 1000L + saltBase + i + nWarmup
         def pick(n: Int, salt: Int) = spark.range(n).toDF("__j")
           .select(pmod(col("__j") * 7919 + lit(i * 104729 + salt + saltBase),
             lit(base)).as("id"))
@@ -155,19 +163,26 @@ object StreamBench {
           .unionByName(agentBatch(pick(agentRows, 1)
             .select(pmod(col("id"), lit(nAgents)).as("id")), ts))
           .unionByName(mediaBatch(pick(mediaRows, 2), ts))
+        if (i == 0) snap = fileSizes(Seq(stateDir, sinkDir))
         val j0 = counter.count.get()
         val b0 = System.nanoTime()
         CrmlsStream.processBatch(spark, batch, store, sink)
-        times(i) = (System.nanoTime() - b0) / 1e9
-        jobs(i) = counter.count.get() - j0
-        val cur = fileSizes(Seq(stateDir, sinkDir))
-        rewrites(i) = rewrittenBytes(snap, cur)
-        snap = cur
+        val sec = (System.nanoTime() - b0) / 1e9
+        if (i < 0) warmupSec += sec
+        else {
+          times(i) = sec
+          jobs(i) = counter.count.get() - j0
+          val cur = fileSizes(Seq(stateDir, sinkDir))
+          rewrites(i) = rewrittenBytes(snap, cur)
+          snap = cur
+        }
       }
       val totalBytes = snap.values.sum
       val meanSec = times.sum / nBatches
       val meanRewrite = rewrites.sum.toDouble / nBatches
-      f""""batches":$nBatches,"rows_per_batch":$rowsPerBatch,""" +
+      f""""batches":$nBatches,"warmup_batches":$nWarmup,""" +
+        f""""warmup_sec":$warmupSec%.1f,""" +
+        f""""rows_per_batch":$rowsPerBatch,""" +
         f""""mean_batch_sec":$meanSec%.3f,""" +
         f""""batches_per_sec":${1.0 / meanSec}%.3f,""" +
         f""""rows_per_sec":${rowsPerBatch / meanSec}%.0f,""" +

@@ -741,6 +741,177 @@ object NativeExpressions {
     new GenericArrayData(out)
   }
 
+  /** Primitive binary heap over (key: Double, id: Int) entries ordered
+    * by (Double.compare, Integer.compare) — allocation-free inner loops
+    * for the graph-descent search. `max = true` keeps the WORST entry
+    * on top (the bounded-result-set form).
+    */
+  private final class NodeHeap(cap: Int, max: Boolean) {
+    private val ks = new Array[Double](cap)
+    private val ids = new Array[Int](cap)
+    var size = 0
+    private def before(k1: Double, i1: Int, k2: Double, i2: Int): Boolean = {
+      val c = java.lang.Double.compare(k1, k2)
+      val r = if (c != 0) c else Integer.compare(i1, i2)
+      if (max) r > 0 else r < 0
+    }
+    def topKey: Double = ks(0)
+    def topId: Int = ids(0)
+    def push(k: Double, id: Int): Unit = {
+      var i = size
+      size += 1
+      while (i > 0 && before(k, id, ks((i - 1) / 2), ids((i - 1) / 2))) {
+        ks(i) = ks((i - 1) / 2); ids(i) = ids((i - 1) / 2)
+        i = (i - 1) / 2
+      }
+      ks(i) = k; ids(i) = id
+    }
+    def pop(): Unit = {
+      size -= 1
+      val k = ks(size); val id = ids(size)
+      var i = 0
+      var done = false
+      while (!done) {
+        var c = 2 * i + 1
+        if (c >= size) done = true
+        else {
+          if (c + 1 < size && before(ks(c + 1), ids(c + 1), ks(c), ids(c)))
+            c += 1
+          if (before(ks(c), ids(c), k, id)) {
+            ks(i) = ks(c); ids(i) = ids(c); i = c
+          } else done = true
+        }
+      }
+      ks(i) = k; ids(i) = id
+    }
+    /** Entries in UNORDERED heap layout (for a final explicit sort). */
+    def keysUnordered: Array[Double] = java.util.Arrays.copyOf(ks, size)
+    def idsUnordered: Array[Int] = java.util.Arrays.copyOf(ids, size)
+  }
+
+  /** Greedy best-first beam search over a small-world graph of sample
+    * nodes — the graph-ANN routing primitive. Nodes live in a flat
+    * matrix (same layout as [[nearestCellsEval]]); edges in CSR form
+    * (adjOff/adj). Search = the standard HNSW search-layer: seed at
+    * node 0, expand the best unexpanded candidate, keep the `ef` best
+    * visited, stop when the best candidate is worse than the ef-th
+    * result. Entirely deterministic: priorities are (key asc, ordinal
+    * asc) with key = -cosine (zero-norm pairs keyed 2.0, sorting last,
+    * exactly [[nearestCellsEval]]'s convention). With `ef >= nNodes`
+    * the search expands the whole (connected) graph and the result is
+    * the EXACT argmax over nodes — the oracle-checked configuration.
+    *
+    * Returns the `take` best node ordinals, best first.
+    */
+  def graphNearestEval(arr: ArrayData, nodes: Array[Double], nodeNorms: Array[Double],
+                       dim: Int, adjOff: Array[Int], adj: Array[Int],
+                       ef: Int, take: Int, isFloat: Boolean): ArrayData = {
+    val n = nodeNorms.length
+    val len = arr.numElements()
+    val v = new Array[Double](len)
+    var i = 0
+    while (i < len) {
+      v(i) = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      i += 1
+    }
+    var ss = 0.0
+    i = 0
+    while (i < len) { ss += v(i) * v(i); i += 1 }
+    val vNorm = math.sqrt(ss)
+    val m = math.min(len, dim)
+    def key(c: Int): Double = {
+      val d = vNorm * nodeNorms(c)
+      if (d == 0.0) 2.0
+      else {
+        var s = 0.0
+        val off = c * dim
+        var j = 0
+        while (j < m) { s += v(j) * nodes(off + j); j += 1 }
+        -(s / d)
+      }
+    }
+    val beam = math.max(1, math.min(ef, n))
+    val visited = new Array[Boolean](n)
+    val cand = new NodeHeap(n, max = false)
+    val result = new NodeHeap(beam + 1, max = true)
+    val k0 = key(0)
+    visited(0) = true
+    cand.push(k0, 0)
+    result.push(k0, 0)
+    while (cand.size > 0) {
+      val ck = cand.topKey; val cid = cand.topId
+      // stop when the best remaining candidate cannot improve the
+      // full result set (compare (key, id) for determinism)
+      if (result.size >= beam && {
+            val c = java.lang.Double.compare(ck, result.topKey)
+            (if (c != 0) c else Integer.compare(cid, result.topId)) > 0
+          }) {
+        cand.size = 0
+      } else {
+        cand.pop()
+        var e = adjOff(cid)
+        while (e < adjOff(cid + 1)) {
+          val nb = adj(e)
+          if (!visited(nb)) {
+            visited(nb) = true
+            val nk = key(nb)
+            val admit = result.size < beam || {
+              val c = java.lang.Double.compare(nk, result.topKey)
+              (if (c != 0) c else Integer.compare(nb, result.topId)) < 0
+            }
+            if (admit) {
+              cand.push(nk, nb)
+              result.push(nk, nb)
+              if (result.size > beam) result.pop()
+            }
+          }
+          e += 1
+        }
+      }
+    }
+    // final ordering: (key asc, ordinal asc), take best
+    val rk = result.keysUnordered
+    val rid = result.idsUnordered
+    val order = Array.range(0, rk.length).sortWith { (a, b) =>
+      val c = java.lang.Double.compare(rk(a), rk(b))
+      if (c != 0) c < 0 else rid(a) < rid(b)
+    }
+    val out = new Array[Long](math.min(take, order.length))
+    var t = 0
+    while (t < out.length) { out(t) = rid(order(t)).toLong; t += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Graph-descent node assignment: the `take` nearest sample-node
+    * ordinals found by beam search (see [[graphNearestEval]]). The
+    * node matrix and adjacency reach generated code as REFERENCES.
+    */
+  case class GraphNearestNodes(child: Expression, nodes: Array[Double],
+                               nodeNorms: Array[Double], dim: Int,
+                               adjOff: Array[Int], adj: Array[Int],
+                               ef: Int, take: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    private lazy val isFloat = elemKind(child.dataType) == 0
+
+    override def nullSafeEval(input: Any): Any =
+      graphNearestEval(input.asInstanceOf[ArrayData], nodes, nodeNorms,
+        dim, adjOff, adj, ef, take, isFloat)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val nRef = ctx.addReferenceObj("graphNodes", nodes, "double[]")
+      val nmRef = ctx.addReferenceObj("graphNodeNorms", nodeNorms, "double[]")
+      val oRef = ctx.addReferenceObj("graphAdjOff", adjOff, "int[]")
+      val aRef = ctx.addReferenceObj("graphAdj", adj, "int[]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.NativeExpressions.graphNearestEval(" +
+          s"$c, $nRef, $nmRef, $dim, $oRef, $aRef, $ef, $take, $isFloat);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** The `take` nearest coarse-quantizer cell ordinals for a vector,
     * best first — the IVF assignment primitive. The centroid matrix
     * reaches generated code as a REFERENCE (one `double[]`), never as
@@ -826,4 +997,12 @@ object NativeExpressions {
                    cellNorms: Array[Double], dim: Int, take: Int): Column =
     ColumnBridge.column(NearestCells(
       ColumnBridge.expression(vec), centroids, cellNorms, dim, take))
+
+  def graphNearestNodes(vec: Column, nodes: Array[Double],
+                        nodeNorms: Array[Double], dim: Int,
+                        adjOff: Array[Int], adj: Array[Int],
+                        ef: Int, take: Int): Column =
+    ColumnBridge.column(GraphNearestNodes(
+      ColumnBridge.expression(vec), nodes, nodeNorms, dim, adjOff, adj,
+      ef, take))
 }

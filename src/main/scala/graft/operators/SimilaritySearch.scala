@@ -188,30 +188,41 @@ object SimilaritySearch {
       .select(col("probe_id"), col("__pv"), col("__pn"),
         coalesce(col("__cell"), lit(-1L)).as("cell_id"))
 
-    // each corpus vector lives in exactly one cell and each probe
-    // probes nProbe distinct cells, so (probe, neighbor) pairs are
-    // already unique — no dedup pass needed.
-    //
-    // Join strategy is a TWO-TIER choice made at plan time from the
-    // probe side's size estimate (no extra job):
-    //
-    //  - bounded probe batches (the normal IVF serving shape) are
-    //    broadcast EXPLICITLY: leaving the choice to size estimates
-    //    let the join degrade to sort-merge on cell_id — a
-    //    64-distinct-value key, so every task sorts huge key runs
-    //    (observed 8x wall-time flips at the 1M-vector stress tier
-    //    before the hint).
-    //  - probe sides past the broadcast threshold take a SALTED
-    //    shuffled-hash join instead of OOMing the driver: the corpus
-    //    side salts on hash(neighbor_id) % saltFactor and the probe
-    //    side replicates per salt, widening the join key to
-    //    (cell_id, salt) — nCells x saltFactor distinct keys, so the
-    //    exchange actually parallelizes despite the low-cardinality
-    //    cell key, and each pair still matches exactly once. Degrades
-    //    predictably: cost grows with |P| x saltFactor replication,
-    //    never with driver memory.
+    candidateJoinTopK(probeCells, corpusCells, k, maxBroadcastBytes,
+      saltFactor)
+  }
+
+  /** Shared cell-keyed candidate join + exact-cosine top-k tail of the
+    * partitioned ANN family ([[ivfTopK]], [[GraphAnn.graphTopK]]).
+    *
+    * Each corpus vector lives in exactly one cell and each probe
+    * probes nProbe distinct cells, so (probe, neighbor) pairs are
+    * already unique — no dedup pass needed.
+    *
+    * Join strategy is a TWO-TIER choice made at plan time from the
+    * probe side's size estimate (no extra job):
+    *
+    *  - bounded probe batches (the normal ANN serving shape) are
+    *    broadcast EXPLICITLY: leaving the choice to size estimates
+    *    let the join degrade to sort-merge on cell_id — a
+    *    64-distinct-value key, so every task sorts huge key runs
+    *    (observed 8x wall-time flips at the 1M-vector stress tier
+    *    before the hint).
+    *  - probe sides past the broadcast threshold take a SALTED
+    *    shuffled-hash join instead of OOMing the driver: the corpus
+    *    side salts on hash(neighbor_id) % saltFactor and the probe
+    *    side replicates per salt, widening the join key to
+    *    (cell_id, salt) — nCells x saltFactor distinct keys, so the
+    *    exchange actually parallelizes despite the low-cardinality
+    *    cell key, and each pair still matches exactly once. Degrades
+    *    predictably: cost grows with |P| x saltFactor replication,
+    *    never with driver memory.
+    */
+  private[operators] def candidateJoinTopK(
+      probeCells: DataFrame, corpusCells: DataFrame, k: Int,
+      maxBroadcastBytes: Option[Long], saltFactor: Int): DataFrame = {
     val threshold = maxBroadcastBytes.getOrElse {
-      val raw = try probes.sparkSession.conf
+      val raw = try probeCells.sparkSession.conf
         .get("spark.sql.autoBroadcastJoinThreshold")
       catch { case scala.util.control.NonFatal(_) => "10MB" }
       // plain numbers first: byteStringAsBytes rejects "-1", and a user

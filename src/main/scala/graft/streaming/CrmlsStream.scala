@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
 import graft.crmls.Crmls
 import graft.operators.LatestVersion
 
@@ -138,24 +138,29 @@ object CrmlsStream {
   private def emptyOf(spark: SparkSession, schema: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
 
-  /** [[canonicalize]] variant for the FUSED merge: carries the merge
-    * key, timestamp and tie columns alongside so all branch merges run
-    * as ONE window over (entity, key) instead of one window plan per
-    * entity — same per-entity ordering (ts desc, tie desc), a fraction
-    * of the per-batch plan analysis.
+  /** Output schema of [[canonicalize]]: (entity, bucket,
+    * canonicalFields...) — the ONE physical schema every state write
+    * emits, and the row layout of the driver-tier merge below.
     */
-  private def canonicalizeMerge(df: DataFrame, entity: String,
-                                bucket: Column, key: Column,
-                                ts: Column): DataFrame = {
-    val have = df.columns.toSet
-    df.select(
-      lit(entity).as(BucketedState.EntityColName) +:
-        bucket.as(BucketedState.BucketColName) +:
-        key.as("__mkey") +: ts.as("__mts") +: col("__tie").as("__mtie") +:
-        canonicalFields.map(f =>
-          (if (have(f.name)) col(f.name)
-           else lit(null).cast(f.dataType)).as(f.name)): _*)
-  }
+  private lazy val unionSchema: StructType = StructType(
+    StructField(BucketedState.EntityColName, StringType, nullable = false) +:
+      StructField(BucketedState.BucketColName, IntegerType, nullable = false) +:
+      // every canonical field is nullable in union rows: entities other
+      // than the field's owner pad it with null (exactly what
+      // canonicalize's lit(null) cast does plan-side)
+      canonicalFields.map(_.copy(nullable = true)))
+
+  /** Cached driver evaluators of [[tieTagged]]'s content hash
+    * (`xxhash64(struct(cols...))`), one per entity schema. The driver
+    * merge MUST pick the same winners the window form picks, so the
+    * hash is evaluated through the identical Catalyst expression
+    * (ColumnBridge.rowXxHash64), never reimplemented.
+    */
+  private val tieHashers =
+    scala.collection.concurrent.TrieMap.empty[StructType, Row => Long]
+  private def tieHasher(schema: StructType): Row => Long =
+    tieHashers.getOrElseUpdate(schema,
+      org.apache.spark.sql.graftx.ColumnBridge.rowXxHash64(schema))
 
   /** Driver-tier cap for the reverse-index probe: past this many index
     * rows the affected-key resolution falls back to a distributed join.
@@ -347,11 +352,12 @@ object CrmlsStream {
         }
       }
 
-    /** The entity's current rows in `touched` buckets as a driver-local
-      * relation — the zero-I/O `cur` source for the per-batch merge.
+    /** The entity's current rows in `touched` buckets, straight from
+      * the snapshot arrays — the zero-I/O `cur` source for the
+      * per-batch merge.
       */
-    private[streaming] def localTouchedDf(entity: String, schema: StructType,
-                                          touched: Seq[Int]): Option[DataFrame] =
+    private[streaming] def localTouchedRows(
+        entity: String, touched: Seq[Int]): Option[Array[Row]] =
       localSnap(entity).map { snap =>
         val t = touched.toSet
         val keep = Array.newBuilder[Row]
@@ -360,8 +366,15 @@ object CrmlsStream {
           if (t.contains(snap.buckets(i))) keep += snap.rows(i)
           i += 1
         }
-        localDf(keep.result(), schema)
+        keep.result()
       }
+
+    /** [[localTouchedRows]] as a driver-local relation (the lazy-plan
+      * merge tier's input form).
+      */
+    private[streaming] def localTouchedDf(entity: String, schema: StructType,
+                                          touched: Seq[Int]): Option[DataFrame] =
+      localTouchedRows(entity, touched).map(localDf(_, schema))
 
     /** True when the entity can participate in the fused local merge:
       * either a local snapshot exists, or the entity has no state at
@@ -846,46 +859,95 @@ object CrmlsStream {
       def isDim(entity: String): Boolean =
         DimEnrich.dimEntities.exists(_.name == entity)
       val unionFrame = (entityBranches ++ idxBranch.toSeq).reduce(_ unionByName _)
-      // fused single-window form of the same merges (fast tier only):
-      // per-branch narrow selects carrying (__mkey, __mts, __mtie),
-      // unioned, ONE row_number window over (entity, key). The idx
-      // branch keys on the whole triple with constant ts/tie, which
-      // reduces to exactly its distinct()
-      def fusedMergeFrame(): DataFrame = {
-        val branches = present.map { name =>
+      val unionWidth = unionSchema.length
+      def unionRow(entity: String, bucket: Int, r: Row,
+                   pos: Array[Int]): Row = {
+        val arr = new Array[Any](unionWidth)
+        arr(0) = entity
+        arr(1) = bucket
+        var i = 0
+        while (i < pos.length) { arr(pos(i)) = r.get(i); i += 1 }
+        Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(arr))
+      }
+      /** Entity-schema rows -> canonical union rows (bucket recomputed
+        * from the entity's bucket key, exactly as canonicalize does).
+        */
+      def unionRowsOf(e: String, rows: Array[Row]): Array[Row] = {
+        val (schema, keyCol) = schemaOf(e)
+        val keyI = schema.fieldIndex(keyCol)
+        val pos = schema.fields.map(f => canonIdx(f.name))
+        rows.map { r =>
+          val key = if (r.isNullAt(keyI)) null else r.getString(keyI)
+          unionRow(e, BucketedState.bucketOfLocal(key, storeN), r, pos)
+        }
+      }
+      // driver-JVM form of the same merges (fast tier only): every
+      // input is already a driver-resident Row array (snapshot touched
+      // buckets + projected delta rows), so the per-entity argmax runs
+      // as ONE hash-map pass -- zero Catalyst analysis, zero codegen,
+      // zero jobs. Winner selection replicates latestOne's window
+      // ordering exactly: (ts desc nulls-last, (isNew, contentHash)
+      // desc), with the content hash evaluated through the identical
+      // xxhash64(struct(...)) expression ([[tieHasher]]). The idx
+      // branch (constant ts/tie) reduces to a distinct over triples.
+      def driverMerged(): Array[Row] = {
+        val out = Array.newBuilder[Row]
+        present.foreach { name =>
           val spec = specByName(name)
           val schema = projectionSchema(spec)
-          val all = store.localTouchedDf(name, schema, touched(name))
-              .orElse(BucketedState.readBuckets(
-                spark, store.path(name), touched(name), Some(schema))) match {
-            case Some(cur) =>
-              tieTagged(cur, 0).unionByName(tieTagged(deltas(name), 1))
-            case None => tieTagged(deltas(name), 1)
+          val keyI = schema.fieldIndex(spec.dedupKeyCol)
+          val tsI = schema.fieldIndex(spec.prefix + "uc_created_ts")
+          val pos = schema.fields.map(f => canonIdx(f.name))
+          val hash = tieHasher(schema)
+          // value = (row, tsOrNull, isNew, contentHash)
+          val best = scala.collection.mutable.HashMap
+            .empty[String, (Row, java.lang.Long, Int, Long)]
+          def consider(r: Row, isNew: Int): Unit = {
+            val key = if (r.isNullAt(keyI)) null else r.getString(keyI)
+            val ts: java.lang.Long =
+              if (r.isNullAt(tsI)) null
+              else java.lang.Long.valueOf(r.getLong(tsI))
+            val h = hash(r)
+            best.get(key) match {
+              case None => best(key) = (r, ts, isNew, h)
+              case Some((_, bts, bNew, bh)) =>
+                // (ts desc nulls-last, isNew desc, hash desc): a null
+                // ts loses to any non-null; exact full ties keep the
+                // incumbent (the window's arbitrary-but-single pick)
+                val wins =
+                  if (ts == null) false
+                  else if (bts == null) true
+                  else if (ts.longValue != bts.longValue)
+                    ts.longValue > bts.longValue
+                  else if (isNew != bNew) isNew > bNew
+                  else h > bh
+                if (wins) best(key) = (r, ts, isNew, h)
+            }
           }
-          canonicalizeMerge(all, name,
-            BucketedState.bucketOf(col(spec.dedupKeyCol), storeN),
-            col(spec.dedupKeyCol), col(spec.prefix + "uc_created_ts"))
-        } ++ touched.get(IdxName).map { idxTouched =>
-          val all = store.localTouchedDf(IdxName, IdxSchema, idxTouched)
-              .orElse(BucketedState.readBuckets(
-                spark, store.path(IdxName), idxTouched, Some(IdxSchema))) match {
-            case Some(cur) => cur.unionByName(refEntriesDf)
-            case None => refEntriesDf
+          store.localTouchedRows(name, touched(name))
+            .foreach(_.foreach(consider(_, 0)))
+          deltaRows(name).foreach(consider(_, 1))
+          best.foreach { case (key, (r, _, _, _)) =>
+            out += unionRow(name, BucketedState.bucketOfLocal(key, storeN),
+              r, pos)
           }
-          canonicalizeMerge(
-            all.withColumn("__tie", struct(lit(0), lit(0L))), IdxName,
-            BucketedState.bucketOf(col("ref_val"), storeN),
-            concat_ws("\u0000", col("ref_col"), col("ref_val"),
-              col("l_uc_pk")),
-            lit(0L))
-        }.toSeq
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col(BucketedState.EntityColName), col("__mkey"))
-          .orderBy(col("__mts").desc, col("__mtie").desc)
-        branches.reduce(_ unionByName _)
-          .withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1)
-          .drop("__rn", "__mkey", "__mts", "__mtie")
+        }
+        touched.get(IdxName).foreach { idxTouched =>
+          val pos = IdxSchema.fields.map(f => canonIdx(f.name))
+          val seen = scala.collection.mutable.HashSet
+            .empty[(String, String, String)]
+          def considerIdx(r: Row): Unit = {
+            val t = (r.getString(0), r.getString(1),
+              if (r.isNullAt(2)) null else r.getString(2))
+            if (seen.add(t))
+              out += unionRow(IdxName,
+                BucketedState.bucketOfLocal(t._2, storeN), r, pos)
+          }
+          store.localTouchedRows(IdxName, idxTouched)
+            .foreach(_.foreach(considerIdx))
+          refRows.foreach(considerIdx)
+        }
+        out.result()
       }
       val estRows =
         if (!driverTier) Int.MaxValue
@@ -897,9 +959,8 @@ object CrmlsStream {
       var collectedUnion: Option[(Array[Row], StructType)] = None
       val refreshed: Set[String] =
         if (fastMerge) {
-          val fused = fusedMergeFrame()
-          val collected = fused.collect() // ONE job: every merge
-          collectedUnion = Some((collected, fused.schema))
+          val collected = driverMerged() // zero jobs: every merge
+          collectedUnion = Some((collected, unionSchema))
           branchEntities.filter { e =>
             val (schema, keyCol) = schemaOf(e)
             store.refreshFromRows(e, schema, keyCol, touched(e),
@@ -907,14 +968,33 @@ object CrmlsStream {
               buildMap = isDim(e))
           }.toSet
         } else {
-          (branchEntities.filter(_ != IdxName).filter { e =>
+          // MIDDLE tier: distributed merge plans, but each refresh's
+          // collect is CAPTURED — when every branch entity refreshes
+          // locally, the state write below runs from these rows instead
+          // of re-executing the same merge plans a second time inside
+          // the write job (which doubled large-batch latency).
+          val freshRows =
+            scala.collection.mutable.Map.empty[String, Array[Row]]
+          def refresh(e: String, merged: DataFrame,
+                      buildMap: Boolean): Boolean = {
             val (schema, keyCol) = schemaOf(e)
-            store.tryRefreshLocal(e, schema, keyCol, touched(e),
-              mergedByName(e), buildMap = isDim(e))
-          } ++ idxMergedOpt.toSeq.flatMap(m =>
-            if (store.tryRefreshLocal(IdxName, IdxSchema, "ref_val",
-              touched(IdxName), m, buildMap = false)) Seq(IdxName) else Nil))
-            .toSet
+            var rows: Array[Row] = null
+            val ok = store.refreshFromRows(e, schema, keyCol, touched(e),
+              () => { rows = merged.collect(); rows }, buildMap)
+            if (ok && rows != null) freshRows(e) = rows
+            ok
+          }
+          val r = branchEntities.filter(_ != IdxName)
+            .filter(e => refresh(e, mergedByName(e), isDim(e))) ++
+            idxMergedOpt.toSeq.flatMap(m =>
+              if (refresh(IdxName, m, buildMap = false)) Seq(IdxName)
+              else Nil)
+          if (r.size == branchEntities.size)
+            collectedUnion = Some((
+              branchEntities.toArray.flatMap(e =>
+                unionRowsOf(e, freshRows(e))),
+              unionSchema))
+          r.toSet
         }
       // the map-enrichment tier applies only when EVERY dim resolves a
       // lookup map with post-merge content; any dim past the local

@@ -96,9 +96,15 @@ object UpsertJoin {
     *   tax that floors micro-batch latency. Crash-safe the same way
     *   the merge path is: deltas are only deleted after their
     *   compaction promotes, and re-applying an already-compacted delta
-    *   is a no-op (latest-wins on identical content). Incompatible
-    *   with changelogDir (retract pairs need the pre-image read this
-    *   mode exists to avoid).
+    *   is a no-op (latest-wins on identical content). With
+    *   changelogDir set, retract pairs are emitted AT COMPACTION TIME
+    *   (the one moment this mode has both the pre-image and the merged
+    *   post-image in hand): one changelog batch per compaction window,
+    *   collapsing the window's intermediate versions — the same
+    *   granularity a table format's change-data-feed gives on
+    *   compacted commits. Replay still reconstructs every compacted
+    *   snapshot exactly (ChangelogSinkSpec's LSM variant); per-batch
+    *   granularity needs merge-on-write.
     */
   final class ParquetUpsertSink(spark: SparkSession, dir: String,
                                 nBuckets: Int = 16,
@@ -107,9 +113,6 @@ object UpsertJoin {
       extends UpsertSink with Serializable {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
-
-    require(deltaCompactEvery == 0 || changelogDir.isEmpty,
-      "changelog emission needs the pre-image read that delta mode skips")
 
     /** Changelog batch stamp. Recovered from the existing log on
       * construction (max batch_id + 1): a restarted sink instance must
@@ -127,6 +130,13 @@ object UpsertJoin {
           case r => r.getLong(0) + 1L
         }
       case _ => 0L
+    }
+
+    /** Monotone changelog stamp, safe across the batch thread and the
+      * async compaction thread (delta mode emits from the latter).
+      */
+    private def nextEpoch(): Long = synchronized {
+      val e = epoch; epoch += 1; e
     }
 
     private def deltaDir = s"$dir/__delta"
@@ -289,6 +299,18 @@ object UpsertJoin {
       val merged = all.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).drop("__rn", "__gen")
         .select((BucketedState.BucketColName +: rowCols.toSeq).map(col): _*)
+      // delta-mode changelog: ONE retract-pair batch per compaction
+      // window (pre-image = the base bucket files, post-image = the
+      // merged fold). Must execute BEFORE overwriteBuckets swaps the
+      // files the pre-image frame reads. A crash between this append
+      // and the promote replays the compaction and re-appends the
+      // window's pairs — same duplicate-on-replay caveat as the
+      // merge-on-write log (production: transactional CDF).
+      changelogDir.foreach { clDir =>
+        emitChangelog(clDir, keyCol,
+          base.map(_.drop("__gen", BucketedState.BucketColName)),
+          merged.drop(BucketedState.BucketColName), del)
+      }
       BucketedState.overwriteBuckets(spark, dir, merged, touched)
       gens.foreach(g => BucketedState.deleteRecursively(g.toPath))
     }
@@ -333,8 +355,7 @@ object UpsertJoin {
         .withColumn("op", lit(true))
       val deletes = oldRows.map(_.exceptAll(newRows).withColumn("op", lit(false)))
       val delta = deletes.fold(inserts)(d => d.unionByName(inserts))
-        .withColumn("batch_id", lit(epoch))
-      epoch += 1
+        .withColumn("batch_id", lit(nextEpoch()))
       delta.write.mode("append").parquet(clDir)
     }
 

@@ -27,4 +27,27 @@ object ColumnBridge {
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
       .logicalPlan
+
+  /** Driver-side evaluator of `xxhash64(struct(col1, ..., colN))` over
+    * external Rows of `schema` — the SAME expression tree the Column
+    * form builds (seed 42, recursive struct hashing), evaluated
+    * interpreted. Lets driver-tier code replicate a plan-side hash
+    * tiebreak bit for bit; drift between the two would silently pick
+    * different winners in merges that must converge across tiers.
+    */
+  def rowXxHash64(schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.Row => Long = {
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, CreateNamedStruct, Literal, XxHash64}
+    val structExpr = CreateNamedStruct(
+      schema.fields.toIndexedSeq.zipWithIndex.flatMap { case (f, i) =>
+        Seq(Literal(f.name),
+          BoundReference(i, f.dataType, nullable = true))
+      })
+    val hashExpr = XxHash64(Seq(structExpr), 42L)
+    val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToCatalystConverter(schema)
+    r => hashExpr.eval(conv(r)
+        .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+      .asInstanceOf[Long]
+  }
 }

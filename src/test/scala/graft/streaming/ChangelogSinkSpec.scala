@@ -79,6 +79,49 @@ class ChangelogSinkSpec extends SparkTestBase {
     assert(replayed.toMap === Map("a" -> (("a", 3L, "v3"))))
   }
 
+  test("LSM (delta) mode emits one retract-pair batch per compaction window") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cl-lsm").toString
+    val sink = new UpsertJoin.ParquetUpsertSink(spark, s"$tmp/out",
+      nBuckets = 8, changelogDir = Some(s"$tmp/cl"), deltaCompactEvery = 2)
+
+    // window 1 (two appends -> compaction): a v1->v2 collapses to the
+    // window's NET change (insert a@v2, insert b); intermediate v1
+    // never reaches the log — the documented compaction granularity
+    sink.upsert("k", Seq(("a", 1L, "v1"), ("b", 1L, "v1")).toDF("k", "ts", "p"))
+    sink.upsert("k", Seq(("a", 2L, "v2")).toDF("k", "ts", "p"))
+    sink.awaitCompaction()
+    val w1 = spark.read.parquet(s"$tmp/cl")
+      .select("batch_id", "op", "k", "ts", "p")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1),
+        (r.getString(2), r.getLong(3), r.getString(4))))
+    assert(w1.toSet === Set(
+      (0L, true, ("a", 2L, "v2")), (0L, true, ("b", 1L, "v1"))))
+
+    // window 2: an update against compacted base -> retract pair; a
+    // no-op rewrite of b emits nothing
+    sink.upsert("k", Seq(("a", 3L, "v3")).toDF("k", "ts", "p"))
+    sink.upsert("k", Seq(("b", 1L, "v1")).toDF("k", "ts", "p"))
+    sink.awaitCompaction()
+    val log = spark.read.parquet(s"$tmp/cl")
+      .select("batch_id", "op", "k", "ts", "p")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1),
+        (r.getString(2), r.getLong(3), r.getString(4))))
+    assert(log.filter(_._1 == 1L).toSet === Set(
+      (1L, false, ("a", 2L, "v2")), (1L, true, ("a", 3L, "v3"))))
+
+    // replay reconstructs the compacted snapshot
+    val replayed = scala.collection.mutable.Map.empty[String, (String, Long, String)]
+    log.sortBy(_._1).foreach {
+      case (_, true, row) => replayed(row._1) = row
+      case (_, false, row) =>
+        if (replayed.get(row._1).contains(row)) replayed.remove(row._1)
+    }
+    val snapshot = sink.snapshot(spark).select("k", "ts", "p")
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(0), r.getLong(1), r.getString(2)))).toMap
+    assert(replayed.toMap === snapshot)
+  }
+
   test("changelog off by default: no side output, merge unchanged") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-nocl").toString
     val sink = new UpsertJoin.ParquetUpsertSink(spark, s"$tmp/out", nBuckets = 4)
