@@ -220,6 +220,27 @@ object Stress {
       (hits.count(), s""","n_cells":$nCells""")
     }
 
+    // ------------------------------------------------------- graph ANN
+    // the serving-shape path: routing set sized like an IVF cell count
+    // that IVF could no longer brute-scan per row (graph descent costs
+    // O(ef*m*dim) per row vs IVF's O(nNodes*dim)); beam-LIMITED ef —
+    // the realistic tier, not the oracle's exhaustive one. Planted
+    // twins have IDENTICAL vectors, so twin pairs route to the same
+    // node regardless of beam width: every probe's top-1 must be its
+    // twin, same exactness bar as quantized_ann
+    val gNodes = math.max(256, math.min(4096, (nVecs / 10000).toInt))
+    phase("graph_ann") {
+      val hits = operators.GraphAnn.graphTopK(
+        vecs.filter(col("vec_id") < 1024), vecs, "vec_id", "embedding",
+        k = 10, nNodes = gNodes, m = 8, nProbe = 4, ef = 64)
+      val twinsFound = hits.filter(col("rank") === 1)
+        .filter(col("neighbor_id") ===
+          col("probe_id").bitwiseXOR(lit(1L))).count()
+      require(twinsFound == 1024,
+        s"graph top-1 must be the planted twin for all 1024 probes, got $twinsFound")
+      (hits.count(), s""","n_nodes":$gNodes,"twins_found":$twinsFound""")
+    }
+
     // ------------------------------------------------------- SRP ANN
     // the third ANN path; bitsPerBand sized ~log2(corpus) per the
     // operator docs, so buckets are near-singleton for random vectors
