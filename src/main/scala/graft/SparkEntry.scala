@@ -943,7 +943,31 @@ object SparkEntry {
           "l_suppkey", "l_quantity"),
         Seq("l_orderkey", "l_partkey"), path, numFiles = 16, bits = 8)
       s.read.parquet(path)
-    })
+    }),
+
+    // data layout: target-file-size writer (the small-files control).
+    // The oracle pins content identity through the size-derived file
+    // count + range exchange + write; the file-size band itself is
+    // measured by SizedWriteSpec
+    "q_sized_write" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft-sized-" +
+        s.sparkContext.applicationId
+      Layout.sizedWrite(
+        t(s, dir, "lineitem").select("l_orderkey", "l_linenumber",
+          "l_quantity", "l_extendedprice"),
+        Seq("l_orderkey"), path, targetFileBytes = 256L << 10)
+      s.read.parquet(path)
+    }),
+
+    // §2.10 training-data assembly: temperature mixing over the
+    // observed per-language counts (alpha = 0.5 upsamples tail
+    // languages, downsamples the en head; epochs realize rates > 1).
+    // The oracle replays count -> sqrt-weight -> rate -> md5-threshold
+    // acceptance in SQL with the identical IEEE operation order
+    "q_mix_temperature" -> ((s, dir) =>
+      TrainingOps.temperatureMix(t(s, dir, "documents"), "doc_id",
+        "lang", alpha = 0.5, targetFraction = 1.0, maxRate = 4.0)
+        .select("doc_id", "lang", "epoch"))
   )
 
   // ---------------------------------------------------------------- oracle
@@ -1750,6 +1774,50 @@ object SparkEntry {
     "q_zorder" ->
       """SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
          FROM lineitem""",
+
+    // content identity of the size-targeted layout write (the file
+    // sizing itself is measured by SizedWriteSpec)
+    "q_sized_write" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+         FROM lineitem""",
+
+    // temperatureMix replay: per-language counts -> sqrt weights
+    // summed in sorted-language order (running window; double addition
+    // is order-sensitive) -> rate with the operator's left-associated
+    // IEEE chain -> integer 16-bit threshold -> md5 acceptance ->
+    // epoch explode. alpha = 0.5 / targetFraction = 1.0 / maxRate = 4.0
+    "q_mix_temperature" ->
+      raw"""WITH c AS (
+             SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+           w AS (
+             SELECT lang, n,
+               sum(sqrt(CAST(n AS DOUBLE))) OVER (ORDER BY lang
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wcum
+             FROM c),
+           s AS (
+             SELECT lang, n, max(wcum) OVER () AS psum,
+               sum(n) OVER () AS ntot
+             FROM w),
+           r AS (
+             SELECT lang,
+               least(CAST(4.0 AS DOUBLE),
+                 CAST(1.0 AS DOUBLE) * CAST(ntot AS DOUBLE)
+                   * sqrt(CAST(n AS DOUBLE))
+                   / psum / CAST(n AS DOUBLE)) AS rate
+             FROM s),
+           t AS (
+             SELECT lang, CAST(floor(rate) AS INT) AS base,
+               CAST(floor((rate - floor(rate)) * 65536) AS INT) AS th
+             FROM r),
+           x AS (
+             SELECT d.doc_id, d.lang,
+               t.base + (CASE WHEN
+                 substr(md5('tmix:' || CAST(d.doc_id AS VARCHAR)), 1, 4)
+                   < printf('%04x', t.th)
+                 THEN 1 ELSE 0 END) AS copies
+             FROM documents d JOIN t USING (lang))
+         SELECT doc_id, lang, CAST(u.e AS BIGINT) AS epoch
+         FROM x, unnest(range(copies)) AS u(e)""",
 
     "q_profile" ->
       """SELECT 'l_orderkey' AS col_name, count(*) AS n_rows,

@@ -96,4 +96,37 @@ object Layout {
     df.filter(predicate)
       .select(col("_metadata.file_path"))
       .distinct().count()
+
+  /** Target-file-size writer — the small-files control. A job that
+    * writes one file per shuffle partition produces 100-KB files at
+    * one scale and 10-GB files at another; both break the next
+    * reader (footer-per-file overhead and no scan parallelism,
+    * respectively). This sizes the file count from the SOURCE's
+    * planned on-disk bytes (Catalyst's `sizeInBytes` statistic — for
+    * a parquet scan, the actual file bytes after pruning) divided by
+    * the target, then lays rows out with ONE range exchange on
+    * `sortCols` + in-partition sort, so files are evenly sized AND
+    * carry compact min/max zone maps on the sort key. Parquet-in →
+    * parquet-out keeps compressed bytes comparable, so planned bytes
+    * track written bytes; SizedWriteSpec asserts the realized file
+    * sizes land in a band around the target rather than trusting
+    * the estimate.
+    *
+    * Returns the file count it chose. Content is partition-count
+    * independent (no sampling, no rand), which is what the catalog
+    * oracle pins.
+    */
+  def sizedWrite(df: DataFrame, sortCols: Seq[String], path: String,
+                 targetFileBytes: Long = 128L << 20,
+                 maxFiles: Int = 100000): Int = {
+    require(sortCols.nonEmpty, "need at least one sort column")
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val planned = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val wanted = (planned + targetFileBytes - 1) / targetFileBytes
+    val numFiles = wanted.min(maxFiles).max(1).toInt
+    df.repartitionByRange(numFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+    numFiles
+  }
 }

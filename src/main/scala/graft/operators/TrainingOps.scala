@@ -491,4 +491,77 @@ object TrainingOps {
         pmod(col("__cum") - col("__ntok"), lit(capacity)))
       .drop("__hk", "__ntok", "__cum")
   }
+
+  /** Temperature-based source mixing: per-source sampling rates
+    * proportional to `count^alpha` (normalized so the expected output
+    * size is `targetFraction` of the input), the standard recipe for
+    * rebalancing a multi-source/multilingual corpus — `alpha = 1`
+    * keeps natural proportions, `alpha = 0` equalizes all sources,
+    * `alpha = 0.5` (the common default) upsamples the tail without
+    * letting any head source dominate. Rates above 1 emit multiple
+    * epochs per document (same `epoch` column contract as
+    * [[sourceWeightedMix]], which this generalizes by deriving the
+    * weights from the observed counts instead of a user map);
+    * fractional parts are realized by the same content-addressed
+    * md5-threshold acceptance, so assignment is deterministic under
+    * retries and corpus growth.
+    *
+    * Shape at scale: one count aggregation (#sources rows), rate
+    * derivation on that tiny frame, broadcast join back, explode —
+    * the corpus is never shuffled. Determinism across engines: the
+    * per-source weight uses `sqrt` for `alpha = 0.5` (IEEE-exact in
+    * every engine, unlike `pow`), the cross-source sums are
+    * accumulated in sorted-source order via a running window (double
+    * addition is order-sensitive; a plain aggregate would sum in
+    * partition order), and the fractional rate becomes an integer
+    * 16-bit threshold compared against the row hash — the same
+    * mechanism the oracle replays in SQL.
+    */
+  def temperatureMix(df: DataFrame, idCol: String, sourceCol: String,
+                     alpha: Double = 0.5, targetFraction: Double = 1.0,
+                     maxRate: Double = 8.0,
+                     seed: String = "tmix"): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, s"alpha must be in [0, 1], got $alpha")
+    require(targetFraction > 0 && targetFraction <= 100,
+      s"targetFraction must be in (0, 100], got $targetFraction")
+    require(maxRate > 0, "maxRate must be positive")
+    val reserved = Seq("epoch", "__n", "__wcum", "__psum", "__ntot",
+      "__base", "__th", "__copies")
+    reserved.foreach(r => require(!df.columns.contains(r),
+      s"column name $r is reserved by temperatureMix"))
+    val W = org.apache.spark.sql.expressions.Window
+    val nD = col("__n").cast("double")
+    val wgt =
+      if (alpha == 0.5) sqrt(nD)
+      else if (alpha == 1.0) nD
+      else if (alpha == 0.0) lit(1.0)
+      else pow(nD, lit(alpha))
+    val seqW = W.orderBy(sourceCol)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val allW = W.partitionBy()
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    // rate = min(maxRate, targetFraction * ntot * w_s / sum(w) / n_s),
+    // written as a left-associated chain so the oracle's SQL performs
+    // bit-identical IEEE operations
+    val rate = least(lit(maxRate),
+      lit(targetFraction) * col("__ntot").cast("double") * wgt /
+        col("__psum") / nD)
+    val rates = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__wcum", sum(wgt).over(seqW))
+      .withColumn("__psum", max(col("__wcum")).over(allW))
+      .withColumn("__ntot", sum(col("__n")).over(allW))
+      .select(col(sourceCol), floor(rate).cast("int").as("__base"),
+        floor((rate - floor(rate)) * 65536).cast("int").as("__th"))
+    df.join(broadcast(rates), Seq(sourceCol))
+      .withColumn("__copies", col("__base") +
+        (substring(hashKey(col(idCol), seed), 1, 4) <
+          format_string("%04x", col("__th"))).cast("int"))
+      .withColumn("epoch",
+        explode(when(col("__copies") > 0,
+          sequence(lit(0), col("__copies") - 1))
+          .otherwise(array().cast("array<int>"))))
+      .withColumn("epoch", col("epoch").cast("long"))
+      .drop("__base", "__th", "__copies")
+  }
 }

@@ -139,6 +139,52 @@ class TrainingOpsSpec extends SparkTestBase {
     assert(frac.exists(_._2 == 2L) && frac.exists(_._2 == 3L))
   }
 
+  test("temperatureMix: alpha rebalances toward the tail, deterministically") {
+    // 800 head docs vs 100+100 tail docs
+    val docs = ((1L to 800L).map(i => (i, "head")) ++
+      (801L to 900L).map(i => (i, "tailA")) ++
+      (901L to 1000L).map(i => (i, "tailB"))).toDF("id", "source")
+    val mixed = TrainingOps.temperatureMix(docs, "id", "source",
+      alpha = 0.5, targetFraction = 1.0)
+    val bySrc = mixed.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    // sqrt weights: 28.28 / 10 / 10 -> rates 1000*w/(48.28*n):
+    // head ~0.732, tails ~2.071 — the tail is upsampled, head trimmed
+    assert(bySrc("head") < 800L, s"head must be downsampled: $bySrc")
+    assert(bySrc("tailA") > 150L && bySrc("tailA") < 250L, bySrc.toString)
+    assert(bySrc("tailB") > 150L && bySrc("tailB") < 250L, bySrc.toString)
+    // expected total preserved within sampling noise
+    val total = bySrc.values.sum
+    assert(total > 900L && total < 1100L, s"total=$total")
+    // rate ~2.07: every tail doc emits 2 or 3 epochs, never else
+    val perDoc = mixed.filter(col("source") === "tailA")
+      .groupBy("id").count().as[(Long, Long)].collect()
+    assert(perDoc.forall(c => c._2 == 2L || c._2 == 3L), "tail rate band")
+    // deterministic across runs
+    val again = TrainingOps.temperatureMix(docs, "id", "source",
+      alpha = 0.5, targetFraction = 1.0)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(again === bySrc)
+    // alpha = 1 keeps natural proportions exactly (rate 1.0 for all)
+    val natural = TrainingOps.temperatureMix(docs, "id", "source",
+      alpha = 1.0, targetFraction = 1.0)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(natural === Map("head" -> 800L, "tailA" -> 100L,
+      "tailB" -> 100L))
+    // alpha = 0 equalizes expected source shares
+    val eq = TrainingOps.temperatureMix(docs, "id", "source",
+      alpha = 0.0, targetFraction = 1.0)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    // each source expects 1000/3 ~ 333 rows
+    assert(eq.values.forall(c => c > 250L && c < 420L), eq.toString)
+    // maxRate caps a vanishing source's blow-up
+    val capped = TrainingOps.temperatureMix(docs, "id", "source",
+      alpha = 0.0, targetFraction = 3.0, maxRate = 2.0)
+      .filter(col("source") === "tailA")
+      .groupBy("id").count().as[(Long, Long)].collect()
+    assert(capped.forall(_._2 == 2L), "maxRate must cap epochs at 2")
+  }
+
   test("corpusDiff labels added/removed/changed/unchanged correctly") {
     val v1 = Seq((1L, "same"), (2L, "will change"), (3L, "will vanish"))
       .toDF("id", "text")
