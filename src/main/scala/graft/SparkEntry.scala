@@ -967,7 +967,15 @@ object SparkEntry {
     "q_mix_temperature" -> ((s, dir) =>
       TrainingOps.temperatureMix(t(s, dir, "documents"), "doc_id",
         "lang", alpha = 0.5, targetFraction = 1.0, maxRate = 4.0)
-        .select("doc_id", "lang", "epoch"))
+        .select("doc_id", "lang", "epoch")),
+
+    // §2.10 the end-to-end assembly: quality filter -> exact dedup ->
+    // train split -> sequence packing as ONE declarative plan (two
+    // exchanges total, pinned by PlanHygieneSpec); the oracle replays
+    // all four stages in one SQL pipeline
+    "q_pipeline" -> ((s, dir) =>
+      TrainingOps.assembleTrainingSet(t(s, dir, "documents"),
+        "doc_id", "text", minQuality = 0.5, capacity = 512L))
   )
 
   // ---------------------------------------------------------------- oracle
@@ -1818,6 +1826,51 @@ object SparkEntry {
              FROM documents d JOIN t USING (lang))
          SELECT doc_id, lang, CAST(u.e AS BIGINT) AS epoch
          FROM x, unnest(range(copies)) AS u(e)""",
+
+    // assembleTrainingSet replay: the q_quality score (>= 0.5 filter),
+    // q_dedup_exact's min-id keeper, q_split's train bucket, and
+    // q_pack's sharded cumsum, chained in one SQL pipeline
+    "q_pipeline" ->
+      raw"""WITH sc AS (
+             SELECT doc_id, text,
+               len(string_split_regex(trim(text), '\s+')) AS n,
+               len(list_filter(string_split_regex(trim(text), '\s+'),
+                   t -> t = 'the' OR t = 'a'))
+                 / greatest(len(string_split_regex(trim(text), '\s+')), 1) AS stop_ratio,
+               (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+                 / greatest(length(text), 1) AS punct_ratio
+             FROM documents),
+           q AS (
+             SELECT doc_id, text,
+               round(
+                 (CASE WHEN n < 10 THEN CAST(n AS DOUBLE) / 10.0
+                       WHEN n > 100000 THEN 100000.0 / CAST(n AS DOUBLE)
+                       ELSE 1.0 END) * 0.4
+                 + (1.0 - least(punct_ratio * 5, 1.0)) * 0.3
+                 + least(stop_ratio * 10, 1.0) * 0.3, 6) AS quality
+             FROM sc),
+           f AS (SELECT * FROM q WHERE quality >= 0.5),
+           d AS (
+             SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+             FROM f),
+           k AS (SELECT doc_id, text, quality FROM d WHERE doc_id = keeper),
+           tr AS (
+             SELECT doc_id, text, quality FROM k
+             WHERE substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'),
+           p AS (
+             SELECT doc_id, quality,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+               md5('pack:' || CAST(doc_id AS VARCHAR)) AS hk
+             FROM tr),
+           c AS (
+             SELECT doc_id, quality, substr(hk, 1, 1) AS pack_shard, n_tok,
+               CAST(sum(n_tok) OVER (PARTITION BY substr(hk, 1, 1)
+                 ORDER BY hk, doc_id) AS BIGINT) AS cum
+             FROM p)
+         SELECT doc_id, quality, pack_shard,
+           (cum - n_tok) // 512 AS pack_bin,
+           (cum - n_tok) % 512 AS bin_offset
+         FROM c""",
 
     "q_profile" ->
       """SELECT 'l_orderkey' AS col_name, count(*) AS n_rows,

@@ -564,4 +564,45 @@ object TrainingOps {
       .withColumn("epoch", col("epoch").cast("long"))
       .drop("__base", "__th", "__copies")
   }
+
+  /** The end-to-end training-set assembly: quality filter → exact
+    * dedup → leakage-safe split → sequence packing, composed from the
+    * individually-oracled stages into one declarative plan. The value
+    * over calling the stages by hand is that Catalyst sees ONE plan:
+    * the quality score and the dedup hash are computed in the same
+    * scan pass, the split filter prunes before the packing shuffle,
+    * and the whole thing is TWO exchanges end to end (the dedup
+    * window and the pack-shard window, both on md5-uniform keys);
+    * every other stage is map-only.
+    *
+    * Every decision is content-addressed (quality from the text,
+    * dedup keeper = min id per content hash, split and pack order
+    * from md5(seed, id)), so the assembled set is deterministic under
+    * retries, partitioning, and corpus growth — the same properties
+    * the stages guarantee individually compose here, and the catalog
+    * oracle replays all four stages in one SQL pipeline.
+    */
+  def assembleTrainingSet(df: DataFrame, idCol: String, textCol: String,
+                          minQuality: Double = 0.5,
+                          stopwords: Seq[String] = Seq("the", "a"),
+                          trainFrac: Double = 0.8, valFrac: Double = 0.1,
+                          capacity: Long = 512L): DataFrame = {
+    Seq("quality", "__keeper", "split").foreach(r =>
+      require(!df.columns.contains(r),
+        s"column name $r is reserved by assembleTrainingSet"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col(textCol)))
+    val scored = df.withColumn("quality",
+      round(TF.qualityScoreOf(col(textCol), TF.tokens(col(textCol)),
+        stopwords), 6))
+      .filter(col("quality") >= minQuality)
+    val deduped = scored
+      .withColumn("__keeper", min(col(idCol)).over(w))
+      .filter(col(idCol) === col("__keeper")).drop("__keeper")
+    val train = assignSplit(deduped, idCol, trainFrac, valFrac)
+      .filter(col("split") === "train").drop("split")
+    packSequences(train, idCol, TF.tokenCount(col(textCol)), capacity)
+      .select(col(idCol), col("quality"), col("pack_shard"),
+        col("pack_bin"), col("bin_offset"))
+  }
 }

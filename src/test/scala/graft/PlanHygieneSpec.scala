@@ -200,6 +200,22 @@ class PlanHygieneSpec extends SparkTestBase {
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(2000))
   }
 
+  test("q_mix_temperature: rates broadcast back, corpus never shuffle-joins") {
+    val p = plan("q_mix_temperature")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-source rate table must broadcast:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus must not shuffle for the tiny rate join")
+  }
+
+  test("q_pipeline: two exchanges end to end, no join anywhere") {
+    val p = plan("q_pipeline")
+    assert(!p.contains("Join"),
+      s"quality/dedup/split/pack compose without any join:\n${p.take(2000)}")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2,
+      s"exactly the dedup window + pack-shard window exchanges:\n${p.take(2000)}")
+  }
+
   test("native dot product is codegen-capable (starred projection)") {
     // the tokenizing queries are bounded by ArrayTransform (a
     // CodegenFallback higher-order function), but ArrayDotProduct
