@@ -77,7 +77,10 @@ object RangeJoin {
     val lookbackUs = math.multiplyExact(lookbackMs, 1000L)
     val lookaheadUs = math.multiplyExact(lookaheadMs, 1000L)
     val bucketUs = math.multiplyExact(if (bucketMs > 0) bucketMs else span, 1000L)
-    def micros(c: Column): Column = unix_micros(c)
+    // accept TIMESTAMP_NTZ inputs too: unix_micros is LTZ-strict, and a
+    // cast from NTZ resolves via the session time zone (pinned to UTC in
+    // GraftSession), so both sides convert identically either way
+    def micros(c: Column): Column = unix_micros(c.cast("timestamp"))
     // floor-division bucket id; epoch-us / bucket-us stays inside the
     // 2^53 exact range for any realistic bucket width, so the double
     // floor is exact
