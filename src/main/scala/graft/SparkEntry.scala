@@ -975,7 +975,30 @@ object SparkEntry {
     // all four stages in one SQL pipeline
     "q_pipeline" -> ((s, dir) =>
       TrainingOps.assembleTrainingSet(t(s, dir, "documents"),
-        "doc_id", "text", minQuality = 0.5, capacity = 512L))
+        "doc_id", "text", minQuality = 0.5, capacity = 512L)),
+
+    // §2.10 corpus scoring: DSIR importance weights — rank the raw
+    // pool by target-domain fit via hashed-bucket log-likelihood
+    // ratios (256-entry model collected to a literal map; the scoring
+    // pass itself is map-only, zero shuffle). Target = three sources
+    // standing in for the curated domain
+    "q_dsir" -> ((s, dir) =>
+      CorpusScoring.dsirWeights(t(s, dir, "documents"), "doc_id", "text",
+        col("source").isin("src0", "src1", "src2"))),
+
+    // §2.10 corpus scoring: Naive Bayes quality classifier — fit
+    // per-class token counts on a 30% content-addressed seed labeled
+    // by the quality heuristic (threshold at the observed median so
+    // both classes carry mass), score every document with the
+    // closed-form log-odds. The label thresholds the ROUNDED quality
+    // score so both engines agree at the boundary
+    "q_nb_quality" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      CorpusScoring.naiveBayesQuality(d, "doc_id", "text",
+        round(TF.qualityScoreOf(col("text"), TF.tokens(col("text")),
+          Seq("the", "a")), 6) >= 0.88,
+        seedFrac = 0.3, seed = "nbseed")
+    })
   )
 
   // ---------------------------------------------------------------- oracle
@@ -1961,6 +1984,90 @@ object SparkEntry {
                   CAST(coalesce(l.label, doc_id) AS VARCHAR)), 1, 2) < 'e6'
                   THEN 'val'
                 ELSE 'test' END AS split
-         FROM documents LEFT JOIN labels l ON l.id = doc_id"""
+         FROM documents LEFT JOIN labels l ON l.id = doc_id""",
+
+    // dsirWeights replay: md5-bucketed token counts for target
+    // (src0-2) vs raw, add-1 smoothed log-ratio per bucket, per-doc
+    // sum. Every scored token was counted on one of the two sides, so
+    // the join covers all buckets a document can probe
+    "q_dsir" ->
+      raw"""WITH tok AS (
+             SELECT doc_id, source IN ('src0', 'src1', 'src2') AS is_t,
+               substr(md5(unnest(string_split_regex(trim(text), '\s+'))), 1, 2) AS b
+             FROM documents),
+           c AS (
+             SELECT b,
+               sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS t_n,
+               sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS r_n
+             FROM tok GROUP BY b),
+           t AS (SELECT sum(t_n) AS tt, sum(r_n) AS rt FROM c),
+           lr AS (
+             SELECT b,
+               ln(CAST(t_n + 1 AS DOUBLE) / (tt + 256)) -
+               ln(CAST(r_n + 1 AS DOUBLE) / (rt + 256)) AS lrv
+             FROM c CROSS JOIN t)
+         SELECT tok.doc_id, count(*) AS n_tokens,
+           round(sum(lr.lrv), 6) AS logw
+         FROM tok JOIN lr USING (b)
+         GROUP BY tok.doc_id""",
+
+    // naiveBayesQuality replay: q_quality's rounded score >= 0.88
+    // labels a 30% md5-selected seed ('4ccc' = floor(0.3 * 65536) in
+    // hex), per-class token counts with add-1 smoothing, NB log-odds
+    // over every document; pred thresholds the ROUNDED score like the
+    // operator
+    "q_nb_quality" ->
+      raw"""WITH sc AS (
+             SELECT doc_id, text,
+               len(string_split_regex(trim(text), '\s+')) AS n,
+               len(list_filter(string_split_regex(trim(text), '\s+'),
+                   t -> t = 'the' OR t = 'a'))
+                 / greatest(len(string_split_regex(trim(text), '\s+')), 1) AS stop_ratio,
+               (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+                 / greatest(length(text), 1) AS punct_ratio
+             FROM documents),
+           q AS (
+             SELECT doc_id, text,
+               round(
+                 (CASE WHEN n < 10 THEN CAST(n AS DOUBLE) / 10.0
+                       WHEN n > 100000 THEN 100000.0 / CAST(n AS DOUBLE)
+                       ELSE 1.0 END) * 0.4
+                 + (1.0 - least(punct_ratio * 5, 1.0)) * 0.3
+                 + least(stop_ratio * 10, 1.0) * 0.3, 6) AS quality
+             FROM sc),
+           seed AS (
+             SELECT doc_id, text, quality >= 0.88 AS g FROM q
+             WHERE substr(md5('nbseed:' || CAST(doc_id AS VARCHAR)), 1, 4) < '4ccc'),
+           stok AS (
+             SELECT doc_id, g,
+               unnest(string_split_regex(trim(text), '\s+')) AS term
+             FROM seed),
+           m AS (
+             SELECT term,
+               sum(CASE WHEN g THEN 1 ELSE 0 END) AS g_n,
+               sum(CASE WHEN g THEN 0 ELSE 1 END) AS b_n
+             FROM stok GROUP BY term),
+           tt AS (SELECT sum(g_n) AS ng, sum(b_n) AS nb, count(*) AS v FROM m),
+           dt AS (
+             SELECT sum(CASE WHEN g THEN 1 ELSE 0 END) AS dg,
+               sum(CASE WHEN g THEN 0 ELSE 1 END) AS db
+             FROM seed),
+           tok AS (
+             SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+             FROM documents),
+           terms AS (
+             SELECT tok.doc_id,
+               ln(CAST(coalesce(m.g_n, 0) + 1 AS DOUBLE) / (tt.ng + tt.v)) -
+               ln(CAST(coalesce(m.b_n, 0) + 1 AS DOUBLE) / (tt.nb + tt.v)) AS term_lr
+             FROM tok LEFT JOIN m USING (term) CROSS JOIN tt),
+           scored AS (
+             SELECT terms.doc_id, count(*) AS n_tokens,
+               round(ln(CAST(dt.dg + 1 AS DOUBLE)) - ln(CAST(dt.db + 1 AS DOUBLE))
+                 + sum(term_lr), 6) AS nb_score
+             FROM terms CROSS JOIN dt
+             GROUP BY terms.doc_id, dt.dg, dt.db)
+         SELECT doc_id, n_tokens, nb_score,
+           CASE WHEN nb_score > 0 THEN 1 ELSE 0 END AS pred
+         FROM scored"""
   )
 }

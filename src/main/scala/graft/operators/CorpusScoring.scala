@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF}
+
+/** Learned-from-corpus document scoring for training-data selection
+  * (SURVEY §2.10): the two standard "fit a cheap model on the corpus,
+  * score every document with it" stages of an LLM data pipeline —
+  * hashed-feature importance weights (DSIR) for domain-targeted
+  * selection, and a token-count Naive Bayes classifier for quality
+  * filtering (the fastText-classifier stand-in).
+  *
+  * Both are fully deterministic — counts, md5 bucketing, and IEEE
+  * log/ratio math only, no sampled SGD — so an external engine can
+  * replay them exactly; both were chosen over their gradient-trained
+  * equivalents precisely because count-based closed forms keep the
+  * 100 TB scoring pass reproducible under retries and partition
+  * re-computation.
+  */
+object CorpusScoring {
+
+  /** Number of hashed feature buckets: first two md5 hex chars. Small
+    * by design — DSIR's insight is that coarse hashed n-gram counts
+    * carry enough signal to rank domain fit, and 256 buckets keep the
+    * model collectable to a literal no matter the corpus size.
+    */
+  val dsirBuckets = 256
+
+  private def bucketOf(tok: Column): Column = substring(md5(tok), 1, 2)
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by how much more likely its tokens are under the TARGET
+    * distribution (rows where `isTarget`) than under the RAW
+    * distribution (the rest), with features hashed into 256 md5
+    * buckets and add-1 smoothing on both sides:
+    *
+    *   logw(doc) = Σ_tok [ ln((t_b+1)/(T+256)) − ln((r_b+1)/(R+256)) ]
+    *
+    * where b = md5 bucket of the token, t_b/r_b the bucket's token
+    * count in target/raw, T/R the total token counts. Selecting the
+    * top-weight (or logw > 0) slice of the raw pool yields a
+    * target-domain-like subset.
+    *
+    * Shape at scale: one aggregation job collapses the corpus to AT
+    * MOST 256 (bucket, t_n, r_n) rows — map-side partials make the
+    * shuffle 256 rows per partition — which are collected (bounded by
+    * construction, same stance as the IVF centroid collect) and folded
+    * into a literal lookup map. The scoring pass is then a pure
+    * map-only projection over the corpus: a higher-order `aggregate`
+    * over the token array probes the literal map per token — ZERO
+    * shuffle, embarrassingly parallel at any corpus size.
+    *
+    * Output: (idCol, n_tokens, logw) for every document, logw rounded
+    * to 6 decimals so independent engines agree despite summation
+    * order.
+    */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  isTarget: Column): DataFrame = {
+    val counts = docs
+      .select(isTarget.as("__t"), explode(TF.tokens(col(textCol))).as("tok"))
+      .groupBy(bucketOf(col("tok")).as("bucket"))
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("t_n"),
+        sum(when(col("__t"), 0L).otherwise(1L)).as("r_n"))
+      .collect() // ≤ 256 rows by construction
+    val tTot = counts.map(_.getLong(1)).sum
+    val rTot = counts.map(_.getLong(2)).sum
+    val byBucket = counts.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // every possible bucket gets an entry, so unseen-bucket probes hit
+    // the smoothed floor instead of null
+    val ratio: Map[String, Double] = (0 until dsirBuckets).map { i =>
+      val b = f"$i%02x"
+      val (t, r) = byBucket.getOrElse(b, (0L, 0L))
+      b -> (math.log((t + 1).toDouble / (tTot + dsirBuckets)) -
+        math.log((r + 1).toDouble / (rTot + dsirBuckets)))
+    }.toMap
+    val ratioMap = typedLit(ratio)
+    docs.select(col(idCol), TF.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), size(col("__toks")).cast("long").as("n_tokens"),
+        round(aggregate(col("__toks"), lit(0.0d),
+          (acc, t) => acc + element_at(ratioMap, bucketOf(t))), 6).as("logw"))
+  }
+
+  /** Token-count Naive Bayes quality classifier: fit per-class token
+    * counts on a deterministic hash-selected seed slice whose labels
+    * come from `isGood` (typically a heuristic like
+    * [[graft.functions.TextFunctions.qualityScore]] ≥ threshold — the
+    * standard bootstrap for a corpus quality model), then score EVERY
+    * document with the closed-form NB log-odds:
+    *
+    *   score(doc) = ln((Dg+1)/(Db+1))
+    *              + Σ_tok [ ln((g_t+1)/(Ng+V)) − ln((b_t+1)/(Nb+V)) ]
+    *
+    * g_t/b_t = occurrences of the token in good/bad seed docs, Ng/Nb =
+    * total good/bad seed tokens, V = seed vocabulary size (add-1
+    * smoothing denominator), Dg/Db = good/bad seed doc counts (the
+    * prior). Tokens unseen in the seed contribute the smoothed floor
+    * ln(1/(Ng+V)) − ln(1/(Nb+V)). pred = 1 iff score > 0.
+    *
+    * Seed membership is content-addressed (md5(seed:id) bucket below
+    * floor(65536·seedFrac)) — the same stance as TrainingOps splits:
+    * re-runs and corpus growth never move a document in or out of the
+    * seed, so the model (and therefore every score) is reproducible.
+    *
+    * Shape at scale: the model is one (token) aggregation over the
+    * seed slice only; scoring joins token occurrences against the
+    * vocabulary-sized model — the model side is the smaller input and
+    * broadcastable for any realistic vocabulary (the hint below;
+    * Spark falls back to a shuffled hash join past the broadcast
+    * threshold), followed by one (doc) aggregation whose map-side
+    * partials collapse to one row per doc per partition.
+    *
+    * Output: (idCol, n_tokens, nb_score, pred).
+    */
+  def naiveBayesQuality(docs: DataFrame, idCol: String, textCol: String,
+                        isGood: Column, seedFrac: Double = 0.3,
+                        seed: String = "nbseed"): DataFrame = {
+    require(seedFrac > 0 && seedFrac <= 1.0,
+      s"seedFrac must be in (0, 1], got $seedFrac")
+    val n = math.floor(65536 * seedFrac).toInt
+    val inSeed =
+      if (n >= 65536) lit(true)
+      else substring(md5(concat(lit(seed + ":"), col(idCol).cast("string"))),
+        1, 4) < lit(f"$n%04x")
+
+    val seedToks = docs.filter(inSeed)
+      .select(isGood.as("__g"), col(idCol),
+        explode(TF.tokens(col(textCol))).as("term"))
+    val model = seedToks.groupBy("term").agg(
+      sum(when(col("__g"), 1L).otherwise(0L)).as("g_n"),
+      sum(when(col("__g"), 0L).otherwise(1L)).as("b_n"))
+    // five scalars in one tiny job: token totals + vocab from the
+    // model (≤ vocab rows), doc-count priors from the seed slice
+    val tokTotals = model.agg(sum("g_n").as("ng"), sum("b_n").as("nb"),
+      count(lit(1)).as("v"))
+    val docTotals = docs.filter(inSeed).agg(
+      sum(when(isGood, 1L).otherwise(0L)).as("dg"),
+      sum(when(isGood, 0L).otherwise(1L)).as("db"))
+    val consts = broadcast(tokTotals.crossJoin(docTotals))
+
+    val occurrences = docs.select(col(idCol),
+      explode(TF.tokens(col(textCol))).as("term"))
+    occurrences
+      .join(broadcast(model), Seq("term"), "left_outer")
+      .crossJoin(consts)
+      .select(col(idCol),
+        (log((coalesce(col("g_n"), lit(0L)) + 1).cast("double") /
+            (col("ng") + col("v"))) -
+          log((coalesce(col("b_n"), lit(0L)) + 1).cast("double") /
+            (col("nb") + col("v")))).as("__term"),
+        (log((col("dg") + 1).cast("double")) -
+          log((col("db") + 1).cast("double"))).as("__prior"))
+      .groupBy(idCol).agg(
+        count(lit(1)).as("n_tokens"),
+        round(first(col("__prior")) + sum(col("__term")), 6).as("nb_score"))
+      .withColumn("pred", (col("nb_score") > 0).cast("int"))
+  }
+}

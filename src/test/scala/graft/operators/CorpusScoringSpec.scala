@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class CorpusScoringSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // two token distributions with a sharp vocabulary split: "target"
+  // docs use the alpha vocabulary, "raw" docs the beta vocabulary,
+  // and a handful of raw docs are written in the alpha vocabulary —
+  // exactly the needles importance weighting exists to surface
+  private val targetDocs = (1L to 40L).map(i =>
+    (i, s"alpha bravo charlie delta echo alpha bravo t$i", true))
+  private val rawNoise = (101L to 180L).map(i =>
+    (i, s"zulu yankee xray whiskey victor uniform r$i", false))
+  private val rawNeedles = (201L to 210L).map(i =>
+    (i, s"alpha bravo charlie delta echo alpha bravo n$i", false))
+  private val corpus =
+    (targetDocs ++ rawNoise ++ rawNeedles).toDF("id", "text", "is_target")
+
+  test("dsirWeights ranks target-like raw docs above raw-like raw docs") {
+    val w = CorpusScoring.dsirWeights(corpus, "id", "text", col("is_target"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w.size === 130)
+    val needleMin = (201L to 210L).map(w).min
+    val noiseMax = (101L to 180L).map(w).max
+    assert(needleMin > noiseMax,
+      s"every alpha-vocab raw doc must outscore every beta-vocab one: " +
+        s"needleMin=$needleMin noiseMax=$noiseMax")
+    // target-like docs are MORE likely under the target model
+    assert(needleMin > 0)
+  }
+
+  test("dsirWeights is deterministic and counts tokens") {
+    val a = CorpusScoring.dsirWeights(corpus, "id", "text", col("is_target"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = CorpusScoring.dsirWeights(corpus, "id", "text", col("is_target"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(a === b)
+    // alpha-vocab docs carry 8 whitespace tokens, beta-vocab ones 7
+    assert(a.forall { case (id, n, _) =>
+      n === (if (id >= 101L && id <= 180L) 7L else 8L)
+    })
+  }
+
+  test("dsirWeights scoring pass plans no shuffle") {
+    val plan = CorpusScoring
+      .dsirWeights(corpus, "id", "text", col("is_target"))
+      .queryExecution.executedPlan.toString
+    // the model is a collected literal map; scoring must stay map-only
+    assert(!plan.contains("Exchange"),
+      s"scoring pass must not shuffle:\n$plan")
+  }
+
+  // quality labels with an unambiguous token signal: good docs speak
+  // "clean" vocabulary, bad docs "spam" vocabulary
+  private val labeled = ((1L to 60L).map(i =>
+    (i, s"clean prose sentence structure grammar g$i")) ++
+    (61L to 120L).map(i =>
+      (i, s"spam junk noise garbage filler b$i"))).toDF("id", "text")
+  private val isGood = col("id") <= 60
+
+  test("naiveBayesQuality separates the two vocabularies") {
+    val scored = CorpusScoring
+      .naiveBayesQuality(labeled, "id", "text", isGood, seedFrac = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(scored.size === 120)
+    // every doc classified, both classes present, and the vocabulary
+    // signal dominates: good-vocab docs predicted 1, spam-vocab 0
+    val goodRight = (1L to 60L).count(scored(_) == 1)
+    val badRight = (61L to 120L).count(scored(_) == 0)
+    assert(goodRight === 60, s"good-vocab docs misclassified: ${60 - goodRight}")
+    assert(badRight === 60, s"spam-vocab docs misclassified: ${60 - badRight}")
+  }
+
+  test("naiveBayesQuality seed selection is content-addressed") {
+    // growing the corpus must not change existing docs' scores when
+    // the new docs stay out of the seed (the same stance as splits:
+    // the model only shifts when seed membership shifts, and seed
+    // membership of EXISTING ids never changes)
+    val before = CorpusScoring
+      .naiveBayesQuality(labeled, "id", "text", isGood, seedFrac = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val again = CorpusScoring
+      .naiveBayesQuality(labeled, "id", "text", isGood, seedFrac = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(before === again)
+  }
+
+  test("naiveBayesQuality rejects bad seed fractions") {
+    intercept[IllegalArgumentException] {
+      CorpusScoring.naiveBayesQuality(labeled, "id", "text", isGood,
+        seedFrac = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      CorpusScoring.naiveBayesQuality(labeled, "id", "text", isGood,
+        seedFrac = 1.5)
+    }
+  }
+}
