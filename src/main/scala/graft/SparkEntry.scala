@@ -998,7 +998,32 @@ object SparkEntry {
         round(TF.qualityScoreOf(col("text"), TF.tokens(col("text")),
           Seq("the", "a")), 6) >= 0.88,
         seedFrac = 0.3, seed = "nbseed")
-    })
+    }),
+
+    // §2.10 corpus scoring: cross-corpus LM scoring — score the
+    // general pool against a unigram model fit on the TARGET sources
+    // only, unseen tokens at the explicit floor (the two-corpus
+    // KenLM-filter shape; q_lm_quality covers the self-scored form)
+    "q_lm_cross" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val isTarget = col("source").isin("src0", "src1", "src2")
+      UnigramLm.scoreAgainst(d.filter(!isTarget), "doc_id", "text",
+          UnigramLm.model(d.filter(isTarget), "text"),
+          unseenLogp = Some(math.log(1e-9)))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("logprob"), 6).as("logprob"))
+    }),
+
+    // §2.10 embedding ops: per-class centroids in exploded
+    // (label, dim) form — posexplode + groupBy keeps the shuffle at
+    // labels x dims rows after map-side partials, never vectors x dims
+    "q_centroids" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("label"),
+          posexplode(VF.toDouble(col("embedding"))).as(Seq("dim_idx", "v")))
+        .groupBy(col("label"), col("dim_idx").cast("long").as("dim_idx"))
+        .agg(count(lit(1)).as("n_vecs"),
+          round(avg(col("v")), 6).as("centroid")))
   )
 
   // ---------------------------------------------------------------- oracle
@@ -2068,6 +2093,35 @@ object SparkEntry {
              GROUP BY terms.doc_id, dt.dg, dt.db)
          SELECT doc_id, n_tokens, nb_score,
            CASE WHEN nb_score > 0 THEN 1 ELSE 0 END AS pred
-         FROM scored"""
+         FROM scored""",
+
+    // scoreAgainst replay: unigram model over the target sources,
+    // general-pool tokens left-joined with the ln(1e-9) unseen floor
+    "q_lm_cross" ->
+      raw"""WITH m0 AS (
+             SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+             FROM documents WHERE source IN ('src0', 'src1', 'src2')),
+           m AS (SELECT term, count(*) AS n FROM m0 GROUP BY term),
+           t AS (SELECT sum(n) AS total FROM m),
+           lp AS (SELECT term, ln(CAST(n AS DOUBLE) / total) AS logp
+                  FROM m CROSS JOIN t),
+           tok AS (
+             SELECT doc_id,
+               unnest(string_split_regex(trim(text), '\s+')) AS term
+             FROM documents WHERE source NOT IN ('src0', 'src1', 'src2'))
+         SELECT tok.doc_id, count(*) AS n_tokens,
+           round(avg(coalesce(lp.logp, ln(1e-9))), 6) AS logprob
+         FROM tok LEFT JOIN lp USING (term)
+         GROUP BY tok.doc_id""",
+
+    "q_centroids" ->
+      """WITH e AS (
+           SELECT label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings)
+         SELECT label, CAST(i - 1 AS BIGINT) AS dim_idx,
+           count(*) AS n_vecs, round(avg(v[i]), 6) AS centroid
+         FROM e, unnest(range(1, len(v) + 1)) AS u(i)
+         GROUP BY label, i"""
   )
 }
