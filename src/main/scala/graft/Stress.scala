@@ -389,6 +389,61 @@ object Stress {
         f""""bin_utilization":${tokens.toDouble / (bins * 2048L)}%.4f""")
     }
 
+    // ------------------------------------------ corpus-scoring tier
+    // Vocabulary-biased planted corpus: the target pool (~1% of ids)
+    // and 1024 raw "needles" draw their 12 words from a 32-word vocab
+    // A; the noise pool draws from a disjoint 65536-word vocab B. A is
+    // deliberately SMALL relative to dsir's 256 hash buckets (≤32/256
+    // occupied), so a noise document can only fake a needle score by
+    // landing all 12 tokens in A-occupied buckets — p ≈ 0.125^12,
+    // zero expected even at the 50 M tier. DSIR must then rank every
+    // needle above the entire noise pool, and the NB classifier fit
+    // on a hash-selected seed labeled by vocab must classify every
+    // document by its vocabulary.
+    val nNeedles = 1024L
+    val nTargets = math.max(nDocs / 100L, 4096L)
+    val isA = col("id") < nTargets + nNeedles
+    val scoreWords = (0 until 12).map { j =>
+      val slot = pmod(xxhash64(col("id"), lit(j)),
+        when(isA, lit(32L)).otherwise(lit(65536L)))
+      hex(xxhash64(when(isA, lit("A")).otherwise(lit("B")), slot))
+    }
+    val scoreDocs = spark.range(nDocs).toDF("id")
+      .withColumn("text", concat_ws(" ", scoreWords: _*))
+      .persist()
+
+    phase("dsir") {
+      val scored = operators.CorpusScoring.dsirWeights(
+        scoreDocs, "id", "text", col("id") < nTargets)
+      // every planted needle must outrank the whole noise pool; the
+      // scoring pass is map-only, so re-running it for the two probe
+      // jobs is cheaper than persisting 50 M scored rows
+      val needleMin = scored
+        .filter(col("id") >= nTargets && col("id") < nTargets + nNeedles)
+        .agg(min("logw")).head().getDouble(0)
+      val noiseAtOrAbove = scored
+        .filter(col("id") >= nTargets + nNeedles &&
+          col("logw") >= needleMin).count()
+      require(noiseAtOrAbove == 0L,
+        s"$noiseAtOrAbove noise docs reached the needle score band")
+      (nDocs, s""","needles":$nNeedles,""" +
+        s""""noise_at_or_above_needles":$noiseAtOrAbove""")
+    }
+
+    phase("nb_quality") {
+      // labels ARE the vocabulary split; the model must recover it
+      // from the seed slice alone. broadcastModel = false exercises
+      // the shuffled-hash model join — the web-scale-vocabulary tier
+      val scored = operators.CorpusScoring.naiveBayesQuality(
+        scoreDocs, "id", "text", isGood = isA, seedFrac = 0.25,
+        broadcastModel = false)
+      val wrong = scored.filter(
+        (col("pred") === 1) =!= (col("id") < nTargets + nNeedles)).count()
+      require(wrong == 0L, s"NB misclassified $wrong of $nDocs docs")
+      (nDocs, s""","misclassified":$wrong""")
+    }
+    scoreDocs.unpersist()
+
     // ------------------------------------------------ skew stress tier
     // Hot keys planted at sizes where even the UNPROTECTED run is
     // feasible by construction — the point is to MEASURE the df caps

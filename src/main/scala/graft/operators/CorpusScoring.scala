@@ -106,17 +106,22 @@ object CorpusScoring {
     *
     * Shape at scale: the model is one (token) aggregation over the
     * seed slice only; scoring joins token occurrences against the
-    * vocabulary-sized model — the model side is the smaller input and
-    * broadcastable for any realistic vocabulary (the hint below;
-    * Spark falls back to a shuffled hash join past the broadcast
-    * threshold), followed by one (doc) aggregation whose map-side
-    * partials collapse to one row per doc per partition.
+    * vocabulary-sized model — the model side is the smaller input,
+    * followed by one (doc) aggregation whose map-side partials
+    * collapse to one row per doc per partition. `broadcastModel`
+    * picks the join strategy: true (default) force-broadcasts, right
+    * whenever the vocabulary fits an executor; pass false for a
+    * hashed-subword or web-scale vocabulary and the join runs as a
+    * shuffled hash join on `term` instead — never rely on the default
+    * for a model you have not sized, a forced broadcast of a
+    * multi-GB vocabulary is a driver OOM.
     *
     * Output: (idCol, n_tokens, nb_score, pred).
     */
   def naiveBayesQuality(docs: DataFrame, idCol: String, textCol: String,
                         isGood: Column, seedFrac: Double = 0.3,
-                        seed: String = "nbseed"): DataFrame = {
+                        seed: String = "nbseed",
+                        broadcastModel: Boolean = true): DataFrame = {
     require(seedFrac > 0 && seedFrac <= 1.0,
       s"seedFrac must be in (0, 1], got $seedFrac")
     val n = math.floor(65536 * seedFrac).toInt
@@ -142,8 +147,10 @@ object CorpusScoring {
 
     val occurrences = docs.select(col(idCol),
       explode(TF.tokens(col(textCol))).as("term"))
+    val modelSide = if (broadcastModel) broadcast(model)
+      else model.hint("shuffle_hash")
     occurrences
-      .join(broadcast(model), Seq("term"), "left_outer")
+      .join(modelSide, Seq("term"), "left_outer")
       .crossJoin(consts)
       .select(col(idCol),
         (log((coalesce(col("g_n"), lit(0L)) + 1).cast("double") /
