@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{TextFunctions => TF}
+import graft.functions.{NativeExpressions => NE, TextFunctions => TF}
 
 /** Learned-from-corpus document scoring for training-data selection
   * (SURVEY §2.10): the two standard "fit a cheap model on the corpus,
@@ -68,19 +68,26 @@ object CorpusScoring {
     val tTot = counts.map(_.getLong(1)).sum
     val rTot = counts.map(_.getLong(2)).sum
     val byBucket = counts.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    // every possible bucket gets an entry, so unseen-bucket probes hit
-    // the smoothed floor instead of null
-    val ratio: Map[String, Double] = (0 until dsirBuckets).map { i =>
-      val b = f"$i%02x"
-      val (t, r) = byBucket.getOrElse(b, (0L, 0L))
-      b -> (math.log((t + 1).toDouble / (tTot + dsirBuckets)) -
-        math.log((r + 1).toDouble / (rTot + dsirBuckets)))
-    }.toMap
-    val ratioMap = typedLit(ratio)
-    docs.select(col(idCol), TF.tokens(col(textCol)).as("__toks"))
+    // every possible bucket gets a weight, so unseen-bucket probes hit
+    // the smoothed floor instead of null; indexed by the bucket byte
+    // (= the first two md5 hex chars parsed as an int)
+    val weights: Array[Double] = Array.tabulate(dsirBuckets) { i =>
+      val (t, r) = byBucket.getOrElse(f"$i%02x", (0L, 0L))
+      math.log((t + 1).toDouble / (tTot + dsirBuckets)) -
+        math.log((r + 1).toDouble / (rTot + dsirBuckets))
+    }
+    // NULL-text docs emit NO row — the same contract UnigramLm documents
+    // ("no tokens -> no row") and the one the scoring oracles replay via
+    // inner joins; without the filter a NULL text would yield a row with
+    // NULL n_tokens/logw and break hash-parity with the oracle.
+    // DsirScore is the one-pass native form of
+    // `aggregate(toks, 0.0, acc + element_at(map, substring(md5(t),1,2)))`
+    // — same md5 bucketing, same left-to-right double fold, no
+    // interpreted lambda and no per-token hex-string allocation
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), TF.tokens(col(textCol)).as("__toks"))
       .select(col(idCol), size(col("__toks")).cast("long").as("n_tokens"),
-        round(aggregate(col("__toks"), lit(0.0d),
-          (acc, t) => acc + element_at(ratioMap, bucketOf(t))), 6).as("logw"))
+        round(NE.dsirScore(col("__toks"), weights), 6).as("logw"))
   }
 
   /** Token-count Naive Bayes quality classifier: fit per-class token
@@ -136,14 +143,23 @@ object CorpusScoring {
     val model = seedToks.groupBy("term").agg(
       sum(when(col("__g"), 1L).otherwise(0L)).as("g_n"),
       sum(when(col("__g"), 0L).otherwise(1L)).as("b_n"))
-    // five scalars in one tiny job: token totals + vocab from the
-    // model (≤ vocab rows), doc-count priors from the seed slice
+    // three scalars in one tiny job: token totals + vocab from the
+    // model (≤ vocab rows); doc-count priors are collected eagerly so a
+    // degenerate seed FAILS FAST — without the guard an empty (or
+    // single-class) seed slice would make every nb_score silently NULL
+    // (sum over an empty model is NULL) instead of raising
     val tokTotals = model.agg(sum("g_n").as("ng"), sum("b_n").as("nb"),
       count(lit(1)).as("v"))
-    val docTotals = docs.filter(inSeed).agg(
+    val docRow = docs.filter(inSeed).agg(
       sum(when(isGood, 1L).otherwise(0L)).as("dg"),
-      sum(when(isGood, 0L).otherwise(1L)).as("db"))
-    val consts = broadcast(tokTotals.crossJoin(docTotals))
+      sum(when(isGood, 0L).otherwise(1L)).as("db")).collect()(0)
+    require(!docRow.isNullAt(0) && docRow.getLong(0) > 0 && docRow.getLong(1) > 0,
+      s"degenerate NB seed: need both classes in the seed slice, got " +
+        s"good=${if (docRow.isNullAt(0)) 0 else docRow.getLong(0)} " +
+        s"bad=${if (docRow.isNullAt(1)) 0 else docRow.getLong(1)} " +
+        s"(seedFrac=$seedFrac too small or isGood degenerate?)")
+    val (dgN, dbN) = (docRow.getLong(0), docRow.getLong(1))
+    val consts = broadcast(tokTotals)
 
     val occurrences = docs.select(col(idCol),
       explode(TF.tokens(col(textCol))).as("term"))
@@ -157,8 +173,8 @@ object CorpusScoring {
             (col("ng") + col("v"))) -
           log((coalesce(col("b_n"), lit(0L)) + 1).cast("double") /
             (col("nb") + col("v")))).as("__term"),
-        (log((col("dg") + 1).cast("double")) -
-          log((col("db") + 1).cast("double"))).as("__prior"))
+        (log(lit((dgN + 1).toDouble)) -
+          log(lit((dbN + 1).toDouble))).as("__prior"))
       .groupBy(idCol).agg(
         count(lit(1)).as("n_tokens"),
         round(first(col("__prior")) + sum(col("__term")), 6).as("nb_score"))

@@ -79,8 +79,16 @@ object RangeJoin {
     val bucketUs = math.multiplyExact(if (bucketMs > 0) bucketMs else span, 1000L)
     // accept TIMESTAMP_NTZ inputs too: unix_micros is LTZ-strict, and a
     // cast from NTZ resolves via the session time zone (pinned to UTC in
-    // GraftSession), so both sides convert identically either way
-    def micros(c: Column): Column = unix_micros(c.cast("timestamp"))
+    // GraftSession), so both sides convert identically either way. The
+    // cast is applied ONLY to NTZ columns — a blanket cast would also
+    // coerce strings/dates, turning an unparseable value into a silent
+    // NULL row-drop instead of the analysis error unix_micros raises
+    def micros(df: DataFrame, tsCol: String): Column =
+      df.schema(tsCol).dataType match {
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          unix_micros(col(tsCol).cast("timestamp"))
+        case _ => unix_micros(col(tsCol))
+      }
     // floor-division bucket id; epoch-us / bucket-us stays inside the
     // 2^53 exact range for any realistic bucket width, so the double
     // floor is exact
@@ -88,12 +96,12 @@ object RangeJoin {
       floor(msCol / lit(bucketUs.toDouble)).cast("long")
 
     val p = probe
-      .withColumn("__ms", micros(col(probeTs)))
+      .withColumn("__ms", micros(probe, probeTs))
       .withColumn("__bkt", explode(sequence(
         bucketOf(col("__ms") - lit(lookbackUs)),
         bucketOf(col("__ms") + lit(lookaheadUs)))))
     val b = build
-      .withColumn("__ms", micros(col(buildTs)))
+      .withColumn("__ms", micros(build, buildTs))
       .withColumn("__bkt", bucketOf(col("__ms")))
       .select(col("__bkt") +: col("__ms").as(s"${buildPrefix}__ms") +:
         build.columns.toSeq.map(c => col(c).as(s"$buildPrefix$c")): _*)

@@ -88,6 +88,27 @@ class CorpusScoringSpec extends SparkTestBase {
     assert(before === again)
   }
 
+  test("dsirWeights emits no row for NULL-text docs") {
+    // UnigramLm's documented contract ("no tokens -> no row") — and the
+    // inner-join behavior the DuckDB oracle replays
+    val withNull = corpus.union(
+      Seq((900L, null.asInstanceOf[String], false)).toDF("id", "text", "is_target"))
+    val ids = CorpusScoring.dsirWeights(withNull, "id", "text", col("is_target"))
+      .collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(900L))
+    assert(ids.size === 130)
+  }
+
+  test("naiveBayesQuality fails fast on a degenerate seed") {
+    // single-class seed: every score would come out NULL without the
+    // guard (sum over an absent class is NULL) — must raise instead
+    val e = intercept[IllegalArgumentException] {
+      CorpusScoring.naiveBayesQuality(labeled, "id", "text",
+        isGood = lit(true), seedFrac = 0.5)
+    }
+    assert(e.getMessage.contains("degenerate NB seed"))
+  }
+
   test("naiveBayesQuality rejects bad seed fractions") {
     intercept[IllegalArgumentException] {
       CorpusScoring.naiveBayesQuality(labeled, "id", "text", isGood,
