@@ -678,6 +678,126 @@ object NativeExpressions {
       copy(child = c)
   }
 
+  /** Shared loop body for [[GramHitCount]]: the number of DISTINCT
+    * grams in `arr` whose `xxhash64` (Spark's own seed-42 function, via
+    * XxHash64Function so the identity is the engine's, not a
+    * reimplementation) appears in the sorted `table`. Null grams never
+    * match (`xxhash64(null)` would be the seed itself — a phantom
+    * cross-doc collision). Distinctness via a local sort of the hit
+    * hashes only — hits are the rare case for a contamination probe, so
+    * the common path allocates nothing.
+    */
+  def gramHitCountEval(arr: ArrayData, table: Array[Long]): Int = {
+    val n = arr.numElements()
+    var hits: Array[Long] = null
+    var nh = 0
+    var i = 0
+    while (i < n) {
+      val g = arr.getUTF8String(i)
+      if (g != null) {
+        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(g, StringType, 42L)
+        if (java.util.Arrays.binarySearch(table, h) >= 0) {
+          if (hits == null) hits = new Array[Long](8)
+          else if (nh == hits.length)
+            hits = java.util.Arrays.copyOf(hits, nh * 2)
+          hits(nh) = h
+          nh += 1
+        }
+      }
+      i += 1
+    }
+    if (nh == 0) 0
+    else {
+      java.util.Arrays.sort(hits, 0, nh)
+      var c = 1
+      var j = 1
+      while (j < nh) { if (hits(j) != hits(j - 1)) c += 1; j += 1 }
+      c
+    }
+  }
+
+  /** Distinct-gram hit count against a broadcast sorted hash table —
+    * the row-local exact probe of the streaming contamination tier
+    * ([[graft.streaming.StreamingContamination]]): per document,
+    * O(grams * log |table|) with no join, no shuffle, no state.
+    */
+  case class GramHitCount(child: Expression, table: Array[Long])
+      extends UnaryExpression {
+    override def dataType: DataType = IntegerType
+
+    override def nullSafeEval(input: Any): Any =
+      gramHitCountEval(input.asInstanceOf[ArrayData], table)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("graftGramTable", table, "long[]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.NativeExpressions.gramHitCountEval($c, $ref);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  // MD5 instances are stateful and not thread-safe; one per executor
+  // thread, reset()-by-digest() between tokens
+  @transient private lazy val md5Local =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  /** Shared loop body for [[DsirScore]] eval and generated code: sum of
+    * `weights(first md5 byte of token)` over the token array, in array
+    * order. Bit-compatible with the Column construction it replaces
+    * (`aggregate(toks, 0.0, acc + element_at(map, substring(md5(t),1,2)))`):
+    * the first two hex chars of an md5 ARE its first byte, the literal
+    * map is total over all 256 buckets so no probe can miss, doubles
+    * accumulate left-to-right, and a null token nulls the whole fold
+    * (null + x = null poisons `aggregate`) — hence the boxed return.
+    */
+  def dsirScoreEval(arr: ArrayData, w: Array[Double]): java.lang.Double = {
+    val md = md5Local.get()
+    val n = arr.numElements()
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      if (t == null) return null
+      sum += w(md.digest(t.getBytes)(0) & 0xff)
+      i += 1
+    }
+    java.lang.Double.valueOf(sum)
+  }
+
+  /** DSIR hashed-bucket log-ratio score of a token array in ONE tight
+    * loop — replaces the interpreted higher-order `aggregate` whose
+    * per-token body was md5 → hex string → substring → literal-map
+    * probe (three allocations per token). `weights(b)` = the smoothed
+    * target/raw log-ratio of md5 bucket b (see
+    * [[graft.operators.CorpusScoring.dsirWeights]]).
+    */
+  case class DsirScore(child: Expression, weights: Array[Double])
+      extends UnaryExpression {
+    require(weights.length == 256, s"need 256 bucket weights, got ${weights.length}")
+    override def dataType: DataType = DoubleType
+
+    override def nullSafeEval(input: Any): Any =
+      dsirScoreEval(input.asInstanceOf[ArrayData], weights)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("graftDsirWeights", weights, "double[]")
+      val tmp = ctx.freshName("dsirScore")
+      nullSafeCodeGen(ctx, ev, c => s"""
+        java.lang.Double $tmp = graft.functions.NativeExpressions.dsirScoreEval($c, $ref);
+        if ($tmp == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = $tmp.doubleValue(); }""")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** Shared loop body for [[NearestCells]] eval and generated code:
     * decode the vector once, one fused dot-product loop per centroid
     * over the flat matrix, then selection-pick the `take` best by
@@ -802,7 +922,27 @@ object NativeExpressions {
     * the EXACT argmax over nodes — the oracle-checked configuration.
     *
     * Returns the `take` best node ordinals, best first.
+    *
+    * Per-row state (visited marks + the two heaps) is REUSED through a
+    * thread-local workspace: the naive form allocated ~n ints of heap
+    * plus an n-byte visited array per ROW, which at 10 M corpus rows x
+    * 1,000 nodes is ~10^11 bytes of allocation churn — the GC pressure
+    * showed up as a 4x wall-time loss to IVF and an 8x task-time
+    * spread at the stress tier. Visited marks are generation-stamped so
+    * reuse needs no clearing pass.
     */
+  private final class GraphWorkspace(n: Int, beamCap: Int) {
+    val visitedGen = new Array[Int](n)
+    var gen = 0
+    val cand = new NodeHeap(n, max = false)
+    val result = new NodeHeap(beamCap, max = true)
+  }
+  @transient private lazy val graphWs =
+    new ThreadLocal[java.util.HashMap[Long, GraphWorkspace]] {
+      override def initialValue(): java.util.HashMap[Long, GraphWorkspace] =
+        new java.util.HashMap[Long, GraphWorkspace]()
+    }
+
   def graphNearestEval(arr: ArrayData, nodes: Array[Double], nodeNorms: Array[Double],
                        dim: Int, adjOff: Array[Int], adj: Array[Int],
                        ef: Int, take: Int, isFloat: Boolean): ArrayData = {
@@ -831,11 +971,22 @@ object NativeExpressions {
       }
     }
     val beam = math.max(1, math.min(ef, n))
-    val visited = new Array[Boolean](n)
-    val cand = new NodeHeap(n, max = false)
-    val result = new NodeHeap(beam + 1, max = true)
+    val wsMap = graphWs.get()
+    val wsKey = (n.toLong << 32) | (beam + 1).toLong
+    var ws = wsMap.get(wsKey)
+    if (ws == null) { ws = new GraphWorkspace(n, beam + 1); wsMap.put(wsKey, ws) }
+    ws.gen += 1
+    if (ws.gen == Int.MinValue) { // generation counter wrapped
+      java.util.Arrays.fill(ws.visitedGen, 0); ws.gen = 1
+    }
+    val gen = ws.gen
+    val visitedGen = ws.visitedGen
+    val cand = ws.cand
+    val result = ws.result
+    cand.size = 0
+    result.size = 0
     val k0 = key(0)
-    visited(0) = true
+    visitedGen(0) = gen
     cand.push(k0, 0)
     result.push(k0, 0)
     while (cand.size > 0) {
@@ -852,8 +1003,8 @@ object NativeExpressions {
         var e = adjOff(cid)
         while (e < adjOff(cid + 1)) {
           val nb = adj(e)
-          if (!visited(nb)) {
-            visited(nb) = true
+          if (visitedGen(nb) != gen) {
+            visitedGen(nb) = gen
             val nk = key(nb)
             val admit = result.size < beam || {
               val c = java.lang.Double.compare(nk, result.topKey)
@@ -981,6 +1132,12 @@ object NativeExpressions {
                  needTypes: Boolean = true): Column =
     ColumnBridge.column(TokenStats(
       ColumnBridge.expression(toks), stopwords, needTypes))
+
+  def dsirScore(toks: Column, weights: Array[Double]): Column =
+    ColumnBridge.column(DsirScore(ColumnBridge.expression(toks), weights))
+
+  def gramHitCount(grams: Column, table: Array[Long]): Column =
+    ColumnBridge.column(GramHitCount(ColumnBridge.expression(grams), table))
 
   def rollingXxHash64(toks: Column): Column =
     ColumnBridge.column(RollingXxHash64(ColumnBridge.expression(toks)))

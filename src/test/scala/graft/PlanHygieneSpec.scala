@@ -151,6 +151,16 @@ class PlanHygieneSpec extends SparkTestBase {
       s"token stats fell back to higher-order functions:\n${p.take(2000)}")
   }
 
+  test("q_dsir: native one-pass scoring, no lambda and no shuffle") {
+    val p = plan("q_dsir")
+    assert(!p.contains("Exchange"),
+      s"DSIR scoring must stay a map-only projection:\n${p.take(2000)}")
+    assert(!p.contains("LambdaFunction") && !p.contains("ArrayAggregate"),
+      s"DSIR scoring fell back to the interpreted per-token fold:\n${p.take(2000)}")
+    assert(p.toLowerCase.contains("dsirscore"),
+      s"expected the native DsirScore expression in the plan:\n${p.take(2000)}")
+  }
+
   test("q_contamination_bloom: bloom probe sits on the train scan side") {
     val p = plan("q_contamination_bloom")
     assert(p.toLowerCase.contains("bloommightcontain"),
