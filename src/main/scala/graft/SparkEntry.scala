@@ -575,6 +575,21 @@ object SparkEntry {
         "doc_id", "text", n = 3, trainFrac = 0.8, valFrac = 0.1,
         maxNgramDf = None)),
 
+    // the streaming arrival-time probe, batch-replayed (the operator is
+    // map-only, so the batch and stream forms are the same plan): every
+    // TRAIN doc's distinct 3-grams counted against the fixed non-train
+    // gram index — the flip side of q_contamination's audit direction,
+    // flagged at the ingest door with zero joins/shuffles per batch
+    "q_contamination_stream" -> ((s, dir) => {
+      val split = TrainingOps.assignSplit(
+        t(s, dir, "documents"), "doc_id", 0.8, 0.1, "split")
+      val idx = graft.streaming.StreamingContamination.buildEvalIndex(
+        split.filter(col("split") =!= "train"), "text", n = 3)
+      graft.streaming.StreamingContamination.flagContaminated(
+        split.filter(col("split") === "train"), "doc_id", "text", idx)
+        .select(col("doc_id"), col("n_contaminated"))
+    }),
+
     // §2.10 training-data assembly: corpus snapshot diff (full-outer
     // join on id, md5 content compare) — two synthetic "versions" cut
     // from the documents table: v1 = ids<450, v2 = ids>=50 with every
@@ -1554,6 +1569,30 @@ object SparkEntry {
     // identical semantics by construction (Bloom pre-filter: no false
     // negatives, false positives die in the exact join) -> same oracle
     "q_contamination_bloom" -> ContaminationOracleSql,
+
+    // the arrival-time probe flips the audit direction: per TRAIN doc,
+    // distinct grams shared with the non-train gram set (no df cap —
+    // arrival time has no global train dfs to cap by)
+    "q_contamination_stream" ->
+      raw"""WITH s AS (
+           SELECT doc_id,
+             CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                    THEN 'train'
+                  WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                    THEN 'val'
+                  ELSE 'test' END AS split,
+             string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         g AS (
+           SELECT doc_id, split, array_to_string(toks[i:(i+2)], ' ') AS ngram
+           FROM s, unnest(range(1, len(toks) - 1)) AS u(i)
+           WHERE len(toks) >= 3),
+         tg AS (SELECT DISTINCT doc_id, ngram FROM g WHERE split = 'train'),
+         eg AS (SELECT DISTINCT ngram FROM g WHERE split <> 'train')
+         SELECT tg.doc_id,
+           count(DISTINCT tg.ngram) AS n_contaminated
+         FROM tg JOIN eg USING (ngram)
+         GROUP BY tg.doc_id""",
 
     "q_pack" ->
       raw"""WITH d AS (SELECT doc_id,

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{NativeExpressions, TextFunctions}
+
+/** Streaming benchmark-contamination probe — the always-on form of
+  * [[graft.operators.TrainingOps.crossSplitContamination]] for an
+  * ingest pipeline: every ARRIVING training document is checked against
+  * a FIXED evaluation corpus's n-gram set, row-locally, inside the same
+  * micro-batch that ingests it (the posture of
+  * [[StreamingDedup]] — flag at the door, audit in batch).
+  *
+  * Shape: the eval corpus collapses ONCE to a sorted array of
+  * `xxhash64(ngram)` hashes (driver-built, broadcast as a codegen
+  * reference — eval sets are benchmark-sized by definition, and the
+  * build guards the bound). The probe is then a pure map + filter over
+  * the arriving stream: per doc, one native pass over its n-grams
+  * counting distinct hits ([[NativeExpressions.GramHitCount]]) — no
+  * join, no shuffle, no streaming state, so it composes with any
+  * output mode and costs O(grams x log |eval|) per document at ANY
+  * corpus scale.
+  *
+  * The gram identity (whitespace tokens -> n-gram string -> seed-42
+  * xxhash64) is byte-identical to the batch operator's `splitGrams`
+  * first hash, so the stream's flags on a history equal the batch
+  * report computed over that same history with the eval side as the
+  * non-train split and no df cap (the df cap is a batch-side audit
+  * refinement: it needs global train-side document frequencies, which
+  * an arrival-time probe by definition does not have — a capped batch
+  * report is therefore a SUBSET of the stream's flags).
+  */
+object StreamingContamination {
+
+  /** Sorted distinct `xxhash64(ngram)` table of an eval corpus. */
+  final case class EvalGramIndex(n: Int, hashes: Array[Long]) {
+    def nGrams: Int = hashes.length
+  }
+
+  /** Collapse the eval corpus to its gram-hash index. Driver-bounded by
+    * `maxGrams` (same stance as the IVF centroid / DSIR collects): an
+    * eval set past the guard is not a streaming-probe candidate — split
+    * it, or keep that pairing in the batch operator.
+    */
+  def buildEvalIndex(evalDocs: DataFrame, textCol: String, n: Int = 3,
+                     maxGrams: Int = 10000000): EvalGramIndex = {
+    require(n >= 1, s"ngrams needs n >= 1, got $n")
+    val rows = evalDocs
+      .select(explode(TextFunctions.ngrams(col(textCol), n)).as("__g"))
+      .select(xxhash64(col("__g")).as("__h")).distinct()
+      .limit(maxGrams + 1).collect()
+    require(rows.length <= maxGrams,
+      s"eval corpus exceeds $maxGrams distinct $n-grams — past the " +
+        "row-local probe tier; use the batch contamination operator")
+    val hs = rows.map(_.getLong(0))
+    java.util.Arrays.sort(hs)
+    EvalGramIndex(n, hs)
+  }
+
+  /** Documents sharing at least one n-gram with the eval index:
+    * (idCol, n_contaminated = distinct shared grams). Map-only —
+    * identical semantics on a batch frame and on a stream (append
+    * mode), which is what the batch-equivalence spec and the oracled
+    * catalog row pin. NULL-text docs emit no row (null grams array →
+    * null count → filtered), the corpus-scoring family's contract.
+    */
+  def flagContaminated(docs: DataFrame, idCol: String, textCol: String,
+                       idx: EvalGramIndex): DataFrame =
+    docs.select(col(idCol),
+        NativeExpressions.gramHitCount(
+          TextFunctions.ngrams(col(textCol), idx.n), idx.hashes)
+          .cast("long").as("n_contaminated"))
+      .filter(col("n_contaminated") >= 1L)
+}

@@ -97,6 +97,49 @@ class StreamingDedupSpec extends SparkTestBase {
       s"stream pairs $pairs must be a subset of batch pairs $batchPairs")
   }
 
+  test("streaming contamination probe flags stream == batch on the same history") {
+    implicit val sqlCtx = spark.sqlContext
+    // eval corpus: two benchmark docs; arrivals: one verbatim leak, one
+    // partial-overlap leak (shares a 3-gram window), one clean doc, one
+    // NULL-text doc (must emit nothing)
+    val evalDocs = Seq(
+      (900L, "the quick brown fox jumps over the lazy dog"),
+      (901L, "pack my box with five dozen liquor jugs")).toDF("doc_id", "text")
+    val idx = StreamingContamination.buildEvalIndex(evalDocs, "text", n = 3)
+    assert(idx.nGrams === 7 + 6)
+
+    val arrivals = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // verbatim
+      (2L, "he said pack my box with care"), // shares "pack my box" + "my box with"
+      (3L, "completely unrelated clean text here"),
+      (4L, null.asInstanceOf[String]))
+
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = StreamingContamination
+      .flagContaminated(docs, "doc_id", "text", idx)
+      .writeStream.format("memory").queryName("contam_stream_out")
+      .outputMode("append").start()
+    input.addData(arrivals.take(2): _*)
+    q.processAllAvailable()
+    input.addData(arrivals.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("contam_stream_out")
+      .as[(Long, Long)].collect().toMap
+    // verbatim leak: all 7 distinct grams; partial: its two shared
+    // 3-gram windows; clean + null: absent
+    assert(streamed === Map(1L -> 7L, 2L -> 2L))
+
+    // batch replay of the SAME history through the same operator — the
+    // probe is map-only, so the batch form must be row-identical
+    val batch = StreamingContamination
+      .flagContaminated(arrivals.toDF("doc_id", "text"), "doc_id", "text", idx)
+      .as[(Long, Long)].collect().toMap
+    assert(batch === streamed)
+  }
+
   test("in-batch arrival order does not change champions (docId order wins)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
