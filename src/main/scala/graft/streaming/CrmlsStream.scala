@@ -175,17 +175,26 @@ object CrmlsStream {
     */
   private val DriverBatchMaxRows: Int = 50000
 
-  /** Fused-merge tier: when the batch's merge output (state rows in
-    * touched buckets + delta rows, known exactly driver-side) is at or
-    * under this bound and every touched entity is local-snapshot
-    * resident, ALL per-entity merges materialize in ONE collect and the
-    * state write runs from driver memory.
-    */
-  private val FusedCollectMaxRows: Int = 80000
-
   private def localDfOf(spark: SparkSession, rows: Array[Row],
                         schema: StructType): DataFrame =
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+
+  /** [[localDfOf]] for LARGE driver row arrays (the fused write frame):
+    * a LocalRelation converts every Row to InternalRow on the DRIVER at
+    * plan time — one thread touching rows x width fields. Distributing
+    * the array first makes the conversion per-task work instead; the
+    * rows themselves ship inside the same JVM in local mode and as task
+    * binaries on a cluster (bounded by the residency caps either way).
+    */
+  private def parallelDfOf(spark: SparkSession, rows: Array[Row],
+                           schema: StructType): DataFrame =
+    if (rows.length <= 10000) localDfOf(spark, rows, schema)
+    else spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(rows),
+        math.min(spark.sparkContext.defaultParallelism,
+          1 + rows.length / 10000)),
+      schema)
 
   /** canonical-row field positions: canonicalize() emits (entity,
     * bucket, canonicalFields...), so field `name` sits at offset
@@ -383,22 +392,6 @@ object CrmlsStream {
     private[streaming] def localOrEmpty(entity: String): Boolean =
       localSnap(entity).isDefined ||
         BucketedState.listBuckets(path(entity)).isEmpty
-
-    /** Rows of the entity's snapshot residing in `touched` buckets —
-      * the exact upper-bound contribution of existing state to a merge
-      * over those buckets (used to bound the fused collect).
-      */
-    private[streaming] def localTouchedCount(entity: String,
-                                             touched: Seq[Int]): Int =
-      localSnap(entity).fold(0) { snap =>
-        val t = touched.toSet
-        var c = 0; var i = 0
-        while (i < snap.rows.length) {
-          if (t.contains(snap.buckets(i))) c += 1
-          i += 1
-        }
-        c
-      }
 
     private[streaming] def cachedReadAll(
         entity: String, schema: StructType,
@@ -949,12 +942,18 @@ object CrmlsStream {
         }
         out.result()
       }
-      val estRows =
-        if (!driverTier) Int.MaxValue
-        else branchEntities.map(e => store.localTouchedCount(e, touched(e))).sum +
-          deltaRows.valuesIterator.map(_.length).sum + refRows.length
-      val fastMerge = estRows <= FusedCollectMaxRows &&
-        branchEntities.forall(store.localOrEmpty)
+      // Fused-tier admission is RESIDENCY, not a row budget: every merge
+      // input is already a driver-resident array (local snapshots +
+      // driver-tier delta rows), and the middle tier would collect the
+      // very same merged output to refresh those snapshots — so there is
+      // no memory regime between "all local" and "past the local caps"
+      // for a separate row gate to protect. The caps that matter are the
+      // per-entity LocalSnapshotMaxRows / IdxLocalMaxRows residency
+      // bounds; an entity past them falls the batch to the distributed
+      // middle tier. (Round 5 gated this at 80k rows, which pushed the
+      // 4,000-row bench mix into four distributed window merges per
+      // batch — 3s of the 9.7s mean — for state the driver already held.)
+      val fastMerge = driverTier && branchEntities.forall(store.localOrEmpty)
 
       var collectedUnion: Option[(Array[Row], StructType)] = None
       val refreshed: Set[String] =
@@ -1022,7 +1021,7 @@ object CrmlsStream {
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
       val writeFrame = collectedUnion
-        .map { case (rows, schema) => localDfOf(spark, rows, schema) }
+        .map { case (rows, schema) => parallelDfOf(spark, rows, schema) }
         .getOrElse(unionFrame)
       val stateWrite = Future {
         BucketedState.writeEntityInflight(spark, store.dir, writeFrame,
@@ -1056,6 +1055,7 @@ object CrmlsStream {
                 else Some(listingParts.reduce(_ unionByName _)
                   .join(broadcast(affected), Seq("l_uc_pk"), "left_semi"))
             }
+          mark("J4:aff-df")
           affectedListingsOpt.foreach { affectedListings =>
             // dim state for the fallback SQL join: cached snapshot
             // minus touched buckets, plus the lazy merged frame — but a
@@ -1083,12 +1083,16 @@ object CrmlsStream {
                 fullState(openHouses), fullState(offices), fullState(media),
                 fullState(history))
             }
-            sink.upsertPrepared("l_uc_pk", joined, sinkBuckets)
+            // one row per l_uc_pk by construction: the affected side is
+            // a latest-state snapshot slice (or a semi-joined merge of
+            // one), never a raw delta — the sink may skip its dedup
+            sink.upsertPreparedUnique("l_uc_pk", joined, sinkBuckets)
           }
         }
         mark("J4:join-sink")
       } finally Await.ready(stateWrite, Duration.Inf)
       Await.result(stateWrite, Duration.Inf) // rethrow a write failure
+      mark("J2:write-wait")
       // snapshots were refreshed pre-join; anything not refreshable
       // (past the local tier) is invalidated and re-probed on demand
       BucketedState.promoteEntityBuckets(store.dir, touchedByEntity)

@@ -38,6 +38,17 @@ object UpsertJoin {
       */
     def upsertPrepared(keyCol: String, batch: DataFrame,
                        touched: Seq[Int]): Unit = upsert(keyCol, batch)
+
+    /** [[upsertPrepared]] with the caller's guarantee that `batch`
+      * carries AT MOST ONE row per key — lets a sink skip its defensive
+      * per-key dedup (for the delta-append path that dedup is a window
+      * + wide-struct hash + an extra exchange, measurably the largest
+      * single cost of a large micro-batch). Callers feeding latest-state
+      * snapshots (one row per key by construction) should use this.
+      */
+    def upsertPreparedUnique(keyCol: String, batch: DataFrame,
+                             touched: Seq[Int]): Unit =
+      upsertPrepared(keyCol, batch, touched)
   }
 
   final class InMemorySink(schemaHolder: Array[org.apache.spark.sql.types.StructType])
@@ -204,6 +215,13 @@ object UpsertJoin {
         else mergeWrite(keyCol, batch, touched.sorted, Some(batch.schema))
       }
 
+    override def upsertPreparedUnique(keyCol: String, batch: DataFrame,
+                                      touched: Seq[Int]): Unit =
+      if (touched.nonEmpty) {
+        if (deltaCompactEvery > 0) appendDelta(keyCol, batch, keyUnique = true)
+        else mergeWrite(keyCol, batch, touched.sorted, Some(batch.schema))
+      }
+
     /** In-flight asynchronous compaction, if any. Compaction is
       * self-contained (reads a FIXED list of committed generations +
       * their touched base buckets, promotes new bucket files, deletes
@@ -234,12 +252,21 @@ object UpsertJoin {
       * rewrite — those costs move to the amortized [[compact]], which
       * runs asynchronously.
       */
-    private def appendDelta(keyCol: String, batch: DataFrame): Unit = {
-      val w = Window.partitionBy(col(keyCol))
-        .orderBy(xxhash64(struct(batch.columns.map(col): _*)).desc)
-      val stamped = batch
-        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-        .drop("__rn")
+    private def appendDelta(keyCol: String, batch: DataFrame,
+                            keyUnique: Boolean = false): Unit = {
+      // keyUnique = the caller guarantees one row per key, so the
+      // defensive dedup window (wide-struct hash + an exchange + a sort
+      // — the dominant cost of appending a large enriched batch) is
+      // skipped; the survivor semantics are vacuously identical
+      val deduped =
+        if (keyUnique) batch
+        else {
+          val w = Window.partitionBy(col(keyCol))
+            .orderBy(xxhash64(struct(batch.columns.map(col): _*)).desc)
+          batch.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn")
+        }
+      val stamped = deduped
         .withColumn("__gen", lit(gen))
         .withColumn(BucketedState.BucketColName,
           BucketedState.bucketOf(col(keyCol), nBuckets))
@@ -258,7 +285,16 @@ object UpsertJoin {
       // one gen = one dir = one file + its own _SUCCESS: the append is
       // atomic per batch (a crashed write has no marker and is swept),
       // and no existing-file listing happens on the write path
-      stamped.coalesce(1).write.mode("overwrite").parquet(s"$deltaDir/g$gen")
+      // one output file either way, but the two paths reach it
+      // differently: after the dedup window, coalesce(1) collapses only
+      // the post-exchange tail into one task; on the keyUnique path
+      // there IS no exchange, and coalesce(1) would drag the whole
+      // upstream enrichment into a single task — repartition(1) keeps
+      // the enrichment parallel and pays one round-robin exchange of
+      // the (delta-sized) batch instead
+      val oneFile =
+        if (keyUnique) stamped.repartition(1) else stamped.coalesce(1)
+      oneFile.write.mode("overwrite").parquet(s"$deltaDir/g$gen")
       gen += 1
       sinceCompact += 1
       if (sinceCompact >= deltaCompactEvery) {
