@@ -108,6 +108,57 @@ object OracleGen {
     * vectors; assignment = argmax cosine (ties to the lowest cell id,
     * zero vectors last) — exactly the operator's row-local expression.
     */
+  /** Rounded-Lloyd k-means replay ([[graft.operators.KMeans
+    * .assignRounded]]): lowest-id init (cell ids = ordinals over the
+    * id-sorted seed set), per-iteration cosine argmax assignment (ties
+    * to the lower ordinal, zero-norm sims NULLS LAST) and per-cell
+    * per-dim means rounded to 6 decimals — the rounding is what makes
+    * each iteration's input, and so the whole chain, engine-independent.
+    * An emptied cell keeps its previous centroid (the COALESCE in the
+    * centroid rebuild).
+    */
+  def kmeansSql(k: Int, iters: Int, dim: Int): String = {
+    def nrm(v: String) =
+      s"sqrt(list_sum(list_transform($v, x -> x * x)))"
+    def assignCte(t: Int, centCte: String) =
+      s"""a$t AS (
+         SELECT vec_id, cell_id FROM (
+           SELECT e.vec_id, c.cell_id,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               (CASE WHEN ${nrm("e.v")} * ${nrm("c.cv")} <> 0
+                     THEN ${dotSql("e.v", "c.cv", dim)} /
+                          (${nrm("e.v")} * ${nrm("c.cv")}) END)
+               DESC NULLS LAST, c.cell_id) AS rn
+           FROM e CROSS JOIN $centCte c) r
+         WHERE rn = 1)"""
+    def updateCte(t: Int) =
+      s"""cm$t AS (
+         SELECT a.cell_id, u.i, round(avg(e.v[u.i]), 6) AS m
+         FROM a$t a JOIN e USING (vec_id),
+              unnest(range(1, ${dim + 1})) AS u(i)
+         GROUP BY a.cell_id, u.i),
+       c$t AS (
+         SELECT g.cell_id, list(COALESCE(m.m, g.old) ORDER BY g.i) AS cv
+         FROM (SELECT c.cell_id, u.i, c.cv[u.i] AS old
+               FROM c${t - 1} c, unnest(range(1, ${dim + 1})) AS u(i)) g
+         LEFT JOIN cm$t m ON m.cell_id = g.cell_id AND m.i = g.i
+         GROUP BY g.cell_id)"""
+    val iterCtes = (1 to iters).map(t =>
+      assignCte(t, s"c${t - 1}") + ",\n       " + updateCte(t))
+      .mkString(",\n       ")
+    val finalAssign = assignCte(iters + 1, s"c$iters")
+    s"""WITH e AS (
+         SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings),
+       c0 AS (
+         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_id, v AS cv
+         FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k)),
+       $iterCtes,
+       $finalAssign
+       SELECT vec_id, cell_id FROM a${iters + 1}"""
+  }
+
   def ivfAnnSql(probeMax: Int, k: Int, nCells: Int, nProbe: Int,
                 dim: Int): String =
     s"""WITH e AS (

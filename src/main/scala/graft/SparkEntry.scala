@@ -1029,6 +1029,14 @@ object SparkEntry {
           round(col("logprob"), 6).as("logprob"))
     }),
 
+    // §2.10 embedding ops: deterministic rounded-Lloyd k-means —
+    // lowest-id init, per-iteration cosine argmax (map-only, centroid
+    // matrix as a codegen reference) + 6-decimal-rounded means, so the
+    // oracle replays BOTH iterations and the final assignment exactly
+    "q_kmeans" -> ((s, dir) =>
+      KMeans.assignRounded(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 8, iters = 2)),
+
     // §2.10 embedding ops: per-class centroids in exploded
     // (label, dim) form — posexplode + groupBy keeps the shuffle at
     // labels x dims rows after map-side partials, never vectors x dims
@@ -2152,6 +2160,8 @@ object SparkEntry {
            round(avg(coalesce(lp.logp, ln(1e-9))), 6) AS logprob
          FROM tok LEFT JOIN lp USING (term)
          GROUP BY tok.doc_id""",
+
+    "q_kmeans" -> OracleGen.kmeansSql(k = 8, iters = 2, dim = 64),
 
     "q_centroids" ->
       """WITH e AS (

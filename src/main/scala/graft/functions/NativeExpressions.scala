@@ -739,6 +739,68 @@ object NativeExpressions {
       copy(child = c)
   }
 
+  /** [[gramHitCountEval]]'s Bloom form: the same distinct-gram count,
+    * membership answered by the filter — an UPPER BOUND on the exact
+    * count (no false negatives; ~fpp false positives).
+    */
+  def gramBloomHitCountEval(
+      arr: ArrayData,
+      bf: org.apache.spark.util.sketch.BloomFilter): Int = {
+    val n = arr.numElements()
+    var hits: Array[Long] = null
+    var nh = 0
+    var i = 0
+    while (i < n) {
+      val g = arr.getUTF8String(i)
+      if (g != null) {
+        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(g, StringType, 42L)
+        if (bf.mightContainLong(h)) {
+          if (hits == null) hits = new Array[Long](8)
+          else if (nh == hits.length)
+            hits = java.util.Arrays.copyOf(hits, nh * 2)
+          hits(nh) = h
+          nh += 1
+        }
+      }
+      i += 1
+    }
+    if (nh == 0) 0
+    else {
+      java.util.Arrays.sort(hits, 0, nh)
+      var c = 1
+      var j = 1
+      while (j < nh) { if (hits(j) != hits(j - 1)) c += 1; j += 1 }
+      c
+    }
+  }
+
+  /** [[GramHitCount]] against a Bloom filter instead of the exact
+    * table — the streaming contamination tier for eval corpora past
+    * the sorted-array guard (the filter is bits-per-gram instead of 8
+    * bytes). Flags are a SUPERSET of the exact tier's (no false
+    * negatives), the right polarity for an at-the-door probe whose
+    * positives get exact batch confirmation downstream.
+    */
+  case class GramBloomHitCount(child: Expression,
+                               bf: org.apache.spark.util.sketch.BloomFilter)
+      extends UnaryExpression {
+    override def dataType: DataType = IntegerType
+
+    override def nullSafeEval(input: Any): Any =
+      gramBloomHitCountEval(input.asInstanceOf[ArrayData], bf)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("graftGramBloom", bf,
+        "org.apache.spark.util.sketch.BloomFilter")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.NativeExpressions.gramBloomHitCountEval($c, $ref);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   // MD5 instances are stateful and not thread-safe; one per executor
   // thread, reset()-by-digest() between tokens
   @transient private lazy val md5Local =
@@ -1138,6 +1200,10 @@ object NativeExpressions {
 
   def gramHitCount(grams: Column, table: Array[Long]): Column =
     ColumnBridge.column(GramHitCount(ColumnBridge.expression(grams), table))
+
+  def gramBloomHitCount(grams: Column,
+                        bf: org.apache.spark.util.sketch.BloomFilter): Column =
+    ColumnBridge.column(GramBloomHitCount(ColumnBridge.expression(grams), bf))
 
   def rollingXxHash64(toks: Column): Column =
     ColumnBridge.column(RollingXxHash64(ColumnBridge.expression(toks)))

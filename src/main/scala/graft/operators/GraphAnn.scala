@@ -31,6 +31,18 @@ import graft.functions.{NativeExpressions, VectorFunctions}
   * exchanges carry (probe x nProbe) candidate rows and pre-truncated
   * top-k partials.
   *
+  * Tier guidance (measured, 10 M vectors / 1,000 nodes / ef=64 / m=8,
+  * STRESS_ANN_r06): graph routing runs 1.6x IVF's wall (72 s vs 44 s,
+  * zero spill, task-time spread 1.4 after the round-6 workspace-reuse
+  * fix removed the per-row allocation churn that had it at 4x / spread
+  * 8). The residual gap is the SHAPE, not a defect: beam expansion
+  * visits a large fraction of a 1,000-node graph (up to O(n) keys) while
+  * IVF brute-scans only its 250 cells, so at routing sets this small the
+  * brute scan is simply less work. IVF remains the recommended
+  * assignment tier until the routing set is large enough (~10k+ nodes,
+  * where sqrt(N) cell counts would make the brute scan the bottleneck)
+  * — which is exactly the regime this operator exists for.
+  *
   * Determinism: node set = lowest-id vectors (the IVF centroid trick),
   * insertion order = ordinal, search priorities = (cosine desc,
   * ordinal asc) with zero-norm pairs last — reruns and permuted inputs

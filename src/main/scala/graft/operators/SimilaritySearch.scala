@@ -54,7 +54,7 @@ object SimilaritySearch {
     * cell assignment run as a row-local expression over LITERAL
     * centroids — no join, no exchange, the index actually prunes.
     */
-  private def centroidLiterals(corpus: DataFrame, idCol: String,
+  private[operators] def centroidLiterals(corpus: DataFrame, idCol: String,
                                vecCol: String, nCells: Int): Array[(Long, Array[Double], Double)] =
     // cell ids are ORDINALS over the id-sorted seed set (not the ids
     // themselves): id-type-agnostic, and since ordinals are monotone in
@@ -83,7 +83,7 @@ object SimilaritySearch {
     * Cell ids are ORDINALS over the id-sorted seed set, which is
     * exactly the matrix row order — asserted here, relied on below.
     */
-  private def nearestCells(vec: Column,
+  private[operators] def nearestCells(vec: Column,
                            cents: Seq[(Long, Array[Double], Double)],
                            take: Int): Column = {
     val dim = cents.head._2.length

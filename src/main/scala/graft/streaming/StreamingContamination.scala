@@ -72,4 +72,43 @@ object StreamingContamination {
           TextFunctions.ngrams(col(textCol), idx.n), idx.hashes)
           .cast("long").as("n_contaminated"))
       .filter(col("n_contaminated") >= 1L)
+
+  /** Bloom form of the eval index: bits-per-gram instead of 8 bytes,
+    * for eval corpora past the exact tier's driver guard. Distributed
+    * build (`bloom_filter_agg` over the gram hashes), sized from the
+    * observed distinct count unless overridden — the same sizing stance
+    * as the batch Bloom contamination operator.
+    */
+  def buildEvalBloom(evalDocs: DataFrame, textCol: String, n: Int = 3,
+                     expectedGrams: Long = 0L, fpp: Double = 0.01)
+      : org.apache.spark.util.sketch.BloomFilter = {
+    require(n >= 1, s"ngrams needs n >= 1, got $n")
+    val hashes = evalDocs
+      .select(explode(TextFunctions.ngrams(col(textCol), n)).as("__g"))
+      .select(xxhash64(col("__g")).as("__h")).distinct()
+    val nGrams =
+      if (expectedGrams > 0L) expectedGrams
+      else math.max(hashes.count(), 1L)
+    // few build partitions: bloom_filter_agg ships one filter buffer
+    // per partition through a single-partition exchange (the batch
+    // operator's documented trade)
+    hashes.coalesce(8).stat.bloomFilter("__h", nGrams, fpp)
+  }
+
+  /** [[flagContaminated]] with the Bloom index: flags are a SUPERSET
+    * of the exact tier's (no false negatives, ~fpp false positives per
+    * gram) and `n_contaminated` is an upper bound — the right polarity
+    * for an at-the-door probe whose positives get exact confirmation
+    * from the batch audit ([[graft.operators.TrainingOps
+    * .crossSplitContamination]]) downstream.
+    */
+  def flagContaminatedBloom(docs: DataFrame, idCol: String,
+                            textCol: String, n: Int,
+                            bf: org.apache.spark.util.sketch.BloomFilter)
+      : DataFrame =
+    docs.select(col(idCol),
+        NativeExpressions.gramBloomHitCount(
+          TextFunctions.ngrams(col(textCol), n), bf)
+          .cast("long").as("n_contaminated"))
+      .filter(col("n_contaminated") >= 1L)
 }

@@ -140,6 +140,28 @@ class StreamingDedupSpec extends SparkTestBase {
     assert(batch === streamed)
   }
 
+  test("bloom contamination tier flags a superset of the exact tier") {
+    val evalDocs = Seq(
+      (900L, "the quick brown fox jumps over the lazy dog"),
+      (901L, "pack my box with five dozen liquor jugs")).toDF("doc_id", "text")
+    val idx = StreamingContamination.buildEvalIndex(evalDocs, "text", n = 3)
+    val bf = StreamingContamination.buildEvalBloom(evalDocs, "text", n = 3)
+    val arrivals = ((1L, "the quick brown fox jumps over the lazy dog") +:
+      (2L, "he said pack my box with care") +:
+      (3 to 200).map(i => (i.toLong, s"clean filler doc number $i with words w${i}a w${i}b")))
+      .toDF("doc_id", "text")
+    val exact = StreamingContamination
+      .flagContaminated(arrivals, "doc_id", "text", idx)
+      .as[(Long, Long)].collect().toMap
+    val bloom = StreamingContamination
+      .flagContaminatedBloom(arrivals, "doc_id", "text", 3, bf)
+      .as[(Long, Long)].collect().toMap
+    // no false negatives: every exact flag present with count >= exact
+    assert(exact.keySet.subsetOf(bloom.keySet))
+    assert(exact.forall { case (id, c) => bloom(id) >= c })
+    assert(exact === Map(1L -> 7L, 2L -> 2L))
+  }
+
   test("in-batch arrival order does not change champions (docId order wins)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
