@@ -1029,6 +1029,18 @@ object SparkEntry {
           round(col("logprob"), 6).as("logprob"))
     }),
 
+    // §2.10 tokenizer training, stage 0 (the SQL-replayable one):
+    // adjacent character-pair counts over word types weighted by word
+    // frequency, top 20 under the merge loop's total order. The
+    // iterative argmax merge loop itself (BpeLearn.learnMerges) is NOT
+    // SQL-expressible and therefore not a catalog row — it is pinned by
+    // BpeLearnSpec's hand-computed tables instead, keeping the catalog
+    // 100% oracled (CatalogSpec's invariant)
+    "q_bpe_pairs" -> ((s, dir) =>
+      BpeLearn.initialPairCounts(t(s, dir, "documents"), "text")
+        .orderBy(desc("pair_count"), asc("sym_left"), asc("sym_right"))
+        .limit(20)),
+
     // §2.10 embedding ops: deterministic rounded-Lloyd k-means —
     // lowest-id init, per-iteration cosine argmax (map-only, centroid
     // matrix as a codegen reference) + 6-decimal-rounded means, so the
@@ -2160,6 +2172,21 @@ object SparkEntry {
            round(avg(coalesce(lp.logp, ln(1e-9))), 6) AS logprob
          FROM tok LEFT JOIN lp USING (term)
          GROUP BY tok.doc_id""",
+
+    "q_bpe_pairs" ->
+      raw"""WITH wc AS (
+           SELECT w, count(*) AS n FROM (
+             SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+             FROM documents)
+           WHERE len(w) > 0 GROUP BY w),
+         p AS (
+           SELECT substr(w, i, 1) AS sym_left,
+                  substr(w, i + 1, 1) AS sym_right,
+                  CAST(sum(n) AS BIGINT) AS pair_count
+           FROM wc, unnest(range(1, len(w))) AS u(i)
+           GROUP BY 1, 2)
+         SELECT sym_left, sym_right, pair_count FROM p
+         ORDER BY pair_count DESC, sym_left, sym_right LIMIT 20""",
 
     "q_kmeans" -> OracleGen.kmeansSql(k = 8, iters = 2, dim = 64),
 
