@@ -291,7 +291,10 @@ object UpsertJoin {
       // there IS no exchange, and coalesce(1) would drag the whole
       // upstream enrichment into a single task — repartition(1) keeps
       // the enrichment parallel and pays one round-robin exchange of
-      // the (delta-sized) batch instead
+      // the (delta-sized) batch instead. (Measured at the 4,000-row
+      // bench mix: writing 8 files via coalesce(8) instead is within
+      // noise of this — the append's cost is the ~100-column enriched
+      // write job itself, not writer parallelism; see BASELINE r6.)
       val oneFile =
         if (keyUnique) stamped.repartition(1) else stamped.coalesce(1)
       oneFile.write.mode("overwrite").parquet(s"$deltaDir/g$gen")
