@@ -161,6 +161,29 @@ class PlanHygieneSpec extends SparkTestBase {
       s"expected the native DsirScore expression in the plan:\n${p.take(2000)}")
   }
 
+  test("q_contamination_stream: row-local probe — no join, no shuffle") {
+    val p = plan("q_contamination_stream")
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"the arrival-time probe must stay map + filter only:\n${p.take(2000)}")
+    assert(p.toLowerCase.contains("gramhitcount"),
+      s"expected the native GramHitCount probe in the plan:\n${p.take(2000)}")
+  }
+
+  test("q_kmeans: final assignment is map-only with the native argmax") {
+    val p = plan("q_kmeans")
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"the assignment scan must not shuffle or join:\n${p.take(2000)}")
+    assert(p.toLowerCase.contains("nearestcells"),
+      s"expected the native NearestCells assignment:\n${p.take(2000)}")
+  }
+
+  test("q_bpe_pairs: both aggregations keep map-side partials") {
+    val p = plan("q_bpe_pairs")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"word-type and pair counts must both aggregate partially:\n${p.take(2000)}")
+    assert(!p.contains("Join"), "pair counting must not plan a join")
+  }
+
   test("q_contamination_bloom: bloom probe sits on the train scan side") {
     val p = plan("q_contamination_bloom")
     assert(p.toLowerCase.contains("bloommightcontain"),
