@@ -25,7 +25,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    val passes = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt)
     // comma-separated allowlist for iterating on one query; empty = all
     val only = sys.env.getOrElse("SPARK_GRAFT_BENCH_ONLY", "")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
@@ -90,8 +91,16 @@ object Bench {
     // sub-100ms jitter never trips it) is flagged in the JSON and on
     // stderr — a regression or a still-contended host must be VISIBLE,
     // not discovered by the next judge.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
-    val prior = priorQueryTimes(outPath)
+    // a filtered (BENCH_ONLY) run must never clobber the committed
+    // full-catalog artifact — it would wipe the other queries' entries
+    // AND the self-check baselines; partial runs land in a side file
+    // unless the caller explicitly points elsewhere
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.isEmpty) "BENCH.json" else "BENCH_partial.json")
+    // history always comes from the committed artifact, so partial
+    // runs still get flagged against the full-catalog baselines
+    val prior = priorQueryTimes(
+      if (outPath == "BENCH_partial.json") "BENCH.json" else outPath)
     val flagged = results.flatMap { case (n, v, _) =>
       prior.get(n) match {
         case Some(p) if p > 0 && v > 5 * p && v > 0.5 =>

@@ -118,6 +118,12 @@ object OracleGen {
     * centroid rebuild).
     */
   def kmeansSql(k: Int, iters: Int, dim: Int): String = {
+    require(iters >= 1,
+      // iters = 0 would leave a dangling comma between the c0 CTE and
+      // the final assignment (empty iterCtes) — and needs no oracle
+      // generator anyway: it is plain lowest-id assignment (the IVF
+      // shape, already covered by ivfAnnSql)
+      s"kmeansSql needs iters >= 1, got $iters")
     def nrm(v: String) =
       s"sqrt(list_sum(list_transform($v, x -> x * x)))"
     def assignCte(t: Int, centCte: String) =

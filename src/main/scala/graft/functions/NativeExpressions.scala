@@ -1036,7 +1036,15 @@ object NativeExpressions {
     val wsMap = graphWs.get()
     val wsKey = (n.toLong << 32) | (beam + 1).toLong
     var ws = wsMap.get(wsKey)
-    if (ws == null) { ws = new GraphWorkspace(n, beam + 1); wsMap.put(wsKey, ws) }
+    if (ws == null) {
+      // bound the per-thread cache: a long-lived session cycling many
+      // (graph size, beam) shapes must not retain a workspace for each
+      // forever — one shape is hot at a time, so a small cap loses
+      // nothing but the re-allocation on a shape switch
+      if (wsMap.size >= 8) wsMap.clear()
+      ws = new GraphWorkspace(n, beam + 1)
+      wsMap.put(wsKey, ws)
+    }
     ws.gen += 1
     if (ws.gen == Int.MinValue) { // generation counter wrapped
       java.util.Arrays.fill(ws.visitedGen, 0); ws.gen = 1

@@ -150,15 +150,27 @@ object CorpusScoring {
     // (sum over an empty model is NULL) instead of raising
     val tokTotals = model.agg(sum("g_n").as("ng"), sum("b_n").as("nb"),
       count(lit(1)).as("v"))
+    // one tiny job over the seed slice: class doc counts AND class
+    // token totals — both guards, because both degeneracies produce the
+    // same silent all-NULL scores (a class with docs but zero tokens —
+    // all NULL/empty text — empties that side of the model just as
+    // surely as a missing class)
     val docRow = docs.filter(inSeed).agg(
       sum(when(isGood, 1L).otherwise(0L)).as("dg"),
-      sum(when(isGood, 0L).otherwise(1L)).as("db")).collect()(0)
-    require(!docRow.isNullAt(0) && docRow.getLong(0) > 0 && docRow.getLong(1) > 0,
-      s"degenerate NB seed: need both classes in the seed slice, got " +
-        s"good=${if (docRow.isNullAt(0)) 0 else docRow.getLong(0)} " +
-        s"bad=${if (docRow.isNullAt(1)) 0 else docRow.getLong(1)} " +
-        s"(seedFrac=$seedFrac too small or isGood degenerate?)")
-    val (dgN, dbN) = (docRow.getLong(0), docRow.getLong(1))
+      sum(when(isGood, 0L).otherwise(1L)).as("db"),
+      sum(when(isGood, coalesce(size(TF.tokens(col(textCol))), lit(0)))
+        .otherwise(0).cast("long")).as("gt"),
+      sum(when(isGood, 0)
+        .otherwise(coalesce(size(TF.tokens(col(textCol))), lit(0)))
+        .cast("long")).as("bt")).collect()(0)
+    def cnt(i: Int): Long = if (docRow.isNullAt(i)) 0L else docRow.getLong(i)
+    require(cnt(0) > 0 && cnt(1) > 0 && cnt(2) > 0 && cnt(3) > 0,
+      s"degenerate NB seed: need both classes with tokens in the seed " +
+        s"slice, got good=${cnt(0)} docs/${cnt(2)} tokens " +
+        s"bad=${cnt(1)} docs/${cnt(3)} tokens " +
+        s"(seedFrac=$seedFrac too small, isGood degenerate, or seed " +
+        "text empty?)")
+    val (dgN, dbN) = (cnt(0), cnt(1))
     val consts = broadcast(tokTotals)
 
     val occurrences = docs.select(col(idCol),

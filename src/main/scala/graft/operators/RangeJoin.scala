@@ -83,8 +83,12 @@ object RangeJoin {
     // cast is applied ONLY to NTZ columns — a blanket cast would also
     // coerce strings/dates, turning an unparseable value into a silent
     // NULL row-drop instead of the analysis error unix_micros raises
+    // resolve through Spark's own analyzer (df.select), not
+    // StructType.apply — the latter is exact-case-only and would
+    // reject names that col() resolves fine (case-insensitive config,
+    // nested paths)
     def micros(df: DataFrame, tsCol: String): Column =
-      df.schema(tsCol).dataType match {
+      df.select(col(tsCol)).schema.head.dataType match {
         case org.apache.spark.sql.types.TimestampNTZType =>
           unix_micros(col(tsCol).cast("timestamp"))
         case _ => unix_micros(col(tsCol))

@@ -83,16 +83,22 @@ object StreamingContamination {
                      expectedGrams: Long = 0L, fpp: Double = 0.01)
       : org.apache.spark.util.sketch.BloomFilter = {
     require(n >= 1, s"ngrams needs n >= 1, got $n")
+    // cached across the sizing count and the filter build — without it
+    // the explode + distinct (the expensive pass, at exactly the scale
+    // this tier exists for) runs twice
     val hashes = evalDocs
       .select(explode(TextFunctions.ngrams(col(textCol), n)).as("__g"))
       .select(xxhash64(col("__g")).as("__h")).distinct()
-    val nGrams =
-      if (expectedGrams > 0L) expectedGrams
-      else math.max(hashes.count(), 1L)
-    // few build partitions: bloom_filter_agg ships one filter buffer
-    // per partition through a single-partition exchange (the batch
-    // operator's documented trade)
-    hashes.coalesce(8).stat.bloomFilter("__h", nGrams, fpp)
+      .persist()
+    try {
+      val nGrams =
+        if (expectedGrams > 0L) expectedGrams
+        else math.max(hashes.count(), 1L)
+      // few build partitions: bloom_filter_agg ships one filter buffer
+      // per partition through a single-partition exchange (the batch
+      // operator's documented trade)
+      hashes.coalesce(8).stat.bloomFilter("__h", nGrams, fpp)
+    } finally hashes.unpersist()
   }
 
   /** [[flagContaminated]] with the Bloom index: flags are a SUPERSET

@@ -109,6 +109,20 @@ class CorpusScoringSpec extends SparkTestBase {
     assert(e.getMessage.contains("degenerate NB seed"))
   }
 
+  test("naiveBayesQuality fails fast when a seed class has no tokens") {
+    // both classes present as DOCS, but the bad class is all NULL text
+    // (zero tokens): the model's bad side would be empty and every
+    // score silently NULL without the token-total guard
+    val halfNull = ((1L to 30L).map(i => (i, s"clean prose words g$i")) ++
+      (31L to 60L).map(i => (i, null.asInstanceOf[String])))
+      .toDF("id", "text")
+    val e = intercept[IllegalArgumentException] {
+      CorpusScoring.naiveBayesQuality(halfNull, "id", "text",
+        isGood = col("id") <= 30, seedFrac = 1.0)
+    }
+    assert(e.getMessage.contains("degenerate NB seed"))
+  }
+
   test("naiveBayesQuality rejects bad seed fractions") {
     intercept[IllegalArgumentException] {
       CorpusScoring.naiveBayesQuality(labeled, "id", "text", isGood,
