@@ -887,6 +887,14 @@ object SparkEntry {
       SpanDedup.spanStats(t(s, dir, "documents"), "doc_id", "text",
         width = 8)),
 
+    // the REWRITE step over the same spans: strip every non-canonical
+    // repeat (first corpus occurrence by (doc, pos) is kept), emitting
+    // the cleaned corpus — document text never rides an exchange; the
+    // rewrite is a per-doc span-list join + row-local token filter
+    "q_span_removal" -> ((s, dir) =>
+      SpanDedup.removeDuplicatedSpans(t(s, dir, "documents"), "doc_id",
+        "text", width = 8)),
+
     // CDC -> SCD2 validity intervals (one window pass, no self-join);
     // the batch complement of the as-of join
     "q_scd2" -> ((s, dir) =>
@@ -1000,6 +1008,30 @@ object SparkEntry {
     "q_dsir" -> ((s, dir) =>
       CorpusScoring.dsirWeights(t(s, dir, "documents"), "doc_id", "text",
         col("source").isin("src0", "src1", "src2"))),
+
+    // §2.10 corpus scoring: the importance-resampling DRAW over those
+    // weights — deterministic rejection acceptance u < exp(logw − shift)
+    // (md5-quantized at 1/65536), map-only after the 256-row model
+    // collect; shift = −2 ≈ the corpus median logw, so the draw mixes
+    // saturated keeps, probabilistic keeps, and rejections
+    "q_dsir_sample" -> ((s, dir) =>
+      CorpusScoring.importanceResample(t(s, dir, "documents"), "doc_id",
+        "text", col("source").isin("src0", "src1", "src2"),
+        shift = -2.0)),
+
+    // §2.10 assembly: highest-quality prefix under a global token
+    // budget — distributed prefix-sum (range sort + per-partition
+    // offsets), never a single-partition window; budget fixed so the
+    // kept fraction shrinks as the corpus grows
+    "q_token_budget" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"),
+          round(TF.qualityScoreOf(col("text"), TF.tokens(col("text")),
+            Seq("the", "a")), 6).as("score"),
+          TF.tokenCount(col("text")).cast("long").as("n_tokens"))
+      TrainingOps.selectUnderTokenBudget(d, "doc_id", col("n_tokens"),
+        col("score"), budget = 15000L)
+    }),
 
     // §2.10 corpus scoring: Naive Bayes quality classifier — fit
     // per-class token counts on a 30% content-addressed seed labeled
@@ -1870,6 +1902,54 @@ object SparkEntry {
                 ELSE 0.0 END AS dup_fraction
          FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id""",
 
+    // removeDuplicatedSpans replay: rank gram occurrences by
+    // (doc, pos) — rank > 1 marks a non-canonical repeat — merge the
+    // covered intervals, drop the covered token positions, reassemble
+    // with single-space joins in position order
+    "q_span_removal" ->
+      raw"""WITH t AS (SELECT doc_id, text,
+             string_split_regex(trim(text), '\s+') AS arr FROM documents),
+         p AS (SELECT doc_id,
+             unnest(range(1, greatest(len(arr) - 7, 0) + 1)) AS pos, arr
+           FROM t),
+         g AS (SELECT doc_id, pos,
+             array_to_string(arr[pos:pos+7], ' ') AS gram FROM p),
+         d AS (SELECT doc_id, pos FROM (
+             SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+             FROM g) x
+           WHERE rn > 1),
+         i AS (SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+                  THEN 1 ELSE 0 END AS brk
+           FROM d),
+         s2 AS (SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+           FROM i),
+         spans AS (SELECT doc_id, min(pos) AS ss, max(pos) + 7 AS ee
+           FROM s2 GROUP BY doc_id, grp),
+         rem AS (SELECT doc_id, unnest(range(ss, ee + 1)) AS rpos FROM spans),
+         tk AS (SELECT doc_id, unnest(arr) AS tok,
+             unnest(range(1, len(arr) + 1)) AS pos FROM t),
+         kept AS (SELECT tk.doc_id, tk.pos, tk.tok
+           FROM tk LEFT JOIN rem
+             ON tk.doc_id = rem.doc_id AND tk.pos = rem.rpos
+           WHERE rem.rpos IS NULL),
+         agg AS (SELECT doc_id,
+             string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+             count(*) AS kept_tokens
+           FROM kept GROUP BY doc_id)
+         SELECT t.doc_id,
+           CASE WHEN t.text IS NULL THEN NULL
+                ELSE coalesce(agg.clean_text, '') END AS clean_text,
+           CASE WHEN t.text IS NULL THEN NULL
+                ELSE CAST(len(t.arr) AS BIGINT) END AS n_tokens,
+           CASE WHEN t.text IS NULL THEN NULL
+                ELSE CAST(coalesce(agg.kept_tokens, 0) AS BIGINT)
+                END AS kept_tokens
+         FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id""",
+
     "q_scd2" ->
       """SELECT user_id, event_id, event_type, value,
          ts AS valid_from,
@@ -2094,6 +2174,68 @@ object SparkEntry {
            round(sum(lr.lrv), 6) AS logw
          FROM tok JOIN lr USING (b)
          GROUP BY tok.doc_id""",
+
+    // importanceResample replay: the q_dsir weights, then the
+    // deterministic rejection draw — keep iff logw >= shift (saturated)
+    // or the md5 4-hex uniform lands under the 1/65536-quantized
+    // acceptance threshold floor(exp(logw - shift) * 65536)
+    "q_dsir_sample" ->
+      raw"""WITH tok AS (
+             SELECT doc_id, source IN ('src0', 'src1', 'src2') AS is_t,
+               substr(md5(unnest(string_split_regex(trim(text), '\s+'))), 1, 2) AS b
+             FROM documents),
+           c AS (
+             SELECT b,
+               sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS t_n,
+               sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS r_n
+             FROM tok GROUP BY b),
+           t AS (SELECT sum(t_n) AS tt, sum(r_n) AS rt FROM c),
+           lr AS (
+             SELECT b,
+               ln(CAST(t_n + 1 AS DOUBLE) / (tt + 256)) -
+               ln(CAST(r_n + 1 AS DOUBLE) / (rt + 256)) AS lrv
+             FROM c CROSS JOIN t),
+           w AS (
+             SELECT tok.doc_id, count(*) AS n_tokens,
+               round(sum(lr.lrv), 6) AS logw
+             FROM tok JOIN lr USING (b)
+             GROUP BY tok.doc_id)
+         SELECT doc_id, n_tokens, logw FROM w
+         WHERE logw >= -2.0
+            OR substr(md5('dsirsamp:' || CAST(doc_id AS VARCHAR)), 1, 4)
+               < printf('%04x',
+                   CAST(floor(least(1.0, exp(logw - (-2.0))) * 65536) AS INT))""",
+
+    // selectUnderTokenBudget replay: the q_quality score, the naive
+    // single-window cumulative token sum over (score desc, id), keep
+    // while cum <= budget — the engine's distributed prefix-sum must
+    // reproduce this exactly (integer sums are partition-independent)
+    "q_token_budget" ->
+      raw"""WITH s AS (
+           SELECT doc_id, text,
+             len(string_split_regex(trim(text), '\s+')) AS n,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+                 t -> t = 'the' OR t = 'a'))
+               / greatest(len(string_split_regex(trim(text), '\s+')), 1) AS stop_ratio,
+             (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+               / greatest(length(text), 1) AS punct_ratio
+           FROM documents),
+         q AS (SELECT doc_id,
+           round(
+             (CASE WHEN n < 10 THEN CAST(n AS DOUBLE) / 10.0
+                   WHEN n > 100000 THEN 100000.0 / CAST(n AS DOUBLE)
+                   ELSE 1.0 END) * 0.4
+             + (1.0 - least(punct_ratio * 5, 1.0)) * 0.3
+             + least(stop_ratio * 10, 1.0) * 0.3, 6) AS score,
+           CAST(n AS BIGINT) AS n_tokens
+           FROM s),
+         c AS (SELECT doc_id, score, n_tokens,
+           CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_tokens
+           FROM q)
+         SELECT doc_id, score, n_tokens, cum_tokens
+         FROM c WHERE cum_tokens <= 15000""",
 
     // naiveBayesQuality replay: q_quality's rounded score >= 0.88
     // labels a 30% md5-selected seed ('4ccc' = floor(0.3 * 65536) in

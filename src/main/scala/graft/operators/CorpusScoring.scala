@@ -90,6 +90,46 @@ object CorpusScoring {
         round(NE.dsirScore(col("__toks"), weights), 6).as("logw"))
   }
 
+  /** DSIR importance RESAMPLING — the selection step the weights exist
+    * for (Xie et al. 2023 §3: sample the raw pool with probability
+    * proportional to the importance weight). Deterministic rejection
+    * form: document i is kept iff
+    *
+    *   u_i < min(1, exp(logw_i − shift))
+    *
+    * with u_i the content-addressed md5 uniform (`seed:id`, first four
+    * hex chars — the same 1/65536-quantized acceptance mechanism as
+    * [[graft.operators.TrainingOps.hashSample]] and temperatureMix, so
+    * the draw is reproducible under retries, corpus growth, and
+    * external engines). `shift` tunes the acceptance budget without a
+    * corpus-wide normalization pass: exp(logw − shift) needs no global
+    * sum-of-weights, so the scoring+selection stays MAP-ONLY after the
+    * 256-row model collect — a corpus-wide softmax normalizer would
+    * put a sequential window over every document for no semantic gain
+    * (docs with logw ≥ shift are always kept; each unit of shift
+    * decimates the rest by e).
+    *
+    * The acceptance probability is computed from the ROUNDED logw (the
+    * 6-decimal output contract of [[dsirWeights]]) so independent
+    * engines exponentiate bit-identical inputs.
+    *
+    * Output: the selected (idCol, n_tokens, logw) rows.
+    */
+  def importanceResample(docs: DataFrame, idCol: String, textCol: String,
+                         isTarget: Column, shift: Double = 0.0,
+                         seed: String = "dsirsamp"): DataFrame = {
+    val weighted = dsirWeights(docs, idCol, textCol, isTarget)
+    val th = floor(least(lit(1.0), exp(col("logw") - shift)) * 65536)
+      .cast("int")
+    // logw >= shift saturates to always-keep explicitly: the threshold
+    // 65536 would format as the 5-char "10000", which sorts BELOW most
+    // 4-char buckets (same hazard keepFraction documents)
+    weighted.filter(
+      col("logw") >= shift ||
+        substring(md5(concat(lit(seed + ":"), col(idCol).cast("string"))),
+          1, 4) < format_string("%04x", th))
+  }
+
   /** Token-count Naive Bayes quality classifier: fit per-class token
     * counts on a deterministic hash-selected seed slice whose labels
     * come from `isGood` (typically a heuristic like

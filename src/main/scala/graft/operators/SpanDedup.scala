@@ -94,6 +94,87 @@ object SpanDedup {
         (col("span_end") - col("span_start") + 1).as("span_tokens"))
   }
 
+  /** Rewrite the corpus with repeated spans REMOVED, keeping one
+    * canonical copy — the actual dedup step of Lee et al. 2022 (their
+    * "ExactSubstr" variant deletes all but one occurrence of every
+    * repeated substring), where [[duplicatedSpans]]/[[spanStats]] only
+    * report.
+    *
+    * Contract: the FIRST corpus occurrence of each duplicated
+    * `width`-gram — ordered by (doc_id, pos) — is canonical and kept;
+    * every other occurrence marks its `width` tokens for removal.
+    * Removal regions merge into maximal spans exactly as in
+    * [[duplicatedSpans]], and the document is re-emitted with the
+    * covered tokens dropped (remaining tokens joined by single
+    * spaces — tokenizer-canonical whitespace). A document whose spans
+    * are all canonical (or that has none) passes through with only the
+    * whitespace normalization.
+    *
+    * Shape at scale: document TEXT never rides an exchange. The
+    * duplicated-start pass shuffles fixed-width `(gram_hash, doc_id,
+    * pos)` rows (O(corpus tokens), same as [[duplicatedSpans]] — the
+    * canonicity test is a `row_number` in the same gram-hash window
+    * that already computes the frequency); removal spans collapse to
+    * one small `(start, end)` list per affected document; and the
+    * rewrite is one equi-join of that list back to the docs on the id
+    * plus a row-local array filter over the token positions — no
+    * token-level join, no per-token shuffle of strings.
+    *
+    * Output: (doc_id, clean_text, n_tokens, kept_tokens) for EVERY
+    * input document (null text stays null with null counts).
+    */
+  def removeDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                            width: Int = 8): DataFrame = {
+    Seq("__spans", "__rm_id").foreach(r =>
+      require(!docs.columns.contains(r),
+        s"column name $r is reserved by removeDuplicatedSpans"))
+    val tokenHashes = transform(TextFunctions.tokens(col(textCol)),
+      t => xxhash64(t))
+    val grams = graft.functions.NativeExpressions.gramHashes(
+      tokenHashes, width)
+    val positioned = docs
+      .select(col(idCol).as("doc_id"), posexplode(grams))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("gram_hash"))
+    // row_number over the gram-hash partition: rank 1 = the canonical
+    // (first by doc, pos) occurrence; any rank above 1 is by definition
+    // a repeat of a duplicated gram — one window does both the
+    // frequency test and the canonicity test
+    val gw = Window.partitionBy("gram_hash").orderBy("doc_id", "pos")
+    val starts = positioned
+      .withColumn("__rn", row_number().over(gw))
+      .filter(col("__rn") > 1)
+      .select("doc_id", "pos")
+    // same interval-merge as duplicatedSpans: starts p < q share a
+    // maximal removal span iff q <= p + width
+    val dw = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = starts
+      .withColumn("__brk",
+        when(col("pos") - lag("pos", 1).over(dw) > width, 1L).otherwise(0L))
+      .withColumn("__grp", sum("__brk").over(
+        dw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("__grp"))
+      .agg(min("pos").as("s"), (max("pos") + (width - 1)).as("e"))
+    val perDoc = spans.groupBy("doc_id")
+      .agg(collect_list(struct(col("s"), col("e"))).as("__spans"))
+      .withColumnRenamed("doc_id", "__rm_id")
+    val toks = TextFunctions.tokens(col(textCol))
+    // row-local rewrite: keep token i (1-based) iff no removal span
+    // covers it; span order in the collected list is irrelevant (the
+    // probe is an order-insensitive exists)
+    val kept = filter(toks, (_, i) =>
+      col("__spans").isNull ||
+        !exists(col("__spans"), sp =>
+          (i.cast("long") + 1) >= sp("s") && (i.cast("long") + 1) <= sp("e")))
+    docs
+      .join(perDoc, col(idCol) === col("__rm_id"), "left")
+      .select(col(idCol).as("doc_id"),
+        when(col(textCol).isNull, lit(null).cast("string"))
+          .otherwise(concat_ws(" ", kept)).as("clean_text"),
+        size(toks).cast("long").as("n_tokens"),
+        size(kept).cast("long").as("kept_tokens"))
+  }
+
   /** Per-document duplication profile: token count, tokens covered by
     * duplicated spans, and the duplicated fraction — the filter signal a
     * pipeline thresholds on (e.g. drop documents that are mostly

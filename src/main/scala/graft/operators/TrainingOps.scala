@@ -565,6 +565,84 @@ object TrainingOps {
       .drop("__base", "__th", "__copies")
   }
 
+  /** Select the best documents under a global TOKEN BUDGET: order the
+    * pool by (score desc, id) and keep the prefix whose cumulative
+    * token count stays ≤ `budget` — the "assemble the highest-quality
+    * N-token training set" step that turns a per-document quality
+    * score into an actual dataset size decision.
+    *
+    * Shape at scale — a naive `sum(...) over (order by score)` window
+    * is a SINGLE-partition sort at 100 TB; this is the distributed
+    * prefix-sum instead: one range exchange (Spark's scalable global
+    * sort), one bounded per-partition total aggregation (#partitions
+    * rows collected — the IVF-centroid-collect stance), and one
+    * map-only pass that adds each partition's driver-prefix offset to
+    * its local running total. Partitions whose offset already exceeds
+    * the budget emit nothing without being scanned. Token counts are
+    * LONGS, so the cumulative sum is exact and partition-boundary
+    * independent — the kept set is a pure function of (scores, ids,
+    * counts) regardless of parallelism.
+    *
+    * `scoreCol` must be non-null (order ties across engines are broken
+    * by the id; null ordering is engine-specific) and `tokenCountCol`
+    * non-negative — both hold for the library's score/count functions.
+    *
+    * Output: the input columns plus `cum_tokens` (the running total
+    * INCLUDING the row), for the kept rows in score order.
+    */
+  def selectUnderTokenBudget(df: DataFrame, idCol: String,
+                             tokenCountCol: Column, scoreCol: Column,
+                             budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    val reserved = Seq("__ntok", "__score", "cum_tokens")
+    reserved.foreach(r => require(!df.columns.contains(r),
+      s"column name $r is reserved by selectUnderTokenBudget"))
+    val sorted = df
+      .withColumn("__score", scoreCol)
+      .withColumn("__ntok", tokenCountCol.cast("long"))
+      .orderBy(col("__score").desc_nulls_last, col(idCol))
+      .persist()
+    val ntokI = sorted.schema.fieldIndex("__ntok")
+    def ntokOf(row: org.apache.spark.sql.Row): Long =
+      if (row.isNullAt(ntokI)) 0L else math.max(row.getLong(ntokI), 0L)
+    // one (index, total) per partition, bounded by the shuffle
+    // parallelism; the cache makes the totals pass and the output pass
+    // see the same materialized sort (the ContextCleaner drops it with
+    // the plan). mapPartitionsWithIndex — NOT TaskContext/
+    // spark_partition_id: those report the TASK's partition, which is
+    // wrong whenever a downstream coalesce computes several sorted
+    // partitions inside one task; the index parameter is bound to the
+    // RDD partition at build time and survives any such fusion.
+    val rdd = sorted.rdd
+    val partTotals = rdd
+      .mapPartitionsWithIndex((idx, it) =>
+        Iterator(idx -> it.foldLeft(0L)(_ + ntokOf(_))))
+      .collect().sortBy(_._1)
+    val offsets: Map[Int, Long] = partTotals.map(_._1)
+      .zip(partTotals.scanLeft(0L)(_ + _._2)).toMap
+    val outSchema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "cum_tokens", org.apache.spark.sql.types.LongType))
+    val b = budget
+    val out = rdd.mapPartitionsWithIndex { (idx, iter) =>
+      val start = offsets.getOrElse(idx, 0L)
+      if (start > b) Iterator.empty
+      else {
+        var cum = start
+        iter.map { row =>
+          cum += ntokOf(row)
+          org.apache.spark.sql.Row.fromSeq(
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(
+              Array.tabulate[Any](row.length)(row.get) :+ (cum: Any)))
+          // counts are non-negative, so the running total is monotone:
+          // once past the budget the rest of the partition is too
+        }.takeWhile(_.getLong(outSchema.length - 1) <= b)
+      }
+    }
+    sorted.sparkSession.createDataFrame(out, outSchema)
+      .drop("__score", "__ntok")
+  }
+
   /** The end-to-end training-set assembly: quality filter → exact
     * dedup → leakage-safe split → sequence packing, composed from the
     * individually-oracled stages into one declarative plan. The value

@@ -53,6 +53,40 @@ class CorpusScoringSpec extends SparkTestBase {
       s"scoring pass must not shuffle:\n$plan")
   }
 
+  test("importanceResample keeps every saturated doc and only weighted docs") {
+    val weights = CorpusScoring
+      .dsirWeights(corpus, "id", "text", col("is_target"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val shift = 0.0
+    val kept = CorpusScoring.importanceResample(corpus, "id", "text",
+      col("is_target"), shift = shift)
+      .select("id").as[Long].collect().toSet
+    // acceptance is certain at logw >= shift, impossible only below:
+    // all needles/targets (logw > 0) must survive
+    val saturated = weights.filter(_._2 >= shift).keySet
+    assert(saturated.subsetOf(kept),
+      s"docs with logw >= shift must always be kept; missing " +
+        s"${saturated -- kept}")
+    assert(kept.subsetOf(weights.keySet))
+  }
+
+  test("importanceResample is deterministic and monotone in shift") {
+    def draw(shift: Double): Set[Long] =
+      CorpusScoring.importanceResample(corpus, "id", "text",
+        col("is_target"), shift = shift)
+        .select("id").as[Long].collect().toSet
+    assert(draw(0.0) === draw(0.0))
+    // a very low shift saturates everything; raising the shift can
+    // only shrink the draw (same uniforms, smaller thresholds)
+    val all = draw(-100.0)
+    assert(all.size === 130)
+    val mid = draw(0.0)
+    val high = draw(50.0)
+    assert(high.subsetOf(mid) && mid.subsetOf(all))
+    // exp(logw - 50) quantizes to zero acceptance for this corpus
+    assert(high.isEmpty)
+  }
+
   // quality labels with an unambiguous token signal: good docs speak
   // "clean" vocabulary, bad docs "spam" vocabulary
   private val labeled = ((1L to 60L).map(i =>

@@ -78,4 +78,35 @@ class SpanDedupSpec extends SparkTestBase {
     assert(got(3L) === ((3L, 20L, 0L, 0L, 0.0)))
     assert(got(4L) === ((4L, 8L, 0L, 0L, 0.0)))
   }
+
+  test("removeDuplicatedSpans keeps the canonical copy and strips the repeat") {
+    val got = SpanDedup.removeDuplicatedSpans(docs, "doc_id", "text", width = 8)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 1 is canonical for every shared gram (lowest doc id) — kept
+    // whole; doc 2's copy of the 12-token span [2..13] is removed,
+    // leaving only the lead-in token
+    assert(got(1L) === ((1L, doc1, 17L, 17L)))
+    assert(got(2L) === ((2L, "c1", 13L, 1L)))
+    // untouched docs pass through (already single-spaced)
+    assert(got(3L) === ((3L, doc3, 20L, 20L)))
+    assert(got(4L) === ((4L, doc4, 8L, 8L)))
+  }
+
+  test("removeDuplicatedSpans strips the second in-document copy only") {
+    val selfDup = Seq((10L, s"$shared q1 q2 $shared")).toDF("doc_id", "text")
+    val got = SpanDedup.removeDuplicatedSpans(selfDup, "doc_id", "text",
+      width = 8).as[(Long, String, Long, Long)].collect().head
+    assert(got === ((10L, s"$shared q1 q2", 26L, 14L)))
+  }
+
+  test("removeDuplicatedSpans conserves tokens: kept + removed covers spans") {
+    // every doc row emits; kept <= n; and for the planted corpus the
+    // removed token total equals the non-canonical span coverage
+    val rows = SpanDedup.removeDuplicatedSpans(docs, "doc_id", "text",
+      width = 8).as[(Long, String, Long, Long)].collect()
+    assert(rows.length === 4)
+    assert(rows.forall(r => r._4 <= r._3))
+    assert(rows.map(r => r._3 - r._4).sum === 12L)
+  }
 }

@@ -327,4 +327,51 @@ class TrainingOpsSpec extends SparkTestBase {
     val unclustered = got.keySet -- Set(10L, 11L, 12L, 200L, 201L)
     assert(unclustered.forall(id => got(id) === plain(id)))
   }
+
+  // ------------------------------------------------ token-budget select
+
+  private def budgetPool = Seq(
+    // (id, score, n_tokens) — ties on score broken by id
+    (1L, 0.9, 100L), (2L, 0.9, 50L), (3L, 0.8, 200L),
+    (4L, 0.7, 100L), (5L, 0.6, 300L), (6L, 0.5, 10L)
+  ).toDF("id", "score", "n_tokens")
+
+  private def runBudget(b: Long, pool: org.apache.spark.sql.DataFrame = budgetPool) =
+    TrainingOps.selectUnderTokenBudget(pool, "id", col("n_tokens"),
+      col("score"), budget = b)
+      .select("id", "cum_tokens").as[(Long, Long)].collect().sortBy(_._1)
+
+  test("selectUnderTokenBudget keeps the exact score-ordered prefix") {
+    // order: 1 (cum 100), 2 (150), 3 (350), 4 (450), 5 (750), 6 (760)
+    assert(runBudget(450L).toSeq ===
+      Seq((1L, 100L), (2L, 150L), (3L, 350L), (4L, 450L)))
+    // inclusive boundary: a row landing exactly on the budget is kept
+    assert(runBudget(449L).toSeq === Seq((1L, 100L), (2L, 150L), (3L, 350L)))
+    assert(runBudget(0L).isEmpty)
+    assert(runBudget(100000L).length === 6)
+  }
+
+  test("selectUnderTokenBudget is partition- and coalesce-independent") {
+    val want = runBudget(450L).toSeq
+    // input parallelism must not change the kept set or the cum values
+    assert(runBudget(450L, budgetPool.repartition(7)).toSeq === want)
+    assert(runBudget(450L, budgetPool.coalesce(1)).toSeq === want)
+    // the Verify shape: a DOWNSTREAM coalesce(1) fuses the sorted
+    // partitions into one task — partition offsets must still apply
+    // (TaskContext.getPartitionId would see a single task here)
+    val fused = TrainingOps.selectUnderTokenBudget(budgetPool, "id",
+      col("n_tokens"), col("score"), budget = 450L)
+      .coalesce(1)
+      .select("id", "cum_tokens").as[(Long, Long)].collect().sortBy(_._1)
+    assert(fused.toSeq === want)
+  }
+
+  test("selectUnderTokenBudget cumulative totals are globally exact") {
+    // 2000 docs, token count = id: global cum for id k (score constant,
+    // order by id) = k(k+1)/2; budget 500500 keeps exactly 1000 docs
+    val pool = (1L to 2000L).map(i => (i, 1.0, i)).toDF("id", "score", "n_tokens")
+    val got = runBudget(1000L * 1001L / 2L, pool)
+    assert(got.length === 1000)
+    assert(got.forall { case (id, cum) => cum === id * (id + 1) / 2 })
+  }
 }
