@@ -117,7 +117,16 @@ object OracleGen {
     * An emptied cell keeps its previous centroid (the COALESCE in the
     * centroid rebuild).
     */
-  def kmeansSql(k: Int, iters: Int, dim: Int): String = {
+  def kmeansSql(k: Int, iters: Int, dim: Int): String =
+    s"""WITH ${kmeansCtes(k, iters, dim)}
+       SELECT vec_id, cell_id FROM a${iters + 1}"""
+
+  /** The shared CTE chain of [[kmeansSql]] (`e` = double-cast vectors,
+    * `c0..c\$iters` = centroids, `a\${iters+1}` = the final
+    * assignment), so derived oracles (semDedupSql) replay the
+    * identical clustering before their own logic.
+    */
+  private def kmeansCtes(k: Int, iters: Int, dim: Int): String = {
     require(iters >= 1,
       // iters = 0 would leave a dangling comma between the c0 CTE and
       // the final assignment (empty iterCtes) — and needs no oracle
@@ -153,7 +162,7 @@ object OracleGen {
       assignCte(t, s"c${t - 1}") + ",\n       " + updateCte(t))
       .mkString(",\n       ")
     val finalAssign = assignCte(iters + 1, s"c$iters")
-    s"""WITH e AS (
+    s"""e AS (
          SELECT vec_id,
            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          FROM embeddings),
@@ -161,8 +170,71 @@ object OracleGen {
          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_id, v AS cv
          FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k)),
        $iterCtes,
-       $finalAssign
-       SELECT vec_id, cell_id FROM a${iters + 1}"""
+       $finalAssign"""
+  }
+
+  /** Oracle for [[graft.operators.SemDedup.semDedup]]: replay the
+    * rounded-Lloyd assignment, then flag every vector having a
+    * same-cluster neighbor with a smaller id and cosine >= tau.
+    * Zero-norm cosines are NULL and never pass the threshold — zero
+    * vectors are always kept, matching the operator.
+    */
+  def semDedupSql(k: Int, iters: Int, tau: Double, dim: Int): String = {
+    def nrm(v: String) =
+      s"sqrt(list_sum(list_transform($v, x -> x * x)))"
+    s"""WITH ${kmeansCtes(k, iters, dim)},
+       asgn AS (SELECT vec_id, cell_id FROM a${iters + 1}),
+       nn AS (SELECT vec_id, v, ${nrm("v")} AS nrm FROM e),
+       dropped AS (
+         SELECT DISTINCT b.vec_id AS hi
+         FROM asgn a JOIN asgn b
+           ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+         JOIN nn na ON na.vec_id = a.vec_id
+         JOIN nn nb ON nb.vec_id = b.vec_id
+         WHERE (CASE WHEN na.nrm * nb.nrm <> 0
+                     THEN ${dotSql("na.v", "nb.v", dim)} /
+                          (na.nrm * nb.nrm) END) >= $tau)
+       SELECT a.vec_id, a.cell_id, (d.hi IS NULL) AS keep
+       FROM asgn a LEFT JOIN dropped d ON d.hi = a.vec_id"""
+  }
+
+  /** Oracle for [[graft.operators.KnnClassify.classify]] with probes
+    * `vec_id < probeMax` and electorate `vec_id >= probeMax` (NULL
+    * labels excluded): exact cosine top-k (rank ties on neighbor_id,
+    * NULL cosines excluded — the bruteTopK contract), then majority
+    * vote with ties to the smaller label.
+    */
+  def knnClassifySql(probeMax: Int, k: Int, dim: Int): String = {
+    def nrm(v: String) =
+      s"sqrt(list_sum(list_transform($v, x -> x * x)))"
+    s"""WITH e AS (
+         SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings),
+       n AS (SELECT vec_id, label, v, ${nrm("v")} AS nrm FROM e),
+       p AS (SELECT * FROM n WHERE vec_id < $probeMax),
+       c AS (SELECT * FROM n
+             WHERE vec_id >= $probeMax AND label IS NOT NULL),
+       scored AS (
+         SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id, c.label,
+                CASE WHEN p.nrm * c.nrm <> 0
+                     THEN ${dotSql("p.v", "c.v", dim)} / (p.nrm * c.nrm)
+                END AS cosine
+         FROM p CROSS JOIN c WHERE c.vec_id <> p.vec_id),
+       ranked AS (
+         SELECT probe_id, label,
+                row_number() OVER (PARTITION BY probe_id
+                  ORDER BY cosine DESC, neighbor_id) AS rnk
+         FROM scored WHERE cosine IS NOT NULL),
+       votes AS (
+         SELECT probe_id, label, count(*) AS votes
+         FROM ranked WHERE rnk <= $k GROUP BY 1, 2)
+       SELECT probe_id, label AS pred_label, votes FROM (
+         SELECT probe_id, label, votes,
+                row_number() OVER (PARTITION BY probe_id
+                  ORDER BY votes DESC, label) AS vr
+         FROM votes) t
+       WHERE vr = 1"""
   }
 
   def ivfAnnSql(probeMax: Int, k: Int, nCells: Int, nProbe: Int,

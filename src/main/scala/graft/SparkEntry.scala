@@ -1090,7 +1090,32 @@ object SparkEntry {
           posexplode(VF.toDouble(col("embedding"))).as(Seq("dim_idx", "v")))
         .groupBy(col("label"), col("dim_idx").cast("long").as("dim_idx"))
         .agg(count(lit(1)).as("n_vecs"),
-          round(avg(col("v")), 6).as("centroid")))
+          round(avg(col("v")), 6).as("centroid"))),
+
+    // §2.10 text analysis: BM25 ranked retrieval — the lexical leg of
+    // query-driven corpus curation. df and corpus stats are broadcast
+    // (≤|query| rows, 1 row); top-k is TakeOrderedAndProject
+    "q_bm25" -> ((s, dir) =>
+      Bm25.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        queryTerms = Seq("join", "window", "scan"), k = 25)),
+
+    // §2.10 dedup tier: SemDeDup — rounded-Lloyd clustering, then
+    // within-cluster cosine pairs only (comparison volume bounded by
+    // the cluster size the k knob controls, never corpus-quadratic);
+    // keeper rule = smallest id in each over-threshold pair
+    "q_semdedup" -> ((s, dir) =>
+      SemDedup.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, iters = 2, tau = 0.30)),
+
+    // §2.10 similarity tier: k-NN label propagation — majority vote of
+    // the 10 nearest labeled neighbors (exact cosine; vote ties to the
+    // smaller label) for the 40 "unlabeled" probe vectors
+    "q_knn_classify" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      KnnClassify.classify(e.filter(col("vec_id") < 40),
+        e.filter(col("vec_id") >= 40), "vec_id", "embedding", "label",
+        k = 10)
+    })
   )
 
   // ---------------------------------------------------------------- oracle
@@ -2331,6 +2356,33 @@ object SparkEntry {
          ORDER BY pair_count DESC, sym_left, sym_right LIMIT 20""",
 
     "q_kmeans" -> OracleGen.kmeansSql(k = 8, iters = 2, dim = 64),
+
+    "q_semdedup" ->
+      OracleGen.semDedupSql(k = 8, iters = 2, tau = 0.30, dim = 64),
+
+    "q_knn_classify" ->
+      OracleGen.knnClassifySql(probeMax = 40, k = 10, dim = 64),
+
+    "q_bm25" ->
+      raw"""WITH tok AS (
+           SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+           FROM documents),
+         dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+         stats AS (SELECT avg(dl) AS avgdl, count(*) AS n FROM dl),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+                WHERE term IN ('join', 'window', 'scan') GROUP BY 1, 2),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         scored AS (
+           SELECT tf.doc_id,
+             round(sum(
+               ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
+               (tf * 2.2) /
+               (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS score
+           FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+           CROSS JOIN stats
+           GROUP BY tf.doc_id)
+         SELECT doc_id, score FROM scored
+         ORDER BY score DESC, doc_id LIMIT 25""",
 
     "q_centroids" ->
       """WITH e AS (

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** k-NN label propagation over an embedding column — classify
+  * unlabeled vectors by majority vote of their k nearest labeled
+  * neighbors (cosine). The standard bootstrap for quality/domain
+  * labels in training-data curation: hand-label a seed set, propagate
+  * to the corpus, filter on the propagated label. SURVEY §2.10
+  * similarity tier; no reference citation.
+  *
+  * Shape at scale: neighbor search is delegated to
+  * [[SimilaritySearch.bruteTopK]] (broadcast probes × corpus, exact)
+  * — swap in `ivfTopK`/`srpTopK` for large probe sets; the vote is an
+  * O(probes × k) aggregation, and the ranking window runs over at
+  * most `k` vote rows per probe. Nothing here is corpus-quadratic.
+  *
+  * Determinism: neighbor rank ties break on neighbor_id (the
+  * groupedTopK contract); vote ties break on the smaller label.
+  */
+object KnnClassify {
+
+  /** Returns (probe_id, pred_label, votes): the winning label among
+    * the k nearest labeled neighbors and its vote count. Labeled rows
+    * with a NULL label are excluded from the electorate.
+    */
+  def classify(probes: DataFrame, labeled: DataFrame, idCol: String,
+               vecCol: String, labelCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val electorate = labeled.filter(col(labelCol).isNotNull)
+    val nn = SimilaritySearch.bruteTopK(probes, electorate, idCol, vecCol, k)
+    val lab = electorate.select(col(idCol).as("__lid"),
+      col(labelCol).as("__lab"))
+    val votes = nn.join(lab, col("neighbor_id") === col("__lid"))
+      .groupBy(col("probe_id"), col("__lab"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("votes").desc, col("__lab"))
+    votes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("probe_id"), col("__lab").as("pred_label"), col("votes"))
+  }
+}
