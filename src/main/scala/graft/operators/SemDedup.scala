@@ -40,14 +40,16 @@ object SemDedup {
       .join(emb, col(idCol) === col("__eid"))
       .select(col(idCol).as("id"), col("cell_id"), col("__v"))
       .withColumn("__n", VectorFunctions.norm(col("__v")))
-    val lo = cellVecs.select(col("id").as("lo_id"), col("cell_id"),
+    val lo = cellVecs.select(col("id").as("lo_id"),
+      col("cell_id").as("lo_cell"),
       col("__v").as("__lv"), col("__n").as("__ln"))
-    val hi = cellVecs.select(col("id").as("hi_id"), col("cell_id"),
+    val hi = cellVecs.select(col("id").as("hi_id"),
+      col("cell_id").as("hi_cell"),
       col("__v").as("__hv"), col("__n").as("__hn"))
     // zero-norm cosines are NULL (never >= tau): zero vectors are
     // incomparable, so they are always kept — same rule both engines
     val dropped = lo.join(hi,
-        lo("cell_id") === hi("cell_id") && col("lo_id") < col("hi_id"))
+        col("lo_cell") === col("hi_cell") && col("lo_id") < col("hi_id"))
       .filter(VectorFunctions.cosineWithNorms(
         col("__lv"), col("__hv"), col("__ln"), col("__hn")) >= tau)
       .select(col("hi_id")).distinct()

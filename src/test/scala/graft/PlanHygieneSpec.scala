@@ -249,6 +249,32 @@ class PlanHygieneSpec extends SparkTestBase {
       s"exactly the dedup window + pack-shard window exchanges:\n${p.take(2000)}")
   }
 
+  test("q_bm25: broadcast df/stats, heap top-k — no global sort, no window") {
+    val p = plan("q_bm25")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must plan as per-partition heaps, not a global sort:\n${p.take(2000)}")
+    assert(!p.contains("Window"), "BM25 must not rank with a window")
+    assert(p.contains("BroadcastExchange"),
+      "the |query|-row df table and single-row stats must broadcast")
+  }
+
+  test("q_semdedup: pairs are cell-bucketed equi-joins, never all-pairs") {
+    val p = plan("q_semdedup")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"),
+      s"within-cluster pairing must key on cell_id:\n${p.take(2000)}")
+    assert(!p.contains("Window"),
+      "assignment is the row-local native argmax, not a ranking window")
+  }
+
+  test("q_knn_classify: neighbor search truncates map-side") {
+    val p = plan("q_knn_classify")
+    assert(p.contains("partial_topk"),
+      "map-side partial top-k missing — the exchange would carry every scored pair")
+    assert(!p.contains("CartesianProduct"),
+      "probe x corpus scoring must be the broadcast pair generator")
+  }
+
   test("native dot product is codegen-capable (starred projection)") {
     // the tokenizing queries are bounded by ArrayTransform (a
     // CodegenFallback higher-order function), but ArrayDotProduct
