@@ -198,6 +198,36 @@ object OracleGen {
        FROM asgn a LEFT JOIN dropped d ON d.hi = a.vec_id"""
   }
 
+  /** Oracle for [[graft.operators.BpeLearn.encodeStats]] with a FIXED
+    * merge table: each word becomes its characters joined by `~`, then
+    * each merge (l, r) applies as `replace(s, 'l~r', 'lr')` in rank
+    * order — sequential non-overlapping replace IS greedy
+    * left-to-right, so the chain replays the trainer's update rule
+    * exactly. Docs with no non-empty tokens emit no row (the UnigramLm
+    * convention). Merge symbols are restricted to [a-z0-9] so they
+    * embed in SQL literals verbatim (and can never contain the
+    * separator).
+    */
+  def bpeEncodeSql(merges: Seq[(String, String)]): String = {
+    require(merges.nonEmpty, "bpeEncodeSql needs at least one merge")
+    merges.foreach { case (l, r) =>
+      require((l + r).matches("[a-z0-9]+"),
+        s"merge symbols must be [a-z0-9]+, got ($l, $r)") }
+    val chain = merges.foldLeft("s") { case (acc, (l, r)) =>
+      s"replace($acc, '$l~$r', '$l$r')" }
+    raw"""WITH tok AS (
+         SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+         FROM documents),
+       sep AS (
+         SELECT doc_id,
+           rtrim(regexp_replace(w, '(.)', '\1~', 'g'), '~') AS s
+         FROM tok WHERE len(w) > 0),
+       enc AS (SELECT doc_id, $chain AS e FROM sep)
+       SELECT doc_id, count(*) AS n_words,
+         CAST(sum(len(string_split(e, '~'))) AS BIGINT) AS n_tokens
+       FROM enc GROUP BY doc_id"""
+  }
+
   /** Oracle for [[graft.operators.KnnClassify.classify]] with probes
     * `vec_id < probeMax` and electorate `vec_id >= probeMax` (NULL
     * labels excluded): exact cosine top-k (rank ties on neighbor_id,

@@ -1092,6 +1092,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_vecs"),
           round(avg(col("v")), 6).as("centroid"))),
 
+    // §2.10 text analysis: BPE ENCODE with a fixed merge table — the
+    // inference half of the tokenizer surface (q_bpe_pairs/BpeLearn is
+    // the training half). Map-only scan: the table rides inside the
+    // native expression; greedy left-to-right merging is replayed in
+    // the oracle as a separator-joined replace() chain
+    "q_bpe_encode" -> ((s, dir) =>
+      BpeLearn.encodeStats(t(s, dir, "documents"), "doc_id", "text",
+        BpeEncodeMerges)),
+
     // §2.10 text analysis: BM25 ranked retrieval — the lexical leg of
     // query-driven corpus curation. df and corpus stats are broadcast
     // (≤|query| rows, 1 row); top-k is TakeOrderedAndProject
@@ -1125,6 +1134,16 @@ object SparkEntry {
     * both (and a drift between the two operators shows up as exactly
     * one of the rows going red).
     */
+  /** Fixed rank-ordered merge table for q_bpe_encode — shared verbatim
+    * by the Spark side and the oracle generator so the two can never
+    * drift. Fixed (not learned) because the oracle must be
+    * scale-independent; the LEARNED table's correctness is BpeLearnSpec
+    * territory.
+    */
+  private val BpeEncodeMerges: Seq[(String, String)] = Seq(
+    "t" -> "a", "ta" -> "b", "tab" -> "l", "tabl" -> "e",
+    "a" -> "n", "i" -> "n", "o" -> "w", "s" -> "c")
+
   private val ContaminationOracleSql: String =
     raw"""WITH s AS (
          SELECT doc_id,
@@ -2359,6 +2378,8 @@ object SparkEntry {
 
     "q_semdedup" ->
       OracleGen.semDedupSql(k = 8, iters = 2, tau = 0.30, dim = 64),
+
+    "q_bpe_encode" -> OracleGen.bpeEncodeSql(BpeEncodeMerges),
 
     "q_knn_classify" ->
       OracleGen.knnClassifySql(probeMax = 40, k = 10, dim = 64),

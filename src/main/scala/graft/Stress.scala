@@ -271,6 +271,27 @@ object Stress {
       (hits.count(), s""","twins_found":$twinsFound,"probes":$qProbes""")
     }
 
+    // ------------------------------------------------------- SemDeDup
+    // within-cluster cosine dedup over the rounded-Lloyd assignment.
+    // The comparison volume is k * (N/k)^2 — the k knob IS the scale
+    // lever (the paper sizes k so clusters stay in the tens of
+    // thousands); here N/250 caps per-cluster pairs at ~31k. Planted
+    // twins are identical vectors, so they always share a cluster and
+    // every pair must drop exactly its higher id at tau = 0.99;
+    // random 64-dim pairs essentially never reach 0.99, so the drop
+    // count is EXACTLY the planted pair count — an exactness bar, not
+    // a statistical one.
+    val sdCells = math.max(64, math.min(4096, (nVecs / 250).toInt))
+    phase("semdedup") {
+      val flags = operators.SemDedup.semDedup(
+        vecs, "vec_id", "embedding", k = sdCells, iters = 1, tau = 0.99)
+      val drops = flags.filter(!col("keep")).count()
+      require(drops == nDupVecs / 2,
+        s"semdedup must drop exactly the ${nDupVecs / 2} planted " +
+          s"higher-id twins, got $drops")
+      (flags.count(), s""","n_cells":$sdCells,"drops":$drops""")
+    }
+
     vecs.unpersist()
 
     // ------------------------------------- minhash LSH candidate pairs

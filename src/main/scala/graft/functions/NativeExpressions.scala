@@ -475,6 +475,89 @@ object NativeExpressions {
       copy(child = c)
   }
 
+  /** Greedy BPE merge application over a word-token array: each word
+    * splits into single UTF-16 characters (the `learnMerges`
+    * convention) and the merge table applies in rank order, each rank
+    * greedily left-to-right — exactly the training loop's update rule
+    * ([[graft.operators.BpeLearn.learnMerges]]), so encoding a corpus
+    * with its own learned table reproduces the trainer's final symbol
+    * state. O(nMerges x wordLen) per word: production tokenizers use a
+    * pair-priority heap, but rank-order scanning is exact and table
+    * sizes here are tens of merges. Greedy left-to-right equals
+    * sequential non-overlapping `replace` (resume after the merged
+    * pair), which is what makes the operation replayable as a
+    * separator-joined replace() chain in ANSI SQL (q_bpe_encode's
+    * oracle). `merges` is rank-order interleaved [l0, r0, l1, r1, ...]
+    * so the codegen reference stays a flat String[].
+    */
+  def bpeEncodeEval(arr: ArrayData, merges: Array[String]): ArrayData = {
+    val nWords = arr.numElements()
+    val out = new java.util.ArrayList[Any](nWords * 2)
+    var w = 0
+    while (w < nWords) {
+      if (!arr.isNullAt(w)) {
+        val word = arr.getUTF8String(w).toString
+        if (word.nonEmpty) {
+          val syms = new Array[String](word.length)
+          var i = 0
+          while (i < word.length) {
+            syms(i) = String.valueOf(word.charAt(i))
+            i += 1
+          }
+          var n = word.length
+          var m = 0
+          while (m < merges.length) {
+            val l = merges(m)
+            val r = merges(m + 1)
+            var src = 0
+            var dst = 0
+            while (src < n) {
+              if (src < n - 1 && syms(src) == l && syms(src + 1) == r) {
+                syms(dst) = syms(src) + syms(src + 1)
+                src += 2
+              } else {
+                syms(dst) = syms(src)
+                src += 1
+              }
+              dst += 1
+            }
+            n = dst
+            m += 2
+          }
+          var t = 0
+          while (t < n) {
+            out.add(org.apache.spark.unsafe.types.UTF8String
+              .fromString(syms(t)))
+            t += 1
+          }
+        }
+      }
+      w += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  case class BpeEncode(child: Expression, merges: Array[String])
+      extends UnaryExpression {
+    require(merges.length % 2 == 0,
+      s"merges must interleave [l, r] pairs, got ${merges.length} entries")
+    override def dataType: DataType =
+      ArrayType(StringType, containsNull = false)
+
+    override def nullSafeEval(input: Any): Any =
+      bpeEncodeEval(input.asInstanceOf[ArrayData], merges)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("graftBpeMerges", merges,
+        "java.lang.String[]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.NativeExpressions.bpeEncodeEval($c, $ref);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   case class NgramRepetitionRatio(child: Expression, n: Int)
       extends UnaryExpression {
     require(n >= 1, s"ngram repetition needs n >= 1, got $n")
@@ -1197,6 +1280,10 @@ object NativeExpressions {
 
   def ngramArray(toks: Column, n: Int): Column =
     ColumnBridge.column(NgramArray(ColumnBridge.expression(toks), n))
+
+  def bpeEncode(toks: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(BpeEncode(ColumnBridge.expression(toks),
+      merges.flatMap { case (l, r) => Seq(l, r) }.toArray))
 
   def tokenStats(toks: Column, stopwords: Seq[String],
                  needTypes: Boolean = true): Column =

@@ -127,4 +127,37 @@ object BpeLearn {
     learnMerges(docs, textCol, nMerges, maxWords)
       .toDF("merge_rank", "left", "right")
   }
+
+  /** ENCODE with a (learned or fixed) merge table — the inference half
+    * of the tokenizer surface: per document, whitespace words split to
+    * characters, the merges applied in rank order greedily
+    * left-to-right (the exact training update rule, via the native
+    * [[graft.functions.NativeExpressions.BpeEncode]] expression).
+    * Output (idCol, tokens: array<string>). Map-only: the merge table
+    * rides inside the expression (plan reference object, broadcast
+    * with the task binary), so the encode is a zero-shuffle scan at
+    * any corpus size — token-count aggregation afterwards is the
+    * caller's one shuffle.
+    */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+             merges: Seq[(String, String)]): DataFrame =
+    docs.select(col(idCol),
+      graft.functions.NativeExpressions.bpeEncode(
+        TF.tokens(col(textCol)), merges).as("tokens"))
+
+  /** Per-document encode statistics (idCol, n_words, n_tokens) — the
+    * token-budget accounting shape (how many subword tokens does this
+    * corpus cost under this vocabulary). Docs with no non-empty tokens
+    * (NULL or blank text) emit no row — the UnigramLm convention, and
+    * the oracle's GROUP-BY-over-words behavior.
+    */
+  def encodeStats(docs: DataFrame, idCol: String, textCol: String,
+                  merges: Seq[(String, String)]): DataFrame = {
+    val toks = TF.tokens(col(textCol))
+    docs.select(col(idCol),
+      size(filter(toks, w => length(w) > 0)).cast("long").as("n_words"),
+      size(graft.functions.NativeExpressions.bpeEncode(toks, merges))
+        .cast("long").as("n_tokens"))
+      .filter(col("n_words") > 0)
+  }
 }

@@ -151,4 +151,47 @@ object StreamingDedup {
         least(col("keptId"), col("newId")).as("id_a"),
         greatest(col("keptId"), col("newId")).as("id_b"),
         col("band"), col("bucket"))
+
+  /** EMBEDDING near-dup over an ingest stream: arriving vectors are
+    * bucketed by the SAME deterministic SRP hyperplanes as the batch
+    * operator ([[graft.operators.SimilaritySearch.cosineDupePairsLsh]]
+    * via `NativeExpressions.srpBucketArray` — seed-derived literals, so
+    * a vector collides with identical buckets in either mode), then
+    * fed through the IDENTICAL champion-per-bucket state machine as
+    * the text tier. A candidate pair means "same sign pattern on every
+    * hyperplane of some band"; exact cosine confirmation is a batch
+    * job over the pair log + vector store, exactly as the batch
+    * operator verifies in-bucket. State stays 8 bytes per member per
+    * band — bounded by SRP bucket occupancy, which bitsPerBand sizes
+    * (~log2(corpus) keeps buckets near-singleton for random vectors,
+    * so the state per bucket is the near-dup GROUPS, not the corpus).
+    */
+  def srpBandedStream(vecs: DataFrame, idCol: String, vecCol: String,
+                      bands: Int = 8, bitsPerBand: Int = 16,
+                      maxDim: Int = 64): Dataset[BandedDoc] = {
+    val idType = vecs.schema(idCol).dataType
+    require(Seq("byte", "short", "integer", "long")
+      .contains(idType.typeName),
+      s"$idCol must be an integral id column, got $idType " +
+        "(hash or dictionary-encode string ids upstream)")
+    vecs.select(col(idCol).cast("long").as("docId"),
+        posexplode(NativeExpressions.srpBucketArray(
+          col(vecCol), bands, bitsPerBand, maxDim)))
+      .select(col("docId"), col("pos").as("band"), col("col").as("bucket"))
+      .as[BandedDoc]
+  }
+
+  /** End-to-end embedding tier: vectors in, candidate near-dup pairs
+    * out (id_a < id_b normalized, matching the batch operator's
+    * candidate set restricted to champion pairings).
+    */
+  def vecNearDupPairsStream(vecs: DataFrame, idCol: String, vecCol: String,
+                            bands: Int = 8, bitsPerBand: Int = 16,
+                            maxDim: Int = 64): DataFrame =
+    minhashDedupStream(srpBandedStream(vecs, idCol, vecCol,
+      bands, bitsPerBand, maxDim))
+      .select(
+        least(col("keptId"), col("newId")).as("id_a"),
+        greatest(col("keptId"), col("newId")).as("id_b"),
+        col("band"), col("bucket"))
 }

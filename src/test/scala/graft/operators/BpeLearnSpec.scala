@@ -57,4 +57,54 @@ class BpeLearnSpec extends SparkTestBase {
       BpeLearn.learnMerges(docs, "text", 1, maxWords = 0)
     }
   }
+
+  test("encode applies merges in rank order, greedily left-to-right") {
+    val docs = Seq((0L, "table tab a aaaa")).toDF("doc_id", "text")
+    val merges = Seq("t" -> "a", "ta" -> "b", "a" -> "a")
+    val toks = BpeLearn.encode(docs, "doc_id", "text", merges)
+      .collect().head.getSeq[String](1)
+    // table: t a b l e -> ta b l e -> tab l e (no (tab,l) merge)
+    // tab: -> ta b -> tab; a: single char; aaaa: (a,a) greedy -> aa aa
+    assert(toks === Seq("tab", "l", "e", "tab", "a", "aa", "aa"))
+  }
+
+  test("encode with the learned table reproduces the trainer's final state") {
+    // learnMerges's update rule and encode must be the same function:
+    // encoding the training corpus with all learned merges yields the
+    // trainer's final symbol sequences
+    val docs = Seq((0L, "abab abc ab"), (1L, "abab abab")).toDF("doc_id", "text")
+    val learned = BpeLearn.learnMerges(docs, "text", nMerges = 3)
+      .map { case (_, l, r) => (l, r) }
+    val enc = BpeLearn.encode(docs, "doc_id", "text", learned)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // merges: (a,b) -> ab; (ab,ab) -> abab; (ab,c) or (abab, ...) per counts
+    // independent check: re-run the trainer's own greedy application
+    def apply1(word: String): Seq[String] = {
+      var syms = word.split("").filter(_.nonEmpty).toSeq
+      learned.foreach { case (l, r) =>
+        val out = Seq.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms
+    }
+    assert(enc(0L) === "abab abc ab".split(" ").toSeq.flatMap(apply1))
+    assert(enc(1L) === "abab abab".split(" ").toSeq.flatMap(apply1))
+  }
+
+  test("encodeStats counts words and subword tokens, skipping empty docs") {
+    val docs = Seq((0L, "table scan"), (1L, "   "), (2L, null))
+      .toDF("doc_id", "text")
+    val out = BpeLearn.encodeStats(docs, "doc_id", "text",
+        Seq("t" -> "a", "ta" -> "b", "s" -> "c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // table -> [ta b l e]? no: (t,a) then (ta,b) -> [tab, l, e] = 3;
+    // scan -> [sc, a, n] = 3
+    assert(out.toSeq === Seq((0L, 2L, 6L)))
+  }
 }

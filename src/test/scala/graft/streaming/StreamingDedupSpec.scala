@@ -178,4 +178,48 @@ class StreamingDedupSpec extends SparkTestBase {
     assert(pairs === Set((5L, 7L), (5L, 9L)),
       s"lowest id must be champion regardless of arrival order, got $pairs")
   }
+
+  test("vecNearDupPairsStream pairs identical vectors across batches, skips unrelated") {
+    implicit val sqlCtx = spark.sqlContext
+    // direction twins (identical vectors -> identical SRP sign pattern
+    // in EVERY band) planted among well-separated unrelated directions
+    def v(seed: Int): Seq[Float] =
+      (0 until 8).map(j => (((seed * 31 + j * 17) % 19) - 9).toFloat)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val vecs = input.toDF().toDF("vec_id", "embedding")
+    val q = StreamingDedup.vecNearDupPairsStream(
+        vecs, "vec_id", "embedding", bands = 4, bitsPerBand = 12,
+        maxDim = 8)
+      .writeStream.format("memory").queryName("vec_dedup_out")
+      .outputMode("append").start()
+    input.addData((1L, v(3)), (2L, v(5)))
+    q.processAllAvailable()
+    input.addData((3L, v(3)), (4L, v(7))) // 3 is 1's twin, later batch
+    q.processAllAvailable()
+    input.addData((3L, v(3))) // replay: must emit nothing new
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("vec_dedup_out")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 3L)),
+      s"only the planted twin pair, exactly once, got $pairs")
+  }
+
+  test("streamed SRP buckets equal the batch operator's banding") {
+    // a candidate pair in either mode means equal (band, bucket) —
+    // the stream uses the identical expression, pinned here by
+    // comparing the exploded bucket rows on a static frame
+    def v(seed: Int): Seq[Float] =
+      (0 until 8).map(j => (((seed * 37 + j * 13) % 23) - 11).toFloat)
+    val vecs = (1L to 6L).map(i => (i, v(i.toInt))).toDF("vec_id", "embedding")
+    val streamed = StreamingDedup.srpBandedStream(
+        vecs, "vec_id", "embedding", bands = 4, bitsPerBand = 12, maxDim = 8)
+      .collect().map(b => (b.docId, b.band, b.bucket)).toSet
+    val batch = vecs.select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.posexplode(
+          graft.functions.NativeExpressions.srpBucketArray(
+            org.apache.spark.sql.functions.col("embedding"), 4, 12, 8)))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+  }
 }
