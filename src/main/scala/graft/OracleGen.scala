@@ -198,6 +198,70 @@ object OracleGen {
        FROM asgn a LEFT JOIN dropped d ON d.hi = a.vec_id"""
   }
 
+  /** Oracle for the q_rrf hybrid-retrieval row: BM25 top-`listK` over
+    * `documents` (rank = (rounded score desc, doc_id)) fused via RRF
+    * with the exact-cosine top-`listK` neighbors of probe vector
+    * `probeId` over `embeddings` (the bruteTopK contract: NULL cosines
+    * excluded, rank ties on neighbor_id). rrf = sum of 1/(c + rank),
+    * rounded to 6; final top-`k` by (rrf desc, doc_id).
+    */
+  def rrfSql(queryTerms: Seq[String], probeId: Long, listK: Int, k: Int,
+             c: Int, dim: Int, k1: Double = 1.2, b: Double = 0.75): String = {
+    require(queryTerms.nonEmpty, "rrfSql needs query terms")
+    queryTerms.foreach(t => require(t.matches("[a-z0-9]+"),
+      s"query terms must be [a-z0-9]+, got $t"))
+    def nrm(v: String) =
+      s"sqrt(list_sum(list_transform($v, x -> x * x)))"
+    val termList = queryTerms.map(t => s"'$t'").mkString(", ")
+    raw"""WITH tok AS (
+         SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+         FROM documents),
+       dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+       stats AS (SELECT avg(dl) AS avgdl, count(*) AS n FROM dl),
+       tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+              WHERE term IN ($termList) GROUP BY 1, 2),
+       df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       bm AS (
+         SELECT tf.doc_id,
+           round(sum(
+             ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
+             (tf * ${k1 + 1.0}) /
+             (tf + $k1 * (${1.0 - b} + $b * dl / avgdl))), 6) AS score
+         FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+         CROSS JOIN stats GROUP BY tf.doc_id),
+       lex AS (
+         SELECT doc_id, rank FROM (
+           SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+           FROM bm) t WHERE rank <= $listK),
+       e AS (
+         SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings),
+       nn AS (SELECT vec_id, v, ${nrm("v")} AS nrm FROM e),
+       p AS (SELECT * FROM nn WHERE vec_id = $probeId),
+       sem0 AS (
+         SELECT c2.vec_id AS doc_id,
+                CASE WHEN p.nrm * c2.nrm <> 0
+                     THEN ${dotSql("p.v", "c2.v", dim)} / (p.nrm * c2.nrm)
+                END AS cosine
+         FROM p CROSS JOIN nn c2 WHERE c2.vec_id <> p.vec_id),
+       sem AS (
+         SELECT doc_id, rank FROM (
+           SELECT doc_id,
+             row_number() OVER (ORDER BY cosine DESC, doc_id) AS rank
+           FROM sem0 WHERE cosine IS NOT NULL) t WHERE rank <= $listK),
+       unioned AS (
+         SELECT doc_id, rank FROM lex
+         UNION ALL SELECT doc_id, rank FROM sem)
+       SELECT doc_id, rrf_score, n_lists FROM (
+         SELECT doc_id,
+           round(sum(1.0 / ($c + rank)), 6) AS rrf_score,
+           count(*) AS n_lists
+         FROM unioned GROUP BY doc_id)
+       ORDER BY rrf_score DESC, doc_id LIMIT $k"""
+  }
+
   /** Oracle for [[graft.operators.BpeLearn.encodeStats]] with a FIXED
     * merge table: each word becomes its characters joined by `~`, then
     * each merge (l, r) applies as `replace(s, 'l~r', 'lr')` in rank

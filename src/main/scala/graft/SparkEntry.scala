@@ -1108,6 +1108,26 @@ object SparkEntry {
       Bm25.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
         queryTerms = Seq("join", "window", "scan"), k = 25)),
 
+    // §2.10 similarity tier: hybrid retrieval — BM25 top-50 fused with
+    // the probe vector's exact-cosine top-50 by Reciprocal Rank Fusion
+    // (1/(60+rank), no score calibration across rankers). The ranking
+    // window runs over the 50-row bounded BM25 result, not the corpus;
+    // the fuse is one tiny keyed aggregation + TakeOrderedAndProject
+    "q_rrf" -> ((s, dir) => {
+      val lexical = Bm25.bm25TopK(t(s, dir, "documents"), "doc_id",
+          "text", queryTerms = Seq("join", "window", "scan"), k = 50)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))))
+        .select(col("doc_id"), col("rank"))
+      val emb = t(s, dir, "embeddings")
+      val semantic = SimilaritySearch.bruteTopK(
+          emb.filter(col("vec_id") === 0), emb, "vec_id", "embedding",
+          k = 50)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      HybridRetrieval.rrfFuse(Seq(lexical, semantic), "doc_id", "rank",
+        k = 20)
+    }),
+
     // §2.10 dedup tier: SemDeDup — rounded-Lloyd clustering, then
     // within-cluster cosine pairs only (comparison volume bounded by
     // the cluster size the k knob controls, never corpus-quadratic);
@@ -2380,6 +2400,10 @@ object SparkEntry {
       OracleGen.semDedupSql(k = 8, iters = 2, tau = 0.30, dim = 64),
 
     "q_bpe_encode" -> OracleGen.bpeEncodeSql(BpeEncodeMerges),
+
+    "q_rrf" -> OracleGen.rrfSql(
+      queryTerms = Seq("join", "window", "scan"), probeId = 0L,
+      listK = 50, k = 20, c = 60, dim = 64),
 
     "q_knn_classify" ->
       OracleGen.knnClassifySql(probeMax = 40, k = 10, dim = 64),

@@ -256,10 +256,77 @@ object StreamBench {
         f""""planted_dups":$planted,"caught_pairs":$caught}"""
     }
 
+    // ------------- streaming EMBEDDING near-dup (StreamingDedup SRP)
+    // Same harness shape as the text tier: seed vectors into the
+    // (band, bucket) champion state, sustain batches with a 10%
+    // planted identical-vector rate. Exact dups share every band's
+    // sign pattern, so recall is an equality require, not a rate.
+    val vecDedupJson = {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val nSeed = math.max(base / 10, 1000)
+      val batchRows = 1000
+      val dupEvery = 10
+      val dim = 64
+      def vec(seed: Long): Seq[Float] =
+        (0 until dim).map(j =>
+          (graft.functions.NativeExpressions.mix64(seed * 131 + j)
+            % 2000001L) / 1000000.0f)
+      val input = MemoryStream[(Long, Seq[Float])]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-sbv").toString
+      val q = streaming.StreamingDedup.vecNearDupPairsStream(
+          input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+          bands = 8, bitsPerBand = 20, maxDim = dim)
+        .writeStream.format("memory").queryName("sb_vec_dedup_out")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      val s0 = System.nanoTime()
+      input.addData((0L until nSeed).map(i => (i, vec(i))))
+      q.processAllAvailable()
+      val vecSeedSec = (System.nanoTime() - s0) / 1e9
+      val times = new Array[Double](nBatches)
+      for (b <- 0 until nBatches) {
+        val ids = (0 until batchRows).map(j => nSeed + b.toLong * batchRows + j)
+        val rows = ids.map { id =>
+          if (id % dupEvery == 0) (id, vec((id / dupEvery) % nSeed))
+          else (id, vec(id + 1000000000L))
+        }
+        val b0 = System.nanoTime()
+        input.addData(rows)
+        q.processAllAvailable()
+        times(b) = (System.nanoTime() - b0) / 1e9
+      }
+      val planted = nBatches * batchRows / dupEvery
+      // unlike the text tier, SRP candidates legitimately include
+      // band-collision false positives (exact cosine confirmation is
+      // the downstream batch job, as in cosineDupePairsLsh) — so the
+      // hard bar is RECALL: every planted identical vector shares all
+      // its band sign patterns with its seed and MUST be flagged.
+      // Candidate volume rides along as the precision-cost signal.
+      val candidates = spark.table("sb_vec_dedup_out")
+        .select("id_a", "id_b").distinct().count()
+      val plantedFlagged = spark.table("sb_vec_dedup_out")
+        .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+        .filter(col("id") >= nSeed && pmod(col("id"), lit(dupEvery)) === 0)
+        .distinct().count()
+      q.stop()
+      require(plantedFlagged == planted,
+        s"planted vector-dup recall broke: flagged $plantedFlagged of $planted")
+      val meanSec = times.sum / nBatches
+      f""""vec_dedup_stream":{"seed_vecs":$nSeed,"seed_sec":$vecSeedSec%.1f,""" +
+        f""""batches":$nBatches,"rows_per_batch":$batchRows,""" +
+        f""""mean_batch_sec":$meanSec%.3f,""" +
+        f""""vecs_per_sec":${batchRows / meanSec}%.0f,""" +
+        f""""planted_dups":$planted,"planted_flagged":$plantedFlagged,""" +
+        f""""candidate_pairs":$candidates}"""
+    }
+
     val json =
       f"""{"seed_listings":$base,"seed_sec":$seedSec%.1f,""" +
         f""""buckets":$nBuckets,""" + small +
-        s""","large_batch":{$large},""" + dedupJson + "}"
+        s""","large_batch":{$large},""" + dedupJson + "," +
+        vecDedupJson + "}"
     println(s"[streambench] $json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
