@@ -331,6 +331,87 @@ object OracleGen {
        WHERE vr = 1"""
   }
 
+  /** Oracle for [[graft.operators.ProductQuantization.pqTopK]]: replay
+    * each subspace's rounded-Lloyd codebook (the [[kmeansCtes]] chain
+    * over `list_slice` subvectors), re-encode every corpus vector
+    * (cosine argmax, `NULLS LAST, cell_id` so zero-norm subvectors take
+    * cell 0 — the NearestCells all-ties convention), then score each
+    * (probe < probeMax, neighbor) pair as the sum over subspaces of
+    * dot(probe subvector, assigned centroid) — the ADC lookup-sum —
+    * rounded to 6; top-`topK` by (score desc, neighbor_id).
+    */
+  def pqAnnSql(m: Int, kSub: Int, iters: Int, dim: Int, probeMax: Int,
+               topK: Int): String = {
+    require(dim % m == 0, s"m = $m must divide dim = $dim")
+    require(iters >= 1, s"pqAnnSql needs iters >= 1, got $iters")
+    val subDim = dim / m
+    def nrm(v: String) =
+      s"sqrt(list_sum(list_transform($v, x -> x * x)))"
+    def assignCte(s: Int, t: Int, centCte: String) =
+      s"""a${t}_$s AS (
+         SELECT vec_id, cell_id FROM (
+           SELECT e.vec_id, c.cell_id,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               (CASE WHEN ${nrm("e.v")} * ${nrm("c.cv")} <> 0
+                     THEN ${dotSql("e.v", "c.cv", subDim)} /
+                          (${nrm("e.v")} * ${nrm("c.cv")}) END)
+               DESC NULLS LAST, c.cell_id) AS rn
+           FROM es$s e CROSS JOIN $centCte c) r
+         WHERE rn = 1)"""
+    def updateCte(s: Int, t: Int) =
+      s"""cm${t}_$s AS (
+         SELECT a.cell_id, u.i, round(avg(e.v[u.i]), 6) AS m
+         FROM a${t}_$s a JOIN es$s e USING (vec_id),
+              unnest(range(1, ${subDim + 1})) AS u(i)
+         GROUP BY a.cell_id, u.i),
+       c${t}_$s AS (
+         SELECT g.cell_id, list(COALESCE(m.m, g.old) ORDER BY g.i) AS cv
+         FROM (SELECT c.cell_id, u.i, c.cv[u.i] AS old
+               FROM c${t - 1}_$s c, unnest(range(1, ${subDim + 1})) AS u(i)) g
+         LEFT JOIN cm${t}_$s m ON m.cell_id = g.cell_id AND m.i = g.i
+         GROUP BY g.cell_id)"""
+    def subspaceCtes(s: Int): String = {
+      val lo = s * subDim + 1
+      val hi = (s + 1) * subDim
+      val iterCtes = (1 to iters).map(t =>
+        assignCte(s, t, s"c${t - 1}_$s") + ",\n       " + updateCte(s, t))
+        .mkString(",\n       ")
+      s"""es$s AS (
+         SELECT vec_id, list_slice(v, $lo, $hi) AS v FROM e),
+       c0_$s AS (
+         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_id, v AS cv
+         FROM (SELECT vec_id, v FROM es$s ORDER BY vec_id LIMIT $kSub)),
+       $iterCtes,
+       ${assignCte(s, iters + 1, s"c${iters}_$s")}"""
+    }
+    val allSub = (0 until m).map(subspaceCtes).mkString(",\n       ")
+    val scoreJoins = (0 until m).map { s =>
+      s"""JOIN es$s ps$s ON ps$s.vec_id = pr.vec_id
+         JOIN a${iters + 1}_$s cd$s ON cd$s.vec_id = nb.vec_id
+         JOIN c${iters}_$s cc$s ON cc$s.cell_id = cd$s.cell_id"""
+    }.mkString("\n         ")
+    val scoreSum = (0 until m)
+      .map(s => dotSql(s"ps$s.v", s"cc$s.cv", subDim))
+      .mkString(" + ")
+    s"""WITH e AS (
+         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings),
+       $allSub,
+       scored AS (
+         SELECT pr.vec_id AS probe_id, nb.vec_id AS neighbor_id,
+                round($scoreSum, 6) AS score
+         FROM (SELECT vec_id FROM e WHERE vec_id < $probeMax) pr
+         CROSS JOIN (SELECT vec_id FROM e) nb
+         $scoreJoins
+         WHERE nb.vec_id <> pr.vec_id)
+       SELECT probe_id, neighbor_id, rank, score FROM (
+         SELECT probe_id, neighbor_id, score,
+                row_number() OVER (PARTITION BY probe_id
+                  ORDER BY score DESC, neighbor_id) AS rank
+         FROM scored) t
+       WHERE rank <= $topK"""
+  }
+
   def ivfAnnSql(probeMax: Int, k: Int, nCells: Int, nProbe: Int,
                 dim: Int): String =
     s"""WITH e AS (

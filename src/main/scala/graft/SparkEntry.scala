@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
 import graft.operators._
-import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.functions.{FreqItemsAggregator, TextFunctions => TF, VectorFunctions => VF}
 
 /** Driver contract: one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ §2.10 north-star ops), with a DuckDB-equivalent
@@ -260,6 +260,26 @@ object SparkEntry {
         .cube("l_returnflag", "l_linestatus")
         .agg(sum("l_quantity").as("sum_qty"),
           avg("l_discount").as("avg_disc"), count(lit(1)).as("n"))),
+
+    // §2.8 OLAP: explicit GROUPING SETS — the general form cube/rollup
+    // specialize; one Expand + one aggregation, no per-set re-scan
+    "q_grouping_sets" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))),
+
+    // §2.10 text analysis: per-language heavy hitters via the mergeable
+    // Misra–Gries sketch — each partition ships <= capacity counters
+    // per group to the exchange, never the vocabulary (capacity far
+    // above the test vocab => exact regime, the oracle-checkable bound)
+    "q_heavy_hitters" -> ((s, dir) =>
+      FreqItemsAggregator.frequentTerms(
+        t(s, dir, "documents")
+          .select(col("lang"), explode(TF.tokens(col("text"))).as("term")),
+        "lang", "term", capacity = 4096, k = 10)),
 
     // pivot: one column per l_linestatus value (wide-format reshaping)
     "q_pivot" -> ((s, dir) =>
@@ -532,6 +552,21 @@ object SparkEntry {
       UnigramLm.score(t(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"), col("n_tokens"),
           round(col("logprob"), 6).as("logprob"))),
+
+    // §2.10 text analysis: bigram-LM quality score — the conditional
+    // p(w2|w1) model a unigram LM cannot express (loop-y text scores
+    // corpus-typical under unigrams but collapses under conditionals)
+    "q_bigram_lm" -> ((s, dir) =>
+      BigramLm.score(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("logprob"), 6).as("logprob"))),
+
+    // §2.10 text analysis: Gopher-style hard-threshold structural
+    // quality rules, each rule's measurement plus the conjunctive keep
+    // flag (pipelines audit WHICH rule rejected a doc)
+    "q_gopher_rules" -> ((s, dir) =>
+      QualityRules.gopherRules(t(s, dir, "documents"), "doc_id", "text",
+        stop = Seq("the", "a"))),
 
     // §2.10 training-data assembly: deterministic global shuffle key
     // (range-partitioned distributed sort, per-epoch permutations)
@@ -823,6 +858,17 @@ object SparkEntry {
         emb.filter(col("vec_id") < 64), emb, "vec_id", "embedding",
         k = 5, nCells = 16, nProbe = 4)
         .select("probe_id", "neighbor_id", "rank")
+    }),
+
+    // §2.10 similarity search: product-quantization ANN (Jégou et al.
+    // 2011, inner-product ADC) — the memory-bound index tier: corpus
+    // vectors compress to m codebook codes, candidates score by m
+    // table lookups instead of dim multiplies
+    "q_pq_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      ProductQuantization.pqTopK(
+        emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding",
+        m = 4, kSub = 16, iters = 1, k = 5)
     }),
 
     // same computation forced onto the oversized-probe tier: a zero
@@ -1342,6 +1388,25 @@ object SparkEntry {
          count(*) AS n
          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
 
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+         sum(l_quantity) AS sum_qty, count(*) AS n
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                 (l_returnflag), ())""",
+
+    "q_heavy_hitters" ->
+      raw"""WITH tok AS (
+           SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS term
+           FROM documents),
+         c AS (SELECT lang, term, count(*) AS est FROM tok GROUP BY 1, 2)
+         SELECT lang, term, est, rank FROM (
+           SELECT lang, term, est,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY est DESC, term) AS rank
+           FROM c) t
+         WHERE rank <= 10""",
+
     "q_pivot" ->
       """SELECT l_returnflag,
          sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS F,
@@ -1404,6 +1469,9 @@ object SparkEntry {
 
     "q_ivf_ann" -> OracleGen.ivfAnnSql(
       probeMax = 64, k = 5, nCells = 16, nProbe = 4, dim = 64),
+
+    "q_pq_ann" -> OracleGen.pqAnnSql(
+      m = 4, kSub = 16, iters = 1, dim = 64, probeMax = 8, topK = 5),
 
     // graph-ANN at exhaustive beam (ef = nNodes): routing over the
     // connected small-world graph IS the exact argmax over the node
@@ -1619,6 +1687,60 @@ object SparkEntry {
              THEN 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3)
              ELSE 0.0 END, 6) AS rep3
          FROM g""",
+
+    "q_bigram_lm" ->
+      raw"""WITH tok AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         bg AS (
+           SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+               i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+           FROM tok),
+         m AS (SELECT bigram, count(*) AS n FROM bg GROUP BY 1),
+         ctx AS (
+           SELECT string_split(bigram, ' ')[1] AS w1, sum(n) AS ctx_n
+           FROM m GROUP BY 1),
+         lp AS (
+           SELECT bigram, ln(CAST(n AS DOUBLE) / ctx_n) AS logp
+           FROM m JOIN ctx ON string_split(m.bigram, ' ')[1] = ctx.w1)
+         SELECT doc_id, count(*) AS n_bigrams,
+           round(avg(logp), 6) AS logprob
+         FROM bg JOIN lp USING (bigram)
+         GROUP BY doc_id""",
+
+    "q_gopher_rules" ->
+      raw"""WITH s AS (
+           SELECT doc_id, text,
+             string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         c AS (
+           SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+               / greatest(len(toks), 1) AS mean_word_len,
+             ((length(text) - length(replace(text, '#', '')))
+               + (length(text) - length(replace(text, '...', ''))) / 3)
+               / CAST(greatest(len(toks), 1) AS DOUBLE) AS symbol_ratio,
+             CAST(len(list_filter(toks,
+                 t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+               / greatest(len(toks), 1) AS alpha_frac,
+             CAST((CASE WHEN list_contains(toks, 'a') THEN 1 ELSE 0 END)
+               + (CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END)
+               AS BIGINT) AS stop_hits
+           FROM s)
+         SELECT doc_id, n_words,
+           round(c.mean_word_len, 6) AS mean_word_len,
+           round(c.symbol_ratio, 6) AS symbol_ratio,
+           round(c.alpha_frac, 6) AS alpha_frac,
+           stop_hits,
+           CAST(CASE WHEN c.n_words BETWEEN 10 AND 5000
+                      AND c.mean_word_len BETWEEN 3.0 AND 10.0
+                      AND c.symbol_ratio <= 0.1
+                      AND c.alpha_frac >= 0.8
+                      AND c.stop_hits >= 2
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         FROM c""",
 
     "q_lm_quality" ->
       raw"""WITH tok AS (

@@ -40,12 +40,14 @@ import graft.functions.VectorFunctions
   */
 object KMeans {
 
-  /** Final cluster assignment (idCol, cell_id) after `iters` rounded
-    * Lloyd iterations from the lowest-id init. `iters = 0` is the raw
-    * lowest-id quantizer assignment.
+  /** Fit `iters` rounded Lloyd iterations from the lowest-id init and
+    * return the final centroid literals `(ordinal, vector, norm)` —
+    * the reusable half of [[assignRounded]], exposed so composite
+    * quantizers ([[ProductQuantization]]) can train per-subspace
+    * codebooks through the identical replayable chain.
     */
-  def assignRounded(vectors: DataFrame, idCol: String, vecCol: String,
-                    k: Int, iters: Int): DataFrame = {
+  def fitRounded(vectors: DataFrame, idCol: String, vecCol: String,
+                 k: Int, iters: Int): Seq[(Long, Array[Double], Double)] = {
     require(k > 0, s"k must be positive, got $k")
     require(iters >= 0, s"iters must be >= 0, got $iters")
     var cents: Seq[(Long, Array[Double], Double)] =
@@ -78,6 +80,21 @@ object KMeans {
         }
       }
     }
-    assigned.select(col(idCol), col("cell_id"))
+    cents
+  }
+
+  /** Final cluster assignment (idCol, cell_id) after `iters` rounded
+    * Lloyd iterations from the lowest-id init. `iters = 0` is the raw
+    * lowest-id quantizer assignment.
+    */
+  def assignRounded(vectors: DataFrame, idCol: String, vecCol: String,
+                    k: Int, iters: Int): DataFrame = {
+    val cents = fitRounded(vectors, idCol, vecCol, k, iters)
+    val vec = VectorFunctions.toDouble(col(vecCol))
+    vectors.select(col(idCol), vec.as("__v"))
+      .withColumn("cell_id", coalesce(
+        element_at(SimilaritySearch.nearestCells(col("__v"), cents, 1), 1),
+        lit(-1L)))
+      .select(col(idCol), col("cell_id"))
   }
 }

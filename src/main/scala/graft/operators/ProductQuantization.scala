@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TopKAggregator, VectorFunctions}
+
+/** Product-quantization ANN (SURVEY §2.10 similarity search) — the
+  * memory-bound tier of the FAISS-style index family this engine
+  * already carries (IVF cells: [[SimilaritySearch.ivfTopK]], int8:
+  * [[SimilaritySearch.quantizedTopK]], graph routing: [[GraphAnn]]).
+  * Jégou et al. 2011 ("Product quantization for nearest neighbor
+  * search"), inner-product flavor: split each `dim` vector into `m`
+  * contiguous subvectors, train an independent `kSub`-centroid
+  * codebook per subspace, store each corpus vector as `m` small codes,
+  * and score probe↔candidate as the ADC table-lookup sum
+  * `Σ_s dot(probe_s, codebook_s[code_s])` — the inner product
+  * DECOMPOSES across subspaces (cosine does not), which is what makes
+  * the lookup-sum an unbiased estimate of the full dot product.
+  *
+  * Determinism pins (the [[KMeans]] stance, so the DuckDB oracle can
+  * replay the whole chain bit-for-bit):
+  *  - codebooks: rounded-Lloyd per subspace ([[KMeans.fitRounded]] —
+  *    lowest-id init, cosine argmax ties to the lower ordinal,
+  *    per-dimension means rounded to 6 decimals each iteration);
+  *  - encoding: the same row-local native argmax
+  *    ([[graft.functions.NativeExpressions.NearestCells]]); zero-norm
+  *    subvectors take cell 0 on both engines (all-ties → lowest
+  *    ordinal here, `NULLS LAST, cell_id` in the oracle);
+  *  - ADC tables: built on the driver from the ROUNDED centroids in
+  *    index order, so the dot sums match the oracle's unrolled SQL
+  *    exactly; ranking on the score rounded to 6 decimals, ties to
+  *    the lower neighbor id.
+  *
+  * Shape at scale: training touches only subvector aggregates
+  * (k×dim driver footprint per subspace); encoding is ONE map-only
+  * projection computing all `m` codes per row (no shuffle, codes are
+  * `m` longs — the 64-dim float vector compresses 64→`m` bytes-ish,
+  * which is the point: at 100 TB the encoded corpus fits where raw
+  * vectors cannot); scoring joins the tiny probe×table set in as a
+  * broadcast and runs O(m) array lookups per candidate instead of
+  * O(dim) multiplies; top-k is map-side ([[TopKAggregator]]), so the
+  * exchange carries O(partitions × k) rows. Nothing quadratic beyond
+  * the probe×corpus stream itself, which is the ADC contract.
+  */
+object ProductQuantization {
+
+  /** Max probes collected to the driver for ADC table construction —
+    * the same bounded-collect guard class as GraphAnn's node cap.
+    */
+  val maxProbes = 1024
+
+  /** Top-`k` approximate neighbors per probe:
+    * (probe_id, neighbor_id, rank, score). `m` must divide the vector
+    * dimension; `kSub` centroids per subspace, `iters` rounded-Lloyd
+    * rounds. Probes score against every OTHER corpus vector (self
+    * excluded) by ADC lookup-sum; rank orders by (rounded score desc,
+    * neighbor_id).
+    */
+  def pqTopK(probes: DataFrame, corpus: DataFrame, idCol: String,
+             vecCol: String, m: Int, kSub: Int, iters: Int,
+             k: Int): DataFrame = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"m = $m must divide dim = $dim")
+    val subDim = dim / m
+
+    val v = VectorFunctions.toDouble(col(vecCol))
+    def sub(s: Int): Column = slice(v, s * subDim + 1, subDim)
+
+    // per-subspace codebooks via the replayable rounded-Lloyd chain
+    val books: Seq[Seq[(Long, Array[Double], Double)]] = (0 until m).map { s =>
+      KMeans.fitRounded(
+        corpus.select(col(idCol), sub(s).as("__sv")), idCol, "__sv",
+        kSub, iters)
+    }
+
+    // encode: all m codes in one map-only projection
+    val codeCols = (0 until m).map { s =>
+      coalesce(
+        element_at(SimilaritySearch.nearestCells(sub(s), books(s), 1), 1),
+        lit(0L)).as(s"__c$s")
+    }
+    val encoded = corpus.select(col(idCol).as("neighbor_id") +: codeCols: _*)
+
+    // driver-side ADC tables: per probe, per subspace, dot(probe_s,
+    // centroid) over the rounded codebook in index order
+    val probeRows = probes
+      .select(col(idCol).cast("long").as("id"), v.as("v"))
+      .limit(maxProbes + 1)
+      .as[(Long, Array[Double])].collect()
+    require(probeRows.length <= maxProbes,
+      s"pqTopK collects probes to the driver; got more than $maxProbes — " +
+        "filter the probe set or shard it")
+    val probeTables = probeRows.toSeq.sortBy(_._1).map { case (pid, pv) =>
+      val tables: Seq[Seq[Double]] = (0 until m).map { s =>
+        books(s).map { case (_, cv, _) =>
+          var acc = 0.0
+          var j = 0
+          while (j < subDim) { acc += pv(s * subDim + j) * cv(j); j += 1 }
+          acc
+        }
+      }
+      (pid, tables)
+    }
+    val probeDf = probeTables.toDF("probe_id", "__adc")
+
+    // broadcast probe×table rows against the encoded corpus: the score
+    // is m literal-array lookups summed left-to-right (matching the
+    // oracle's `t1 + t2 + ...` association order)
+    val score = (0 until m)
+      .map(s => element_at(element_at(col("__adc"), s + 1),
+        (col(s"__c$s") + 1).cast("int")))
+      .reduce(_ + _)
+    val scored = encoded
+      .join(broadcast(probeDf), col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        round(score, 6).as("score"))
+    TopKAggregator.groupedTopK(scored, "probe_id", "neighbor_id", "score", k)
+      .select("probe_id", "neighbor_id", "rank", "score")
+  }
+}

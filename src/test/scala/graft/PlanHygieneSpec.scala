@@ -177,6 +177,55 @@ class PlanHygieneSpec extends SparkTestBase {
       s"expected the native NearestCells assignment:\n${p.take(2000)}")
   }
 
+  test("q_gopher_rules: map-only scan, no interpreted per-token lambda") {
+    val p = plan("q_gopher_rules")
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"rule filtering must stay a single map-only pass:\n${p.take(2000)}")
+    assert(!p.contains("LambdaFunction") && !p.contains("ArrayFilter") &&
+      !p.contains("ArrayAggregate"),
+      s"a rule fell back to higher-order functions:\n${p.take(2000)}")
+  }
+
+  test("q_bigram_lm: native bigram expansion, no lambda in the hot path") {
+    val p = plan("q_bigram_lm")
+    assert(p.toLowerCase.contains("ngramarray"),
+      s"expected the native NgramArray bigram expansion:\n${p.take(2000)}")
+    assert(!p.contains("LambdaFunction") && !p.contains("ArrayAggregate"),
+      s"bigram expansion fell back to interpreted HOFs:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"),
+      s"model join must stay an equi-join:\n${p.take(2000)}")
+  }
+
+  test("q_pq_ann: native encoding, broadcast ADC probe, map-side top-k") {
+    val p = plan("q_pq_ann")
+    assert(p.toLowerCase.contains("nearestcells"),
+      s"expected the native NearestCells subspace encoding:\n${p.take(2000)}")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the probe/table set must broadcast against the encoded corpus:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"candidate streaming must not shuffle the corpus:\n${p.take(2000)}")
+    assert(p.contains("ObjectHashAggregate"),
+      s"top-k must truncate map-side via the typed aggregator:\n${p.take(2000)}")
+  }
+
+  test("q_heavy_hitters: sketch aggregates map-side, no term matrix shuffle") {
+    val p = plan("q_heavy_hitters")
+    assert(p.contains("ObjectHashAggregate"),
+      s"the MG sketch must plan as ObjectHashAggregate:\n${p.take(2000)}")
+    assert(!p.contains("Window") && !p.contains("SortAggregate"),
+      s"ranking must come from the sketch, not a window over the matrix:\n${p.take(2000)}")
+  }
+
+  test("q_grouping_sets: one Expand + one aggregation, no per-set rescan") {
+    val p = plan("q_grouping_sets")
+    assert(p.contains("Expand"),
+      s"grouping sets must plan through Expand:\n${p.take(2000)}")
+    assert(!p.contains("Union"),
+      s"grouping sets must not rescan per set:\n${p.take(2000)}")
+    assert("HashAggregate".r.findAllIn(p).size <= 4, // partial+final
+      s"expected a single partial+final aggregation pair:\n${p.take(2000)}")
+  }
+
   test("q_bpe_pairs: both aggregations keep map-side partials") {
     val p = plan("q_bpe_pairs")
     assert("HashAggregate".r.findAllIn(p).size >= 4,
