@@ -271,6 +271,41 @@ object Stress {
       (hits.count(), s""","twins_found":$twinsFound,"probes":$qProbes""")
     }
 
+    // ----------------------------------------------------------- PQ ANN
+    // the memory-bound tier: 64 floats -> m=8 codes per vector, probes
+    // score by 8 table lookups per candidate instead of 64 multiplies.
+    // Exactness bar is on the ENCODING path (the deterministic half):
+    // planted twins are identical vectors, so each pair must carry
+    // identical code tuples — checked over the FULL corpus. The ADC
+    // scan itself is approximate by contract (codes are coarse), so its
+    // bar is shape (rows out, zero spill), not twin ranks.
+    phase("pq_ann") {
+      val pqModel = operators.ProductQuantization.fit(
+        vecs, "vec_id", "embedding", m = 8, kSub = 256, iters = 1)
+      val codes = operators.ProductQuantization.encode(
+        vecs, "vec_id", "embedding", pqModel).persist()
+      val lo = codes.filter(col("vec_id") < nDupVecs)
+        .filter(col("vec_id") % 2 === 0)
+      val hi = codes.filter(col("vec_id") < nDupVecs)
+        .filter(col("vec_id") % 2 === 1)
+        .withColumnsRenamed(
+          (0 until 8).map(s => s"code_$s" -> s"t_$s").toMap)
+        .withColumn("vec_id", col("vec_id") - 1)
+      val agreeing = lo.join(hi, "vec_id")
+        .filter((0 until 8).map(s => col(s"code_$s") === col(s"t_$s"))
+          .reduce(_ && _))
+        .count()
+      require(agreeing == nDupVecs / 2,
+        s"planted twins must encode identically: ${nDupVecs / 2} pairs " +
+          s"expected, $agreeing agree")
+      val hits = operators.ProductQuantization.pqTopK(
+        vecs.filter(col("vec_id") < 1024), vecs, "vec_id", "embedding",
+        pqModel, k = 10)
+      val n = hits.count()
+      codes.unpersist()
+      (n, s""","k_sub":256,"code_pairs_exact":$agreeing""")
+    }
+
     // ------------------------------------------------------- SemDeDup
     // within-cluster cosine dedup over the rounded-Lloyd assignment.
     // The comparison volume is k * (N/k)^2 — the k knob IS the scale

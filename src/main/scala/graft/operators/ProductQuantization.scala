@@ -50,6 +50,52 @@ object ProductQuantization {
     */
   val maxProbes = 1024
 
+  /** The trained model: per-subspace codebooks (ordinal, centroid,
+    * norm) plus the geometry that produced them.
+    */
+  final case class PqModel(m: Int, dim: Int,
+                           books: Seq[Seq[(Long, Array[Double], Double)]]) {
+    def subDim: Int = dim / m
+  }
+
+  /** Train `m` per-subspace `kSub`-centroid codebooks with `iters`
+    * rounded-Lloyd rounds (the replayable [[KMeans.fitRounded]] chain
+    * per subvector slice).
+    */
+  def fit(corpus: DataFrame, idCol: String, vecCol: String, m: Int,
+          kSub: Int, iters: Int): PqModel = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"m = $m must divide dim = $dim")
+    val subDim = dim / m
+    val v = VectorFunctions.toDouble(col(vecCol))
+    val books = (0 until m).map { s =>
+      KMeans.fitRounded(
+        corpus.select(col(idCol),
+          slice(v, s * subDim + 1, subDim).as("__sv")),
+        idCol, "__sv", kSub, iters)
+    }
+    PqModel(m, dim, books)
+  }
+
+  /** Encode every vector as its `m` codebook ordinals in ONE map-only
+    * projection: (idOut, code_0, ..., code_{m-1}). This IS the
+    * compression: dim floats become m small codes, with the native
+    * row-local argmax and zero shuffle at any corpus size.
+    */
+  def encode(vectors: DataFrame, idCol: String, vecCol: String,
+             model: PqModel, idOut: String = "vec_id"): DataFrame = {
+    val v = VectorFunctions.toDouble(col(vecCol))
+    val codeCols = (0 until model.m).map { s =>
+      coalesce(
+        element_at(SimilaritySearch.nearestCells(
+          slice(v, s * model.subDim + 1, model.subDim),
+          model.books(s), 1), 1),
+        lit(0L)).as(s"code_$s")
+    }
+    vectors.select(col(idCol).as(idOut) +: codeCols: _*)
+  }
+
   /** Top-`k` approximate neighbors per probe:
     * (probe_id, neighbor_id, rank, score). `m` must divide the vector
     * dimension; `kSub` centroids per subspace, `iters` rounded-Lloyd
@@ -59,32 +105,25 @@ object ProductQuantization {
     */
   def pqTopK(probes: DataFrame, corpus: DataFrame, idCol: String,
              vecCol: String, m: Int, kSub: Int, iters: Int,
-             k: Int): DataFrame = {
-    require(m >= 1, s"m must be >= 1, got $m")
+             k: Int): DataFrame =
+    pqTopK(probes, corpus, idCol, vecCol,
+      fit(corpus, idCol, vecCol, m, kSub, iters), k)
+
+  /** [[pqTopK]] against an already-fitted model (train once, search
+    * many — the serving shape).
+    */
+  def pqTopK(probes: DataFrame, corpus: DataFrame, idCol: String,
+             vecCol: String, model: PqModel, k: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
 
-    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
-    require(dim % m == 0, s"m = $m must divide dim = $dim")
-    val subDim = dim / m
-
+    val m = model.m
+    val subDim = model.subDim
+    val books = model.books
     val v = VectorFunctions.toDouble(col(vecCol))
-    def sub(s: Int): Column = slice(v, s * subDim + 1, subDim)
 
-    // per-subspace codebooks via the replayable rounded-Lloyd chain
-    val books: Seq[Seq[(Long, Array[Double], Double)]] = (0 until m).map { s =>
-      KMeans.fitRounded(
-        corpus.select(col(idCol), sub(s).as("__sv")), idCol, "__sv",
-        kSub, iters)
-    }
-
-    // encode: all m codes in one map-only projection
-    val codeCols = (0 until m).map { s =>
-      coalesce(
-        element_at(SimilaritySearch.nearestCells(sub(s), books(s), 1), 1),
-        lit(0L)).as(s"__c$s")
-    }
-    val encoded = corpus.select(col(idCol).as("neighbor_id") +: codeCols: _*)
+    val encoded = encode(corpus, idCol, vecCol, model, idOut = "neighbor_id")
+      .withColumnsRenamed((0 until m).map(s => s"code_$s" -> s"__c$s").toMap)
 
     // driver-side ADC tables: per probe, per subspace, dot(probe_s,
     // centroid) over the rounded codebook in index order
