@@ -412,6 +412,48 @@ object OracleGen {
        WHERE rank <= $topK"""
   }
 
+  /** Oracle for [[graft.operators.AnnEval.recallAtK]] over the
+    * q_ivf_ann configuration: replay the IVF search ([[ivfAnnSql]] as
+    * a nested-WITH CTE) and the exact cosine top-k, then count the
+    * per-probe overlap. Exact ranking uses the bruteTopK contract
+    * (NULL cosines excluded, ties to the lower neighbor id).
+    */
+  def annRecallSql(probeMax: Int, k: Int, nCells: Int, nProbe: Int,
+                   dim: Int): String = {
+    def nrm(v: String) =
+      s"sqrt(list_sum(list_transform($v, x -> x * x)))"
+    s"""WITH ivf AS (${ivfAnnSql(probeMax, k, nCells, nProbe, dim)}),
+       be AS (
+         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings),
+       bn AS (SELECT vec_id, v, ${nrm("v")} AS nrm FROM be),
+       brute AS (
+         SELECT probe_id, neighbor_id FROM (
+           SELECT probe_id, neighbor_id,
+                  row_number() OVER (PARTITION BY probe_id
+                    ORDER BY cosine DESC, neighbor_id) AS rnk
+           FROM (
+             SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+                    CASE WHEN p.nrm * c.nrm <> 0
+                         THEN ${dotSql("p.v", "c.v", dim)} / (p.nrm * c.nrm)
+                    END AS cosine
+             FROM (SELECT * FROM bn WHERE vec_id < $probeMax) p
+             CROSS JOIN bn c WHERE c.vec_id <> p.vec_id) s
+           WHERE cosine IS NOT NULL) r
+         WHERE rnk <= $k),
+       base AS (SELECT probe_id, count(*) AS n_exact FROM brute GROUP BY 1),
+       hit AS (
+         SELECT b.probe_id, count(*) AS n_hit
+         FROM brute b JOIN ivf i
+           ON i.probe_id = b.probe_id AND i.neighbor_id = b.neighbor_id
+         GROUP BY 1)
+       SELECT base.probe_id, base.n_exact,
+              COALESCE(hit.n_hit, 0) AS n_hit,
+              round(COALESCE(hit.n_hit, 0) / CAST(base.n_exact AS DOUBLE), 6)
+                AS recall
+       FROM base LEFT JOIN hit USING (probe_id)"""
+  }
+
   def ivfAnnSql(probeMax: Int, k: Int, nCells: Int, nProbe: Int,
                 dim: Int): String =
     s"""WITH e AS (

@@ -860,6 +860,20 @@ object SparkEntry {
         .select("probe_id", "neighbor_id", "rank")
     }),
 
+    // §2.10 similarity search: recall@k evaluation harness — the IVF
+    // tier measured against the exact cosine top-k on the same probes
+    // (how every index knob gets tuned before a 100 TB deployment)
+    "q_ann_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") < 64)
+      AnnEval.recallAtK(
+        SimilaritySearch.ivfTopK(probes, emb, "vec_id", "embedding",
+          k = 5, nCells = 16, nProbe = 4),
+        SimilaritySearch.bruteTopK(probes, emb, "vec_id", "embedding",
+          k = 5),
+        k = 5)
+    }),
+
     // §2.10 similarity search: product-quantization ANN (Jégou et al.
     // 2011, inner-product ADC) — the memory-bound index tier: corpus
     // vectors compress to m codebook codes, candidates score by m
@@ -1472,6 +1486,9 @@ object SparkEntry {
 
     "q_pq_ann" -> OracleGen.pqAnnSql(
       m = 4, kSub = 16, iters = 1, dim = 64, probeMax = 8, topK = 5),
+
+    "q_ann_recall" -> OracleGen.annRecallSql(
+      probeMax = 64, k = 5, nCells = 16, nProbe = 4, dim = 64),
 
     // graph-ANN at exhaustive beam (ef = nNodes): routing over the
     // connected small-world graph IS the exact argmax over the node
