@@ -271,6 +271,35 @@ object SparkEntry {
           col("l_returnflag"), col("l_linestatus"))
         .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))),
 
+    // §2.8 windows: explicit lead/lag — per-user consecutive deltas
+    // (the event-sequence feature extraction shape)
+    "q_window_lag" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, dir, "events").select(
+        col("event_id"), col("user_id"),
+        round(col("value") - lag("value", 1).over(w), 6).as("delta_value"))
+    }),
+
+    // §2.10 corpus reporting: the single-row "dataset card" — corpus
+    // size, token volume, language/source coverage, exact-dup mass,
+    // and the quality-gate pass rate, in ONE scan + one aggregation
+    "q_dataset_card" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          TF.tokenCount(col("text")).as("__nt"),
+          col("lang"), col("source"), col("n_chars"),
+          md5(col("text")).as("__h"),
+          (TF.qualityScore(col("text"), Seq("the", "a")) >= 0.5)
+            .cast("long").as("__q"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("__nt").cast("long").as("n_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("source")).as("n_sources"),
+          (count(lit(1)) - countDistinct(col("__h"))).as("n_dup_docs"),
+          round(avg("n_chars"), 4).as("avg_chars"),
+          round(avg("__q"), 6).as("quality_keep_rate"))),
+
     // §2.10 text analysis: per-language heavy hitters via the mergeable
     // Misra–Gries sketch — each partition ships <= capacity counters
     // per group to the exchange, never the vocabulary (capacity far
@@ -1408,6 +1437,40 @@ object SparkEntry {
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
                                  (l_returnflag), ())""",
+
+    "q_window_lag" ->
+      """SELECT event_id, user_id,
+         round(value - lag(value, 1) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id), 6) AS delta_value
+         FROM events""",
+
+    "q_dataset_card" ->
+      raw"""WITH s AS (
+           SELECT doc_id, lang, source, n_chars,
+             len(string_split_regex(trim(text), '\s+')) AS nt,
+             md5(text) AS h,
+             (CASE WHEN len(string_split_regex(trim(text), '\s+')) < 10
+                   THEN CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 10.0
+                   WHEN len(string_split_regex(trim(text), '\s+')) > 100000
+                   THEN 100000.0 / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)
+                   ELSE 1.0 END) * 0.4
+             + (1.0 - least(
+                 ((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+                   / greatest(length(text), 1)) * 5, 1.0)) * 0.3
+             + least((len(list_filter(string_split_regex(trim(text), '\s+'),
+                 t -> t = 'the' OR t = 'a'))
+                 / greatest(len(string_split_regex(trim(text), '\s+')), 1)) * 10,
+                 1.0) * 0.3 AS q
+           FROM documents)
+         SELECT count(*) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS n_tokens,
+           count(DISTINCT lang) AS n_langs,
+           count(DISTINCT source) AS n_sources,
+           count(*) - count(DISTINCT h) AS n_dup_docs,
+           round(avg(n_chars), 4) AS avg_chars,
+           round(avg(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END), 6)
+             AS quality_keep_rate
+         FROM s""",
 
     "q_heavy_hitters" ->
       raw"""WITH tok AS (

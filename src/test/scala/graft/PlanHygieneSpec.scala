@@ -324,6 +324,25 @@ class PlanHygieneSpec extends SparkTestBase {
       "probe x corpus scoring must be the broadcast pair generator")
   }
 
+  test("q_window_lag: one shuffle keyed on user_id, no join") {
+    val p = plan("q_window_lag")
+    assert(p.contains("Window"), p.take(2000))
+    assert(!p.contains("Join"), "lag must not plan a self-join")
+    val exchanges = "Exchange hashpartitioning\\([^)]*".r.findAllIn(p).toList
+    assert(exchanges.size === 1, s"lag needs exactly one shuffle: $exchanges")
+    assert(exchanges.head.contains("user_id"),
+      s"the shuffle must key on the partition column: ${exchanges.head}")
+  }
+
+  test("q_dataset_card: single scan, no join — one pass builds the card") {
+    val p = plan("q_dataset_card")
+    assert(!p.contains("Join"), "the dataset card must not self-join the corpus")
+    assert("Scan parquet".r.findAllIn(p).size === 1,
+      s"one corpus scan only:\n${p.take(2000)}")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "map-side partial aggregation missing — every doc row would hit one reducer")
+  }
+
   test("native dot product is codegen-capable (starred projection)") {
     // the tokenizing queries are bounded by ArrayTransform (a
     // CodegenFallback higher-order function), but ArrayDotProduct
