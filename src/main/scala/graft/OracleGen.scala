@@ -454,6 +454,45 @@ object OracleGen {
        FROM base LEFT JOIN hit USING (probe_id)"""
   }
 
+  /** Oracle for [[graft.operators.DedupOps.lshRecall]]: the candidate
+    * side comes in as `candSql` (the pinned MinHash fixture — xxhash64
+    * signatures have no external replay), the exact shingle-Jaccard
+    * truth is recomputed from scratch, and the summary row counts the
+    * overlap. `shingleSize` is fixed at 3 to keep the concat chain
+    * readable — the only configuration the catalog runs.
+    */
+  def lshRecallSql(candSql: String, tau: Double): String =
+    raw"""WITH cand AS ($candSql),
+       toks AS (
+         SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+         FROM documents WHERE text IS NOT NULL),
+       sh AS (
+         SELECT DISTINCT doc_id,
+                ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+         FROM toks, unnest(range(1, len(ts) - 1)) AS u(i)),
+       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       common AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       truth AS (
+         SELECT doc_a, doc_b
+         FROM common
+         JOIN sizes sa ON sa.doc_id = doc_a
+         JOIN sizes sb ON sb.doc_id = doc_b
+         WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= $tau)
+       SELECT count(t.doc_a) AS n_truth, count(c.id_a) AS n_cand,
+              count(CASE WHEN t.doc_a IS NOT NULL AND c.id_a IS NOT NULL
+                         THEN 1 END) AS n_hit,
+              round(count(CASE WHEN t.doc_a IS NOT NULL AND c.id_a IS NOT NULL
+                               THEN 1 END)
+                    / CAST(count(t.doc_a) AS DOUBLE), 6) AS recall,
+              round(count(CASE WHEN t.doc_a IS NOT NULL AND c.id_a IS NOT NULL
+                               THEN 1 END)
+                    / CAST(count(c.id_a) AS DOUBLE), 6) AS precision
+       FROM cand c
+       FULL OUTER JOIN truth t ON c.id_a = t.doc_a AND c.id_b = t.doc_b"""
+
   def ivfAnnSql(probeMax: Int, k: Int, nCells: Int, nProbe: Int,
                 dim: Int): String =
     s"""WITH e AS (

@@ -342,6 +342,12 @@ object SparkEntry {
           round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
           round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))),
 
+    // robust aggregation: per-group winsorized means — exact [p05, p95]
+    // thresholds (one row per group, broadcast back), map-only clamp
+    "q_winsorize" -> ((s, dir) =>
+      Outliers.winsorizedMeans(t(s, dir, "lineitem"),
+        "l_returnflag", "l_extendedprice", pLo = 0.05, pHi = 0.95)),
+
     // statistical aggregates: stddev / variance / correlation
     "q_stats_agg" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -504,6 +510,14 @@ object SparkEntry {
           col("chunk"))
     }),
 
+    // §2.10 text: tokenizer-vocabulary coverage — per-doc OOV rate
+    // against the corpus's own top-30 doc-frequency vocabulary. The
+    // vocab is a bounded driver collect (30 rows) baked in as an array
+    // literal, so the scoring pass is map-only, zero shuffle.
+    "q_oov_rate" -> ((s, dir) =>
+      Vocab.oovAgainstTopTerms(s, t(s, dir, "documents"),
+        "doc_id", "text", vocabSize = 30)),
+
     // §2.10 text: BPE-ish subword token counting (the tokenizer pattern
     // is RE2-compatible, so the oracle recomputes it verbatim)
     "q_bpe_tokens" -> ((s, dir) =>
@@ -555,6 +569,15 @@ object SparkEntry {
     "q_sample" -> ((s, dir) =>
       TrainingOps.hashSample(t(s, dir, "documents"), "doc_id", 0.25)
         .select("doc_id", "lang", "n_chars")),
+
+    // §2.10 training-data assembly: weighted k-sample without
+    // replacement (Efraimidis–Spirakis) — sample 50 docs with
+    // probability proportional to n_chars via the deterministic
+    // ln(u)/w key; map-only + per-partition top-k heaps, no shuffle
+    "q_weighted_sample" -> ((s, dir) =>
+      TrainingOps.weightedSample(t(s, dir, "documents"), "doc_id",
+          "n_chars", k = 50)
+        .select(col("doc_id"), col("n_chars"), col("es_key"))),
 
     // §2.10 training-data assembly: stratified deterministic sampling —
     // per-language keep fractions (rebalancing a corpus mix), same
@@ -674,6 +697,23 @@ object SparkEntry {
       TrainingOps.packSequences(t(s, dir, "documents"), "doc_id",
           TF.tokenCount(col("text")), capacity = 512L)
         .select("doc_id", "pack_shard", "pack_bin", "bin_offset")),
+
+    // §2.10 training-data assembly: length-bucketed batching audit —
+    // width-32 token-count buckets, per-bucket doc/token volume and the
+    // padding waste a max-length-padded batch of that bucket would
+    // carry. Map-only bucket assignment + one aggregation on a small
+    // key space; the knob a sequence-packing run tunes before paying
+    // for the real pack.
+    "q_length_buckets" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(TF.tokenCount(col("text")).cast("long").as("__nt"))
+        .groupBy((col("__nt") / 32).cast("long").as("bucket"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          max("__nt").as("max_tokens"),
+          sum("__nt").as("sum_tokens"),
+          round(lit(1.0) - sum("__nt") /
+            (max("__nt") * count(lit(1))).cast("double"), 6).as("pad_waste"))),
 
     // §2.10 text analysis: top TF-IDF terms per document via the typed
     // top-k aggregator (map-side k-truncation — the exchange carries
@@ -795,6 +835,17 @@ object SparkEntry {
       DedupOps.minhashCandidatePairs(
         t(s, dir, "documents"), "doc_id", "text",
         numHashes = 32, bands = 16, shingleSize = 3)),
+
+    // §2.10 near-dup EVALUATION: candidate recall/precision of the
+    // MinHash banding against the exact shingle-Jaccard >= 0.5 ground
+    // truth — the dedup-tier counterpart of q_ann_recall. The oracle
+    // replays the truth side from scratch and takes the candidate side
+    // from the pinned fixture (xxhash64 signatures have no external
+    // replay); Verify swaps the sf0.1 fixture in cross-scale runs.
+    "q_lsh_recall" -> ((s, dir) =>
+      DedupOps.lshRecall(t(s, dir, "documents"), "doc_id", "text",
+        tau = 0.5, numHashes = 32, bands = 16, shingleSize = 3,
+        maxDocFreq = None)),
 
     // §2.10 near-dup: 64-bit SimHash fingerprints (pinned-fixture oracle)
     "q_simhash" -> ((s, dir) =>
@@ -1508,6 +1559,19 @@ object SparkEntry {
          round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
          FROM lineitem GROUP BY l_returnflag""",
 
+    "q_winsorize" ->
+      """WITH thr AS (
+           SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.05) AS lo,
+             quantile_cont(l_extendedprice, 0.95) AS hi
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l.l_returnflag, count(*) AS n,
+           round(avg(l_extendedprice), 4) AS mean_raw,
+           round(avg(least(greatest(l_extendedprice, lo), hi)), 4)
+             AS mean_winsorized
+         FROM lineitem l JOIN thr USING (l_returnflag)
+         GROUP BY l.l_returnflag""",
+
     "q_stats_agg" ->
       """SELECT l_returnflag,
          round(stddev_samp(l_quantity), 4) AS sd_qty,
@@ -1699,6 +1763,8 @@ object SparkEntry {
 
     "q_minhash_pairs" -> OracleFixtures.minhashPairsSql,
 
+    "q_lsh_recall" -> OracleGen.lshRecallSql(OracleFixtures.minhashPairsSql, 0.5),
+
     "q_simhash" -> OracleFixtures.simhashSql,
 
     "q_bpe_tokens" ->
@@ -1706,6 +1772,33 @@ object SparkEntry {
          len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
          len(regexp_extract_all(text, '${TF.bpeishPattern}')) AS n_bpe_tokens
          FROM documents""",
+
+    "q_oov_rate" ->
+      raw"""WITH tok AS (
+           SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+           FROM documents WHERE text IS NOT NULL),
+         vocab AS (
+           SELECT term FROM (
+             SELECT term, count(DISTINCT doc_id) AS df
+             FROM tok GROUP BY term
+             ORDER BY df DESC, term LIMIT 30) v)
+         SELECT doc_id, count(*) AS n_tokens,
+           count(*) FILTER (WHERE vocab.term IS NULL) AS n_oov,
+           round(CAST(count(*) FILTER (WHERE vocab.term IS NULL) AS DOUBLE)
+             / count(*), 6) AS oov_rate
+         FROM tok LEFT JOIN vocab ON tok.term = vocab.term
+         GROUP BY doc_id""",
+
+    "q_length_buckets" ->
+      raw"""WITH s AS (
+           SELECT len(string_split_regex(trim(text), '\s+')) AS nt
+           FROM documents)
+         SELECT CAST(nt // 32 AS BIGINT) AS bucket, count(*) AS n_docs,
+           CAST(max(nt) AS BIGINT) AS max_tokens,
+           CAST(sum(nt) AS BIGINT) AS sum_tokens,
+           round(1.0 - CAST(sum(nt) AS DOUBLE) / (max(nt) * count(*)), 6)
+             AS pad_waste
+         FROM s GROUP BY 1""",
 
     "q_ngrams" ->
       raw"""WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS toks
@@ -1735,6 +1828,16 @@ object SparkEntry {
 
     // hex thresholds: floor(65536*{0.5,0.25,0.75}) = '8000'/'4000'/'c000'
     // — must mirror TrainingOps.stratifiedHashSample
+    "q_weighted_sample" ->
+      """WITH s AS (
+           SELECT doc_id, n_chars,
+             round(ln((CAST('0x' || substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)), 1, 12)
+                       AS BIGINT) + 1) / 281474976710656.0)
+                   / n_chars, 6) AS es_key
+           FROM documents WHERE n_chars > 0)
+         SELECT doc_id, n_chars, es_key FROM s
+         ORDER BY es_key DESC, doc_id LIMIT 50""",
+
     "q_stratified" ->
       """SELECT doc_id, lang FROM documents
          WHERE CASE

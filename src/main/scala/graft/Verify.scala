@@ -57,7 +57,9 @@ object Verify {
       if (scale == "sf0.1")
         SparkEntry.oracleSql ++ Map(
           "q_minhash_pairs" -> OracleFixtures.minhashPairsSqlSf01,
-          "q_simhash" -> OracleFixtures.simhashSqlSf01)
+          "q_simhash" -> OracleFixtures.simhashSqlSf01,
+          "q_lsh_recall" ->
+            OracleGen.lshRecallSql(OracleFixtures.minhashPairsSqlSf01, 0.5))
       else SparkEntry.oracleSql
     val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")

@@ -146,6 +146,91 @@ object DedupOps {
           (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
   }
 
+  /** Exact n-gram (shingle) Jaccard for all pairs — the ground truth the
+    * MinHash sketch approximates, in the sketch's OWN similarity space
+    * (distinct token shingles), unlike [[tokenJaccardPairs]]'s unigram
+    * sets. Inverted-index join keyed on `xxhash64(shingle)` so the
+    * exchange carries 8-byte keys, never shingle strings (a 2^-64
+    * collision would merge two shingles; at any realistic distinct-
+    * shingle count that term is below the noise of the data itself).
+    * Same document-frequency cap contract as [[tokenJaccardPairs]]:
+    * `None` = exact mode for oracle-matched verification.
+    */
+  def shingleJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                          shingleSize: Int = 3,
+                          maxDocFreq: Option[Int] = Some(DefaultMaxDocFreq))
+      : DataFrame = {
+    require(shingleSize >= 1, s"shingleSize must be >= 1, got $shingleSize")
+    val ts = TextFunctions.tokens(col(textCol))
+    // shingle i = tokens[i..i+k-1] joined on a single space (the oracle's
+    // string identity). Docs shorter than one shingle emit no rows —
+    // guarded with `when`, NOT sequence(1, 0): Spark's sequence treats
+    // stop < start as a DESCENDING range, which would probe index 0 and
+    // throw under ANSI
+    val nShingles = size(ts) - (shingleSize - 1)
+    val shingles = when(nShingles >= 1, transform(
+        sequence(lit(1), nShingles),
+        i => concat_ws(" ",
+          (0 until shingleSize).map(o => element_at(ts, (i + o).cast("int"))): _*)))
+      .otherwise(array().cast("array<string>"))
+    val sh = docs.select(col(idCol).as("doc"),
+        explode(array_distinct(shingles)).as("shingle"))
+      .select(col("doc"), xxhash64(col("shingle")).as("tok"))
+    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n_sh"))
+    val joinable = maxDocFreq match {
+      case Some(cap) =>
+        val rare = sh.groupBy("tok").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= cap).select("tok")
+        sh.join(rare, Seq("tok"))
+      case None => sh
+    }
+    val common = joinable.select(col("doc").as("doc_a"), col("tok"))
+      .join(joinable.select(col("doc").as("doc_b"), col("tok")), Seq("tok"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("doc").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
+  }
+
+  /** LSH candidate-recall evaluation — the dedup-tier counterpart of
+    * `AnnEval.recallAtK`: how much of the exact shingle-Jaccard >= tau
+    * ground truth does the MinHash banding surface, and at what
+    * precision? One summary row: truth/candidate/hit counts, recall
+    * (hits over truth) and precision (hits over candidates).
+    *
+    * Both inputs are pair sets ALREADY bounded by their own operators
+    * (banding buckets / the df-capped inverted index), so the full outer
+    * join and the final aggregation are O(pairs), never O(corpus^2).
+    * Run it on a sampled slice when tuning band counts at 100 TB — the
+    * measurement transfers, the exact-truth join cost does not.
+    */
+  def lshRecall(docs: DataFrame, idCol: String, textCol: String,
+                tau: Double, numHashes: Int = 32, bands: Int = 16,
+                shingleSize: Int = 3,
+                maxDocFreq: Option[Int] = Some(DefaultMaxDocFreq))
+      : DataFrame = {
+    val cand = minhashCandidatePairs(docs, idCol, textCol,
+        numHashes = numHashes, bands = bands, shingleSize = shingleSize)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        lit(1).as("__c"))
+    val truth = shingleJaccardPairs(docs, idCol, textCol, shingleSize,
+        maxDocFreq)
+      .filter(col("jaccard") >= tau)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("__t"))
+    cand.join(truth, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        count(col("__t")).as("n_truth"),
+        count(col("__c")).as("n_cand"),
+        count(when(col("__t").isNotNull && col("__c").isNotNull, 1)).as("n_hit"))
+      .select(col("n_truth"), col("n_cand"), col("n_hit"),
+        round(col("n_hit") / col("n_truth"), 6).as("recall"),
+        round(col("n_hit") / col("n_cand"), 6).as("precision"))
+  }
+
   /** Greedy cluster-dedup from candidate pairs: every doc that appears
     * as the larger id in a confirmed near-dup pair is dropped, keepers
     * are the rest. (Union-find-free approximation: keeps canonical =

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Outlier handling for numeric feature columns (SURVEY §2.10): robust
+  * per-group winsorization — clamp a value column to its group's exact
+  * [pLo, pHi] percentile band before aggregation, the standard defence
+  * against a fat-tailed metric poisoning a mean.
+  *
+  * Scale design: percentiles aggregate per GROUP (one shuffle on the
+  * group key, map-side partial sketch), producing a thresholds frame
+  * with one row per group — broadcast-joined back, so the clamp itself
+  * is map-only. Exact `percentile` is the oracle-matched default; at
+  * 100 TB swap `percentile` for `percentile_approx` (same plan shape,
+  * sketch-bounded memory) — the clamp and the downstream aggregation
+  * are unchanged.
+  */
+object Outliers {
+
+  /** Per-group winsorization thresholds: exact interpolated percentiles
+    * `pLo`/`pHi` of `valueCol` within each `groupCol` group.
+    */
+  def winsorThresholds(df: DataFrame, groupCol: String, valueCol: String,
+                       pLo: Double, pHi: Double): DataFrame = {
+    require(0 <= pLo && pLo < pHi && pHi <= 1, s"bad band [$pLo, $pHi]")
+    df.groupBy(groupCol).agg(
+      expr(s"percentile($valueCol, $pLo)").as("__lo"),
+      expr(s"percentile($valueCol, $pHi)").as("__hi"))
+  }
+
+  /** `df` with `valueCol` clamped to its group's [pLo, pHi] band in a
+    * new column `<valueCol>_w`. The thresholds side is one row per
+    * group — broadcast by hint so the clamp never shuffles the fact
+    * table.
+    */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+                pLo: Double, pHi: Double): DataFrame = {
+    val thr = winsorThresholds(df, groupCol, valueCol, pLo, pHi)
+    df.join(broadcast(thr), Seq(groupCol))
+      .withColumn(s"${valueCol}_w",
+        least(greatest(col(valueCol), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
+
+  /** The catalog reporting shape: per-group row count and the raw vs
+    * winsorized mean of `valueCol` — the one-line "did the tails move
+    * the metric" check.
+    */
+  def winsorizedMeans(df: DataFrame, groupCol: String, valueCol: String,
+                      pLo: Double, pHi: Double): DataFrame =
+    winsorize(df, groupCol, valueCol, pLo, pHi)
+      .groupBy(groupCol).agg(
+        count(lit(1)).as("n"),
+        round(avg(col(valueCol)), 4).as("mean_raw"),
+        round(avg(col(s"${valueCol}_w")), 4).as("mean_winsorized"))
+}

@@ -119,6 +119,35 @@ object TrainingOps {
     df.filter(cond)
   }
 
+  /** Weighted k-sample WITHOUT replacement (Efraimidis–Spirakis 2006):
+    * each row draws a deterministic uniform u from md5(seed:id) and is
+    * ranked by ln(u)/w — the top k by that key are a weight-
+    * proportional sample, exactly as if rows were drawn sequentially
+    * with probability w_i / sum(remaining w). One map-only key
+    * computation + a TakeOrderedAndProject (per-partition heaps carry
+    * k rows each to the driver merge — no global sort, no shuffle of
+    * the corpus) at any scale.
+    *
+    * The ranking key is ROUNDED to 6 decimals with id tie-breaks, so a
+    * cross-engine ln() ulp cannot flip an ordering (the q_topterms
+    * parity rule); u = (h48 + 1) / 2^48 where h48 is the first 12 hex
+    * chars of the md5 — exact in a double, and never 0 so ln is
+    * finite. Rows with non-positive weight are excluded (they can
+    * never be drawn).
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int, seed: String = "wsamp"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = col(weightCol).cast("double")
+    val h = conv(substring(hashKey(col(idCol), seed), 1, 12), 16, 10)
+      .cast("double")
+    val u = (h + 1) / lit(281474976710656.0) // 2^48
+    df.filter(w > 0)
+      .withColumn("es_key", round(log(u) / w, 6))
+      .orderBy(col("es_key").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Deterministic global shuffle: order rows by md5(seed:id). The sort
     * is a range-partitioned exchange + per-partition sort (Spark's
     * distributed ORDER BY) — no single-reducer bottleneck, and writing

@@ -343,6 +343,41 @@ class PlanHygieneSpec extends SparkTestBase {
       "map-side partial aggregation missing — every doc row would hit one reducer")
   }
 
+  test("q_lsh_recall: inverted-index joins only, keys are hashes not shingles") {
+    val p = plan("q_lsh_recall")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"truth pairing must invert on the shingle key, never all-pairs:\n${p.take(2000)}")
+    val exchangeKeys = "Exchange hashpartitioning\\([^)]*".r.findAllIn(p).toList
+    assert(exchangeKeys.forall(k => !k.contains("shingle")),
+      s"exchanges must carry 8-byte shingle hashes, not strings: $exchangeKeys")
+  }
+
+  test("q_oov_rate: scoring is map-only — vocab rides as a literal") {
+    val p = plan("q_oov_rate")
+    assert(!p.contains("Exchange"), s"OOV scoring must not shuffle:\n${p.take(2000)}")
+    assert(!p.contains("Join"), "OOV scoring must not join")
+  }
+
+  test("q_winsorize: thresholds broadcast back, fact table never re-shuffles for the clamp") {
+    val p = plan("q_winsorize")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "per-group thresholds must broadcast")
+  }
+
+  test("q_length_buckets: one shuffle on the bucket key, partial agg first") {
+    val p = plan("q_length_buckets")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(2000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "map-side partial aggregation missing")
+  }
+
+  test("q_weighted_sample: map-only key + top-k heaps, corpus never shuffles") {
+    val p = plan("q_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    assert(!p.contains("Exchange hashpartitioning"),
+      "weighted sampling must not shuffle the corpus")
+  }
+
   test("native dot product is codegen-capable (starred projection)") {
     // the tokenizing queries are bounded by ArrayTransform (a
     // CodegenFallback higher-order function), but ArrayDotProduct

@@ -78,6 +78,39 @@ class DedupOpsSpec extends SparkTestBase {
     assert(got.head === ((1L, 2L, 2.0 / 6.0)))
   }
 
+  test("shingleJaccardPairs computes exact 3-gram jaccard") {
+    val two = Seq((1L, "a b c d"), (2L, "b c d e")).toDF("doc_id", "text")
+    // shingles: {a b c, b c d} vs {b c d, c d e} -> 1 common / 3 union
+    val got = DedupOps.shingleJaccardPairs(two, "doc_id", "text",
+        shingleSize = 3, maxDocFreq = None)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(got.length === 1)
+    assert(got.head === ((1L, 2L, 1.0 / 3.0)))
+  }
+
+  test("shingleJaccardPairs: docs shorter than one shingle emit no rows") {
+    val short = Seq((1L, "a b"), (2L, "a b"), (3L, "a b c d")).toDF("doc_id", "text")
+    val got = DedupOps.shingleJaccardPairs(short, "doc_id", "text",
+      shingleSize = 3, maxDocFreq = None).collect()
+    assert(got.isEmpty, s"2-token docs have no 3-shingles, got ${got.toSeq}")
+  }
+
+  test("lshRecall: planted truth counted, exact-copy pair is always a hit") {
+    val row = DedupOps.lshRecall(docs, "doc_id", "text", tau = 0.5,
+        numHashes = 32, bands = 16, shingleSize = 3, maxDocFreq = None)
+      .select("n_truth", "n_cand", "n_hit", "recall", "precision")
+      .as[(Long, Long, Long, Double, Double)].head()
+    val (nTruth, nCand, nHit, recall, precision) = row
+    // truth at tau=0.5: (1,2) and (2,4) differ from base in one token
+    // (jaccard ~0.9), (1,4) identical
+    assert(nTruth === 3L, s"expected 3 truth pairs, got $nTruth")
+    // identical docs collide in every band -> (1,4) is a candidate AND
+    // truth, so at least one hit is structural
+    assert(nHit >= 1L && nHit <= math.min(nTruth, nCand))
+    assert(recall === math.rint(nHit.toDouble / nTruth * 1e6) / 1e6)
+    assert(precision === math.rint(nHit.toDouble / nCand * 1e6) / 1e6)
+  }
+
   test("DF cap defuses a hot token: docs sharing only a stop word never pair") {
     // 50 docs that share ONLY the token "the" — uncapped, that one
     // token alone contributes 50*49/2 candidate pairs

@@ -296,6 +296,39 @@ class TrainingOpsSpec extends SparkTestBase {
     assert(viaStrat === viaPlain)
   }
 
+  test("weightedSample: k rows, deterministic, non-positive weights excluded") {
+    val w = (1L to 100L).map(i => (i, if (i <= 5) 0L else i)).toDF("id", "w")
+    val a = TrainingOps.weightedSample(w, "id", "w", k = 10)
+      .select("id").as[Long].collect().toSeq
+    val b = TrainingOps.weightedSample(w, "id", "w", k = 10)
+      .select("id").as[Long].collect().toSeq
+    assert(a === b, "same seed must reproduce the sample")
+    assert(a.length === 10)
+    assert(a.forall(_ > 5L), s"zero-weight rows can never be drawn, got $a")
+  }
+
+  test("weightedSample draws proportionally to weight (ES property, k=1)") {
+    // two rows with weights 3:1 — across independent seeds the heavy
+    // row must win ~75% of the time (binomial, 400 trials, ±5 sigma)
+    val two = Seq((1L, 3.0), (2L, 1.0)).toDF("id", "w")
+    val wins = (1 to 400).count { s =>
+      TrainingOps.weightedSample(two, "id", "w", k = 1, seed = s"t$s")
+        .select("id").as[Long].head() == 1L
+    }
+    // E=300, sigma=sqrt(400*0.75*0.25)~8.7 -> [256, 344]
+    assert(wins > 256 && wins < 344,
+      s"heavy row won $wins/400, expected ~300 — the key is not ln(u)/w")
+  }
+
+  test("weightedSample plans as per-partition heaps, never a global sort") {
+    val w = (1L to 100L).map(i => (i, i)).toDF("id", "w")
+    val p = TrainingOps.weightedSample(w, "id", "w", k = 10)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    assert(!p.contains("Exchange hashpartitioning"),
+      "weighted sampling must not shuffle the corpus")
+  }
+
   test("deterministicShuffle is a stable permutation that varies by seed") {
     val p1 = TrainingOps.deterministicShuffle(docs, "id", "epoch0")
       .select("id").as[Long].collect().toSeq
