@@ -360,6 +360,26 @@ object Stress {
     }
     pairs.unpersist()
 
+    // ------------------------------ dedup-tier recall eval (q_lsh_recall)
+    // exact-copy groups are the ONLY shingle overlap (unique docs draw
+    // 16-hex-char words from disjoint seeds), so ground truth at any
+    // tau is exactly the 6 within-group pairs per group, the banding
+    // catches every one (identical signatures collide in all bands),
+    // and random band collisions are the only possible false positive
+    // — recall must be exactly 1.0 and precision 1.0 at this corpus.
+    // The truth side exercises the shingle inverted index at corpus
+    // scale: every shingle lives in <= 4 docs, so the join is linear.
+    phase("lsh_recall") {
+      val r = operators.DedupOps.lshRecall(docs, "id", "text", tau = 0.5)
+        .head()
+      val (nt, nc, nh) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val expectTruth = nDupDocs / 4 * 6
+      require(nt == expectTruth && nh == nt && nc == nt,
+        s"lsh_recall: truth=$nt cand=$nc hit=$nh, expected all $expectTruth")
+      (nt, s""","n_cand":$nc,"n_hit":$nh,"recall":${r.getDouble(3)},""" +
+        s""""precision":${r.getDouble(4)}""")
+    }
+
     // --------------------------------------- duplicated-span detection
     // every dup-group doc is a verbatim copy, so its full 12-token body
     // is ONE maximal span [1, 12]; unique docs (16-hex-char words from

@@ -161,36 +161,44 @@ object DedupOps {
                           maxDocFreq: Option[Int] = Some(DefaultMaxDocFreq))
       : DataFrame = {
     require(shingleSize >= 1, s"shingleSize must be >= 1, got $shingleSize")
-    val ts = TextFunctions.tokens(col(textCol))
-    // shingle i = tokens[i..i+k-1] joined on a single space (the oracle's
-    // string identity). Docs shorter than one shingle emit no rows —
-    // guarded with `when`, NOT sequence(1, 0): Spark's sequence treats
-    // stop < start as a DESCENDING range, which would probe index 0 and
-    // throw under ANSI
-    val nShingles = size(ts) - (shingleSize - 1)
-    val shingles = when(nShingles >= 1, transform(
-        sequence(lit(1), nShingles),
-        i => concat_ws(" ",
-          (0 until shingleSize).map(o => element_at(ts, (i + o).cast("int"))): _*)))
-      .otherwise(array().cast("array<string>"))
-    val sh = docs.select(col(idCol).as("doc"),
-        explode(array_distinct(shingles)).as("shingle"))
-      .select(col("doc"), xxhash64(col("shingle")).as("tok"))
-    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n_sh"))
+    // Shingle identity = the one-pass native gram hash over token
+    // hashes — the SAME identity construction the MinHash banding and
+    // the contamination grams use (no string shingles, no interpreted
+    // higher-order transform; the first formulation here built
+    // "t1 t2 t3" strings through a per-shingle lambda and cost ~6x).
+    // Per-doc set sizes ride THROUGH the explode as a column instead of
+    // a separate aggregation branch: that removes one full recompute of
+    // the explode subtree plus the two size joins at the end — Spark
+    // has no DAG-level CSE, so every extra reference to the exploded
+    // table is a full re-scan (the two self-join sides canonicalize to
+    // one exchange and ARE reused).
+    val tokenHashes =
+      transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t))
+    val grams = array_distinct(graft.functions.NativeExpressions
+      .gramHashes(tokenHashes, shingleSize))
+    val sh = docs
+      .select(col(idCol).as("doc"), grams.as("__grams"))
+      .select(col("doc"), size(col("__grams")).cast("long").as("n_sh"),
+        explode(col("__grams")).as("tok"))
+    // df cap via a count window OVER THE JOIN'S OWN tok exchange — not
+    // a groupBy+semi-join, which would re-run the explode and shuffle
+    // the posting list twice more. The window's hashpartitioning(tok)
+    // output satisfies the self-join's distribution requirement, so the
+    // whole cap costs one local sort, and the two join sides
+    // canonicalize to the same subplan (one exchange, reused).
     val joinable = maxDocFreq match {
       case Some(cap) =>
-        val rare = sh.groupBy("tok").agg(count(lit(1)).as("__df"))
-          .filter(col("__df") <= cap).select("tok")
-        sh.join(rare, Seq("tok"))
+        sh.withColumn("__df",
+            count(lit(1)).over(Window.partitionBy("tok")))
+          .filter(col("__df") <= cap).drop("__df")
       case None => sh
     }
-    val common = joinable.select(col("doc").as("doc_a"), col("tok"))
-      .join(joinable.select(col("doc").as("doc_b"), col("tok")), Seq("tok"))
+    joinable.select(col("doc").as("doc_a"), col("n_sh").as("n_a"), col("tok"))
+      .join(joinable.select(col("doc").as("doc_b"), col("n_sh").as("n_b"),
+        col("tok")), Seq("tok"))
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.select(col("doc").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
-      .join(sizes.select(col("doc").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"),
+        max("n_a").as("n_a"), max("n_b").as("n_b"))
       .select(col("doc_a"), col("doc_b"),
         (col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
