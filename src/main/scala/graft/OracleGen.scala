@@ -493,6 +493,34 @@ object OracleGen {
        FROM cand c
        FULL OUTER JOIN truth t ON c.id_a = t.doc_a AND c.id_b = t.doc_b"""
 
+  /** Oracle for [[graft.operators.DedupOps.simhashBandPairs]]: replay
+    * the band bucketing, candidate join, and Hamming verification from
+    * the pinned simhash fixture (`fpSql` — the fingerprints themselves
+    * are xxhash64-derived and have no external replay). DuckDB's `>>`
+    * is arithmetic like Spark's shiftright, and the width mask makes
+    * the sign irrelevant.
+    */
+  def simhashPairsSql(fpSql: String, maxHamming: Int, bands: Int): String = {
+    val width = 64 / bands
+    val mask = (1L << width) - 1
+    val bandList = (0 until bands).mkString("[", ", ", "]")
+    s"""WITH fp AS ($fpSql),
+       banded AS (
+         SELECT doc_id, simhash, b AS band,
+                (simhash >> (b * $width)) & $mask AS key
+         FROM fp, unnest($bandList) AS u(b)),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM banded a JOIN banded b
+           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+       SELECT id_a, id_b,
+              CAST(bit_count(xor(fa.simhash, fb.simhash)) AS BIGINT) AS hamming
+       FROM cand
+       JOIN fp fa ON fa.doc_id = id_a
+       JOIN fp fb ON fb.doc_id = id_b
+       WHERE bit_count(xor(fa.simhash, fb.simhash)) <= $maxHamming"""
+  }
+
   def ivfAnnSql(probeMax: Int, k: Int, nCells: Int, nProbe: Int,
                 dim: Int): String =
     s"""WITH e AS (

@@ -731,6 +731,28 @@ object SparkEntry {
     // §2.10 text analysis: token/type counts, mean token length, stopword
     // ratio — all four stats come off ONE native TokenStats struct, so
     // the whole query is a single tokenize + single per-token loop per row
+    // §2.10 corpus mix: per-source unigram KL divergence from the
+    // corpus distribution — the data-mixing skew diagnostic. One
+    // (source, term) shuffle; everything downstream is keyed on the
+    // vocabulary-bounded aggregate, never the corpus.
+    "q_source_kl" -> ((s, dir) =>
+      CorpusDivergence.sourceKl(t(s, dir, "documents"), "source", "text")),
+
+    // §2.10 text: lexical-diversity signals — type-token ratio and the
+    // character-distribution Shannon entropy (gibberish/low-diversity
+    // detector) via the native one-pass CharEntropy expression.
+    // Map-only, zero shuffle.
+    "q_lexical_diversity" -> ((s, dir) => {
+      val ts = TF.tokens(col("text"))
+      t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          round(size(array_distinct(ts)).cast("double") /
+            greatest(size(ts), lit(1)), 6).as("ttr"),
+          round(graft.functions.NativeExpressions.charEntropy(col("text")), 6)
+            .as("char_entropy"))
+    }),
+
     "q_text_stats" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"),
@@ -851,6 +873,14 @@ object SparkEntry {
     "q_simhash" -> ((s, dir) =>
       DedupOps.simhash(t(s, dir, "documents"), "text")
         .select("doc_id", "simhash")),
+
+    // §2.10 near-dup: SimHash band-bucketed candidate pairs with full
+    // 64-bit Hamming verification — pigeonhole recall 1.0 for
+    // hamming <= 3 at 4 bands. Oracle replays banding + verification
+    // from the pinned fingerprint fixture.
+    "q_simhash_pairs" -> ((s, dir) =>
+      DedupOps.simhashBandPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3, bands = 4)),
 
     // §2.10 multimodal: binary media column -> batched stub-decode ->
     // feature vectors (documents stand in as fake image bytes; the
@@ -1765,6 +1795,9 @@ object SparkEntry {
 
     "q_lsh_recall" -> OracleGen.lshRecallSql(OracleFixtures.minhashPairsSql, 0.5),
 
+    "q_simhash_pairs" ->
+      OracleGen.simhashPairsSql(OracleFixtures.simhashSql, 3, 4),
+
     "q_simhash" -> OracleFixtures.simhashSql,
 
     "q_bpe_tokens" ->
@@ -2052,6 +2085,42 @@ object SparkEntry {
       """SELECT md5(text) AS content_hash, min(doc_id) AS doc_id,
          count(*) AS n_copies
          FROM documents GROUP BY md5(text)""",
+
+    "q_source_kl" ->
+      raw"""WITH tok AS (
+           SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS term
+           FROM documents WHERE text IS NOT NULL),
+         c AS (SELECT source, term, count(*) AS n FROM tok GROUP BY 1, 2),
+         e AS (
+           SELECT source, term, n,
+             sum(n) OVER (PARTITION BY term) AS n_term,
+             sum(n) OVER (PARTITION BY source) AS n_source
+           FROM c),
+         t AS (SELECT sum(n) AS n_total FROM c)
+         SELECT source, CAST(max(n_source) AS BIGINT) AS n_tokens,
+           round(sum((CAST(n AS DOUBLE) / n_source)
+             * ln((CAST(n AS DOUBLE) / n_source)
+                   / (CAST(n_term AS DOUBLE) / n_total))), 6) AS kl
+         FROM e, t GROUP BY source""",
+
+    "q_lexical_diversity" ->
+      raw"""WITH cnt AS (
+           SELECT doc_id, c, count(*) AS n
+           FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+                 FROM documents WHERE text IS NOT NULL)
+           GROUP BY 1, 2),
+         tot AS (SELECT doc_id, sum(n) AS nt FROM cnt GROUP BY 1),
+         ent AS (
+           SELECT cnt.doc_id,
+             round(-sum((CAST(n AS DOUBLE) / nt) * log2(CAST(n AS DOUBLE) / nt)), 6)
+               AS char_entropy
+           FROM cnt JOIN tot USING (doc_id) GROUP BY cnt.doc_id)
+         SELECT d.doc_id,
+           round(CAST(len(list_distinct(string_split_regex(trim(d.text), '\s+'))) AS DOUBLE)
+             / greatest(len(string_split_regex(trim(d.text), '\s+')), 1), 6) AS ttr,
+           ent.char_entropy
+         FROM documents d JOIN ent ON ent.doc_id = d.doc_id
+         WHERE d.text IS NOT NULL""",
 
     "q_text_stats" ->
       """SELECT doc_id,

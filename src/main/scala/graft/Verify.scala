@@ -59,7 +59,9 @@ object Verify {
           "q_minhash_pairs" -> OracleFixtures.minhashPairsSqlSf01,
           "q_simhash" -> OracleFixtures.simhashSqlSf01,
           "q_lsh_recall" ->
-            OracleGen.lshRecallSql(OracleFixtures.minhashPairsSqlSf01, 0.5))
+            OracleGen.lshRecallSql(OracleFixtures.minhashPairsSqlSf01, 0.5),
+          "q_simhash_pairs" ->
+            OracleGen.simhashPairsSql(OracleFixtures.simhashSqlSf01, 3, 4))
       else SparkEntry.oracleSql
     val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")

@@ -306,6 +306,63 @@ object NativeExpressions {
       copy(child = c)
   }
 
+  /** Shannon entropy (base 2) of a string's character distribution —
+    * the classic gibberish / low-diversity quality signal. Counted over
+    * Unicode CODE POINTS (what an external engine's character split
+    * yields), not UTF-16 units; empty string = 0.0. One pass, ASCII
+    * fast path through a 128-slot array, code points above ASCII in an
+    * overflow map. The per-character probability sum accumulates in
+    * ascending character order, so the result is deterministic across
+    * partitionings.
+    */
+  def charEntropyEval(s: org.apache.spark.unsafe.types.UTF8String): Double = {
+    val str = s.toString
+    val ascii = new Array[Int](128)
+    var other: scala.collection.mutable.LongMap[Int] = null
+    var n = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      if (cp < 128) ascii(cp) += 1
+      else {
+        if (other == null) other = scala.collection.mutable.LongMap.empty[Int]
+        other.update(cp.toLong, other.getOrElse(cp.toLong, 0) + 1)
+      }
+      n += 1
+      i += Character.charCount(cp)
+    }
+    if (n == 0L) return 0.0
+    val ln2 = math.log(2.0)
+    var h = 0.0
+    var c = 0
+    while (c < 128) {
+      if (ascii(c) > 0) {
+        val p = ascii(c).toDouble / n
+        h -= p * (math.log(p) / ln2)
+      }
+      c += 1
+    }
+    if (other != null) other.toSeq.sortBy(_._1).foreach { case (_, cnt) =>
+      val p = cnt.toDouble / n
+      h -= p * (math.log(p) / ln2)
+    }
+    h
+  }
+
+  case class CharEntropy(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+
+    override def nullSafeEval(input: Any): Any =
+      charEntropyEval(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.NativeExpressions.charEntropyEval($c);")
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** All SRP band buckets of a vector in one pass (shared loop body for
     * eval and generated code). Bit-identical to projecting against the
     * per-plane literals: per-element double conversion, left-to-right
@@ -1261,6 +1318,9 @@ object NativeExpressions {
 
   def simhash64(tokenHashes: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokenHashes)))
+
+  def charEntropy(text: Column): Column =
+    ColumnBridge.column(CharEntropy(ColumnBridge.expression(text)))
 
   def gramHashes(tokenHashes: Column, width: Int): Column =
     ColumnBridge.column(GramHashes(

@@ -146,6 +146,48 @@ object DedupOps {
           (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
   }
 
+  /** SimHash near-dup candidate pairs via 16-bit band bucketing
+    * (Charikar 2002 / the Manku-Jain-Sarma web-dedup recipe): two
+    * fingerprints within Hamming distance `maxHamming` <= bands - 1
+    * must agree EXACTLY on at least one of the `bands` disjoint bit
+    * blocks (pigeonhole), so bucketing each block and equi-joining
+    * surfaces every such pair with recall 1.0 — the only candidates
+    * paying a verification probe are same-block collisions, never
+    * all-pairs. The exchange carries (band, 16-bit key, id): small
+    * fixed-width keys at any corpus size.
+    *
+    * Output: (id_a, id_b, hamming) for verified pairs, hamming counted
+    * over the full 64 bits.
+    */
+  def simhashBandPairs(docs: DataFrame, idCol: String, textCol: String,
+                       maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(bands > 0 && 64 % bands == 0, s"bands must divide 64, got $bands")
+    require(maxHamming < bands,
+      s"pigeonhole guarantee needs maxHamming < bands, got $maxHamming/$bands")
+    val width = 64 / bands
+    val mask = (1L << width) - 1
+    val fp = simhash(docs, textCol)
+      .select(col(idCol).as("doc"), col("simhash"))
+    val banded = fp.select(col("doc"), col("simhash"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          (shiftright(col("simhash"), b * width)
+            .bitwiseAND(lit(mask))).as("key"))): _*)).as("bk"))
+      .select(col("doc"), col("simhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    banded
+      .select(col("doc").as("id_a"), col("simhash").as("__sa"),
+        col("band"), col("key"))
+      .join(banded.select(col("doc").as("id_b"), col("simhash").as("__sb"),
+        col("band"), col("key")), Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("__sa").bitwiseXOR(col("__sb"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Exact n-gram (shingle) Jaccard for all pairs — the ground truth the
     * MinHash sketch approximates, in the sketch's OWN similarity space
     * (distinct token shingles), unlike [[tokenJaccardPairs]]'s unigram

@@ -378,6 +378,31 @@ class PlanHygieneSpec extends SparkTestBase {
       "weighted sampling must not shuffle the corpus")
   }
 
+  test("q_simhash_pairs: band-bucketed equi-join, never all-pairs") {
+    val p = plan("q_simhash_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"simhash pairing must bucket on (band, key):\n${p.take(2000)}")
+    val exchangeKeys = "Exchange hashpartitioning\\([^)]*".r.findAllIn(p).toList
+    assert(exchangeKeys.forall(k => !k.contains("text")),
+      s"exchanges must carry band keys, not documents: $exchangeKeys")
+  }
+
+  test("q_lexical_diversity: map-only — no shuffle, no join") {
+    val p = plan("q_lexical_diversity")
+    assert(!p.contains("Exchange"), s"must not shuffle:\n${p.take(2000)}")
+    assert(!p.contains("Join"), "must not join")
+  }
+
+  test("q_source_kl: exchanges keyed on source/term aggregates, never text") {
+    val p = plan("q_source_kl")
+    val exchangeKeys = "Exchange hashpartitioning\\([^)]*".r.findAllIn(p).toList
+    assert(exchangeKeys.nonEmpty)
+    assert(exchangeKeys.forall(k => !k.contains("text")),
+      s"exchange keys must be source/term, not documents: $exchangeKeys")
+    assert(!p.contains("CartesianProduct"),
+      "the corpus-total join must be a single-row broadcast")
+  }
+
   test("native dot product is codegen-capable (starred projection)") {
     // the tokenizing queries are bounded by ArrayTransform (a
     // CodegenFallback higher-order function), but ArrayDotProduct

@@ -6,6 +6,38 @@ import graft.SparkTestBase
 class TextFunctionsSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("charEntropy: hand-computed values, empty = 0, null = null, codegen") {
+    val df = Seq(
+      (1L, Option("aab")),      // -(2/3 log2 2/3 + 1/3 log2 1/3) = 0.9183
+      (2L, Option("abcd")),     // uniform over 4 -> exactly 2 bits
+      (3L, Option("aaaa")),     // single symbol -> 0
+      (4L, Option("")),         // empty -> 0
+      (5L, Option.empty[String])
+    ).toDF("id", "t")
+    val got = df.select(col("id"),
+        round(NativeExpressions.charEntropy(col("t")), 6).as("h"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(math.abs(got(1L).get - 0.918296) < 1e-9)
+    assert(got(2L).get === 2.0)
+    assert(got(3L).get === 0.0)
+    assert(got(4L).get === 0.0)
+    assert(got(5L).isEmpty, "null text must stay null")
+    // codegen check needs a non-local plan (a Seq constant-folds to
+    // LocalTableScan with no codegen span to inspect)
+    val p = spark.range(4)
+      .select(NativeExpressions.charEntropy(concat(lit("x"), col("id"))))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("*("), s"CharEntropy fell out of codegen:\n$p")
+  }
+
+  test("charEntropy counts code points, not UTF-16 units") {
+    // U+1D11E (musical G clef) is a surrogate pair in UTF-16; with one
+    // 'a' the distribution is uniform over TWO code points -> 1 bit
+    val h = Seq(("𝄞" + "a")).toDF("t")
+      .select(NativeExpressions.charEntropy(col("t"))).as[Double].head()
+    assert(h === 1.0, s"expected 1 bit over two code points, got $h")
+  }
+
   private lazy val docs = Seq(
     (1L, "the quick brown fox jumps over the lazy dog"),
     (2L, "  spaced   out\ttabs\nand newlines  "),

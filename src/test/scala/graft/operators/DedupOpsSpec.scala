@@ -111,6 +111,29 @@ class DedupOpsSpec extends SparkTestBase {
     assert(precision === math.rint(nHit.toDouble / nCand * 1e6) / 1e6)
   }
 
+  test("simhashBandPairs: exact copies pair at hamming 0, unrelated never pair") {
+    val got = DedupOps.simhashBandPairs(docs, "doc_id", "text",
+        maxHamming = 3, bands = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got.contains((1L, 4L, 0L)), s"exact copies must pair at 0, got $got")
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated doc (hamming > 16 from all) must not pair, got $got")
+    // widening the threshold can only add pairs (monotonicity)
+    val strict = DedupOps.simhashBandPairs(docs, "doc_id", "text",
+      maxHamming = 0, bands = 4).as[(Long, Long, Long)].collect().toSet
+    assert(strict.subsetOf(got))
+  }
+
+  test("simhashBandPairs rejects a threshold outside the pigeonhole guarantee") {
+    intercept[IllegalArgumentException] {
+      DedupOps.simhashBandPairs(docs, "doc_id", "text",
+        maxHamming = 4, bands = 4)
+    }
+    intercept[IllegalArgumentException] {
+      DedupOps.simhashBandPairs(docs, "doc_id", "text", bands = 5)
+    }
+  }
+
   test("DF cap defuses a hot token: docs sharing only a stop word never pair") {
     // 50 docs that share ONLY the token "the" — uncapped, that one
     // token alone contributes 50*49/2 candidate pairs
