@@ -738,6 +738,14 @@ object SparkEntry {
     "q_source_kl" -> ((s, dir) =>
       CorpusDivergence.sourceKl(t(s, dir, "documents"), "source", "text")),
 
+    // §2.10 quality: per-doc novelty — fraction of the doc's distinct
+    // 3-gram shingles with corpus document-frequency exactly 1
+    // (boilerplate/template detector, the scoring complement of the
+    // dedup tier). Gram hashes on the wire, df via a count window over
+    // the gram exchange, one re-keyed aggregation.
+    "q_doc_novelty" -> ((s, dir) =>
+      CorpusDivergence.docNovelty(t(s, dir, "documents"), "doc_id", "text")),
+
     // §2.10 text: lexical-diversity signals — type-token ratio and the
     // character-distribution Shannon entropy (gibberish/low-diversity
     // detector) via the native one-pass CharEntropy expression.
@@ -2085,6 +2093,21 @@ object SparkEntry {
       """SELECT md5(text) AS content_hash, min(doc_id) AS doc_id,
          count(*) AS n_copies
          FROM documents GROUP BY md5(text)""",
+
+    "q_doc_novelty" ->
+      raw"""WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+           FROM documents WHERE text IS NOT NULL),
+         sh AS (
+           SELECT DISTINCT doc_id,
+                  ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+           FROM toks, unnest(range(1, len(ts) - 1)) AS u(i)),
+         e AS (SELECT doc_id, count(*) OVER (PARTITION BY g) AS df FROM sh)
+         SELECT doc_id, count(*) AS n_grams,
+           CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+           round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS novelty
+         FROM e GROUP BY doc_id""",
 
     "q_source_kl" ->
       raw"""WITH tok AS (

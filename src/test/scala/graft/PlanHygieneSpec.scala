@@ -403,6 +403,16 @@ class PlanHygieneSpec extends SparkTestBase {
       "the corpus-total join must be a single-row broadcast")
   }
 
+  test("q_doc_novelty: gram hashes on the wire, df window reuses the gram exchange") {
+    val p = plan("q_doc_novelty")
+    assert(!p.contains("Join"), "novelty must not join")
+    val exchangeKeys = "Exchange hashpartitioning\\([^)]*".r.findAllIn(p).toList
+    assert(exchangeKeys.size === 2,
+      s"exactly two bounded-key shuffles (gram window + doc agg): $exchangeKeys")
+    assert(exchangeKeys.forall(k => !k.contains("text")),
+      s"exchanges must carry gram hashes/ids, not documents: $exchangeKeys")
+  }
+
   test("native dot product is codegen-capable (starred projection)") {
     // the tokenizing queries are bounded by ArrayTransform (a
     // CodegenFallback higher-order function), but ArrayDotProduct

@@ -31,6 +31,22 @@ class CorpusDivergenceSpec extends SparkTestBase {
     assert(kl === 0.0)
   }
 
+  test("docNovelty: shared grams scored 0, unique grams 1, short docs dropped") {
+    val docs = Seq(
+      (1L, "a b c d"),   // grams: abc, bcd — abc shared with doc 2
+      (2L, "a b c x"),   // grams: abc, bcx
+      (3L, "p q r s t"), // all unique
+      (4L, "a b")        // no 3-grams -> no row
+    ).toDF("doc_id", "text")
+    val got = CorpusDivergence.docNovelty(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === ((2L, 1L, 0.5)))
+    assert(got(2L) === ((2L, 1L, 0.5)))
+    assert(got(3L) === ((3L, 3L, 1.0)))
+    assert(!got.contains(4L), "docs below one shingle emit no row")
+  }
+
   test("null-text docs contribute nothing") {
     val docs = Seq(
       ("A", Option("a b")), ("A", Option.empty[String]), ("B", Option("a b"))
