@@ -738,6 +738,25 @@ object SparkEntry {
     "q_source_kl" -> ((s, dir) =>
       CorpusDivergence.sourceKl(t(s, dir, "documents"), "source", "text")),
 
+    // §2.10 corpus statistics: Zipf slope — OLS fit of ln(freq) vs
+    // ln(rank) over the top-100 terms (a natural-language corpus sits
+    // near -1; synthetic/templated text drifts off). Term counts are
+    // one vocabulary-keyed shuffle + a top-k heap; ranking and the
+    // regression run over the BOUNDED top-100 frame (the
+    // single-partition window is over 100 rows by construction).
+    "q_zipf" -> ((s, dir) => {
+      val top = t(s, dir, "documents")
+        .select(explode(TF.tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("term")).limit(100)
+      top.select(col("term"), col("freq"),
+          row_number().over(
+            Window.orderBy(col("freq").desc, col("term"))).as("rank"))
+        .agg(
+          count(lit(1)).as("n_terms"),
+          round(expr("regr_slope(ln(freq), ln(rank))"), 6).as("zipf_slope"))
+    }),
+
     // §2.10 quality: per-doc novelty — fraction of the doc's distinct
     // 3-gram shingles with corpus document-frequency exactly 1
     // (boilerplate/template detector, the scoring complement of the
@@ -2093,6 +2112,22 @@ object SparkEntry {
       """SELECT md5(text) AS content_hash, min(doc_id) AS doc_id,
          count(*) AS n_copies
          FROM documents GROUP BY md5(text)""",
+
+    "q_zipf" ->
+      raw"""WITH cnt AS (
+           SELECT term, count(*) AS freq
+           FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+                 FROM documents)
+           GROUP BY term),
+         top AS (SELECT term, freq FROM cnt
+                 ORDER BY freq DESC, term LIMIT 100),
+         ranked AS (
+           SELECT freq,
+             row_number() OVER (ORDER BY freq DESC, term) AS rank
+           FROM top)
+         SELECT count(*) AS n_terms,
+           round(regr_slope(ln(freq), ln(rank)), 6) AS zipf_slope
+         FROM ranked""",
 
     "q_doc_novelty" ->
       raw"""WITH toks AS (

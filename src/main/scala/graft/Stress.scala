@@ -380,6 +380,25 @@ object Stress {
         s""""precision":${r.getDouble(4)}""")
     }
 
+    // --------------------------------- per-doc novelty (q_doc_novelty)
+    // every dup-group doc shares ALL its grams with its 3 copies
+    // (df = 4 -> novelty exactly 0); every unique doc's grams exist
+    // nowhere else (df = 1 -> novelty exactly 1). Total coverage: all
+    // docs emit a row (12 tokens -> 10 grams each). A clean three-way
+    // exactness bar over the whole corpus in one aggregate.
+    phase("doc_novelty") {
+      val r = operators.CorpusDivergence.docNovelty(docs, "id", "text")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("novelty") === 1.0, 1L).otherwise(0L)).as("ones"),
+          sum(when(col("novelty") === 0.0, 1L).otherwise(0L)).as("zeros"))
+        .head()
+      val (n, ones, zeros) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      require(n == nDocs && zeros == nDupDocs && ones == nDocs - nDupDocs,
+        s"novelty: n=$n ones=$ones zeros=$zeros, " +
+          s"expected $nDocs/${nDocs - nDupDocs}/$nDupDocs")
+      (n, s""","novelty_one":$ones,"novelty_zero":$zeros""")
+    }
+
     // --------------------------------------- duplicated-span detection
     // every dup-group doc is a verbatim copy, so its full 12-token body
     // is ONE maximal span [1, 12]; unique docs (16-hex-char words from

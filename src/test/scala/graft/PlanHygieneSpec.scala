@@ -413,6 +413,13 @@ class PlanHygieneSpec extends SparkTestBase {
       s"exchanges must carry gram hashes/ids, not documents: $exchangeKeys")
   }
 
+  test("q_zipf: regression runs over the bounded top-k frame, not the vocabulary") {
+    val p = plan("q_zipf")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 must plan as per-partition heaps:\n${p.take(2000)}")
+    assert(!p.contains("Join"), "zipf fit must not join")
+  }
+
   test("native dot product is codegen-capable (starred projection)") {
     // the tokenizing queries are bounded by ArrayTransform (a
     // CodegenFallback higher-order function), but ArrayDotProduct
