@@ -61,6 +61,66 @@ class OperatorPropertiesSpec extends SparkTestBase {
     }
   }
 
+  private val docGen = Gen.listOfN(12,
+    Gen.listOfN(8, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" ")))
+
+  test("shingleJaccardPairs == in-memory 3-gram set reference on random docs") {
+    (1 to 6).foreach { s =>
+      val texts = docGen(Gen.Parameters.default, Seed(s.toLong)).get
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = DedupOps.shingleJaccardPairs(docs.toDF("doc_id", "text"),
+          "doc_id", "text", shingleSize = 3, maxDocFreq = None)
+        .as[(Long, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      def shingles(t: String): Set[Seq[String]] =
+        t.split("\\s+").toSeq.sliding(3).filter(_.size == 3).toSet
+      val want = (for {
+        (a, ia) <- docs; (b, ib) <- docs if a < b
+        sa = shingles(ia); sb = shingles(ib)
+        inter = (sa & sb).size if inter > 0
+      } yield (a, b) -> inter.toDouble / (sa.size + sb.size - inter)).toMap
+      assert(got.keySet === want.keySet, s"seed $s")
+      got.foreach { case (k, j) =>
+        assert(math.abs(j - want(k)) < 1e-12, s"seed $s pair $k") }
+    }
+  }
+
+  test("docNovelty == in-memory df reference on random docs") {
+    (1 to 6).foreach { s =>
+      val texts = docGen(Gen.Parameters.default, Seed(100L + s)).get
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = CorpusDivergence.docNovelty(docs.toDF("doc_id", "text"),
+          "doc_id", "text")
+        .as[(Long, Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      def shingles(t: String): Set[Seq[String]] =
+        t.split("\\s+").toSeq.sliding(3).filter(_.size == 3).toSet
+      val all = docs.map { case (id, t) => id -> shingles(t) }
+      val df = all.flatMap(_._2).groupBy(identity).map { case (g, o) => g -> o.size }
+      val want = all.filter(_._2.nonEmpty).map { case (id, sh) =>
+        id -> ((sh.size.toLong, sh.count(g => df(g) == 1).toLong))
+      }.toMap
+      assert(got === want, s"seed $s")
+    }
+  }
+
+  test("weightedSample == in-memory Efraimidis-Spirakis reference") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long, w: Double): Double = {
+      val hex = md.digest(s"wsamp:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      val u = (java.lang.Long.parseLong(hex, 16) + 1).toDouble / 281474976710656.0
+      BigDecimal(math.log(u) / w)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val rows = (1L to 200L).map(i => (i, (i % 7 + 1).toDouble))
+    val got = TrainingOps.weightedSample(rows.toDF("id", "w"), "id", "w", k = 20)
+      .select("id").as[Long].collect().toSeq
+    val want = rows.map { case (id, w) => (id, key(id, w)) }
+      .sortBy { case (id, k) => (-k, id) }.take(20).map(_._1)
+    assert(got.sorted === want.sorted)
+  }
+
   test("asOf (union) == brute-force point-in-time lookup on random data") {
     samples(8).zip(samples(8).reverse).foreach { case (probeRows, buildRows) =>
       val probes = probeRows.zipWithIndex
