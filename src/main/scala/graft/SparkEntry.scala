@@ -738,6 +738,27 @@ object SparkEntry {
     "q_source_kl" -> ((s, dir) =>
       CorpusDivergence.sourceKl(t(s, dir, "documents"), "source", "text")),
 
+    // §2.10 text: sliding-window chunking WITH overlap (stride 30 over
+    // 50-token windows — the RAG/embedding-context shape; q_chunks is
+    // the disjoint variant). Map-only: window count and slices are
+    // row-local arithmetic over the token array, zero shuffle.
+    "q_chunk_overlap" -> ((s, dir) => {
+      val chunk = 50
+      val stride = 30
+      val toks = TF.tokens(col("text"))
+      val extra = greatest(size(toks) - lit(chunk), lit(0))
+      val nw = (lit(1) + ((extra + lit(stride - 1)) / lit(stride))
+        .cast("long")).as("__nw")
+      t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(
+          transform(sequence(lit(0L), nw - 1),
+            d => array_join(
+              slice(toks, (d * stride + 1).cast("int"), lit(chunk)), " "))))
+        .toDF("doc_id", "chunk_idx", "chunk")
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          col("chunk"))
+    }),
+
     // §2.10 corpus statistics: Zipf slope — OLS fit of ln(freq) vs
     // ln(rank) over the top-100 terms (a natural-language corpus sits
     // near -1; synthetic/templated text drifts off). Term counts are
@@ -2112,6 +2133,17 @@ object SparkEntry {
       """SELECT md5(text) AS content_hash, min(doc_id) AS doc_id,
          count(*) AS n_copies
          FROM documents GROUP BY md5(text)""",
+
+    "q_chunk_overlap" ->
+      raw"""WITH t AS (SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         n AS (SELECT doc_id, toks,
+             1 + (greatest(len(toks) - 50, 0) + 29) // 30 AS nw
+           FROM t)
+         SELECT doc_id, d AS chunk_idx,
+           array_to_string(toks[(d*30+1):(d*30+50)], ' ') AS chunk
+         FROM n, unnest(range(0, nw)) AS u(d)""",
 
     "q_zipf" ->
       raw"""WITH cnt AS (

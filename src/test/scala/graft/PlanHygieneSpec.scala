@@ -420,6 +420,12 @@ class PlanHygieneSpec extends SparkTestBase {
     assert(!p.contains("Join"), "zipf fit must not join")
   }
 
+  test("q_chunk_overlap: row-local windowing — no shuffle, no join") {
+    val p = plan("q_chunk_overlap")
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n${p.take(2000)}")
+    assert(!p.contains("Join"), "chunking must not join")
+  }
+
   test("native dot product is codegen-capable (starred projection)") {
     // the tokenizing queries are bounded by ArrayTransform (a
     // CodegenFallback higher-order function), but ArrayDotProduct
