@@ -42,6 +42,45 @@ object FreqItemsAggregator {
   /** One reported item. */
   final case class TermCount(term: String, est: Long)
 
+  /** The MG point update, shared verbatim by the batch aggregator and
+    * the streaming state machine ([[graft.streaming.StreamingHeavyHitters]])
+    * so the two tiers provably apply the same rule.
+    */
+  def mgReduce(buf: Map[String, Long], term: String,
+               capacity: Int): Map[String, Long] =
+    buf.get(term) match {
+      case Some(c) => buf.updated(term, c + 1L)
+      case None if buf.size < capacity => buf.updated(term, 1L)
+      case None =>
+        // the MG decrement: every counter -1, drop the zeroed
+        buf.foldLeft(Map.empty[String, Long]) { case (m, (t, c)) =>
+          if (c > 1L) m.updated(t, c - 1L) else m
+        }
+    }
+
+  /** Mergeable-summaries combine (Agarwal et al., PODS 2012). */
+  def mgMerge(a: Map[String, Long], b: Map[String, Long],
+              capacity: Int): Map[String, Long] = {
+    val summed = b.foldLeft(a) { case (m, (t, c)) =>
+      m.updated(t, m.getOrElse(t, 0L) + c)
+    }
+    if (summed.size <= capacity) summed
+    else {
+      // subtract the (capacity+1)-th largest count, keep positive
+      val cut = summed.valuesIterator.toArray.sortBy(-_)(Ordering.Long)
+        .apply(capacity)
+      summed.collect { case (t, c) if c > cut => t -> (c - cut) }
+    }
+  }
+
+  /** Deterministic top-k rendering: count desc, UTF-8 term asc. */
+  def mgTopK(buf: Map[String, Long], k: Int): Seq[TermCount] =
+    buf.toSeq
+      .map { case (t, c) => TermCount(t, c) }
+      .sortWith((x, y) =>
+        x.est > y.est || (x.est == y.est && utf8Less(x.term, y.term)))
+      .take(k)
+
   final class FreqItems(capacity: Int, k: Int)
       extends Aggregator[String, Map[String, Long], Seq[TermCount]] {
     require(capacity > 0, s"capacity must be positive, got $capacity")
@@ -50,35 +89,13 @@ object FreqItemsAggregator {
     override def zero: Map[String, Long] = Map.empty
 
     override def reduce(buf: Map[String, Long], term: String): Map[String, Long] =
-      buf.get(term) match {
-        case Some(c) => buf.updated(term, c + 1L)
-        case None if buf.size < capacity => buf.updated(term, 1L)
-        case None =>
-          // the MG decrement: every counter -1, drop the zeroed
-          buf.foldLeft(Map.empty[String, Long]) { case (m, (t, c)) =>
-            if (c > 1L) m.updated(t, c - 1L) else m
-          }
-      }
+      mgReduce(buf, term, capacity)
 
-    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
-      val summed = b.foldLeft(a) { case (m, (t, c)) =>
-        m.updated(t, m.getOrElse(t, 0L) + c)
-      }
-      if (summed.size <= capacity) summed
-      else {
-        // subtract the (capacity+1)-th largest count, keep positive
-        val cut = summed.valuesIterator.toArray.sortBy(-_)(Ordering.Long)
-          .apply(capacity)
-        summed.collect { case (t, c) if c > cut => t -> (c - cut) }
-      }
-    }
+    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+      mgMerge(a, b, capacity)
 
     override def finish(buf: Map[String, Long]): Seq[TermCount] =
-      buf.toSeq
-        .map { case (t, c) => TermCount(t, c) }
-        .sortWith((x, y) =>
-          x.est > y.est || (x.est == y.est && utf8Less(x.term, y.term)))
-        .take(k)
+      mgTopK(buf, k)
 
     override def bufferEncoder: Encoder[Map[String, Long]] =
       ExpressionEncoder[Map[String, Long]]()
