@@ -778,6 +778,22 @@ object SparkEntry {
           round(expr("regr_slope(ln(freq), ln(rank))"), 6).as("zipf_slope"))
     }),
 
+    // §2.10 corpus reporting: duplicate-mass attribution per source —
+    // which sources ship the copies? Content-hash df via a count
+    // window over the hash exchange, then one source-keyed
+    // aggregation; exchanges carry 128-bit hashes and source keys,
+    // never text.
+    "q_dup_mass_by_source" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("source"), md5(col("text")).as("__h"))
+        .withColumn("__df", count(lit(1)).over(Window.partitionBy("__h")))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("__df") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+          round(sum(when(col("__df") > 1, 1L).otherwise(0L)) /
+            count(lit(1)).cast("double"), 6).as("dup_frac"))),
+
     // §2.10 quality: per-doc novelty — fraction of the doc's distinct
     // 3-gram shingles with corpus document-frequency exactly 1
     // (boilerplate/template detector, the scoring complement of the
@@ -2160,6 +2176,17 @@ object SparkEntry {
          SELECT count(*) AS n_terms,
            round(regr_slope(ln(freq), ln(rank)), 6) AS zipf_slope
          FROM ranked""",
+
+    "q_dup_mass_by_source" ->
+      """WITH h AS (
+           SELECT source, count(*) OVER (PARTITION BY md5(text)) AS df
+           FROM documents WHERE text IS NOT NULL)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_docs,
+           round(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS dup_frac
+         FROM h GROUP BY source""",
 
     "q_doc_novelty" ->
       raw"""WITH toks AS (

@@ -426,6 +426,16 @@ class PlanHygieneSpec extends SparkTestBase {
     assert(!p.contains("Join"), "chunking must not join")
   }
 
+  test("q_dup_mass_by_source: exchanges carry hashes and source keys, not text") {
+    val p = plan("q_dup_mass_by_source")
+    assert(!p.contains("Join"), "dup attribution must not join")
+    val exchangeKeys = "Exchange hashpartitioning\\([^)]*".r.findAllIn(p).toList
+    assert(exchangeKeys.size === 2,
+      s"hash window + source agg = exactly two shuffles: $exchangeKeys")
+    assert(exchangeKeys.forall(k => !k.contains("text")),
+      s"exchange keys must be hashes/sources, not documents: $exchangeKeys")
+  }
+
   test("native dot product is codegen-capable (starred projection)") {
     // the tokenizing queries are bounded by ArrayTransform (a
     // CodegenFallback higher-order function), but ArrayDotProduct
