@@ -521,6 +521,53 @@ object OracleGen {
        WHERE bit_count(xor(fa.simhash, fb.simhash)) <= $maxHamming"""
   }
 
+  /** Oracle for [[graft.operators.Mmr.mmrRerank]]: candidate search
+    * replayed on the unrounded cosine (identical IEEE doubles), then
+    * the greedy MMR loop UNROLLED as `k` selection CTEs — the same
+    * loop-unrolling style as [[pqAnnSql]]'s subspace chain. Pairwise
+    * sims and rel are rounded to 6 decimals before the λ-blend, ties
+    * to the lower id, matching the operator's float discipline.
+    */
+  def mmrSql(probeId: Long, candidateK: Int, k: Int, lambda: Double,
+             dim: Int): String = {
+    def nrm(v: String) = s"sqrt(list_sum(list_transform($v, x -> x * x)))"
+    val oneMinus = 1 - lambda
+    val stages = (2 to k).map { t =>
+      s"""s$t AS (
+         SELECT c.vec_id, $t AS rank FROM cand c
+         WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${t - 1})
+         ORDER BY ($lambda * c.rel - $oneMinus *
+             (SELECT max(p.sim) FROM pair p
+              JOIN sel${t - 1} s ON p.ib = s.vec_id
+              WHERE p.ia = c.vec_id)) DESC, c.vec_id
+         LIMIT 1),
+       sel$t AS (SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM s$t)"""
+    }.mkString(",\n       ")
+    s"""WITH e AS (
+         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings),
+       probe AS (SELECT v, ${nrm("v")} AS n FROM e WHERE vec_id = $probeId),
+       cand AS (
+         SELECT c.vec_id, round(${dotSql("p.v", "c.v", dim)}
+             / (p.n * ${nrm("c.v")}), 6) AS rel, c.v
+         FROM e c, probe p WHERE c.vec_id <> $probeId
+         ORDER BY ${dotSql("p.v", "c.v", dim)} / (p.n * ${nrm("c.v")}) DESC,
+                  c.vec_id
+         LIMIT $candidateK),
+       pair AS (
+         SELECT a.vec_id AS ia, b.vec_id AS ib,
+           round(${dotSql("a.v", "b.v", dim)}
+             / (${nrm("a.v")} * ${nrm("b.v")}), 6) AS sim
+         FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+       sel1 AS (
+         SELECT vec_id, 1 AS rank FROM cand
+         ORDER BY rel DESC, vec_id LIMIT 1),
+       $stages
+       SELECT CAST(sel$k.rank AS BIGINT) AS rank,
+              sel$k.vec_id AS neighbor_id, cand.rel
+       FROM sel$k JOIN cand ON cand.vec_id = sel$k.vec_id"""
+  }
+
   def ivfAnnSql(probeMax: Int, k: Int, nCells: Int, nProbe: Int,
                 dim: Int): String =
     s"""WITH e AS (

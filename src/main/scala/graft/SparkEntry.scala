@@ -865,6 +865,14 @@ object SparkEntry {
         .select("probe_id", "neighbor_id", "rank")
     }),
 
+    // §2.10 retrieval: MMR diversity re-rank — top-5 by maximal
+    // marginal relevance (lambda = 0.7) over probe 0's cosine top-30
+    // candidates; the greedy loop runs driver-side over the BOUNDED
+    // candidate list, the search tier stays distributed and swappable.
+    "q_mmr" -> ((s, dir) =>
+      Mmr.mmrRerank(t(s, dir, "embeddings"), "vec_id", "embedding",
+        probeId = 0L, candidateK = 30, k = 5, lambda = 0.7)),
+
     // §2.10 near-dup: token-set Jaccard pairs (exact verifier over a
     // bounded probe set — None disables the hot-token DF cap so the
     // oracle's all-token Jaccard matches exactly; the operator default
@@ -1861,6 +1869,8 @@ object SparkEntry {
 
     "q_simhash_pairs" ->
       OracleGen.simhashPairsSql(OracleFixtures.simhashSql, 3, 4),
+
+    "q_mmr" -> OracleGen.mmrSql(0L, 30, 5, 0.7, 64),
 
     "q_simhash" -> OracleFixtures.simhashSql,
 
