@@ -322,11 +322,58 @@ object StreamBench {
         f""""candidate_pairs":$candidates}"""
     }
 
+    // ---------------- streaming heavy hitters (StreamingHeavyHitters)
+    // term stream over 4 language groups, 200-term vocabulary + one
+    // planted HOT term at 10% of rows; capacity 256 >= distinct terms
+    // puts every group's sketch in the EXACT regime, so the final HOT
+    // estimate must equal the planted count exactly.
+    val hhJson = {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val batchTerms = 12000
+      val input = MemoryStream[(String, String)]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-sbh").toString
+      val q = streaming.StreamingHeavyHitters.heavyHittersStream(
+          input.toDF().toDF("lang", "term"), "lang", "term",
+          capacity = 256, k = 10)
+        .writeStream.format("memory").queryName("sb_hh_out")
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").start()
+      val times = new Array[Double](nBatches)
+      var hotTrue = 0L
+      for (b <- 0 until nBatches) {
+        val rows = (0 until batchTerms).map { j =>
+          val id = b.toLong * batchTerms + j
+          val lang = s"l${id % 4}"
+          if (id % 10 == 0) { hotTrue += 1; (lang, "HOT") }
+          else (lang,
+            s"t${math.floorMod(graft.functions.NativeExpressions.mix64(id), 200L)}")
+        }
+        val b0 = System.nanoTime()
+        input.addData(rows)
+        q.processAllAvailable()
+        times(b) = (System.nanoTime() - b0) / 1e9
+      }
+      val hotEst = spark.table("sb_hh_out")
+        .filter(col("term") === "HOT")
+        .groupBy("group").agg(max("est").as("est"))
+        .agg(sum("est")).as[Long].head()
+      q.stop()
+      require(hotEst == hotTrue,
+        s"exact-regime HOT estimate broke: $hotEst vs $hotTrue")
+      val meanSec = times.sum / nBatches
+      f""""hh_stream":{"batches":$nBatches,"terms_per_batch":$batchTerms,""" +
+        f""""mean_batch_sec":$meanSec%.3f,""" +
+        f""""terms_per_sec":${batchTerms / meanSec}%.0f,""" +
+        f""""hot_true":$hotTrue,"hot_est":$hotEst}"""
+    }
+
     val json =
       f"""{"seed_listings":$base,"seed_sec":$seedSec%.1f,""" +
         f""""buckets":$nBuckets,""" + small +
         s""","large_batch":{$large},""" + dedupJson + "," +
-        vecDedupJson + "}"
+        vecDedupJson + "," + hhJson + "}"
     println(s"[streambench] $json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
