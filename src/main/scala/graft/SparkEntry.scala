@@ -1386,7 +1386,51 @@ object SparkEntry {
       KnnClassify.classify(e.filter(col("vec_id") < 40),
         e.filter(col("vec_id") >= 40), "vec_id", "embedding", "label",
         k = 10)
-    })
+    }),
+
+    // §2.10 event analytics: strict ordered funnel view→click→purchase
+    // — every exchange keyed on the user, stage count constant
+    "q_funnel" -> ((s, dir) =>
+      EventAnalytics.funnel(t(s, dir, "events"), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"))),
+
+    // §2.10 event analytics: weekly cohort retention (Monday-truncated
+    // first-event cohorts; (cohort, offset) key space is calendar-bounded)
+    "q_retention" -> ((s, dir) =>
+      EventAnalytics.retention(t(s, dir, "events"), "user_id", "ts")),
+
+    // §2.10 record linkage: blocked Levenshtein pairs over DISTINCT
+    // part names (block key = last token; vocabulary-sized join, the
+    // raw table only contributes per-value row mass)
+    "q_fuzzy_match" -> ((s, dir) =>
+      FuzzyMatch.blockedPairsWithMass(t(s, dir, "part"), "p_name",
+        n => regexp_extract(n, "[^ ]+$", 0), maxDist = 3)
+        .select(col("name_a"), col("name_b"), col("dist").cast("long").as("dist"),
+          col("n_rows_a"), col("n_rows_b"))),
+
+    // §2.10 contrastive training: hard-negative mining — top-5 most
+    // similar DIFFERENT-label vectors per probe (probes broadcast,
+    // corpus scanned once, map-side top-k truncation)
+    "q_hard_negatives" -> ((s, dir) =>
+      SimilaritySearch.hardNegatives(t(s, dir, "embeddings"), "vec_id",
+        "embedding", "label", col("vec_id") < 32, k = 5)
+        .select("probe_id", "neighbor_id", "rank")),
+
+    // §2.10 text canonicalization: one-pass native NFC + lowercase +
+    // SQL-space collapse (the dedup pre-key); map-only, zero shuffle
+    "q_normalize" -> ((s, dir) => {
+      val norm = TF.normalizeText(col("text"))
+      t(s, dir, "documents").select(
+        col("doc_id"), md5(norm).as("norm_hash"),
+        length(norm).cast("long").as("n_norm_chars"))
+    }),
+
+    // §2.10 mixture shaping: per-source document cap (seeded
+    // content-addressed draw, stable under partitioning and append order)
+    "q_source_cap" -> ((s, dir) =>
+      TrainingOps.capPerGroup(t(s, dir, "documents"), "source", "doc_id",
+        maxRows = 20, orderSalt = "cap")
+        .select("doc_id", "source", "grp_rank"))
   )
 
   // ---------------------------------------------------------------- oracle
@@ -2938,6 +2982,104 @@ object SparkEntry {
          SELECT label, CAST(i - 1 AS BIGINT) AS dim_idx,
            count(*) AS n_vecs, round(avg(v[i]), 6) AS centroid
          FROM e, unnest(range(1, len(v) + 1)) AS u(i)
-         GROUP BY label, i"""
+         GROUP BY label, i""",
+
+    "q_funnel" ->
+      """WITH ev AS (
+           SELECT user_id AS u, ts, event_type AS t FROM events
+           WHERE event_type IN ('view', 'click', 'purchase')),
+         r0 AS (SELECT u, min(ts) AS r0 FROM ev WHERE t = 'view' GROUP BY u),
+         r1 AS (
+           SELECT r0.u, r0.r0, min(e.ts) AS r1
+           FROM r0 LEFT JOIN ev e
+             ON e.u = r0.u AND e.t = 'click' AND e.ts > r0.r0
+           GROUP BY r0.u, r0.r0),
+         r2 AS (
+           SELECT r1.u, r1.r0, r1.r1, min(e.ts) AS r2
+           FROM r1 LEFT JOIN ev e
+             ON e.u = r1.u AND e.t = 'purchase' AND e.ts > r1.r1
+           GROUP BY r1.u, r1.r0, r1.r1),
+         c AS (SELECT count(r0) AS n0, count(r1) AS n1, count(r2) AS n2
+               FROM r2)
+         SELECT CAST(1 AS BIGINT) AS stage, 'view' AS stage_name,
+           n0 AS n_users, round(CAST(n0 AS DOUBLE) / n0, 6) AS conv FROM c
+         UNION ALL
+         SELECT CAST(2 AS BIGINT), 'click', n1,
+           round(CAST(n1 AS DOUBLE) / n0, 6) FROM c
+         UNION ALL
+         SELECT CAST(3 AS BIGINT), 'purchase', n2,
+           round(CAST(n2 AS DOUBLE) / n0, 6) FROM c""",
+
+    "q_retention" ->
+      """WITH f AS (
+           SELECT user_id AS u,
+             CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+           FROM events GROUP BY user_id),
+         a AS (SELECT DISTINCT user_id AS u,
+                 CAST(date_trunc('week', ts) AS DATE) AS wk
+               FROM events),
+         cells AS (
+           SELECT f.cohort_week,
+             CAST(date_diff('day', f.cohort_week, a.wk) // 7 AS BIGINT)
+               AS week_offset,
+             count(DISTINCT a.u) AS n_users
+           FROM a JOIN f ON a.u = f.u
+           GROUP BY 1, 2),
+         s AS (SELECT cohort_week, count(DISTINCT u) AS sz FROM f GROUP BY 1)
+         SELECT c.cohort_week, c.week_offset, c.n_users,
+           round(CAST(c.n_users AS DOUBLE) / s.sz, 6) AS retention
+         FROM cells c JOIN s ON c.cohort_week = s.cohort_week""",
+
+    "q_fuzzy_match" ->
+      """WITH n AS (SELECT DISTINCT p_name AS name FROM part
+                    WHERE p_name IS NOT NULL),
+         nb AS (SELECT name, regexp_extract(name, '[^ ]+$') AS blk FROM n),
+         pairs AS (
+           SELECT a.name AS name_a, b.name AS name_b,
+             CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+           FROM nb a JOIN nb b ON a.blk = b.blk AND a.name < b.name
+           WHERE levenshtein(a.name, b.name) <= 3),
+         m AS (SELECT p_name AS v, count(*) AS nrows FROM part GROUP BY 1)
+         SELECT p.name_a, p.name_b, p.dist,
+           ma.nrows AS n_rows_a, mb.nrows AS n_rows_b
+         FROM pairs p
+         JOIN m ma ON p.name_a = ma.v
+         JOIN m mb ON p.name_b = mb.v""",
+
+    "q_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         s AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, len(p.v) + 1), i -> p.v[i] * c.v[i]))
+               / (sqrt(list_sum(list_transform(p.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(c.v, x -> x * x)))) AS cosine
+           FROM e p JOIN e c ON c.label <> p.label
+           WHERE p.vec_id < 32)
+         SELECT probe_id, neighbor_id, rank FROM (
+           SELECT probe_id, neighbor_id,
+             row_number() OVER (PARTITION BY probe_id
+               ORDER BY cosine DESC, neighbor_id) AS rank
+           FROM s) t
+         WHERE rank <= 5""",
+
+    "q_normalize" ->
+      """WITH x AS (
+           SELECT doc_id,
+             trim(regexp_replace(lower(nfc_normalize(text)),
+               '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm
+           FROM documents)
+         SELECT doc_id, md5(norm) AS norm_hash,
+           CAST(length(norm) AS BIGINT) AS n_norm_chars
+         FROM x""",
+
+    "q_source_cap" ->
+      """SELECT doc_id, source, grp_rank FROM (
+           SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5(concat_ws('|', 'cap', doc_id)), doc_id)
+               AS grp_rank
+           FROM documents) t
+         WHERE grp_rank <= 20"""
   )
 }

@@ -349,6 +349,55 @@ object NativeExpressions {
     h
   }
 
+  /** One-pass text canonicalization for dedup/fingerprint pre-keys:
+    * Unicode NFC, lowercase, SQL-whitespace runs ([ \t\n\x0B\f\r])
+    * collapsed to one space, leading/trailing whitespace stripped. The
+    * whitespace class is pinned to the RE2/POSIX `\s` set (NOT
+    * `Character.isWhitespace`) so the result is reproducible by any
+    * engine's `regexp_replace(lower(nfc(s)), '[ \t\n\x0B\f\r]+', ' ')`
+    * — cross-engine identity is the point of a canonical form.
+    */
+  def normTextEval(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    val raw = s.toString
+    val nfc =
+      if (java.text.Normalizer.isNormalized(raw, java.text.Normalizer.Form.NFC)) raw
+      else java.text.Normalizer.normalize(raw, java.text.Normalizer.Form.NFC)
+    val lower = nfc.toLowerCase(java.util.Locale.ROOT)
+    val n = lower.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    var pendingSpace = false
+    var started = false
+    while (i < n) {
+      val ch = lower.charAt(i)
+      val isWs = ch == ' ' || ch == '\t' || ch == '\n' || ch == 11.toChar ||
+        ch == '\f' || ch == '\r'
+      if (isWs) { pendingSpace = true }
+      else {
+        if (pendingSpace && started) sb.append(' ')
+        sb.append(ch)
+        started = true
+        pendingSpace = false
+      }
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+  }
+
+  case class NormalizeText(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+
+    override def nullSafeEval(input: Any): Any =
+      normTextEval(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.NativeExpressions.normTextEval($c);")
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   case class CharEntropy(child: Expression) extends UnaryExpression {
     override def dataType: DataType = DoubleType
 
@@ -1321,6 +1370,9 @@ object NativeExpressions {
 
   def charEntropy(text: Column): Column =
     ColumnBridge.column(CharEntropy(ColumnBridge.expression(text)))
+
+  def normalizeText(text: Column): Column =
+    ColumnBridge.column(NormalizeText(ColumnBridge.expression(text)))
 
   def gramHashes(tokenHashes: Column, width: Int): Column =
     ColumnBridge.column(GramHashes(

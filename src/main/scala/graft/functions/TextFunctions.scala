@@ -21,6 +21,12 @@ object TextFunctions {
   def tokens(text: Column): Column =
     split(trim(text), "\\s+")
 
+  /** Canonical text form for dedup keys: NFC + lowercase + SQL-space
+    * collapse, one native pass ([[NativeExpressions.NormalizeText]]).
+    */
+  def normalizeText(text: Column): Column =
+    NativeExpressions.normalizeText(text)
+
   /** BPE-ish subword-aware token split: alphanumeric runs or single
     * non-space symbols — a cheap proxy for tokenizer-cost estimation.
     * The pattern is deliberately RE2-compatible (no lookarounds,

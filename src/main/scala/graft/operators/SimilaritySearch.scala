@@ -47,6 +47,36 @@ object SimilaritySearch {
       .select("probe_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** Hard-negative mining for contrastive/embedding training (SURVEY
+    * §2.10 widening): for each probe, the top-k most-similar corpus
+    * vectors with a DIFFERENT label — the highest-loss negatives a
+    * triplet/InfoNCE run wants in its batches.
+    *
+    * Same plan as [[bruteTopK]] (probes broadcast, corpus scanned once,
+    * map-side top-k truncation before the only exchange); the label
+    * inequality rides the broadcast-join condition, so mismatched
+    * pairs are dropped before any score is computed. For probe sets
+    * too large to broadcast, feed the candidate stage from
+    * [[ivfTopK]]/[[srpTopK]] with a post-filter on the label instead.
+    */
+  def hardNegatives(data: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, probeFilter: Column, k: Int): DataFrame = {
+    val p = data.filter(probeFilter)
+      .select(col(idCol).as("probe_id"), col(vecCol).as("__pv"),
+        col(labelCol).as("__pl"))
+      .withColumn("__pn", VectorFunctions.norm(col("__pv")))
+    val c = data
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+        col(labelCol).as("__cl"))
+      .withColumn("__cn", VectorFunctions.norm(col("__cv")))
+    val scored = c.join(broadcast(p), col("__pl") =!= col("__cl"))
+      .select(col("probe_id"), col("neighbor_id"),
+        VectorFunctions.cosineWithNorms(
+          col("__pv"), col("__cv"), col("__pn"), col("__cn")).as("cosine"))
+    TopKAggregator.groupedTopK(scored, "probe_id", "neighbor_id", "cosine", k)
+      .select("probe_id", "neighbor_id", "rank", "cosine")
+  }
+
   /** Collect the coarse-quantizer centroids (the `nCells` lowest-id
     * corpus vectors — deterministic, so results are reproducible) to the
     * driver. nCells is tiny by construction (<=64ish), so this is the

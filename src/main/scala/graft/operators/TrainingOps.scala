@@ -712,4 +712,31 @@ object TrainingOps {
       .select(col(idCol), col("quality"), col("pack_shard"),
         col("pack_bin"), col("bin_offset"))
   }
+
+  /** Per-group document cap — the C4-style "at most N documents per
+    * domain/source" downsampling that stops one over-crawled site from
+    * dominating the mixture. Selection within a group is deterministic
+    * and content-uniform: rows rank by (md5(orderSalt, id), id) — a
+    * seeded content-addressed draw, NOT insertion/crawl order, so the
+    * kept subset is a pure function of (ids, seed) and is stable under
+    * partitioning, retries, and corpus append order.
+    *
+    * One exchange keyed on the group column; the rank window runs over
+    * that same exchange. Per-group row counts at 100 TB are exactly the
+    * skew the cap exists to bound — a pathological group's window sort
+    * is external-sort-safe, and the output shrinks it to `maxRows`.
+    *
+    * Output: input columns plus `grp_rank` (1-based), kept rows only.
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String,
+                  maxRows: Int, orderSalt: String = "cap"): DataFrame = {
+    require(maxRows >= 1, s"maxRows must be positive, got $maxRows")
+    require(!df.columns.contains("grp_rank"),
+      "column name grp_rank is reserved by capPerGroup")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(md5(concat_ws("|", lit(orderSalt), col(idCol))), col(idCol))
+    df.withColumn("grp_rank", row_number().over(w).cast("long"))
+      .filter(col("grp_rank") <= maxRows)
+  }
 }

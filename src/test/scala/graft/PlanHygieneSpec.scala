@@ -436,6 +436,40 @@ class PlanHygieneSpec extends SparkTestBase {
       s"exchange keys must be hashes/sources, not documents: $exchangeKeys")
   }
 
+  test("q_normalize: map-only — no exchange, native expression in codegen span") {
+    val p = plan("q_normalize")
+    assert(!p.contains("Exchange"), s"normalization must not shuffle:\n${p.take(2000)}")
+    assert(p.contains("*("), "NormalizeText fell out of whole-stage codegen")
+  }
+
+  test("q_hard_negatives: probes broadcast, map-side top-k, one exchange") {
+    val p = plan("q_hard_negatives")
+    assert(p.contains("partial_topk"), "map-side top-k truncation missing")
+    assert(!p.contains("SortMergeJoin"), "probe side must broadcast")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(2000))
+  }
+
+  test("q_fuzzy_match: every join an equi-join — no cartesian/nested loop") {
+    val p = plan("q_fuzzy_match")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "block key must plan as an equi-join key")
+  }
+
+  test("q_source_cap: one exchange keyed on the group column") {
+    val p = plan("q_source_cap")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(2000))
+    assert(!p.contains("Join"), "cap is a window, not a join")
+  }
+
+  test("q_funnel / q_retention: no nested-loop joins, aggregates partial") {
+    Seq("q_funnel", "q_retention").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(1500)}")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: ${p.take(1500)}")
+    }
+  }
+
   test("native dot product is codegen-capable (starred projection)") {
     // the tokenizing queries are bounded by ArrayTransform (a
     // CodegenFallback higher-order function), but ArrayDotProduct

@@ -203,4 +203,32 @@ class TextFunctionsSpec extends SparkTestBase {
     val qTiny = tiny.select(TextFunctions.qualityScore(col("text"), Seq("the")).as[Double]).head()
     assert(qTiny < q.max)
   }
+
+  test("normalizeText: NFC + lowercase + SQL-space collapse + trim") {
+    val in = Seq(
+      "  Hello\t\tWorld  ",          // runs + trim
+      "MiXeD Case",
+      "a\nb\rc\fde",           // every SQL whitespace char
+      "",                            // empty
+      " \t ",                        // whitespace-only -> empty
+      "Café",                  // NFC: e + combining acute -> é
+      "already clean"
+    ).toDF("t")
+    val got = in.select(TextFunctions.normalizeText(col("t")).as[String]).collect()
+    assert(got === Array(
+      "hello world", "mixed case", "a b c d e", "", "",
+      "café", "already clean"))
+  }
+
+  test("normalizeText: null passes through, codegen and interpreted agree") {
+    val in = Seq(Option("  A  B "), None).toDF("t")
+    val viaCodegen = in.select(TextFunctions.normalizeText(col("t")).as[Option[String]]).collect()
+    assert(viaCodegen === Array(Some("a b"), None))
+    // interpreted path (eval) via a non-codegen context: filter pushes
+    // the expression into a Filter that may run interpreted — just pin
+    // the scalar helper directly
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(NativeExpressions.normTextEval(
+      UTF8String.fromString(" XY ")).toString === "x y")
+  }
 }

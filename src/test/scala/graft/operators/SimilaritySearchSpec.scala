@@ -169,4 +169,31 @@ class SimilaritySearchSpec extends SparkTestBase {
     assert(hits >= brute.size * 9 / 10,
       s"quantized recall@top1 too low: $hits/${brute.size}")
   }
+
+  test("hardNegatives: every neighbor has a different label, ranks dense") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val labels = emb.select("vec_id", "label").as[(Long, Int)].collect().toMap
+    val got = SimilaritySearch.hardNegatives(emb, "vec_id", "embedding",
+        "label", col("vec_id") < 8, k = 3)
+      .select("probe_id", "neighbor_id", "rank").as[(Long, Long, Long)]
+      .collect()
+    assert(got.length === 8 * 3)
+    got.foreach { case (p, n, _) =>
+      assert(labels(p) != labels(n), s"same-label pair $p/$n leaked") }
+    got.groupBy(_._1).foreach { case (p, rs) =>
+      assert(rs.map(_._3).sorted.toSeq === Seq(1L, 2L, 3L), s"probe $p ranks") }
+  }
+
+  test("hardNegatives == bruteTopK over the label-filtered corpus") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val probe = emb.filter(col("vec_id") === 0)
+    val probeLabel = probe.select("label").as[Int].head()
+    val byFilter = SimilaritySearch.bruteTopK(probe,
+        emb.filter(col("label") =!= probeLabel), "vec_id", "embedding", 5)
+      .select("neighbor_id", "rank").as[(Long, Long)].collect().toSet
+    val byOp = SimilaritySearch.hardNegatives(emb, "vec_id", "embedding",
+        "label", col("vec_id") === 0, 5)
+      .select("neighbor_id", "rank").as[(Long, Long)].collect().toSet
+    assert(byOp === byFilter)
+  }
 }

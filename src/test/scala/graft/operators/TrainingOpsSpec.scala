@@ -407,4 +407,37 @@ class TrainingOpsSpec extends SparkTestBase {
     assert(got.length === 1000)
     assert(got.forall { case (id, cum) => cum === id * (id + 1) / 2 })
   }
+
+  test("capPerGroup keeps exactly maxRows per group, dense ranks") {
+    val df = (1L to 100L).map(i => (i, "s" + (i % 3))).toDF("id", "src")
+    val got = TrainingOps.capPerGroup(df, "src", "id", maxRows = 10)
+      .select("src", "grp_rank").as[(String, Long)].collect()
+    assert(got.length === 30)
+    got.groupBy(_._1).foreach { case (src, rs) =>
+      assert(rs.map(_._2).sorted.toSeq === (1L to 10L), s"group $src") }
+    // under-cap group passes through whole
+    val small = Seq((1L, "only"), (2L, "only")).toDF("id", "src")
+    assert(TrainingOps.capPerGroup(small, "src", "id", 10).count() === 2L)
+  }
+
+  test("capPerGroup selection is content-addressed: stable under partitioning and append order") {
+    val df = (1L to 100L).map(i => (i, "g")).toDF("id", "src")
+    def kept(d: org.apache.spark.sql.DataFrame): Set[Long] =
+      TrainingOps.capPerGroup(d, "src", "id", 15)
+        .select("id").as[Long].collect().toSet
+    val base = kept(df)
+    assert(base.size === 15)
+    assert(kept(df.repartition(13)) === base)
+    assert(kept(df.orderBy(org.apache.spark.sql.functions.col("id").desc)) === base)
+    // appending new rows cannot evict differently-ordered survivors
+    // arbitrarily: the md5 rank of existing ids is unchanged, so the
+    // kept set only changes where new ids out-rank old ones
+    val more = (1L to 120L).map(i => (i, "g")).toDF("id", "src")
+    val grown = kept(more)
+    assert(grown.size === 15)
+    // seeds differ -> different draw
+    val other = TrainingOps.capPerGroup(df, "src", "id", 15, orderSalt = "x")
+      .select("id").as[Long].collect().toSet
+    assert(other !== base, "salt must re-key the draw")
+  }
 }
