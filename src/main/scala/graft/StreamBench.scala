@@ -310,16 +310,46 @@ object StreamBench {
         .select(explode(array(col("id_a"), col("id_b"))).as("id"))
         .filter(col("id") >= nSeed && pmod(col("id"), lit(dupEvery)) === 0)
         .distinct().count()
+      // exact-cosine CONFIRM stage — the downstream batch job the SRP
+      // tier assumes (the cosineDupePairsLsh shape): rebuild every
+      // streamed id's vector from the deterministic generator, join
+      // the candidate pairs to vectors on both sides, and keep pairs
+      // with cosine >= 0.99. This turns the candidate count into a
+      // measured PRECISION bar instead of an unverified cost signal;
+      // planted exact dups are cosine 1.0, so confirmed >= planted is
+      // a hard floor (handoff §14.1.6).
+      val confirmSec0 = System.nanoTime()
+      val nStreamRows = nBatches.toLong * batchRows
+      val vecsDf = spark.range(0L, nSeed + nStreamRows).map { id =>
+          val v =
+            if (id < nSeed) vec(id)
+            else if (id % dupEvery == 0) vec((id / dupEvery) % nSeed)
+            else vec(id + 1000000000L)
+          (id, v)
+        }.toDF("vid", "v")
+      val cand = spark.table("sb_vec_dedup_out")
+        .select("id_a", "id_b").distinct()
+      val confirmed = cand
+        .join(vecsDf.select(col("vid").as("id_a"), col("v").as("va")), "id_a")
+        .join(vecsDf.select(col("vid").as("id_b"), col("v").as("vb")), "id_b")
+        .filter(graft.functions.VectorFunctions.cosine(col("va"), col("vb")) >= 0.99)
+        .count()
+      val confirmSec = (System.nanoTime() - confirmSec0) / 1e9
       q.stop()
       require(plantedFlagged == planted,
         s"planted vector-dup recall broke: flagged $plantedFlagged of $planted")
+      require(confirmed >= planted,
+        s"exact-cosine confirm lost planted dups: $confirmed < $planted")
       val meanSec = times.sum / nBatches
       f""""vec_dedup_stream":{"seed_vecs":$nSeed,"seed_sec":$vecSeedSec%.1f,""" +
         f""""batches":$nBatches,"rows_per_batch":$batchRows,""" +
         f""""mean_batch_sec":$meanSec%.3f,""" +
         f""""vecs_per_sec":${batchRows / meanSec}%.0f,""" +
         f""""planted_dups":$planted,"planted_flagged":$plantedFlagged,""" +
-        f""""candidate_pairs":$candidates}"""
+        f""""candidate_pairs":$candidates,""" +
+        f""""confirmed_pairs":$confirmed,""" +
+        f""""confirm_precision":${confirmed.toDouble / candidates}%.4f,""" +
+        f""""confirm_sec":$confirmSec%.1f}"""
     }
 
     // ---------------- streaming heavy hitters (StreamingHeavyHitters)
