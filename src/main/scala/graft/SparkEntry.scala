@@ -1430,7 +1430,53 @@ object SparkEntry {
     "q_source_cap" -> ((s, dir) =>
       TrainingOps.capPerGroup(t(s, dir, "documents"), "source", "doc_id",
         maxRows = 20, orderSalt = "cap")
-        .select("doc_id", "source", "grp_rank"))
+        .select("doc_id", "source", "grp_rank")),
+
+    // §2.8 relational surface: unpivot (melt) — wide metrics to tall
+    // (metric, val) rows; map-only Expand, no shuffle
+    "q_unpivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "metric", "val")),
+
+    // §2.4 statistics: per-group correlation / covariance / stddev —
+    // the feature-drift panel, one partial-aggregated pass
+    "q_corr" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(corr("l_quantity", "l_extendedprice"), 6).as("corr_qty_price"),
+          round(covar_samp("l_quantity", "l_extendedprice"), 6).as("covar_qty_price"),
+          round(stddev_samp("l_quantity"), 6).as("std_qty"))),
+
+    // §2.10 monitoring: per-segment z-score anomaly flags (group stats
+    // broadcast back, scoring map-only — the winsorize plan stance)
+    "q_zscore" -> ((s, dir) =>
+      Outliers.zscore(t(s, dir, "events"), "event_type", "value",
+        threshold = 2.5)
+        .select("event_id", "event_type", "z", "is_anomaly")),
+
+    // §2.10 event analytics: row-level sessionization — gap-based
+    // session ordinals per user (lag flag + running sum over ONE
+    // user-keyed exchange); the assignment form of q_session
+    "q_session_ids" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gapMicros = 30L * 60 * 1000000
+      // ts is TIMESTAMP_NTZ; the session is pinned UTC, so the cast to
+      // TIMESTAMP is micros-identical and unix_micros applies
+      def micros(c: Column) = unix_micros(c.cast("timestamp"))
+      val flag = when(lag("ts", 1).over(w).isNull ||
+        micros(col("ts")) - micros(lag("ts", 1).over(w)) > gapMicros, 1)
+        .otherwise(0)
+      t(s, dir, "events").select(
+        col("event_id"), col("user_id"),
+        sum(flag).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long").as("session_seq"))
+    })
   )
 
   // ---------------------------------------------------------------- oracle
@@ -3080,6 +3126,48 @@ object SparkEntry {
                ORDER BY md5(concat_ws('|', 'cap', doc_id)), doc_id)
                AS grp_rank
            FROM documents) t
-         WHERE grp_rank <= 20"""
+         WHERE grp_rank <= 20""",
+
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+           l_quantity AS val FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+           FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+           FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem""",
+
+    "q_corr" ->
+      """SELECT l_returnflag,
+         round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+         round(covar_samp(l_quantity, l_extendedprice), 6) AS covar_qty_price,
+         round(stddev_samp(l_quantity), 6) AS std_qty
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "q_zscore" ->
+      """WITH s AS (
+           SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+           FROM events GROUP BY event_type)
+         SELECT e.event_id, e.event_type,
+           round((e.value - s.mu) / (CASE WHEN s.sd > 0 THEN s.sd END), 6) AS z,
+           coalesce(abs(round((e.value - s.mu) /
+             (CASE WHEN s.sd > 0 THEN s.sd END), 6)) > 2.5, false) AS is_anomaly
+         FROM events e JOIN s ON e.event_type = s.event_type""",
+
+    "q_session_ids" ->
+      """WITH o AS (
+           SELECT event_id, user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events)
+         SELECT event_id, user_id,
+           CAST(sum(CASE WHEN prev IS NULL
+                         OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                         THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+         FROM o"""
   )
 }

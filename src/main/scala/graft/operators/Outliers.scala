@@ -54,4 +54,31 @@ object Outliers {
         count(lit(1)).as("n"),
         round(avg(col(valueCol)), 4).as("mean_raw"),
         round(avg(col(s"${valueCol}_w")), 4).as("mean_winsorized"))
+
+  /** Per-group z-score anomaly flagging: standardize `valueCol` against
+    * its group's mean and sample standard deviation, flag |z| beyond
+    * `threshold` — the monitoring-pipeline "this metric value is off
+    * for its segment" primitive.
+    *
+    * Same plan stance as [[winsorize]]: one per-group aggregation (rows
+    * = number of groups) broadcast back, the scoring pass map-only.
+    * Degenerate groups (one row, or zero variance) emit NULL z and
+    * false is_anomaly rather than a divide-by-zero.
+    *
+    * Output: input columns plus `z` (rounded to 6) and `is_anomaly`.
+    */
+  def zscore(df: DataFrame, groupCol: String, valueCol: String,
+             threshold: Double): DataFrame = {
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    val stats = df.groupBy(groupCol).agg(
+      avg(col(valueCol)).as("__mu"),
+      stddev_samp(col(valueCol)).as("__sd"))
+    df.join(broadcast(stats), Seq(groupCol))
+      .withColumn("z",
+        round((col(valueCol) - col("__mu")) /
+          when(col("__sd") > 0, col("__sd")), 6))
+      .withColumn("is_anomaly",
+        coalesce(abs(col("z")) > threshold, lit(false)))
+      .drop("__mu", "__sd")
+  }
 }

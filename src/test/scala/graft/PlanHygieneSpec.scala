@@ -470,6 +470,24 @@ class PlanHygieneSpec extends SparkTestBase {
     }
   }
 
+  test("q_unpivot: map-only Expand — no exchange") {
+    val p = plan("q_unpivot")
+    assert(p.contains("Expand"), "unpivot should plan as Expand")
+    assert(!p.contains("Exchange"), s"melt must not shuffle:\n${p.take(2000)}")
+  }
+
+  test("q_session_ids: ONE user-keyed exchange for both window passes") {
+    val p = plan("q_session_ids")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"lag flag and running sum must share the user exchange:\n${p.take(2000)}")
+  }
+
+  test("q_zscore: group stats broadcast — fact table never shuffles") {
+    val p = plan("q_zscore")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "stats must broadcast")
+  }
+
   test("native dot product is codegen-capable (starred projection)") {
     // the tokenizing queries are bounded by ArrayTransform (a
     // CodegenFallback higher-order function), but ArrayDotProduct

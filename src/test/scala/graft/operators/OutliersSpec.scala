@@ -34,6 +34,19 @@ class OutliersSpec extends SparkTestBase {
     }
   }
 
+  test("zscore: hand-computed standardization, degenerate groups null-safe") {
+    val d = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 7.0)).toDF("grp", "v")
+    val got = Outliers.zscore(d, "grp", "v", threshold = 0.9)
+      .select("grp", "v", "z", "is_anomaly")
+      .as[(String, Double, Option[Double], Boolean)].collect().toSet
+    // group a: mean 2, sd 1 -> z = -1, 0, 1; threshold 0.9 flags the ends
+    assert(got.contains(("a", 1.0, Some(-1.0), true)))
+    assert(got.contains(("a", 2.0, Some(0.0), false)))
+    assert(got.contains(("a", 3.0, Some(1.0), true)))
+    // single-row group: sd undefined -> null z, never anomalous
+    assert(got.contains(("b", 7.0, None, false)))
+  }
+
   test("clamp side never shuffles the fact table: thresholds broadcast") {
     val p = Outliers.winsorize(df, "grp", "v", 0.1, 0.9)
       .queryExecution.executedPlan.toString
