@@ -1459,6 +1459,30 @@ object SparkEntry {
         threshold = 2.5)
         .select("event_id", "event_type", "z", "is_anomaly")),
 
+    // §2.10 record linkage, stage 2: entity groups — fuzzy match pairs
+    // fed to the shared union-find/min-label clustering tier, canonical
+    // name = lexicographic min of the group (string-id CC path)
+    "q_entity_groups" -> ((s, dir) => {
+      val pairs = FuzzyMatch.blockedPairs(t(s, dir, "part"), "p_name",
+          n => regexp_extract(n, "[^ ]+$", 0), maxDist = 3)
+        .select(col("name_a").as("id_a"), col("name_b").as("id_b"))
+      DedupOps.duplicateClusters(pairs)
+        .select(col("id").as("name"), col("label").as("canonical"))
+    }),
+
+    // §2.6 ranking-window family: percent_rank / cume_dist / ntile in
+    // one pass over one partition-keyed exchange (deterministic via
+    // the orderkey tiebreak — ntile is order-sensitive within ties)
+    "q_ntile" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderpriority"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"),
+        ntile(4).over(w).cast("long").as("quartile"))
+    }),
+
     // §2.10 event analytics: row-level sessionization — gap-based
     // session ordinals per user (lag flag + running sum over ONE
     // user-keyed exchange); the assignment form of q_session
@@ -3156,6 +3180,34 @@ object SparkEntry {
            coalesce(abs(round((e.value - s.mu) /
              (CASE WHEN s.sd > 0 THEN s.sd END), 6)) > 2.5, false) AS is_anomaly
          FROM events e JOIN s ON e.event_type = s.event_type""",
+
+    "q_entity_groups" ->
+      """WITH n AS (SELECT DISTINCT p_name AS name FROM part
+                    WHERE p_name IS NOT NULL),
+         nb AS (SELECT name, regexp_extract(name, '[^ ]+$') AS blk FROM n),
+         pairs AS (
+           SELECT a.name AS id_a, b.name AS id_b
+           FROM nb a JOIN nb b ON a.blk = b.blk AND a.name < b.name
+           WHERE levenshtein(a.name, b.name) <= 3),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+         reach AS (
+           WITH RECURSIVE r(id, root) AS (
+             SELECT DISTINCT src, src FROM edges
+             UNION
+             SELECT e.dst, r.root FROM r JOIN edges e ON e.src = r.id)
+           SELECT * FROM r)
+         SELECT id AS name, min(root) AS canonical FROM reach GROUP BY id""",
+
+    "q_ntile" ->
+      """SELECT o_orderkey, o_orderpriority,
+         round(percent_rank() OVER w, 6) AS pr,
+         round(cume_dist() OVER w, 6) AS cd,
+         CAST(ntile(4) OVER w AS BIGINT) AS quartile
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice DESC, o_orderkey)""",
 
     "q_session_ids" ->
       """WITH o AS (

@@ -539,6 +539,72 @@ object Stress {
     }
     scoreDocs.unpersist()
 
+    // ------------------------------------------- event-analytics tier
+    // 20 events per user. User class (u mod 4) plants exact funnel
+    // outcomes — full convert / click-only / EARLY PURCHASE (the
+    // strictness case at scale: a purchase timestamped before the
+    // click reach must not convert) / view-only — and a +14-day return
+    // event for every other user GROUP (u/4 parity, deliberately
+    // independent of the class and cohort bits) plants exact weekly
+    // retention bars. Cohort = (u mod 4) weeks after the Monday epoch.
+    // Both operators key every exchange on the user, so the tier
+    // measures exactly the shuffles the design argues for.
+    val nEvents = sys.env.getOrElse("SPARK_GRAFT_STRESS_EVENTS",
+      "20000000").toLong
+    val evUsers = nEvents / 20
+    require(evUsers % 8 == 0, s"event tier wants users % 8 == 0, got $evUsers")
+    val evBase = 1704067200L // 2024-01-01 00:00:00 UTC, a Monday
+    val eu = col("id").divide(20).cast("long")
+    val ei = pmod(col("id"), lit(20)).cast("int")
+    val cls = pmod(eu, lit(4))
+    val evType =
+      when(ei === 0, when(cls === 2, lit("purchase")).otherwise(lit("view")))
+        .when(ei === 1,
+          when(cls === 0 || cls === 1, lit("click"))
+            .when(cls === 2, lit("view")).otherwise(lit("error")))
+        .when(ei === 2,
+          when(cls === 0, lit("purchase"))
+            .when(cls === 2, lit("click")).otherwise(lit("error")))
+        .otherwise(lit("error"))
+    val evOffSec = when(
+        ei === 19 && pmod(eu.divide(4).cast("long"), lit(2)) === 0,
+        cls.cast("long") * (7L * 86400) + lit(14L * 86400))
+      .otherwise(cls.cast("long") * (7L * 86400) + ei.cast("long") * 60)
+    val events = spark.range(nEvents).toDF("id")
+      .select(eu.as("user_id"),
+        timestamp_seconds(lit(evBase) + evOffSec).as("ts"),
+        evType.as("event_type"))
+      .persist()
+    phase("funnel") {
+      events.count() // materialize synthesis outside nothing — cheap
+      val r = operators.EventAnalytics.funnel(events, "user_id", "ts",
+          "event_type", Seq("view", "click", "purchase"))
+        .orderBy("stage").collect()
+      val ns = r.map(_.getLong(2))
+      require(ns.toSeq == Seq(evUsers, evUsers * 3 / 4, evUsers / 4),
+        s"funnel counts ${ns.toSeq}, expected " +
+          s"${Seq(evUsers, evUsers * 3 / 4, evUsers / 4)}")
+      (nEvents, s""","n_view":${ns(0)},"n_click":${ns(1)},""" +
+        s""""n_purchase":${ns(2)}""")
+    }
+    phase("retention") {
+      val rows = operators.EventAnalytics
+        .retention(events, "user_id", "ts").collect()
+      require(rows.length == 8,
+        s"expected 4 cohorts x offsets {0,2}, got ${rows.length} rows")
+      rows.foreach { r =>
+        val (off, n, rate) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+        val (wantN, wantRate) =
+          if (off == 0L) (evUsers / 4, 1.0) else (evUsers / 8, 0.5)
+        require(off == 0L || off == 2L, s"unexpected offset $off")
+        require(n == wantN && rate == wantRate,
+          s"cohort ${r.get(0)} offset $off: n=$n rate=$rate, " +
+            s"expected $wantN/$wantRate")
+      }
+      (nEvents, s""","cohorts":4,"offsets":2""")
+    }
+    events.unpersist()
+
     // ------------------------------------------------ skew stress tier
     // Hot keys planted at sizes where even the UNPROTECTED run is
     // feasible by construction — the point is to MEASURE the df caps
