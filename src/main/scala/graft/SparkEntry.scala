@@ -1459,6 +1459,30 @@ object SparkEntry {
         threshold = 2.5)
         .select("event_id", "event_type", "z", "is_anomaly")),
 
+    // §2.10 near-dup: directional shingle containment (Broder) — the
+    // quote/subset-duplicate detector symmetric Jaccard misses; cap
+    // disabled so the oracle's exact counts match
+    "q_containment" -> ((s, dir) =>
+      DedupOps.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+          tau = 0.2, maxDocFreq = None)
+        .select(col("doc_a"), col("doc_b"),
+          round(col("cont_a"), 6).as("cont_a"),
+          round(col("cont_b"), 6).as("cont_b"))),
+
+    // §2.5 join family completion: FULL OUTER over two aggregates with
+    // genuinely exclusive key regions on both sides (order-only
+    // custkeys >= 100; event-only users < 100)
+    "q_fullouter" -> ((s, dir) => {
+      val o = t(s, dir, "orders").filter(col("o_custkey") >= 100)
+        .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("n_orders"))
+      val e = t(s, dir, "events")
+        .groupBy(col("user_id").as("k")).agg(count(lit(1)).as("n_events"))
+      o.join(e, Seq("k"), "full_outer")
+        .select(col("k"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"))
+    }),
+
     // §2.10 record linkage, stage 2: entity groups — fuzzy match pairs
     // fed to the shared union-find/min-label clustering tier, canonical
     // name = lexicographic min of the group (string-id CC path)
@@ -3180,6 +3204,37 @@ object SparkEntry {
            coalesce(abs(round((e.value - s.mu) /
              (CASE WHEN s.sd > 0 THEN s.sd END), 6)) > 2.5, false) AS is_anomaly
          FROM events e JOIN s ON e.event_type = s.event_type""",
+
+    "q_containment" ->
+      raw"""WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+           FROM documents WHERE text IS NOT NULL),
+         sh AS (
+           SELECT DISTINCT doc_id,
+                  ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+           FROM toks, unnest(range(1, len(ts) - 1)) AS u(i)),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         common AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+           FROM sh a JOIN sh b ON a.shingle = b.shingle
+                              AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+           round(CAST(n_common AS DOUBLE) / sa.n, 6) AS cont_a,
+           round(CAST(n_common AS DOUBLE) / sb.n, 6) AS cont_b
+         FROM common
+         JOIN sizes sa ON sa.doc_id = doc_a
+         JOIN sizes sb ON sb.doc_id = doc_b
+         WHERE CAST(n_common AS DOUBLE) / least(sa.n, sb.n) >= 0.2""",
+
+    "q_fullouter" ->
+      """WITH o AS (SELECT o_custkey AS k, count(*) AS n_orders
+                    FROM orders WHERE o_custkey >= 100 GROUP BY 1),
+         e AS (SELECT user_id AS k, count(*) AS n_events
+               FROM events GROUP BY 1)
+         SELECT k, coalesce(n_orders, 0) AS n_orders,
+           coalesce(n_events, 0) AS n_events
+         FROM o FULL JOIN e USING (k)""",
 
     "q_entity_groups" ->
       """WITH n AS (SELECT DISTINCT p_name AS name FROM part

@@ -246,6 +246,56 @@ object DedupOps {
           (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
   }
 
+  /** Directional shingle-containment pairs — Broder's containment
+    * c(A,B) = |S(A) ∩ S(B)| / |S(A)|, the asymmetric near-dup signal
+    * symmetric Jaccard misses: a short document quoted verbatim inside
+    * a long one scores containment 1.0 while its Jaccard is only
+    * ~|A|/|B| (the quote/template/subset-dup detector). A pair is kept
+    * when max(c(A,B), c(B,A)) = n_common / min(n_a, n_b) >= `tau`;
+    * both directions are emitted so the caller can tell container from
+    * contained.
+    *
+    * Plan is [[shingleJaccardPairs]]' verbatim (native gram-hash
+    * shingle identity, per-doc set sizes carried through the explode,
+    * df cap as a count window over the join's own exchange, one reused
+    * posting-table exchange) — only the final scoring projection
+    * differs. Counts are hash-identity-independent, so the SQL oracle
+    * replays with string shingles.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       tau: Double, shingleSize: Int = 3,
+                       maxDocFreq: Option[Int] = Some(DefaultMaxDocFreq))
+      : DataFrame = {
+    require(shingleSize >= 1, s"shingleSize must be >= 1, got $shingleSize")
+    require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
+    val tokenHashes =
+      transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t))
+    val grams = array_distinct(graft.functions.NativeExpressions
+      .gramHashes(tokenHashes, shingleSize))
+    val sh = docs
+      .select(col(idCol).as("doc"), grams.as("__grams"))
+      .select(col("doc"), size(col("__grams")).cast("long").as("n_sh"),
+        explode(col("__grams")).as("tok"))
+    val joinable = maxDocFreq match {
+      case Some(cap) =>
+        sh.withColumn("__df",
+            count(lit(1)).over(Window.partitionBy("tok")))
+          .filter(col("__df") <= cap).drop("__df")
+      case None => sh
+    }
+    joinable.select(col("doc").as("doc_a"), col("n_sh").as("n_a"), col("tok"))
+      .join(joinable.select(col("doc").as("doc_b"), col("n_sh").as("n_b"),
+        col("tok")), Seq("tok"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"),
+        max("n_a").as("n_a"), max("n_b").as("n_b"))
+      .filter(col("n_common").cast("double") /
+        least(col("n_a"), col("n_b")) >= tau)
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_common").cast("double") / col("n_a")).as("cont_a"),
+        (col("n_common").cast("double") / col("n_b")).as("cont_b"))
+  }
+
   /** LSH candidate-recall evaluation — the dedup-tier counterpart of
     * `AnnEval.recallAtK`: how much of the exact shingle-Jaccard >= tau
     * ground truth does the MinHash banding surface, and at what

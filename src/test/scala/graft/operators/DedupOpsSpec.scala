@@ -204,4 +204,41 @@ class DedupOpsSpec extends SparkTestBase {
       .select("doc_id").as[Long].collect().toSet
     assert(kept === Set(1L, 4L, 5L))
   }
+
+  test("containmentPairs: full quote scores 1.0 where Jaccard stays low") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),       // 6 shingles
+      (2L, "c d e f"),               // 2 shingles, both inside doc 1
+      (3L, "x y z w")                // unrelated
+    ).toDF("doc_id", "text")
+    val got = DedupOps.containmentPairs(docs, "doc_id", "text", tau = 0.9,
+        maxDocFreq = None)
+      .select("doc_a", "doc_b", "cont_a", "cont_b")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(got.toSeq === Seq((1L, 2L, 2.0 / 6.0, 1.0)),
+      "the contained side must score exactly 1.0")
+    // the same pair fails a symmetric Jaccard 0.5 gate: 2/(6+2-2) = 1/3
+    val jac = DedupOps.shingleJaccardPairs(docs, "doc_id", "text",
+        maxDocFreq = None)
+      .filter($"jaccard" >= 0.5).count()
+    assert(jac === 0L, "Jaccard must miss the asymmetric quote pair")
+  }
+
+  test("containmentPairs: tau gates on the max direction") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "c d e f")
+    ).toDF("doc_id", "text")
+    assert(DedupOps.containmentPairs(docs, "doc_id", "text", tau = 1.0,
+      maxDocFreq = None).count() === 1L)
+    // raise the bar above the max direction: pair disappears
+    val partial = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "c d e f q r s")  // 5 shingles, only 2 shared -> max cont 0.4
+    ).toDF("doc_id", "text")
+    assert(DedupOps.containmentPairs(partial, "doc_id", "text", tau = 0.5,
+      maxDocFreq = None).count() === 0L)
+    assert(DedupOps.containmentPairs(partial, "doc_id", "text", tau = 0.4,
+      maxDocFreq = None).count() === 1L)
+  }
 }
