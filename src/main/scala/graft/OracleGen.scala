@@ -331,6 +331,45 @@ object OracleGen {
        WHERE vr = 1"""
   }
 
+  /** Oracle for [[graft.operators.KnnClassify.labelSuspects]]: the
+    * [[knnClassifySql]] replay with probes = the whole labeled set
+    * (self pairs excluded by the id inequality), joined back to the
+    * true label; is_suspect = the vote contradicts it.
+    */
+  def labelSuspectsSql(k: Int, dim: Int): String = {
+    def nrm(v: String) =
+      s"sqrt(list_sum(list_transform($v, x -> x * x)))"
+    s"""WITH e AS (
+         SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings WHERE label IS NOT NULL),
+       n AS (SELECT vec_id, label, v, ${nrm("v")} AS nrm FROM e),
+       scored AS (
+         SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id, c.label,
+                CASE WHEN p.nrm * c.nrm <> 0
+                     THEN ${dotSql("p.v", "c.v", dim)} / (p.nrm * c.nrm)
+                END AS cosine
+         FROM n p CROSS JOIN n c WHERE c.vec_id <> p.vec_id),
+       ranked AS (
+         SELECT probe_id, label,
+                row_number() OVER (PARTITION BY probe_id
+                  ORDER BY cosine DESC, neighbor_id) AS rnk
+         FROM scored WHERE cosine IS NOT NULL),
+       votes AS (
+         SELECT probe_id, label, count(*) AS votes
+         FROM ranked WHERE rnk <= $k GROUP BY 1, 2),
+       pred AS (
+         SELECT probe_id, label AS pred_label, votes FROM (
+           SELECT probe_id, label, votes,
+                  row_number() OVER (PARTITION BY probe_id
+                    ORDER BY votes DESC, label) AS vr
+           FROM votes) t
+         WHERE vr = 1)
+       SELECT p.probe_id, e.label, p.pred_label, p.votes,
+              p.pred_label <> e.label AS is_suspect
+       FROM pred p JOIN e ON e.vec_id = p.probe_id"""
+  }
+
   /** Oracle for [[graft.operators.ProductQuantization.pqTopK]]: replay
     * each subspace's rounded-Lloyd codebook (the [[kmeansCtes]] chain
     * over `list_slice` subvectors), re-encode every corpus vector

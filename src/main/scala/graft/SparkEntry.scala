@@ -1459,6 +1459,13 @@ object SparkEntry {
         threshold = 2.5)
         .select("event_id", "event_type", "z", "is_anomaly")),
 
+    // §2.10 label audit: k-NN disagreement — every labeled vector
+    // re-classified by its 10 nearest OTHER labeled vectors; rows whose
+    // neighborhood contradicts their label are mislabeling suspects
+    "q_label_suspects" -> ((s, dir) =>
+      KnnClassify.labelSuspects(t(s, dir, "embeddings"), "vec_id",
+        "embedding", "label", k = 10)),
+
     // §2.10 near-dup: directional shingle containment (Broder) — the
     // quote/subset-duplicate detector symmetric Jaccard misses; cap
     // disabled so the oracle's exact counts match
@@ -3046,6 +3053,9 @@ object SparkEntry {
 
     "q_knn_classify" ->
       OracleGen.knnClassifySql(probeMax = 40, k = 10, dim = 64),
+
+    "q_label_suspects" ->
+      OracleGen.labelSuspectsSql(k = 10, dim = 64),
 
     "q_bm25" ->
       raw"""WITH tok AS (

@@ -1033,6 +1033,16 @@ object NativeExpressions {
     require(weights.length == 256, s"need 256 bucket weights, got ${weights.length}")
     override def dataType: DataType = DoubleType
 
+    // A null ELEMENT nulls the fold even when the array itself is
+    // non-null, so this expression is nullable regardless of the
+    // child's nullability. Without this override, a plan that refines
+    // the child non-nullable (e.g. behind a pushed IsNotNull filter)
+    // makes whole-stage codegen skip the isNull variable declaration
+    // the generated body assigns — Janino then rejects the whole stage
+    // ("filter_isNull_N is not an rvalue") and the stage silently runs
+    // interpreted.
+    override def nullable: Boolean = true
+
     override def nullSafeEval(input: Any): Any =
       dsirScoreEval(input.asInstanceOf[ArrayData], weights)
 

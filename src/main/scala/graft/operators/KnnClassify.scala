@@ -42,4 +42,29 @@ object KnnClassify {
       .filter(col("__rn") === 1)
       .select(col("probe_id"), col("__lab").as("pred_label"), col("votes"))
   }
+
+  /** Label-noise detection by k-NN disagreement (the confident-learning
+    * screen): every labeled vector is re-classified by its k nearest
+    * OTHER labeled vectors; a row whose neighborhood vote contradicts
+    * its own label is a mislabeling suspect for human re-review. The
+    * standard pre-training label audit — run it before trusting a
+    * propagated or crowd-sourced label column.
+    *
+    * Same machinery as [[classify]] with probes = electorate (self
+    * matches are excluded by the search's id inequality). The probe
+    * side is the whole labeled set: fine while it broadcasts; for
+    * web-scale label audits swap the bruteTopK call for `ivfTopK` —
+    * the vote and disagreement stages are unchanged.
+    *
+    * Output: (probe_id, label, pred_label, votes, is_suspect).
+    */
+  def labelSuspects(labeled: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, k: Int): DataFrame = {
+    val electorate = labeled.filter(col(labelCol).isNotNull)
+    classify(electorate, electorate, idCol, vecCol, labelCol, k)
+      .join(electorate.select(col(idCol).as("probe_id"),
+        col(labelCol).as("label")), Seq("probe_id"))
+      .select(col("probe_id"), col("label"), col("pred_label"), col("votes"),
+        (col("pred_label") =!= col("label")).as("is_suspect"))
+  }
 }

@@ -46,4 +46,25 @@ class KnnClassifySpec extends SparkTestBase {
         "embedding", "label", k = 100).collect()
     assert(out.forall(_.getLong(2) <= 5L), "only the 5 labeled rows vote")
   }
+
+  test("labelSuspects flags the planted mislabel and only it") {
+    // a +e0 vector mislabeled 3 inside the label-7 cluster
+    val withNoise = Seq(
+      (10L, Seq(1.0, 0.1, 0.0), Some(7)),
+      (11L, Seq(1.0, 0.2, 0.0), Some(7)),
+      (12L, Seq(1.0, 0.0, 0.1), Some(7)),
+      (16L, Seq(1.0, 0.1, 0.1), Some(3)), // the mislabel
+      (13L, Seq(0.1, 1.0, 0.0), Some(3)),
+      (14L, Seq(0.0, 1.0, 0.1), Some(3)),
+      (17L, Seq(0.1, 1.0, 0.1), Some(3))
+    ).toDF("vec_id", "embedding", "label")
+    val out = KnnClassify.labelSuspects(withNoise, "vec_id", "embedding",
+        "label", k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getInt(2), r.getBoolean(4)))
+      .toMap
+    assert(out(16L) === ((7, true)), "the planted mislabel must be flagged")
+    assert(out.filter(_._2._2).keySet === Set(16L),
+      s"only the planted mislabel should be suspect: $out")
+    assert(out.size === 7, "every labeled row is audited")
+  }
 }
