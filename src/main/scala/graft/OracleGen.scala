@@ -331,6 +331,57 @@ object OracleGen {
        WHERE vr = 1"""
   }
 
+  /** Oracle for [[graft.operators.KMeans.clusterPurity]]: replay the
+    * rounded-Lloyd assignment via [[kmeansCtes]], then the
+    * (cell, label) majority with ties to the smaller label.
+    */
+  def clusterPuritySql(k: Int, iters: Int, dim: Int): String =
+    s"""WITH ${kmeansCtes(k, iters, dim)},
+       lab AS (SELECT vec_id, label FROM embeddings),
+       cells AS (
+         SELECT a.cell_id, l.label, count(*) AS nn
+         FROM a${iters + 1} a JOIN lab l USING (vec_id)
+         GROUP BY 1, 2),
+       tot AS (SELECT cell_id, sum(nn) AS n_vecs FROM cells GROUP BY 1)
+       SELECT c.cell_id, CAST(t.n_vecs AS BIGINT) AS n_vecs,
+              c.label AS top_label,
+              round(CAST(c.nn AS DOUBLE) / t.n_vecs, 6) AS purity
+       FROM (SELECT cell_id, label, nn,
+               row_number() OVER (PARTITION BY cell_id
+                 ORDER BY nn DESC, label) AS rn
+             FROM cells) c
+       JOIN tot t USING (cell_id)
+       WHERE c.rn = 1"""
+
+  /** Oracle for [[graft.operators.PageRank.ranks]] over the
+    * customer-nation bipartite graph: the rounded power iteration
+    * unrolled one CTE per step — per-iteration rounding to 6 decimals
+    * is what makes each step's input (and so the chain) engine- and
+    * sum-order-independent, the [[kmeansSql]] stance.
+    */
+  def pagerankSql(iters: Int, damping: Double): String = {
+    def iterCte(t: Int) =
+      s"""r$t AS (
+         SELECT dir.dst AS id,
+           round((SELECT CAST(${1.0 - damping} AS DOUBLE) / n FROM nn) +
+             $damping * sum(r.rank / deg.d), 6) AS rank
+         FROM dir JOIN r${t - 1} r ON r.id = dir.src
+                  JOIN deg ON deg.src = dir.src
+         GROUP BY dir.dst)"""
+    val chain = (1 to iters).map(iterCte).mkString(",\n       ")
+    s"""WITH edges AS (
+         SELECT c_custkey AS a, c_nationkey + 1000000 AS b FROM customer),
+       dir AS (SELECT a AS src, b AS dst FROM edges
+               UNION ALL SELECT b, a FROM edges),
+       deg AS (SELECT src, count(*) AS d FROM dir GROUP BY 1),
+       nn AS (SELECT count(*) AS n FROM deg),
+       r0 AS (SELECT src AS id,
+                round(CAST(1.0 AS DOUBLE) / (SELECT n FROM nn), 6) AS rank
+              FROM deg),
+       $chain
+       SELECT id, rank FROM r$iters"""
+  }
+
   /** Oracle for [[graft.operators.KnnClassify.labelSuspects]]: the
     * [[knnClassifySql]] replay with probes = the whole labeled set
     * (self pairs excluded by the id inequality), joined back to the

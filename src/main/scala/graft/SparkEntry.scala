@@ -1459,6 +1459,25 @@ object SparkEntry {
         threshold = 2.5)
         .select("event_id", "event_type", "z", "is_anomaly")),
 
+    // §2.10 graph analytics: rounded-power-iteration PageRank over the
+    // customer-nation bipartite graph (nation ids offset into a
+    // disjoint range) — hub detection over the linkage graphs the
+    // dedup/entity tiers produce; per-iteration rounding makes the
+    // chain oracle-replayable (the rounded-Lloyd stance)
+    "q_pagerank" -> ((s, dir) => {
+      val edges = t(s, dir, "customer").select(
+        col("c_custkey").as("id_a"),
+        (col("c_nationkey") + 1000000L).as("id_b"))
+      PageRank.ranks(edges, iters = 3)
+    }),
+
+    // §2.10 clustering eval: per-cluster label purity over the
+    // rounded-Lloyd assignment (k = 8, 2 iterations — the q_kmeans
+    // configuration); everything past the assignment is O(k x labels)
+    "q_cluster_purity" -> ((s, dir) =>
+      KMeans.clusterPurity(t(s, dir, "embeddings"), "vec_id", "embedding",
+        "label", k = 8, iters = 2)),
+
     // §2.10 label audit: k-NN disagreement — every labeled vector
     // re-classified by its 10 nearest OTHER labeled vectors; rows whose
     // neighborhood contradicts their label are mislabeling suspects
@@ -3056,6 +3075,12 @@ object SparkEntry {
 
     "q_label_suspects" ->
       OracleGen.labelSuspectsSql(k = 10, dim = 64),
+
+    "q_pagerank" ->
+      OracleGen.pagerankSql(iters = 3, damping = 0.85),
+
+    "q_cluster_purity" ->
+      OracleGen.clusterPuritySql(k = 8, iters = 2, dim = 64),
 
     "q_bm25" ->
       raw"""WITH tok AS (

@@ -97,4 +97,33 @@ object KMeans {
         lit(-1L)))
       .select(col(idCol), col("cell_id"))
   }
+
+  /** Cluster-vs-label purity — the unsupervised-clustering eval
+    * harness (the [[AnnEval]] stance applied to [[assignRounded]]):
+    * per cluster, the majority label's share. A purity near 1 means
+    * the embedding clusters recover the labels; the per-cluster rows
+    * tell you WHICH clusters are mixed. Vote ties break to the
+    * smaller label (the [[KnnClassify]] convention).
+    *
+    * Everything past the assignment is O(k x labels): one
+    * (cell, label) aggregation and two windows over that bounded
+    * frame.
+    *
+    * Output: (cell_id, n_vecs, top_label, purity).
+    */
+  def clusterPurity(vectors: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, k: Int, iters: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val assign = assignRounded(vectors, idCol, vecCol, k, iters)
+    val cells = assign
+      .join(vectors.select(col(idCol), col(labelCol).as("__lab")), Seq(idCol))
+      .groupBy(col("cell_id"), col("__lab")).agg(count(lit(1)).as("__n"))
+    cells
+      .withColumn("__rn", row_number().over(
+        w.partitionBy("cell_id").orderBy(col("__n").desc, col("__lab"))))
+      .withColumn("n_vecs", sum("__n").over(w.partitionBy("cell_id")))
+      .filter(col("__rn") === 1)
+      .select(col("cell_id"), col("n_vecs"), col("__lab").as("top_label"),
+        round(col("__n").cast("double") / col("n_vecs"), 6).as("purity"))
+  }
 }

@@ -488,6 +488,21 @@ class PlanHygieneSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), "stats must broadcast")
   }
 
+  test("q_pagerank: iterations are equi-joins + aggregations — no nested loop") {
+    val p = plan("q_pagerank")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("q_cluster_purity: post-assignment work is windows over the bounded (cell,label) frame") {
+    val p = plan("q_cluster_purity")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the assignment itself is the row-local NearestCells expression —
+    // no join against a centroid table
+    assert(p.contains("nearestcells") || p.toLowerCase.contains("nearestcells"),
+      "cell assignment must be the row-local native expression")
+  }
+
   test("native dot product is codegen-capable (starred projection)") {
     // the tokenizing queries are bounded by ArrayTransform (a
     // CodegenFallback higher-order function), but ArrayDotProduct

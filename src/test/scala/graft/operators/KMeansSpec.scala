@@ -64,4 +64,24 @@ class KMeansSpec extends SparkTestBase {
       KMeans.assignRounded(vecs, "vec_id", "embedding", 2, -1)
     }
   }
+
+  test("clusterPurity: mixed cluster scored 2/3, clean cluster 1.0") {
+    import spark.implicits._
+    // seeds (ids 0 and 1) land one per cluster, so k = 2 converges to
+    // the planted split; label 2 on id 3 is the impurity
+    val labeled = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.05f), 1),
+      (1L, Seq(0.0f, 1.0f, 0.05f), 5),
+      (2L, Seq(1.0f, 0.1f, 0.0f), 1),
+      (3L, Seq(1.0f, 0.0f, 0.1f), 2),
+      (4L, Seq(0.1f, 1.0f, 0.0f), 5),
+      (5L, Seq(0.0f, 1.0f, 0.1f), 5)
+    ).toDF("vec_id", "embedding", "label")
+    val got = KMeans.clusterPurity(labeled, "vec_id", "embedding", "label",
+        k = 2, iters = 1)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getInt(2), r.getDouble(3))).toMap
+    assert(got(0L) === ((3L, 1, 0.666667)), s"mixed cluster: ${got(0L)}")
+    assert(got(1L) === ((3L, 5, 1.0)), s"clean cluster: ${got(1L)}")
+  }
 }
