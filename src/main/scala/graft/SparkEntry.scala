@@ -1459,6 +1459,29 @@ object SparkEntry {
         threshold = 2.5)
         .select("event_id", "event_type", "z", "is_anomaly")),
 
+    // §2.10 lexical retrieval: TF-IDF-weighted document cosine ("more
+    // like this") — inverted-index pair generation, never probes x
+    // corpus; cap None = the oracle-exact mode
+    "q_doc_sim" -> ((s, dir) =>
+      TfIdf.docSimilarity(t(s, dir, "documents"), "doc_id", "text",
+          probeFilter = col("doc_id") < 10, k = 5, maxDocFreqRatio = None)
+        .select("doc_a", "doc_b", "rank")),
+
+    // §2.10 RAG assembly: probe 0's exact top-3 embedding neighbors
+    // (vec ids are aligned with doc ids in the test corpus) joined to
+    // the document store and concatenated in rank order — the
+    // prompt-ready context blob, hashed for oracle comparison
+    "q_rag_context" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val top = SimilaritySearch.bruteTopK(
+        emb.filter(col("vec_id") === 0), emb, "vec_id", "embedding", k = 3)
+      HybridRetrieval.ragContext(top, t(s, dir, "documents")
+          .withColumnRenamed("doc_id", "neighbor_id"),
+          "probe_id", "neighbor_id", "rank", "text")
+        .select(col("probe_id"), col("n_docs"), col("total_tokens"),
+          md5(col("context")).as("ctx_hash"))
+    }),
+
     // §2.10 graph analytics: rounded-power-iteration PageRank over the
     // customer-nation bipartite graph (nation ids offset into a
     // disjoint range) — hub detection over the linkage graphs the
@@ -3078,6 +3101,67 @@ object SparkEntry {
 
     "q_pagerank" ->
       OracleGen.pagerankSql(iters = 3, damping = 0.85),
+
+    "q_doc_sim" ->
+      raw"""WITH tok AS (
+           SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+         w AS (SELECT tf.doc_id, tf.term,
+                 tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) AS wt
+               FROM tf JOIN df USING (term) CROSS JOIN n),
+         nrm AS (SELECT doc_id, sqrt(sum(wt * wt)) AS nrm
+                 FROM w GROUP BY doc_id),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             sum(a.wt * b.wt) AS dot
+           FROM w a JOIN w b USING (term)
+           WHERE a.doc_id < 10 AND a.doc_id <> b.doc_id
+           GROUP BY 1, 2),
+         scored AS (
+           SELECT doc_a, doc_b,
+             round(dot / (na.nrm * nb.nrm), 6) AS cosine
+           FROM pairs
+           JOIN nrm na ON na.doc_id = doc_a
+           JOIN nrm nb ON nb.doc_id = doc_b)
+         SELECT doc_a, doc_b, rank FROM (
+           SELECT doc_a, doc_b,
+             row_number() OVER (PARTITION BY doc_a
+               ORDER BY cosine DESC, doc_b) AS rank
+           FROM scored) t
+         WHERE rank <= 5""",
+
+    "q_rag_context" ->
+      """WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         s AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, len(p.v) + 1), i -> p.v[i] * c.v[i]))
+               / (sqrt(list_sum(list_transform(p.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(c.v, x -> x * x)))) AS cosine
+           FROM e p JOIN e c ON c.vec_id <> p.vec_id
+           WHERE p.vec_id = 0),
+         top AS (
+           SELECT probe_id, neighbor_id, rank FROM (
+             SELECT probe_id, neighbor_id,
+               row_number() OVER (PARTITION BY probe_id
+                 ORDER BY cosine DESC, neighbor_id) AS rank
+             FROM s) t
+           WHERE rank <= 3),
+         ctx AS (
+           SELECT top.probe_id,
+             count(*) AS n_docs,
+             string_agg(d.text, chr(10) || chr(10) ORDER BY top.rank)
+               AS context
+           FROM top JOIN documents d ON d.doc_id = top.neighbor_id
+           GROUP BY top.probe_id)
+         SELECT probe_id, n_docs,
+           CAST(len(string_split_regex(trim(context), '\s+')) AS BIGINT)
+             AS total_tokens,
+           md5(context) AS ctx_hash
+         FROM ctx""",
 
     "q_cluster_purity" ->
       OracleGen.clusterPuritySql(k = 8, iters = 2, dim = 64),

@@ -45,4 +45,41 @@ object HybridRetrieval {
       .orderBy(col("rrf_score").desc, col(idCol))
       .limit(k)
   }
+
+  /** RAG context assembly: a retrieval ranking joined to the document
+    * store and concatenated IN RANK ORDER into one prompt-ready context
+    * blob per probe — the last mile between a top-k and an actual LLM
+    * call. Determinism: the per-probe collect is sorted on (rank, id)
+    * structs before concatenation, so the blob (and its hash) is
+    * partition-order independent; `collect_list` alone would not be.
+    *
+    * The aggregation state per probe is k (rank, text) entries — the
+    * probe side is a top-k by construction, so nothing here scales
+    * with the corpus; the doc join is an equi-join on the document id.
+    *
+    * @param ranking (probeCol, docIdCol, rankCol) rows, ranks from 1
+    * @param docs    (docIdCol, textCol) document store
+    * @return (probe id, n_docs, total_tokens, context) — `context` is
+    *         the rank-ordered texts joined by "\n\n"
+    */
+  def ragContext(ranking: DataFrame, docs: DataFrame, probeCol: String,
+                 docIdCol: String, rankCol: String, textCol: String,
+                 separator: String = "\n\n"): DataFrame = {
+    ranking
+      .select(col(probeCol), col(docIdCol).as("__did"),
+        col(rankCol).cast("long").as("__rank"))
+      .join(docs.select(col(docIdCol).as("__did"), col(textCol).as("__text")),
+        Seq("__did"))
+      .groupBy(col(probeCol))
+      .agg(sort_array(collect_list(
+        struct(col("__rank"), col("__did"), col("__text")))).as("__c"))
+      .select(col(probeCol),
+        size(col("__c")).cast("long").as("n_docs"),
+        concat_ws(separator,
+          transform(col("__c"), x => x("__text"))).as("context"))
+      .select(col(probeCol), col("n_docs"),
+        graft.functions.TextFunctions.tokenCount(col("context"))
+          .cast("long").as("total_tokens"),
+        col("context"))
+  }
 }

@@ -42,4 +42,25 @@ class HybridRetrievalSpec extends SparkTestBase {
       HybridRetrieval.rrfFuse(Nil, "doc_id", "rank", k = 5)
     }
   }
+
+  test("ragContext: rank-ordered concatenation, partition-order independent") {
+    val ranking = Seq(
+      (100L, 3L, 2L), (100L, 7L, 1L), (100L, 5L, 3L), // probe 100: 7,3,5
+      (200L, 5L, 1L)
+    ).toDF("probe_id", "doc_id", "rank")
+    val docs = Seq(
+      (3L, "second doc"), (5L, "third doc"), (7L, "first doc")
+    ).toDF("doc_id", "text")
+    def run(r: org.apache.spark.sql.DataFrame) = HybridRetrieval
+      .ragContext(r, docs, "probe_id", "doc_id", "rank", "text")
+      .select("probe_id", "n_docs", "total_tokens", "context")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val got = run(ranking)
+    assert(got(100L) === ((3L, 6L, "first doc\n\nsecond doc\n\nthird doc")))
+    assert(got(200L) === ((1L, 2L, "third doc")))
+    // the collect is struct-sorted, so input partitioning cannot
+    // reorder the blob
+    assert(run(ranking.repartition(7)) === got)
+  }
 }

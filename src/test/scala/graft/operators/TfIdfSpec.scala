@@ -56,4 +56,33 @@ class TfIdfSpec extends SparkTestBase {
       .as[(Long, String, Long)].collect().toSet
     assert(actual === expected)
   }
+
+  test("docSimilarity: a verbatim copy ranks first at cosine 1.0") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (0L, "spark shuffle join window"),
+      (1L, "spark shuffle join window"),    // exact copy of the probe
+      (2L, "spark shuffle sort merge"),     // partial overlap
+      (3L, "entirely different words here")
+    ).toDF("doc_id", "text")
+    val got = TfIdf.docSimilarity(docs, "doc_id", "text",
+        probeFilter = col("doc_id") === 0, k = 3, maxDocFreqRatio = None)
+      .select("doc_a", "doc_b", "rank", "cosine")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._3 -> (r._2, r._4)).toMap
+    assert(got(1L)._1 === 1L, s"the copy must rank first: $got")
+    assert(got(1L)._2 === 1.0, "identical sparse vectors score exactly 1")
+    // doc 3 shares no term with the probe -> no pair at all
+    assert(!got.values.exists(_._1 == 3L), "disjoint docs never pair")
+  }
+
+  test("docSimilarity: probe filter bounds the pair stream") {
+    import org.apache.spark.sql.functions.col
+    val docs = (0L to 20L).map(i => (i, s"shared token plus t$i"))
+      .toDF("doc_id", "text")
+    val got = TfIdf.docSimilarity(docs, "doc_id", "text",
+        probeFilter = col("doc_id") < 2, k = 50, maxDocFreqRatio = None)
+      .select("doc_a").as[Long].collect()
+    assert(got.toSet === Set(0L, 1L), "only probe rows emit")
+  }
 }
