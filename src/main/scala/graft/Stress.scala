@@ -605,6 +605,65 @@ object Stress {
     }
     events.unpersist()
 
+    // ------------------------------------------- containment dedup tier
+    // 2 M docs: every 4th doc is the 8-token PREFIX of its predecessor
+    // (so its width-8 gram set is a strict subset -> containment
+    // exactly 1.0 against exactly one partner); all other docs are
+    // globally unique. Exact bar: nCont pairs at tau = 1.0, each with
+    // cont_a or cont_b = 1. Planted gram df = 2, so the default cap
+    // never drops a planted pair — what the cap drops is background
+    // (there is none), keeping the expectation exact.
+    val contDocs = math.min(nDocs, 2000000L)
+    val contSeed = when(pmod(col("id"), lit(4)) === 3, col("id") - 1)
+      .otherwise(col("id"))
+      .+(lit(20000000000L))
+    val contWords = (0 until 12).map(i => hex(xxhash64(col("__seed"), lit(i))))
+    val cdocs = spark.range(contDocs).toDF("id")
+      .withColumn("__seed", contSeed)
+      .withColumn("text",
+        when(pmod(col("id"), lit(4)) === 3,
+          concat_ws(" ", contWords.take(8): _*))
+          .otherwise(concat_ws(" ", contWords: _*)))
+      .drop("__seed")
+      .persist()
+    phase("containment") {
+      cdocs.count()
+      val pairs = operators.DedupOps.containmentPairs(
+        cdocs, "id", "text", tau = 1.0, shingleSize = 8).persist()
+      val n = pairs.count()
+      val full = pairs.filter(col("cont_a") === 1.0 || col("cont_b") === 1.0)
+        .count()
+      pairs.unpersist()
+      val want = contDocs / 4
+      require(n == want && full == n,
+        s"containment: $n pairs / $full full, expected $want")
+      (n, s""","full_containments":$full""")
+    }
+    cdocs.unpersist()
+
+    // --------------------------------------------- fuzzy linkage tier
+    // 20 M rows over a 10,000-name vocabulary "itemAAA grpBB"
+    // (AAA in 000..099, BB = block). Within a block the item field
+    // varies only in its last two digits, so EVERY in-block pair is
+    // Levenshtein <= 2 and the dist <= 1 pairs are exactly the
+    // one-digit edits: 2 positions x 10 fixed x C(10,2) = 900 per
+    // block. The point measured: the exchange carries 10k DISTINCT
+    // values, never the 20 M rows.
+    phase("fuzzy_link") {
+      val rows = spark.range(math.min(nDocs * 4, 20000000L)).toDF("id")
+        .select(format_string("item%03d grp%02d",
+          pmod(col("id"), lit(100)),
+          pmod(col("id").divide(100).cast("long"), lit(100))).as("name"))
+      val pairs = operators.FuzzyMatch.blockedPairs(rows, "name",
+        n => regexp_extract(n, "[^ ]+$", 0), maxDist = 1).persist()
+      val n1 = pairs.count()
+      val maxD = pairs.agg(max("dist")).head().getInt(0)
+      pairs.unpersist()
+      require(n1 == 900L * 100 && maxD <= 1,
+        s"fuzzy_link: $n1 dist<=1 pairs (want 90000), maxDist $maxD")
+      (n1, s""","distinct_names":10000,"blocks":100""")
+    }
+
     // ------------------------------------------------ skew stress tier
     // Hot keys planted at sizes where even the UNPROTECTED run is
     // feasible by construction — the point is to MEASURE the df caps
