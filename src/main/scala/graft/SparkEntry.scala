@@ -1459,6 +1459,21 @@ object SparkEntry {
         threshold = 2.5)
         .select("event_id", "event_type", "z", "is_anomaly")),
 
+    // §2.10 privacy release: per-source counts with seeded-Laplace DP
+    // noise (sensitivity-1 count query, b = 1/epsilon; the seed makes
+    // the release oracle-replayable — production swaps in entropy,
+    // same plan and math)
+    "q_dp_counts" -> ((s, dir) =>
+      Privacy.laplaceNoisyCounts(t(s, dir, "documents"), "source",
+        epsilon = 1.0)),
+
+    // §2.10 privacy audit: k-anonymity over the (lang, source)
+    // quasi-identifier — combinations shared by fewer than k rows are
+    // flagged for suppression before release
+    "q_kanon" -> ((s, dir) =>
+      Privacy.kAnonymityAudit(t(s, dir, "documents"),
+        Seq("lang", "source"), k = 5)),
+
     // §2.10 lexical retrieval: TF-IDF-weighted document cosine ("more
     // like this") — inverted-index pair generation, never probes x
     // corpus; cap None = the oracle-exact mode
@@ -3101,6 +3116,23 @@ object SparkEntry {
 
     "q_pagerank" ->
       OracleGen.pagerankSql(iters = 3, damping = 0.85),
+
+    "q_dp_counts" ->
+      """WITH g AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+         u AS (SELECT source, n,
+           (CAST('0x' || substr(md5('dp|' || source), 1, 12) AS BIGINT) + 1)
+             / 281474976710656.0 AS u
+           FROM g)
+         SELECT source,
+           round(n + (-1.0 * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5))), 4)
+             AS n_noisy,
+           CAST(1.0 AS DOUBLE) AS epsilon
+         FROM u""",
+
+    "q_kanon" ->
+      """SELECT lang, source, count(*) AS n_rows,
+         count(*) < 5 AS suppress
+         FROM documents GROUP BY lang, source""",
 
     "q_doc_sim" ->
       raw"""WITH tok AS (
