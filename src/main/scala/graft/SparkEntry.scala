@@ -1459,6 +1459,33 @@ object SparkEntry {
         threshold = 2.5)
         .select("event_id", "event_type", "z", "is_anomaly")),
 
+    // §2.10 co-occurrence analytics: market-basket association rules —
+    // pair generation bounded by basket size (self-join on the order
+    // key), supports broadcast back; lift > 1 = genuine affinity
+    "q_basket" -> ((s, dir) =>
+      MarketBasket.pairRules(t(s, dir, "lineitem"), "l_orderkey",
+        "l_partkey", minCount = 3L)),
+
+    // §2.10 graph analytics: per-node triangle counts over the
+    // confirmed near-dup graph (clique-density separates true dup
+    // families from transitive chains); two equi-joins, Σdeg² work
+    "q_triangles" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 40)
+      val edges = DedupOps.tokenJaccardPairs(d, "doc_id", "text",
+          maxDocFreq = None)
+        .filter(col("jaccard") > 0.5)
+        .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+      GraphMetrics.triangleCounts(edges)
+    }),
+
+    // §2.10 robust monitoring: median/MAD outlier flags — the
+    // fat-tail-safe zscore (a planted extreme can't mask itself by
+    // inflating the stddev); two broadcast joins, fact never shuffles
+    "q_mad" -> ((s, dir) =>
+      Outliers.madOutliers(t(s, dir, "events"), "event_type", "value",
+          threshold = 3.5)
+        .select("event_id", "event_type", "robust_z", "is_outlier")),
+
     // §2.10 privacy release: per-source counts with seeded-Laplace DP
     // noise (sensitivity-1 count query, b = 1/epsilon; the seed makes
     // the release oracle-replayable — production swaps in entropy,
@@ -3116,6 +3143,63 @@ object SparkEntry {
 
     "q_pagerank" ->
       OracleGen.pagerankSql(iters = 3, damping = 0.85),
+
+    "q_basket" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+                     FROM lineitem),
+         n AS (SELECT count(DISTINCT b) AS n FROM it),
+         ic AS (SELECT i, count(*) AS c FROM it GROUP BY 1),
+         p AS (SELECT a.i AS item_a, b.i AS item_b, count(*) AS n_baskets
+               FROM it a JOIN it b ON a.b = b.b AND a.i < b.i
+               GROUP BY 1, 2
+               HAVING count(*) >= 3)
+         SELECT item_a, item_b, n_baskets,
+           round(n_baskets / CAST(n.n AS DOUBLE), 6) AS support,
+           round(n_baskets / CAST(ca.c AS DOUBLE), 6) AS confidence,
+           round(CAST(n_baskets AS DOUBLE) * n.n / (ca.c * cb.c), 6) AS lift
+         FROM p
+         JOIN ic ca ON ca.i = item_a
+         JOIN ic cb ON cb.i = item_b
+         CROSS JOIN n""",
+
+    "q_triangles" ->
+      raw"""WITH d AS (SELECT * FROM documents WHERE doc_id < 40),
+         tok AS (
+           SELECT DISTINCT doc_id,
+             unnest(string_split_regex(trim(text), '\s+')) AS t
+           FROM d),
+         sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+         pr AS (SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS c
+                FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+         e AS (SELECT x AS a, y AS b FROM pr
+               JOIN sz sa ON sa.doc_id = x
+               JOIN sz sb ON sb.doc_id = y
+               WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) > 0.5),
+         w AS (SELECT e1.a, e1.b, e2.b AS c
+               FROM e e1 JOIN e e2 ON e1.b = e2.a),
+         tri AS (SELECT w.a, w.b, w.c
+                 FROM w JOIN e ON e.a = w.a AND e.b = w.c),
+         x AS (SELECT unnest([a, b, c]) AS id FROM tri)
+         SELECT id, count(*) AS n_triangles FROM x GROUP BY id""",
+
+    "q_mad" ->
+      """WITH med AS (
+           SELECT event_type, median(value) AS med
+           FROM events GROUP BY 1),
+         mad AS (
+           SELECT e.event_type, median(abs(e.value - m.med)) AS mad
+           FROM events e JOIN med m USING (event_type)
+           GROUP BY 1)
+         SELECT e.event_id, e.event_type,
+           round(0.6745 * (e.value - m.med) /
+             (CASE WHEN d.mad > 0 THEN d.mad END), 6) AS robust_z,
+           coalesce(abs(round(0.6745 * (e.value - m.med) /
+             (CASE WHEN d.mad > 0 THEN d.mad END), 6)) > 3.5, false)
+             AS is_outlier
+         FROM events e
+         JOIN med m USING (event_type)
+         JOIN mad d USING (event_type)""",
 
     "q_dp_counts" ->
       """WITH g AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),

@@ -81,4 +81,35 @@ object Outliers {
         coalesce(abs(col("z")) > threshold, lit(false)))
       .drop("__mu", "__sd")
   }
+
+  /** Robust (median/MAD) outlier flags — the fat-tail-safe counterpart
+    * to [[zscore]]: a single planted extreme inflates the mean AND the
+    * stddev (masking itself), but moves the median and the median
+    * absolute deviation barely at all. robust_z = 0.6745·(x − med)/MAD
+    * (the consistency constant makes it stddev-comparable for normal
+    * data), flagged beyond `threshold`.
+    *
+    * Two per-group aggregation passes by necessity (the deviations
+    * need the median first); both produce one-row-per-group frames
+    * broadcast back, so the fact table still never shuffles. Exact
+    * `percentile` is the oracle mode; swap `percentile_approx` at
+    * 100 TB, same plan shape.
+    */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                  threshold: Double): DataFrame = {
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    val med = df.groupBy(groupCol)
+      .agg(expr(s"percentile($valueCol, 0.5)").as("__med"))
+    val withMed = df.join(broadcast(med), Seq(groupCol))
+    val mad = withMed
+      .groupBy(groupCol)
+      .agg(expr(s"percentile(abs($valueCol - __med), 0.5)").as("__mad"))
+    withMed.join(broadcast(mad), Seq(groupCol))
+      .withColumn("robust_z",
+        round(lit(0.6745) * (col(valueCol) - col("__med")) /
+          when(col("__mad") > 0, col("__mad")), 6))
+      .withColumn("is_outlier",
+        coalesce(abs(col("robust_z")) > threshold, lit(false)))
+      .drop("__med", "__mad")
+  }
 }

@@ -47,6 +47,33 @@ class OutliersSpec extends SparkTestBase {
     assert(got.contains(("b", 7.0, None, false)))
   }
 
+  test("madOutliers: the planted extreme cannot mask itself") {
+    // 1..9 + 1000: mean-based z of 1000 is only ~2.8 (the outlier
+    // inflates its own stddev) but the robust z is enormous
+    val got = Outliers.madOutliers(df, "grp", "v", threshold = 3.5)
+      .select("v", "robust_z", "is_outlier")
+      .as[(Double, Option[Double], Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // median of 1..9,1000 = 5.5; MAD = median(|x-5.5|) = 2.5
+    assert(got(5.0)._1 === Some(-0.1349), s"interior: ${got(5.0)}")
+    assert(got(1000.0)._1 === Some(BigDecimal(0.6745 * 994.5 / 2.5)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    assert(got(1000.0)._2, "the extreme must be flagged")
+    assert(got.count(_._2._2) === 1, "only the extreme flags at 3.5")
+    // classical zscore at the same threshold MISSES it
+    val z = Outliers.zscore(df, "grp", "v", threshold = 3.5)
+      .filter($"is_anomaly").count()
+    assert(z === 0L, "mean/stddev z must be masked by the outlier itself")
+  }
+
+  test("madOutliers: zero-MAD group degrades to null, never divides by zero") {
+    val const = Seq(("g", 4.0), ("g", 4.0), ("g", 4.0)).toDF("grp", "v")
+    val got = Outliers.madOutliers(const, "grp", "v", 3.5)
+      .select("robust_z", "is_outlier")
+      .as[(Option[Double], Boolean)].collect()
+    assert(got.forall(r => r._1.isEmpty && !r._2))
+  }
+
   test("clamp side never shuffles the fact table: thresholds broadcast") {
     val p = Outliers.winsorize(df, "grp", "v", 0.1, 0.9)
       .queryExecution.executedPlan.toString
