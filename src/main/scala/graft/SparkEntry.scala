@@ -1459,6 +1459,18 @@ object SparkEntry {
         threshold = 2.5)
         .select("event_id", "event_type", "z", "is_anomaly")),
 
+    // §2.10 statistics: chi-square independence of (lang, source) — the
+    // feature-dependence screen; one bounded contingency aggregation
+    "q_chisq" -> ((s, dir) =>
+      Stats.chiSquare(t(s, dir, "documents"), "lang", "source")),
+
+    // §2.10 experimentation: two-proportion A/B z-test — synthetic arms
+    // by user parity, conversion = purchase events; pooled-variance z
+    "q_abtest" -> ((s, dir) =>
+      Stats.twoProportionZ(t(s, dir, "events"),
+        armCol = pmod(col("user_id"), lit(2)) === 0,
+        hitCol = col("event_type") === "purchase")),
+
     // §2.10 co-occurrence analytics: market-basket association rules —
     // pair generation bounded by basket size (self-join on the order
     // key), supports broadcast back; lift > 1 = genuine affinity
@@ -3143,6 +3155,42 @@ object SparkEntry {
 
     "q_pagerank" ->
       OracleGen.pagerankSql(iters = 3, damping = 0.85),
+
+    "q_chisq" ->
+      """WITH cells AS (
+           SELECT lang AS a, source AS b, count(*) AS o
+           FROM documents GROUP BY 1, 2),
+         ra AS (SELECT a, sum(o) AS ra FROM cells GROUP BY 1),
+         rb AS (SELECT b, sum(o) AS rb FROM cells GROUP BY 1),
+         n AS (SELECT sum(o) AS n FROM cells)
+         SELECT
+           round(sum(power(o - ra.ra * rb.rb / CAST(n.n AS DOUBLE), 2)
+             / (ra.ra * rb.rb / CAST(n.n AS DOUBLE))), 6) AS chi2,
+           CAST(((SELECT count(*) FROM ra) - 1)
+             * ((SELECT count(*) FROM rb) - 1) AS BIGINT) AS dof,
+           CAST(max(n.n) AS BIGINT) AS n
+         FROM cells JOIN ra USING (a) JOIN rb USING (b) CROSS JOIN n""",
+
+    "q_abtest" ->
+      """WITH t AS (
+           SELECT (user_id % 2 = 0) AS arm,
+             CAST(event_type = 'purchase' AS BIGINT) AS hit
+           FROM events),
+         a AS (SELECT
+             sum(CASE WHEN arm THEN 1 ELSE 0 END) AS n1,
+             sum(CASE WHEN arm THEN hit ELSE 0 END) AS x1,
+             sum(CASE WHEN NOT arm THEN 1 ELSE 0 END) AS n2,
+             sum(CASE WHEN NOT arm THEN hit ELSE 0 END) AS x2
+           FROM t)
+         SELECT CAST(n1 AS BIGINT) AS n1, CAST(x1 AS BIGINT) AS x1,
+           round(x1 / CAST(n1 AS DOUBLE), 6) AS p1,
+           CAST(n2 AS BIGINT) AS n2, CAST(x2 AS BIGINT) AS x2,
+           round(x2 / CAST(n2 AS DOUBLE), 6) AS p2,
+           round((x1 / CAST(n1 AS DOUBLE) - x2 / CAST(n2 AS DOUBLE))
+             / sqrt(((x1 + x2) / CAST(n1 + n2 AS DOUBLE))
+               * (1.0 - (x1 + x2) / CAST(n1 + n2 AS DOUBLE))
+               * (CAST(1.0 AS DOUBLE) / n1 + CAST(1.0 AS DOUBLE) / n2)), 6) AS z
+         FROM a""",
 
     "q_basket" ->
       """WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
