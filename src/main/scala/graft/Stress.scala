@@ -613,7 +613,10 @@ object Stress {
     // cont_a or cont_b = 1. Planted gram df = 2, so the default cap
     // never drops a planted pair — what the cap drops is background
     // (there is none), keeping the expectation exact.
-    val contDocs = math.min(nDocs, 2000000L)
+    // Sized by its own knob so a tier-2 run can lift the tier-1 cap
+    // without touching the other phases' canonical sizes.
+    val contDocs = sys.env.get("SPARK_GRAFT_STRESS_CONT_DOCS").map(_.toLong)
+      .getOrElse(math.min(nDocs, 2000000L))
     val contSeed = when(pmod(col("id"), lit(4)) === 3, col("id") - 1)
       .otherwise(col("id"))
       .+(lit(20000000000L))
@@ -650,7 +653,9 @@ object Stress {
     // block. The point measured: the exchange carries 10k DISTINCT
     // values, never the 20 M rows.
     phase("fuzzy_link") {
-      val rows = spark.range(math.min(nDocs * 4, 20000000L)).toDF("id")
+      val fuzzyRows = sys.env.get("SPARK_GRAFT_STRESS_FUZZY_ROWS")
+        .map(_.toLong).getOrElse(math.min(nDocs * 4, 20000000L))
+      val rows = spark.range(fuzzyRows).toDF("id")
         .select(format_string("item%03d grp%02d",
           pmod(col("id"), lit(100)),
           pmod(col("id").divide(100).cast("long"), lit(100))).as("name"))
