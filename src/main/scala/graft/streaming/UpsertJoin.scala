@@ -49,6 +49,32 @@ object UpsertJoin {
     def upsertPreparedUnique(keyCol: String, batch: DataFrame,
                              touched: Seq[Int]): Unit =
       upsertPrepared(keyCol, batch, touched)
+
+    /** COLUMN-NARROWED upsert: `batch` carries the key plus a SUBSET of
+      * the row's columns, and the merge is per-column — a column the
+      * batch carries overwrites (including to NULL: an explicit NULL
+      * update is a value, not an omission), a column it omits keeps the
+      * key's current value, and a key new to the sink gets NULL for
+      * every omitted column. `batch` must be unique per key (the
+      * [[upsertPreparedUnique]] contract — a defensive dedup of a
+      * partial row has no content to order on).
+      *
+      * This is the delta shape a dimension-only micro-batch wants: when
+      * only one dim of an N-way enrichment changed, the changed role
+      * columns are the entire delta — writing (and upstream, computing)
+      * the other ~90 unchanged columns per affected key is pure I/O tax.
+      * Presence is carried by the batch's SCHEMA (absent = not a column
+      * of the frame), never by sentinel values, so "set to NULL" and
+      * "don't touch" stay distinguishable.
+      *
+      * Sinks that cannot merge columns must refuse loudly rather than
+      * widen the batch with NULLs — a silent full-row upsert would null
+      * out every omitted column.
+      */
+    def upsertPartialUnique(keyCol: String, batch: DataFrame,
+                            touched: Seq[Int]): Unit =
+      throw new UnsupportedOperationException(
+        s"$getClass does not support column-narrowed (partial) upserts")
   }
 
   final class InMemorySink(schemaHolder: Array[org.apache.spark.sql.types.StructType])
@@ -57,6 +83,30 @@ object UpsertJoin {
     def upsert(keyCol: String, batch: DataFrame): Unit = {
       schemaHolder(0) = batch.schema
       batch.collect().foreach(r => rows.put(r.getAs[Any](keyCol), r))
+    }
+    /** Driver-side per-column merge; batch columns must be a subset of
+      * the full schema already established by a prior full upsert (the
+      * reference merge the Parquet sink's spec compares against).
+      */
+    override def upsertPartialUnique(keyCol: String, batch: DataFrame,
+                                     touched: Seq[Int]): Unit = {
+      val full = schemaHolder(0)
+      require(full.nonEmpty, "partial upsert before any full upsert")
+      val positions = batch.schema.fieldNames.map { c =>
+        require(full.fieldNames.contains(c),
+          s"partial column $c not in sink schema ${full.fieldNames.toSeq}")
+        full.fieldIndex(c)
+      }
+      val keyIdx = batch.schema.fieldIndex(keyCol)
+      batch.collect().foreach { r =>
+        val key = r.get(keyIdx)
+        val base = rows.get(key).map(_.toSeq.toArray)
+          .getOrElse(Array.fill[Any](full.length)(null))
+        var i = 0
+        while (i < positions.length) { base(positions(i)) = r.get(i); i += 1 }
+        rows.put(key, new org.apache.spark.sql.catalyst.expressions
+          .GenericRowWithSchema(base, full))
+      }
     }
     def snapshot(spark: SparkSession): DataFrame =
       spark.createDataFrame(
@@ -184,7 +234,6 @@ object UpsertJoin {
     // force a compaction on the first append after a restart that found
     // pending deltas — their touched-bucket set is no longer known
     private var sinceCompact: Int = if (gen > 0L) deltaCompactEvery else 0
-    @transient private var deltaSchema: org.apache.spark.sql.types.StructType = _
 
     override def bucketCount: Option[Int] = Some(nBuckets)
 
@@ -220,6 +269,26 @@ object UpsertJoin {
       if (touched.nonEmpty) {
         if (deltaCompactEvery > 0) appendDelta(keyCol, batch, keyUnique = true)
         else mergeWrite(keyCol, batch, touched.sorted, Some(batch.schema))
+      }
+
+    /** Column-narrowed upsert (trait contract). Delta mode appends the
+      * narrow batch AS ITS OWN GENERATION — the file's schema IS the
+      * presence set (no bitmap column: parquet footers are durable,
+      * restart-safe, and free to read), and the merge goes per-column
+      * the moment a compaction window holds generations with differing
+      * column sets (see [[foldColumns]]). Merge-on-write joins the
+      * touched buckets' current rows 1:1 against the batch and
+      * overwrites exactly the batch's columns. Per-batch write I/O is
+      * O(batch rows x carried columns) in delta mode — the point of
+      * the feature.
+      */
+    override def upsertPartialUnique(keyCol: String, batch: DataFrame,
+                                     touched: Seq[Int]): Unit =
+      if (touched.nonEmpty) {
+        require(batch.columns.contains(keyCol),
+          s"partial batch must carry the key column $keyCol")
+        if (deltaCompactEvery > 0) appendDelta(keyCol, batch, keyUnique = true)
+        else mergePartialWrite(keyCol, batch, touched.sorted)
       }
 
     /** In-flight asynchronous compaction, if any. Compaction is
@@ -270,7 +339,6 @@ object UpsertJoin {
         .withColumn("__gen", lit(gen))
         .withColumn(BucketedState.BucketColName,
           BucketedState.bucketOf(col(keyCol), nBuckets))
-      deltaSchema = stamped.schema
       // the key column name, durable next to the deltas it keys — a
       // restarted instance's snapshot() must dedup on the right column.
       // Written BEFORE the generation commits: the reverse order had a
@@ -320,24 +388,112 @@ object UpsertJoin {
       * deltas onto the already-merged base, where latest-wins makes
       * the replay a no-op.
       */
+    /** Committed generations as (generation number, frame) — one
+      * parquet-footer schema inference per gen dir (a single file
+      * each, bounded by the compaction window). The footer is the one
+      * presence record that survives restarts: no in-memory schema
+      * cache can say which columns a pre-crash partial append carried.
+      */
+    private def genFrames(gens: Seq[java.io.File]): Seq[(Long, DataFrame)] =
+      gens.map(g =>
+        (g.getName.stripPrefix("g").toLong, spark.read.parquet(g.getPath)))
+
+    private def rowFields(s: org.apache.spark.sql.types.StructType)
+        : Seq[org.apache.spark.sql.types.StructField] =
+      s.fields.toSeq.filter(f =>
+        f.name != "__gen" && f.name != BucketedState.BucketColName)
+
+    /** Pad a frame out to `fullFields` with typed NULLs for the columns
+      * it does not carry (changelog pre-images when the schema widened).
+      */
+    private def alignTo(df: DataFrame,
+        fullFields: Seq[org.apache.spark.sql.types.StructField]): DataFrame = {
+      val present = df.columns.toSet
+      df.select(fullFields.map(f =>
+        if (present(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)): _*)
+    }
+
+    /** Latest-generation-wins PER COLUMN: each source contributes its
+      * present columns as (generation, value) cells; a key's value for
+      * a column is the value of the highest-generation cell (base reads
+      * as generation -1), and a column present in NO source for a key
+      * folds to NULL — the partial-insert contract. Absent columns
+      * contribute NULL cells, which `max` ignores; generations are
+      * distinct across sources and unique per key within one, so the
+      * max is deterministic. One hash aggregation, one exchange on the
+      * key — the same shuffle count as the whole-row window merge, with
+      * no sort. This is how "NULL update" and "column absent" stay
+      * distinguishable all the way through the merge: the former is a
+      * cell with a NULL value field, the latter no cell at all.
+      */
+    private def foldColumns(keyCol: String,
+        sources: Seq[(DataFrame, Long)],
+        fullFields: Seq[org.apache.spark.sql.types.StructField]): DataFrame = {
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val valueFields = fullFields.filter(_.name != keyCol)
+      val union = sources.map { case (df, g) =>
+        val present = df.columns.toSet
+        df.select(col(keyCol) +: valueFields.map { f =>
+          val cellType = StructType(Seq(StructField("o", LongType),
+            StructField("v", f.dataType)))
+          (if (present(f.name)) struct(lit(g).as("o"), col(f.name).as("v"))
+           else lit(null).cast(cellType)).as(f.name)
+        }: _*)
+      }.reduce(_ unionByName _)
+      val aggs = valueFields.map(f => max(col(f.name)).getField("v").as(f.name))
+      union.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+        .select(fullFields.map(f => col(f.name)): _*)
+    }
+
     private def compact(keyCol: String, gens: Seq[java.io.File]): Unit = {
-      val reader = Option(deltaSchema).fold(spark.read)(s => spark.read.schema(s))
-      val del = reader.parquet(gens.map(_.getPath): _*)
-      val touched = del.select(col(BucketedState.BucketColName))
-        .distinct().collect().map(_.getInt(0)).toSeq.sorted
-      val rowCols = del.columns
-        .filter(c => c != "__gen" && c != BucketedState.BucketColName)
-      val base = BucketedState.readBuckets(spark, dir, touched,
-        Option(deltaSchema).map(s => org.apache.spark.sql.types.StructType(
-          s.fields.filter(f => f.name != "__gen" && f.name != BucketedState.BucketColName))))
-        .map(_.withColumn("__gen", lit(-1L))
-          .withColumn(BucketedState.BucketColName,
-            BucketedState.bucketOf(col(keyCol), nBuckets)))
-      val all = base.fold(del)(b => del.unionByName(b))
-      val w = Window.partitionBy(col(keyCol)).orderBy(col("__gen").desc)
-      val merged = all.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).drop("__rn", "__gen")
-        .select((BucketedState.BucketColName +: rowCols.toSeq).map(col): _*)
+      val gdfs = genFrames(gens)
+      val genFields = gdfs.map { case (_, df) => rowFields(df.schema) }
+      val touched = gdfs.map(_._2.select(col(BucketedState.BucketColName)))
+        .reduce(_ union _).distinct().collect().map(_.getInt(0)).toSeq.sorted
+      val baseDf = BucketedState.readBuckets(spark, dir, touched, None)
+      val uniform = genFields.map(_.map(_.name)).distinct.size == 1 &&
+        baseDf.forall(b =>
+          rowFields(b.schema).map(_.name) == genFields.head.map(_.name))
+      val (merged, fullFields, delKeys) = if (uniform) {
+        // every generation (and the base) carries the same columns:
+        // the original whole-row latest-wins merge — ONE multi-path
+        // read with a known schema, one window
+        val del = spark.read.schema(gdfs.head._2.schema)
+          .parquet(gens.map(_.getPath): _*)
+        val all = baseDf.map(_.withColumn("__gen", lit(-1L))
+            .withColumn(BucketedState.BucketColName,
+              BucketedState.bucketOf(col(keyCol), nBuckets)))
+          .fold(del)(b => del.unionByName(b))
+        val w = Window.partitionBy(col(keyCol)).orderBy(col("__gen").desc)
+        val m = all.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn", "__gen")
+          .drop(BucketedState.BucketColName)
+        (m, genFields.head, del.select(col(keyCol)))
+      } else {
+        // generations with differing column subsets (partial upserts
+        // pending): per-column fold. Full schema = base columns first,
+        // then new columns in first-seen generation order.
+        val fullFields = {
+          val buf = scala.collection.mutable.LinkedHashMap
+            .empty[String, org.apache.spark.sql.types.StructField]
+          baseDf.foreach(b => rowFields(b.schema)
+            .foreach(f => buf.getOrElseUpdate(f.name, f)))
+          genFields.flatten.foreach(f => buf.getOrElseUpdate(f.name, f))
+          buf.values.toSeq
+        }
+        val sources = baseDf.map(b => (b, -1L)).toSeq ++
+          gdfs.map { case (g, df) =>
+            (df.drop("__gen", BucketedState.BucketColName), g)
+          }
+        (foldColumns(keyCol, sources, fullFields), fullFields,
+          gdfs.map(_._2.select(col(keyCol))).reduce(_ union _))
+      }
+      val out = merged
+        .withColumn(BucketedState.BucketColName,
+          BucketedState.bucketOf(col(keyCol), nBuckets))
+        .select((BucketedState.BucketColName +: fullFields.map(_.name))
+          .map(col): _*)
       // delta-mode changelog: ONE retract-pair batch per compaction
       // window (pre-image = the base bucket files, post-image = the
       // merged fold). Must execute BEFORE overwriteBuckets swaps the
@@ -346,12 +502,52 @@ object UpsertJoin {
       // window's pairs — same duplicate-on-replay caveat as the
       // merge-on-write log (production: transactional CDF).
       changelogDir.foreach { clDir =>
-        emitChangelog(clDir, keyCol,
-          base.map(_.drop("__gen", BucketedState.BucketColName)),
-          merged.drop(BucketedState.BucketColName), del)
+        emitChangelog(clDir, keyCol, baseDf.map(alignTo(_, fullFields)),
+          merged, delKeys)
       }
-      BucketedState.overwriteBuckets(spark, dir, merged, touched)
+      BucketedState.overwriteBuckets(spark, dir, out, touched)
       gens.foreach(g => BucketedState.deleteRecursively(g.toPath))
+    }
+
+    /** Merge-on-write realization of the partial contract: touched
+      * buckets' rows full-outer-joined 1:1 against the (key-unique)
+      * batch; a column the batch carries takes the batch value whenever
+      * the batch has the key (NULL updates included — the probe is the
+      * row match, never the value), every other column keeps its
+      * current value, new keys get NULL for omitted columns.
+      */
+    private def mergePartialWrite(keyCol: String, batch: DataFrame,
+                                  touched: Seq[Int]): Unit = {
+      val cur = BucketedState.readBuckets(spark, dir, touched, None)
+      val (merged, fullFields) = cur match {
+        case None =>
+          (batch, rowFields(batch.schema))
+        case Some(c) =>
+          val batchCols = batch.columns.toSet
+          val curFieldSeq = rowFields(c.schema)
+          val curCols = curFieldSeq.map(_.name).toSet
+          val fullFields = curFieldSeq ++
+            rowFields(batch.schema).filterNot(f => curCols(f.name))
+          val hit = batch.withColumn("__hit", lit(true))
+          val joined = c.alias("cur").join(hit.alias("b"),
+            Seq(keyCol), "full_outer")
+          val m = joined.select(fullFields.map { f =>
+            val n = f.name
+            (if (n == keyCol) col(keyCol)
+             else if (batchCols(n) && curCols(n))
+               when(col("b.__hit"), col(s"b.$n")).otherwise(col(s"cur.$n"))
+             else if (batchCols(n)) col(s"b.$n")
+             else col(s"cur.$n")).as(n)
+          }: _*)
+          (m, fullFields)
+      }
+      val out = merged.withColumn(BucketedState.BucketColName,
+        BucketedState.bucketOf(col(keyCol), nBuckets))
+      changelogDir.foreach { clDir =>
+        emitChangelog(clDir, keyCol, cur.map(alignTo(_, fullFields)),
+          merged, batch)
+      }
+      BucketedState.overwriteBuckets(spark, dir, out, touched)
     }
 
     private def mergeWrite(keyCol: String, batch: DataFrame,
@@ -408,28 +604,49 @@ object UpsertJoin {
       joinCompaction() // serve a settled view, not a mid-swap one
       val base = BucketedState.readAll(spark, dir)
       val gens = if (deltaCompactEvery > 0) deltaGenDirs(sweep = false) else Nil
-      val del = if (gens.nonEmpty)
-        Some(Option(deltaSchema).fold(spark.read)(s => spark.read.schema(s))
-          .parquet(gens.map(_.getPath): _*))
-      else None
-      (base, del) match {
-        case (Some(b), None) => b
-        case (None, None) => throw new IllegalStateException(
-          s"no state written yet under $dir")
-        case (b, Some(d)) =>
+      if (gens.isEmpty) {
+        base.getOrElse(throw new IllegalStateException(
+          s"no state written yet under $dir"))
+      } else {
+        // merge-on-read over pending deltas: same fold as [[compact]],
+        // chosen the same way — whole-row window when every source
+        // carries the same columns, per-column otherwise — so the
+        // served table is independent of when compactions happened to
+        // run (LsmUpsertSinkSpec / PartialUpsertSpec pin both shapes)
+        val keyPath = java.nio.file.Paths.get(deltaDir, ".keycol")
+        val keyCol = new String(java.nio.file.Files.readAllBytes(keyPath),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val gdfs = genFrames(gens)
+        val genFields = gdfs.map { case (_, df) => rowFields(df.schema) }
+        val uniform = genFields.map(_.map(_.name)).distinct.size == 1 &&
+          base.forall(b =>
+            rowFields(b.schema).map(_.name) == genFields.head.map(_.name))
+        if (uniform) {
           import org.apache.spark.sql.expressions.Window
-          val rowCols = d.columns
-            .filter(c => c != "__gen" && c != BucketedState.BucketColName).toSeq
-          val all = b.map(_.withColumn("__gen", lit(-1L)))
-            .fold(d.drop(BucketedState.BucketColName))(
-              _.unionByName(d.drop(BucketedState.BucketColName)))
-          val keyPath = java.nio.file.Paths.get(deltaDir, ".keycol")
-          val keyCol = new String(java.nio.file.Files.readAllBytes(keyPath),
-            java.nio.charset.StandardCharsets.UTF_8)
+          val d = spark.read.schema(gdfs.head._2.schema)
+            .parquet(gens.map(_.getPath): _*)
+            .drop(BucketedState.BucketColName)
+          val all = base.map(_.withColumn("__gen", lit(-1L)))
+            .fold(d)(_.unionByName(d))
           val w = Window.partitionBy(col(keyCol)).orderBy(col("__gen").desc)
           all.withColumn("__rn", row_number().over(w))
             .filter(col("__rn") === 1).drop("__rn", "__gen")
-            .select(rowCols.map(col): _*)
+            .select(genFields.head.map(f => col(f.name)): _*)
+        } else {
+          val fullFields = {
+            val buf = scala.collection.mutable.LinkedHashMap
+              .empty[String, org.apache.spark.sql.types.StructField]
+            base.foreach(b => rowFields(b.schema)
+              .foreach(f => buf.getOrElseUpdate(f.name, f)))
+            genFields.flatten.foreach(f => buf.getOrElseUpdate(f.name, f))
+            buf.values.toSeq
+          }
+          val sources = base.map(b => (b, -1L)).toSeq ++
+            gdfs.map { case (g, df) =>
+              (df.drop("__gen", BucketedState.BucketColName), g)
+            }
+          foldColumns(keyCol, sources, fullFields)
+        }
       }
     }
   }
