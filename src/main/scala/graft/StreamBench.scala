@@ -99,8 +99,9 @@ object StreamBench {
     // (LsmUpsertSinkSpec); this is the production posture for
     // high-frequency small batches, and the compactions land INSIDE the
     // measured batches, so the mean is honest.
+    val compactEvery = sys.env.getOrElse("SPARK_GRAFT_SB_COMPACT", "10").toInt
     val sink = new UpsertJoin.ParquetUpsertSink(spark, sinkDir, nBuckets,
-      deltaCompactEvery = sys.env.getOrElse("SPARK_GRAFT_SB_COMPACT", "10").toInt)
+      deltaCompactEvery = compactEvery)
 
     def listingData(id: Column) = to_json(struct(
       concat(lit("LK"), id.cast("string")).as("ListingKeyNumeric"),
@@ -146,8 +147,36 @@ object StreamBench {
     // the metric, so measure after the JIT/codegen caches are hot.
     val nWarmup = sys.env.getOrElse("SPARK_GRAFT_SB_WARMUP", "2").toInt
 
+    // Mix isolation: each mix runs against its OWN copy of the seeded
+    // sink — fresh pending-delta state and a reset compaction counter —
+    // so the compaction schedule is IDENTICAL across mixes (one forced
+    // fold in warmup from the copied seed generation, then every
+    // `compactEvery` appends) and no mix's mean absorbs a previous
+    // mix's pending deltas. Before this, which mix paid a compaction
+    // depended on global append parity — the same
+    // contention-owns-adjacent-samples defect the batch bench fixed
+    // with round-robin passes.
+    def copyDir(src: String, dst: String): Unit = {
+      val sp = java.nio.file.Paths.get(src)
+      val dp = java.nio.file.Paths.get(dst)
+      val walk = java.nio.file.Files.walk(sp)
+      try walk.forEach { f =>
+        val t = dp.resolve(sp.relativize(f).toString)
+        if (java.nio.file.Files.isDirectory(f))
+          java.nio.file.Files.createDirectories(t)
+        else {
+          java.nio.file.Files.createDirectories(t.getParent)
+          java.nio.file.Files.copy(f, t)
+        }
+      } finally walk.close()
+    }
+
     def runMix(listingRows: Int, agentRows: Int, mediaRows: Int,
-               saltBase: Int): String = {
+               saltBase: Int, narrow: Boolean = false): String = {
+      val mixSinkDir = s"$tmp/sink-mix$saltBase"
+      copyDir(sinkDir, mixSinkDir)
+      val mixSink = new UpsertJoin.ParquetUpsertSink(spark, mixSinkDir,
+        nBuckets, deltaCompactEvery = compactEvery)
       val rowsPerBatch = listingRows + agentRows + mediaRows
       val times = new Array[Double](nBatches)
       val rewrites = new Array[Long](nBatches)
@@ -163,16 +192,16 @@ object StreamBench {
           .unionByName(agentBatch(pick(agentRows, 1)
             .select(pmod(col("id"), lit(nAgents)).as("id")), ts))
           .unionByName(mediaBatch(pick(mediaRows, 2), ts))
-        if (i == 0) snap = fileSizes(Seq(stateDir, sinkDir))
+        if (i == 0) snap = fileSizes(Seq(stateDir, mixSinkDir))
         val j0 = counter.count.get()
         val b0 = System.nanoTime()
-        CrmlsStream.processBatch(spark, batch, store, sink)
+        CrmlsStream.processBatch(spark, batch, store, mixSink, narrow)
         val sec = (System.nanoTime() - b0) / 1e9
         if (i < 0) warmupSec += sec
         else {
           times(i) = sec
           jobs(i) = counter.count.get() - j0
-          val cur = fileSizes(Seq(stateDir, sinkDir))
+          val cur = fileSizes(Seq(stateDir, mixSinkDir))
           rewrites(i) = rewrittenBytes(snap, cur)
           snap = cur
         }
@@ -195,6 +224,22 @@ object StreamBench {
 
     val small = runMix(30, 5, 5, saltBase = 0)
     val large = runMix(3000, 500, 500, saltBase = 7001)
+    // Dimension-only mix: the batch shape the column-narrowed sink
+    // tier exists for — 500 agent + 500 media updates fanning out to
+    // ~5,500 affected listings, NO listing delta. Measured twice:
+    // full-row upserts vs narrowed partial upserts (key + the present
+    // dims' role columns); the delta is write amplification, the
+    // converged table is pinned identical by
+    // BatchStreamEquivalenceSpec's narrowed variant.
+    val dimOnly = runMix(0, 500, 500, saltBase = 14002)
+    val dimOnlyNarrow = runMix(0, 500, 500, saltBase = 21003,
+      narrow = true)
+    // High-fanout variant: 2,000 agent updates fan to ~20,000 affected
+    // listings (20% of the table per batch) — the regime where the
+    // emitted row WIDTH, not per-batch fixed cost, is the floor.
+    val dimFan = runMix(0, 2000, 2000, saltBase = 28004)
+    val dimFanNarrow = runMix(0, 2000, 2000, saltBase = 35005,
+      narrow = true)
 
     // -------------------- streaming near-dup dedup (StreamingDedup)
     // Seed `base/10` docs into the (band, bucket) champion state, then
@@ -402,7 +447,11 @@ object StreamBench {
     val json =
       f"""{"seed_listings":$base,"seed_sec":$seedSec%.1f,""" +
         f""""buckets":$nBuckets,""" + small +
-        s""","large_batch":{$large},""" + dedupJson + "," +
+        s""","large_batch":{$large},""" +
+        s""""dim_only_batch":{$dimOnly},""" +
+        s""""dim_only_batch_narrowed":{$dimOnlyNarrow},""" +
+        s""""dim_fanout_batch":{$dimFan},""" +
+        s""""dim_fanout_batch_narrowed":{$dimFanNarrow},""" + dedupJson + "," +
         vecDedupJson + "," + hhJson + "}"
     println(s"[streambench] $json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

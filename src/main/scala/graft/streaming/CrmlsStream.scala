@@ -558,8 +558,24 @@ object CrmlsStream {
     *
     * @param taggedBatch columns: entity (string), value (envelope JSON)
     */
+  /** @param narrowDimSink opt-in (`SPARK_GRAFT_NARROW_SINK` env, or
+    *   explicit): on a DIMENSION-ONLY micro-batch, emit the sink delta
+    *   as key + the present dims' role columns via
+    *   [[UpsertJoin.UpsertSink.upsertPartialUnique]] instead of the
+    *   full ~100-column enriched row — the listing's own columns and
+    *   the untouched dims' role columns cannot have changed (their
+    *   inputs didn't), so recomputing and rewriting them per affected
+    *   key is write amplification. Requires a partial-capable sink AND
+    *   a sink whose history covers the state store's listing keys
+    *   (same checkpoint lineage — a fresh sink dir over old state
+    *   would leave the omitted columns NULL until each key's next
+    *   full-row batch). Batches carrying a listings delta always take
+    *   the full-row path.
+    */
   def processBatch(spark: SparkSession, taggedBatch: DataFrame,
-                   store: StateStore, sink: UpsertJoin.UpsertSink): Unit = {
+                   store: StateStore, sink: UpsertJoin.UpsertSink,
+                   narrowDimSink: Boolean =
+                     sys.env.contains("SPARK_GRAFT_NARROW_SINK")): Unit = {
     import Crmls._
     val profile = sys.env.contains("SPARK_GRAFT_SB_PROFILE")
     var t0 = System.nanoTime()
@@ -1077,16 +1093,38 @@ object CrmlsStream {
                 untouched.unionByName(mergedByName(spec.name))
               }
             }
-            val joined = dimMapsOpt match {
-              case Some(maps) => DimEnrich.enrich(affectedListings, maps)
-              case None => joinAll(affectedListings, fullState(agents),
-                fullState(openHouses), fullState(offices), fullState(media),
-                fullState(history))
-            }
+            // Column-narrowed tier: a dim-only batch changes exactly
+            // the present dims' role columns of the affected keys —
+            // emit key + those columns and let the sink merge per
+            // column. The narrowed values are row-identical to the
+            // same columns of the full join (DimEnrichSpec); the
+            // other ~90 columns are never built or written.
+            val narrow = narrowDimSink && sink.supportsPartial &&
+              !present.contains("listings")
+            val joined =
+              if (narrow) dimMapsOpt match {
+                case Some(maps) => DimEnrich.enrichPartial(
+                  affectedListings, maps, present.toSet, "l_uc_pk")
+                case None =>
+                  // fallback SQL tier: full join plan, narrowed select
+                  // — Catalyst prunes the untouched dims' join legs
+                  joinAll(affectedListings, fullState(agents),
+                    fullState(openHouses), fullState(offices),
+                    fullState(media), fullState(history))
+                    .select(("l_uc_pk" +:
+                      DimEnrich.roleColumns(present.toSet)).map(col): _*)
+              }
+              else dimMapsOpt match {
+                case Some(maps) => DimEnrich.enrich(affectedListings, maps)
+                case None => joinAll(affectedListings, fullState(agents),
+                  fullState(openHouses), fullState(offices), fullState(media),
+                  fullState(history))
+              }
             // one row per l_uc_pk by construction: the affected side is
             // a latest-state snapshot slice (or a semi-joined merge of
             // one), never a raw delta — the sink may skip its dedup
-            sink.upsertPreparedUnique("l_uc_pk", joined, sinkBuckets)
+            if (narrow) sink.upsertPartialUnique("l_uc_pk", joined, sinkBuckets)
+            else sink.upsertPreparedUnique("l_uc_pk", joined, sinkBuckets)
           }
         }
         mark("J4:join-sink")
@@ -1106,12 +1144,14 @@ object CrmlsStream {
 
   /** Bind the per-batch logic to a streaming tagged source. */
   def run(tagged: DataFrame, store: StateStore, sink: UpsertJoin.UpsertSink,
-          checkpointDir: String): StreamingQuery =
+          checkpointDir: String,
+          narrowDimSink: Boolean =
+            sys.env.contains("SPARK_GRAFT_NARROW_SINK")): StreamingQuery =
     tagged.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(batch.sparkSession, batch, store, sink)
+        processBatch(batch.sparkSession, batch, store, sink, narrowDimSink)
       }
       .trigger(Trigger.AvailableNow())
       .start()

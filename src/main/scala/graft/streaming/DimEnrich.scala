@@ -95,6 +95,65 @@ object DimEnrich {
     b.result()
   }
 
+  /** Output columns of the roles fed by the given dim entities, in
+    * role order — the column set a dim-only delta actually changes.
+    */
+  def roleColumns(entities: Set[String]): Seq[String] =
+    roles.filter(r => entities(r._1)).flatMap {
+      case (entity, _, outPrefix, srcPrefix) =>
+        projectionSchema(specByName(entity)).fields.map(f =>
+          outPrefix + f.name.stripPrefix(srcPrefix))
+    }
+
+  /** Column-narrowed [[enrich]]: probe ONLY the roles fed by
+    * `entities` and emit key + those role columns — the partial-upsert
+    * delta of a dimension-only micro-batch
+    * ([[UpsertJoin.UpsertSink.upsertPartialUnique]]). Values are
+    * row-identical to the corresponding columns of the full
+    * [[enrich]] (DimEnrichSpec pins this): same maps, same probe, the
+    * unaffected ~90 columns are simply never built or written.
+    */
+  def enrichPartial(listings: DataFrame,
+                    maps: Map[String, Broadcast[Map[String, Array[Any]]]],
+                    entities: Set[String], keyCol: String): DataFrame = {
+    val inSchema = listings.schema
+    val active = roles.filter(r => entities(r._1))
+    val outSchema = StructType(
+      inSchema(inSchema.fieldIndex(keyCol)) +:
+      active.flatMap { case (entity, _, outPrefix, srcPrefix) =>
+        projectionSchema(specByName(entity)).fields.map(f => StructField(
+          outPrefix + f.name.stripPrefix(srcPrefix), f.dataType,
+          nullable = true))
+      })
+    val keyIdx = inSchema.fieldIndex(keyCol)
+    val probeIdx: Array[Int] = active.map(r => inSchema.fieldIndex(r._2)).toArray
+    val widths: Array[Int] =
+      active.map(r => projectionSchema(specByName(r._1)).length).toArray
+    val bcs: Array[Broadcast[Map[String, Array[Any]]]] =
+      active.map(r => maps(r._1)).toArray
+    val nActive = active.length
+    val nOut = outSchema.length
+    listings.mapPartitions { iter =>
+      val lookups = bcs.map(_.value)
+      iter.map { row =>
+        val out = new Array[Any](nOut)
+        out(0) = row.get(keyIdx)
+        var pos = 1
+        var r = 0
+        while (r < nActive) {
+          val key = row.get(probeIdx(r))
+          if (key != null) {
+            val hit = lookups(r).getOrElse(key.asInstanceOf[String], null)
+            if (hit != null) System.arraycopy(hit, 0, out, pos, widths(r))
+          }
+          pos += widths(r)
+          r += 1
+        }
+        Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** The 11-way left join as one narrow stage: for each listing row,
     * copy its fields and append each role's dim fields from the
     * broadcast map (nulls on a miss — left outer). No shuffle, no

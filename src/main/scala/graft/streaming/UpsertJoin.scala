@@ -75,6 +75,12 @@ object UpsertJoin {
                             touched: Seq[Int]): Unit =
       throw new UnsupportedOperationException(
         s"$getClass does not support column-narrowed (partial) upserts")
+
+    /** Whether [[upsertPartialUnique]] is implemented — callers that
+      * can narrow a delta must check before narrowing (and fall back to
+      * the full-row form), never probe by catching the refusal.
+      */
+    def supportsPartial: Boolean = false
   }
 
   final class InMemorySink(schemaHolder: Array[org.apache.spark.sql.types.StructType])
@@ -84,6 +90,7 @@ object UpsertJoin {
       schemaHolder(0) = batch.schema
       batch.collect().foreach(r => rows.put(r.getAs[Any](keyCol), r))
     }
+    override def supportsPartial: Boolean = true
     /** Driver-side per-column merge; batch columns must be a subset of
       * the full schema already established by a prior full upsert (the
       * reference merge the Parquet sink's spec compares against).
@@ -282,6 +289,7 @@ object UpsertJoin {
       * O(batch rows x carried columns) in delta mode — the point of
       * the feature.
       */
+    override def supportsPartial: Boolean = true
     override def upsertPartialUnique(keyCol: String, batch: DataFrame,
                                      touched: Seq[Int]): Unit =
       if (touched.nonEmpty) {
@@ -414,20 +422,28 @@ object UpsertJoin {
         else lit(null).cast(f.dataType).as(f.name)): _*)
     }
 
-    /** Latest-generation-wins PER COLUMN: each source contributes its
-      * present columns as (generation, value) cells; a key's value for
-      * a column is the value of the highest-generation cell (base reads
-      * as generation -1), and a column present in NO source for a key
-      * folds to NULL — the partial-insert contract. Absent columns
+    /** Latest-generation-wins PER COLUMN, in two stages sized to their
+      * inputs. Stage 1 ([[foldCells]]) folds the GENERATIONS ONLY —
+      * delta-sized by construction — into one row per touched key whose
+      * every column is a (generation, value) cell: absent columns
       * contribute NULL cells, which `max` ignores; generations are
       * distinct across sources and unique per key within one, so the
-      * max is deterministic. One hash aggregation, one exchange on the
-      * key — the same shuffle count as the whole-row window merge, with
-      * no sort. This is how "NULL update" and "column absent" stay
-      * distinguishable all the way through the merge: the former is a
-      * cell with a NULL value field, the latter no cell at all.
+      * max is deterministic, and a column present in no generation for
+      * a key folds to a NULL cell. Stage 2 ([[applyCells]]) joins the
+      * folded cells 1:1 against the base and resolves each column with
+      * a plain `when(cell non-null, cell.v, base value)` projection —
+      * the base's rows (bucket-sized, typically far larger than the
+      * delta) stream through codegen'd column expressions and never
+      * build a struct cell. A first cut folded base and generations
+      * together in one aggregation; at a 100k-row base that priced the
+      * whole bucket set at ~100 struct allocations per row and made
+      * narrowed compactions SLOWER than wide ones — the fold must be
+      * O(delta) with an O(base) pass-through, exactly like the
+      * merge-on-write partial join. "NULL update" vs "column absent"
+      * stays distinguishable throughout: the former is a cell with a
+      * NULL value field, the latter no cell at all.
       */
-    private def foldColumns(keyCol: String,
+    private def foldCells(keyCol: String,
         sources: Seq[(DataFrame, Long)],
         fullFields: Seq[org.apache.spark.sql.types.StructField]): DataFrame = {
       import org.apache.spark.sql.types.{LongType, StructField, StructType}
@@ -441,10 +457,34 @@ object UpsertJoin {
            else lit(null).cast(cellType)).as(f.name)
         }: _*)
       }.reduce(_ unionByName _)
-      val aggs = valueFields.map(f => max(col(f.name)).getField("v").as(f.name))
+      val aggs = valueFields.map(f => max(col(f.name)).as(f.name))
       union.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
-        .select(fullFields.map(f => col(f.name)): _*)
     }
+
+    /** Stage 2 of the per-column fold (see [[foldCells]]). */
+    private def applyCells(base: Option[DataFrame], cells: DataFrame,
+        keyCol: String,
+        fullFields: Seq[org.apache.spark.sql.types.StructField]): DataFrame =
+      base match {
+        case None =>
+          cells.select(fullFields.map(f =>
+            (if (f.name == keyCol) col(keyCol)
+             else col(f.name).getField("v")).as(f.name)): _*)
+        case Some(b) =>
+          val baseCols = b.columns.toSet
+          b.alias("cur").join(cells.alias("d"), Seq(keyCol), "full_outer")
+            .select(fullFields.map { f =>
+              val n = f.name
+              (if (n == keyCol) col(keyCol)
+               else {
+                 val cell = col(s"d.$n")
+                 if (baseCols(n))
+                   when(cell.isNotNull, cell.getField("v"))
+                     .otherwise(col(s"cur.$n"))
+                 else cell.getField("v")
+               }).as(n)
+            }: _*)
+      }
 
     private def compact(keyCol: String, gens: Seq[java.io.File]): Unit = {
       val gdfs = genFrames(gens)
@@ -482,11 +522,11 @@ object UpsertJoin {
           genFields.flatten.foreach(f => buf.getOrElseUpdate(f.name, f))
           buf.values.toSeq
         }
-        val sources = baseDf.map(b => (b, -1L)).toSeq ++
+        val cells = foldCells(keyCol,
           gdfs.map { case (g, df) =>
             (df.drop("__gen", BucketedState.BucketColName), g)
-          }
-        (foldColumns(keyCol, sources, fullFields), fullFields,
+          }, fullFields)
+        (applyCells(baseDf, cells, keyCol, fullFields), fullFields,
           gdfs.map(_._2.select(col(keyCol))).reduce(_ union _))
       }
       val out = merged
@@ -641,11 +681,11 @@ object UpsertJoin {
             genFields.flatten.foreach(f => buf.getOrElseUpdate(f.name, f))
             buf.values.toSeq
           }
-          val sources = base.map(b => (b, -1L)).toSeq ++
+          val cells = foldCells(keyCol,
             gdfs.map { case (g, df) =>
               (df.drop("__gen", BucketedState.BucketColName), g)
-            }
-          foldColumns(keyCol, sources, fullFields)
+            }, fullFields)
+          applyCells(base, cells, keyCol, fullFields)
         }
       }
     }

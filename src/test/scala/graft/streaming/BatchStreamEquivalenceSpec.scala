@@ -51,16 +51,20 @@ class BatchStreamEquivalenceSpec extends SparkTestBase {
       .collect().map(_.toSeq).toSet
   }
 
-  private def streamResult(batchSplits: Seq[Seq[(String, String)]]): Set[Seq[Any]] = {
+  private def streamResult(batchSplits: Seq[Seq[(String, String)]],
+      narrow: Boolean = false,
+      mkSink: String => UpsertJoin.UpsertSink =
+        _ => UpsertJoin.newInMemorySink()): Set[Seq[Any]] = {
     implicit val sqlCtx = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("graft-eq").toString
     val store = new CrmlsStream.StateStore(spark, s"$tmp/state")
-    val sink = UpsertJoin.newInMemorySink()
+    val sink = mkSink(tmp)
     val input = MemoryStream[(String, String)]
     val tagged = input.toDF().toDF("entity", "value")
     batchSplits.foreach { b =>
       input.addData(b: _*)
-      CrmlsStream.run(tagged, store, sink, s"$tmp/ckpt").awaitTermination()
+      CrmlsStream.run(tagged, store, sink, s"$tmp/ckpt", narrow)
+        .awaitTermination()
     }
     sink.snapshot(spark).select(compareCols.map(col): _*)
       .collect().map(_.toSeq).toSet
@@ -75,5 +79,23 @@ class BatchStreamEquivalenceSpec extends SparkTestBase {
     val splits = Seq(history.take(3), history.slice(3, 7),
       history.slice(7, 10), history.drop(10))
     assert(streamResult(splits) === expected)
+  }
+
+  test("narrowed dim-only sink deltas converge to the same table") {
+    val expected = batchResult()
+    // record-at-a-time maximizes dim-only batches (each dim update is
+    // its own micro-batch and must arrive as a column-narrowed partial
+    // upsert of exactly the affected keys' role columns)
+    val perRecord = history.map(Seq(_))
+    assert(streamResult(perRecord, narrow = true) === expected,
+      "in-memory sink, narrowed")
+    // file-backed LSM sink: narrow generations fold per column across
+    // compaction windows and merge-on-read
+    assert(streamResult(perRecord, narrow = true, tmp =>
+      new UpsertJoin.ParquetUpsertSink(spark, s"$tmp/sink", 4,
+        deltaCompactEvery = 3)) === expected,
+      "LSM parquet sink, narrowed")
+    // and the same splits WITHOUT narrowing agree (control)
+    assert(streamResult(perRecord) === expected, "control, full rows")
   }
 }

@@ -89,6 +89,35 @@ class DimEnrichSpec extends SparkTestBase {
       joined.collect().map(_.toSeq).sortBy(_.toString))
   }
 
+  test("enrichPartial equals the same columns of the full enrich") {
+    val l = proj(Crmls.listings, listingRows)
+    val a = proj(Crmls.agents, agentRows)
+    val o = proj(Crmls.openHouses, ohRows)
+    val ofc = proj(Crmls.offices, officeRows)
+    val m = proj(Crmls.media, mediaRows)
+    val h = proj(Crmls.history, historyRows)
+    val maps = Map(
+      "agents" -> lookupOf(Crmls.agents, a),
+      "openhouses" -> lookupOf(Crmls.openHouses, o),
+      "offices" -> lookupOf(Crmls.offices, ofc),
+      "media" -> lookupOf(Crmls.media, m),
+      "history" -> lookupOf(Crmls.history, h))
+    val full = DimEnrich.enrich(l, maps)
+    // every nonempty dim subset must match the full join's columns —
+    // covering multi-role dims (agents x4), the self-keyed media/
+    // history pair, and mixed subsets
+    for (sub <- Seq(Set("agents"), Set("media"), Set("history"),
+        Set("openhouses", "offices"), Set("agents", "media"),
+        DimEnrich.dimEntities.map(_.name).toSet)) {
+      val cols = "l_uc_pk" +: DimEnrich.roleColumns(sub)
+      val part = DimEnrich.enrichPartial(l, maps, sub, "l_uc_pk")
+      assert(part.schema.fieldNames.toSeq === cols, s"schema for $sub")
+      assert(part.collect().map(_.toSeq).sortBy(_.toString) ===
+        full.select(cols.map(col): _*).collect().map(_.toSeq)
+          .sortBy(_.toString), s"content for $sub")
+    }
+  }
+
   test("joinedSchema matches the analyzed joinAll schema") {
     val l = proj(Crmls.listings, Nil)
     val joined = Crmls.joinAll(l, proj(Crmls.agents, Nil),
