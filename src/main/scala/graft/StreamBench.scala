@@ -103,23 +103,44 @@ object StreamBench {
     val sink = new UpsertJoin.ParquetUpsertSink(spark, sinkDir, nBuckets,
       deltaCompactEvery = compactEvery)
 
-    def listingData(id: Column) = to_json(struct(
+    // Payload density: a real CRMLS listing `data` payload is KBs of
+    // JSON, and the projection carries it verbatim in `*_data` — so
+    // the enriched row's BYTE mass is dominated by the role payloads,
+    // not the key columns. The r5 bench sent 2-field payloads, which
+    // made every enriched row ~97% NULL/empty: parquet wrote the
+    // "full ~100-column row" nearly for free and no width-dependent
+    // effect (the narrowed-sink delta above all) could register.
+    // Filler is incompressible-ish (chained md5 hex of id+ts, so
+    // updates CHANGE the bytes, like real edits do) and sized per
+    // entity: listings carry `payload` bytes, dims half that.
+    // SPARK_GRAFT_SB_PAYLOAD=0 restores the r5 thin-payload shape.
+    val payloadBytes = sys.env.getOrElse("SPARK_GRAFT_SB_PAYLOAD", "512").toInt
+    def filler(id: Column, ts: Long, bytes: Int): Column = {
+      val chunks = bytes / 32
+      if (chunks <= 0) lit("x")
+      else concat((0 until chunks).map(i =>
+        md5(concat(id.cast("string"), lit(s"-$ts-$i")))): _*)
+    }
+    def listingData(id: Column, ts: Long) = to_json(struct(
       concat(lit("LK"), id.cast("string")).as("ListingKeyNumeric"),
       concat(lit("A"), pmod(id, lit(nAgents)).cast("string"))
-        .as("ListAgentKeyNumeric")))
+        .as("ListAgentKeyNumeric"),
+      filler(id, ts, payloadBytes).as("Filler")))
     def listingBatch(ids: DataFrame, ts: Long): DataFrame =
       ids.select(lit("listings").as("entity"), Crmls.envelopeCol(
         concat(lit("L"), col("id").cast("string")), lit(ts),
-        listingData(col("id"))).as("value"))
+        listingData(col("id"), ts)).as("value"))
     def agentBatch(ids: DataFrame, ts: Long): DataFrame =
       ids.select(lit("agents").as("entity"), Crmls.envelopeCol(
         concat(lit("A"), col("id").cast("string")), lit(ts),
-        to_json(struct(concat(lit("v"), lit(ts)).as("name")))).as("value"))
+        to_json(struct(concat(lit("v"), lit(ts)).as("name"),
+          filler(col("id"), ts, payloadBytes / 2).as("Filler")))).as("value"))
     def mediaBatch(ids: DataFrame, ts: Long): DataFrame =
       ids.select(lit("media").as("entity"), Crmls.envelopeCol(
         concat(lit("M"), col("id").cast("string")), lit(ts),
         to_json(struct(concat(lit("L"), col("id").cast("string"))
-          .as("ResourceRecordKeyNumeric")))).as("value"))
+          .as("ResourceRecordKeyNumeric"),
+          filler(col("id"), ts, payloadBytes / 2).as("Filler")))).as("value"))
 
     // ----------------------------------------------------------- seed
     val t0 = System.nanoTime()
@@ -206,6 +227,13 @@ object StreamBench {
           snap = cur
         }
       }
+      // Quiesce before the next mix: an async compaction left in
+      // flight would keep burning cores into the NEXT mix's measured
+      // batches — measured as a consistent +1-3 s on whichever mix ran
+      // second in a pair (the narrowed tiers, always sequenced after
+      // their full-row twins, ate it every run). Settle the JVM too.
+      mixSink.awaitCompaction()
+      System.gc()
       val totalBytes = snap.values.sum
       val meanSec = times.sum / nBatches
       val meanRewrite = rewrites.sum.toDouble / nBatches
@@ -222,8 +250,22 @@ object StreamBench {
 
     }
 
-    val small = runMix(30, 5, 5, saltBase = 0)
-    val large = runMix(3000, 500, 500, saltBase = 7001)
+    // Diagnostic subset knob (the batch bench's SPARK_GRAFT_BENCH_ONLY
+    // analog): SPARK_GRAFT_SB_MIX_ONLY=dim_only,dim_only_narrowed runs
+    // just those tiers and writes a partial {name:{...}} JSON — for
+    // single-tier iteration/profiling, never for the committed
+    // artifact (canonical shape requires every tier).
+    val mixOnly: Set[String] = sys.env.get("SPARK_GRAFT_SB_MIX_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+    val ranMixes = scala.collection.mutable.LinkedHashMap[String, String]()
+    def mix(name: String)(body: => String): String =
+      if (mixOnly.isEmpty || mixOnly(name)) {
+        val r = body; ranMixes(name) = r; r
+      } else ""
+
+    val small = mix("small") { runMix(30, 5, 5, saltBase = 0) }
+    val large = mix("large") { runMix(3000, 500, 500, saltBase = 7001) }
     // Dimension-only mix: the batch shape the column-narrowed sink
     // tier exists for — 500 agent + 500 media updates fanning out to
     // ~5,500 affected listings, NO listing delta. Measured twice:
@@ -231,15 +273,17 @@ object StreamBench {
     // dims' role columns); the delta is write amplification, the
     // converged table is pinned identical by
     // BatchStreamEquivalenceSpec's narrowed variant.
-    val dimOnly = runMix(0, 500, 500, saltBase = 14002)
-    val dimOnlyNarrow = runMix(0, 500, 500, saltBase = 21003,
-      narrow = true)
+    val dimOnly = mix("dim_only") { runMix(0, 500, 500, saltBase = 14002) }
+    val dimOnlyNarrow = mix("dim_only_narrowed") {
+      runMix(0, 500, 500, saltBase = 21003, narrow = true)
+    }
     // High-fanout variant: 2,000 agent updates fan to ~20,000 affected
     // listings (20% of the table per batch) — the regime where the
     // emitted row WIDTH, not per-batch fixed cost, is the floor.
-    val dimFan = runMix(0, 2000, 2000, saltBase = 28004)
-    val dimFanNarrow = runMix(0, 2000, 2000, saltBase = 35005,
-      narrow = true)
+    val dimFan = mix("dim_fanout") { runMix(0, 2000, 2000, saltBase = 28004) }
+    val dimFanNarrow = mix("dim_fanout_narrowed") {
+      runMix(0, 2000, 2000, saltBase = 35005, narrow = true)
+    }
 
     // -------------------- streaming near-dup dedup (StreamingDedup)
     // Seed `base/10` docs into the (band, bucket) champion state, then
@@ -247,7 +291,7 @@ object StreamBench {
     // and that every planted dup was flagged. State lives in the
     // default HDFS-backed store under the checkpoint; per-batch cost is
     // the banding scan + the touched buckets' state read/write.
-    val dedupJson = {
+    val dedupJson = mix("dedup") {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import spark.implicits._
       implicit val sqlCtx = spark.sqlContext
@@ -306,7 +350,7 @@ object StreamBench {
     // (band, bucket) champion state, sustain batches with a 10%
     // planted identical-vector rate. Exact dups share every band's
     // sign pattern, so recall is an equality require, not a rate.
-    val vecDedupJson = {
+    val vecDedupJson = mix("vec_dedup") {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import spark.implicits._
       implicit val sqlCtx = spark.sqlContext
@@ -402,7 +446,7 @@ object StreamBench {
     // planted HOT term at 10% of rows; capacity 256 >= distinct terms
     // puts every group's sketch in the EXACT regime, so the final HOT
     // estimate must equal the planted count exactly.
-    val hhJson = {
+    val hhJson = mix("hh") {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import spark.implicits._
       implicit val sqlCtx = spark.sqlContext
@@ -445,14 +489,21 @@ object StreamBench {
     }
 
     val json =
-      f"""{"seed_listings":$base,"seed_sec":$seedSec%.1f,""" +
-        f""""buckets":$nBuckets,""" + small +
-        s""","large_batch":{$large},""" +
-        s""""dim_only_batch":{$dimOnly},""" +
-        s""""dim_only_batch_narrowed":{$dimOnlyNarrow},""" +
-        s""""dim_fanout_batch":{$dimFan},""" +
-        s""""dim_fanout_batch_narrowed":{$dimFanNarrow},""" + dedupJson + "," +
-        vecDedupJson + "," + hhJson + "}"
+      if (mixOnly.nonEmpty)
+        // diagnostic partial shape: {"<mix>":{...},...}; stream tiers
+        // carry their own "<name>_stream":{...} fragment already
+        "{" + ranMixes.map { case (n, s) =>
+          if (s.startsWith("\"" + n)) s else s""""$n":{$s}"""
+        }.mkString(",") + "}"
+      else
+        f"""{"seed_listings":$base,"seed_sec":$seedSec%.1f,""" +
+          f""""buckets":$nBuckets,"payload_bytes":$payloadBytes,""" + small +
+          s""","large_batch":{$large},""" +
+          s""""dim_only_batch":{$dimOnly},""" +
+          s""""dim_only_batch_narrowed":{$dimOnlyNarrow},""" +
+          s""""dim_fanout_batch":{$dimFan},""" +
+          s""""dim_fanout_batch_narrowed":{$dimFanNarrow},""" + dedupJson +
+          "," + vecDedupJson + "," + hhJson + "}"
     println(s"[streambench] $json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -321,7 +321,7 @@ object UpsertJoin {
     /** Block until any in-flight compaction has settled (tests and
       * orderly shutdown).
       */
-    private[streaming] def awaitCompaction(): Unit = joinCompaction()
+    def awaitCompaction(): Unit = joinCompaction()
 
     /** Delta-mode upsert: dedup the batch per key with the SAME
       * deterministic survivor as the merge path (max content hash),
@@ -445,9 +445,9 @@ object UpsertJoin {
       */
     private def foldCells(keyCol: String,
         sources: Seq[(DataFrame, Long)],
-        fullFields: Seq[org.apache.spark.sql.types.StructField]): DataFrame = {
+        cellFields: Seq[org.apache.spark.sql.types.StructField]): DataFrame = {
       import org.apache.spark.sql.types.{LongType, StructField, StructType}
-      val valueFields = fullFields.filter(_.name != keyCol)
+      val valueFields = cellFields.filter(_.name != keyCol)
       val union = sources.map { case (df, g) =>
         val present = df.columns.toSet
         df.select(col(keyCol) +: valueFields.map { f =>
@@ -461,21 +461,30 @@ object UpsertJoin {
       union.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
     }
 
-    /** Stage 2 of the per-column fold (see [[foldCells]]). */
+    /** Stage 2 of the per-column fold (see [[foldCells]]). `cells`
+      * carries struct cells only for `cellFields` (the union of the
+      * generations' columns) — a base column no generation touched has
+      * no cell and streams through from `cur` unconditionally, instead
+      * of riding the fold as a column of NULL cells.
+      */
     private def applyCells(base: Option[DataFrame], cells: DataFrame,
         keyCol: String,
-        fullFields: Seq[org.apache.spark.sql.types.StructField]): DataFrame =
+        fullFields: Seq[org.apache.spark.sql.types.StructField],
+        cellFields: Seq[org.apache.spark.sql.types.StructField]): DataFrame = {
+      val cellCols = cellFields.map(_.name).toSet
       base match {
         case None =>
           cells.select(fullFields.map(f =>
             (if (f.name == keyCol) col(keyCol)
-             else col(f.name).getField("v")).as(f.name)): _*)
+             else if (cellCols(f.name)) col(f.name).getField("v")
+             else lit(null).cast(f.dataType)).as(f.name)): _*)
         case Some(b) =>
           val baseCols = b.columns.toSet
           b.alias("cur").join(cells.alias("d"), Seq(keyCol), "full_outer")
             .select(fullFields.map { f =>
               val n = f.name
               (if (n == keyCol) col(keyCol)
+               else if (!cellCols(n)) col(s"cur.$n")
                else {
                  val cell = col(s"d.$n")
                  if (baseCols(n))
@@ -484,6 +493,72 @@ object UpsertJoin {
                  else cell.getField("v")
                }).as(n)
             }: _*)
+      }
+    }
+
+    /** One-window realization of the pending-generation merge for the
+      * common steady state where EVERY pending generation carries the
+      * SAME column set (a sustained dim-only stream appends the same
+      * narrow schema batch after batch): latest-wins across the
+      * generations is then a plain `row_number` window over the narrow
+      * union — no struct cells at all — and the base merge is a single
+      * 1:1 full-outer join that overwrites exactly the narrow columns
+      * (`__hit` marks delta presence, so an explicit NULL update stays
+      * distinguishable from "key not in delta"). Fold cost drops from
+      * O(delta x full width) struct allocations to O(delta x narrow
+      * width) flat columns — the regression the first dense-payload
+      * fanout bench caught.
+      */
+    private def applyLatest(base: Option[DataFrame], latest: DataFrame,
+        keyCol: String,
+        fullFields: Seq[org.apache.spark.sql.types.StructField]): DataFrame =
+      base match {
+        case None => alignTo(latest, fullFields)
+        case Some(b) =>
+          val baseCols = b.columns.toSet
+          val latestCols = latest.columns.toSet
+          val d = latest.withColumn("__hit", lit(true))
+          b.alias("cur").join(d.alias("d"), Seq(keyCol), "full_outer")
+            .select(fullFields.map { f =>
+              val n = f.name
+              (if (n == keyCol) col(keyCol)
+               else if (latestCols(n) && baseCols(n))
+                 when(col("d.__hit"), col(s"d.$n")).otherwise(col(s"cur.$n"))
+               else if (latestCols(n)) col(s"d.$n")
+               else col(s"cur.$n")).as(n)
+            }: _*)
+      }
+
+    /** Merge pending generations whose column sets differ from the
+      * base (the non-uniform branch of [[compact]] and [[snapshot]]):
+      * the one-window [[applyLatest]] tier when the generations agree
+      * on one column set, the per-column [[foldCells]] tier otherwise
+      * — with cells restricted to columns at least one generation
+      * actually carries.
+      */
+    private def mergeGens(keyCol: String,
+        gdfs: Seq[(Long, DataFrame)],
+        genFields: Seq[Seq[org.apache.spark.sql.types.StructField]],
+        base: Option[DataFrame],
+        fullFields: Seq[org.apache.spark.sql.types.StructField],
+        gens: Seq[java.io.File]): DataFrame =
+      if (genFields.map(_.map(_.name)).distinct.size == 1) {
+        val d = spark.read.schema(gdfs.head._2.schema)
+          .parquet(gens.map(_.getPath): _*)
+          .drop(BucketedState.BucketColName)
+        val w = Window.partitionBy(col(keyCol)).orderBy(col("__gen").desc)
+        val latest = d.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn", "__gen")
+        applyLatest(base, latest, keyCol, fullFields)
+      } else {
+        val genCols = genFields.flatten.map(_.name).toSet
+        val cellFields = fullFields.filter(f =>
+          f.name == keyCol || genCols(f.name))
+        val cells = foldCells(keyCol,
+          gdfs.map { case (g, df) =>
+            (df.drop("__gen", BucketedState.BucketColName), g)
+          }, cellFields)
+        applyCells(base, cells, keyCol, fullFields, cellFields)
       }
 
     private def compact(keyCol: String, gens: Seq[java.io.File]): Unit = {
@@ -522,11 +597,8 @@ object UpsertJoin {
           genFields.flatten.foreach(f => buf.getOrElseUpdate(f.name, f))
           buf.values.toSeq
         }
-        val cells = foldCells(keyCol,
-          gdfs.map { case (g, df) =>
-            (df.drop("__gen", BucketedState.BucketColName), g)
-          }, fullFields)
-        (applyCells(baseDf, cells, keyCol, fullFields), fullFields,
+        (mergeGens(keyCol, gdfs, genFields, baseDf, fullFields, gens),
+          fullFields,
           gdfs.map(_._2.select(col(keyCol))).reduce(_ union _))
       }
       val out = merged
@@ -681,11 +753,7 @@ object UpsertJoin {
             genFields.flatten.foreach(f => buf.getOrElseUpdate(f.name, f))
             buf.values.toSeq
           }
-          val cells = foldCells(keyCol,
-            gdfs.map { case (g, df) =>
-              (df.drop("__gen", BucketedState.BucketColName), g)
-            }, fullFields)
-          applyCells(base, cells, keyCol, fullFields)
+          mergeGens(keyCol, gdfs, genFields, base, fullFields, gens)
         }
       }
     }

@@ -142,6 +142,57 @@ class PartialUpsertSpec extends SparkTestBase {
       ("k2", Some(2), Some("b2"), Some("c2"))))
   }
 
+  test("uniform-narrow pending window folds via the one-window tier") {
+    // Every pending generation carries the SAME narrow column set (the
+    // sustained dim-only stream): the merge must take the one-window
+    // applyLatest tier, and come out identical to the in-memory
+    // reference — at merge-on-read, at compaction, and across NULL
+    // updates and partial inserts of new keys.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pu-uni").toString
+    val waves = Seq(
+      partial(Seq("b"), Seq(Row("k1", "u1"), Row("k3", "u3"))),
+      partial(Seq("b"), Seq(Row("k2", null))),
+      partial(Seq("b"), Seq(Row("k1", "w1"))))
+    val ref = UpsertJoin.newInMemorySink()
+    ref.upsert("k", full(("k1", 1, "b1", "c1"), ("k2", 2, "b2", "c2")))
+    waves.foreach(w => ref.upsertPartialUnique("k", w, 0 until 4))
+
+    // compact the full load alone so the base is bucket files, then
+    // reopen lazily: wave 1 compacts on the restart trigger (a
+    // single-generation uniform window), waves 2-3 pend together — the
+    // snapshot folds a multi-generation uniform-narrow window
+    val loader = new UpsertJoin.ParquetUpsertSink(spark, s"$tmp/s", 4,
+      deltaCompactEvery = 1)
+    loader.upsert("k", full(("k1", 1, "b1", "c1"), ("k2", 2, "b2", "c2")))
+    loader.awaitCompaction()
+    val lazySink = new UpsertJoin.ParquetUpsertSink(spark, s"$tmp/s", 4,
+      deltaCompactEvery = 100)
+    waves.foreach(w => lazySink.upsertPartialUnique("k", w, 0 until 4))
+    lazySink.awaitCompaction()
+    assert(rowsOf(lazySink) === rowsOf(ref), "merge-on-read uniform fold")
+    assert(new java.io.File(s"$tmp/s/__delta").listFiles()
+      .count(_.getName.startsWith("g")) >= 2,
+      "waves 2-3 must still pend (the uniform window under test)")
+
+    // a restart compacts the pending uniform window plus one more
+    // same-schema generation — the multi-generation uniform COMPACTION
+    val reopened = new UpsertJoin.ParquetUpsertSink(spark, s"$tmp/s", 4,
+      deltaCompactEvery = 100)
+    reopened.upsertPartialUnique("k", partial(Seq("b"),
+      Seq(Row("k3", "z3"))), 0 until 4)
+    reopened.awaitCompaction()
+    ref.upsertPartialUnique("k", partial(Seq("b"),
+      Seq(Row("k3", "z3"))), 0 until 4)
+    assert(rowsOf(reopened) === rowsOf(ref), "uniform-window compaction")
+    assert(rowsOf(reopened) === Set(
+      ("k1", Some(1), Some("w1"), Some("c1")),
+      ("k2", Some(2), None, Some("c2")),
+      ("k3", None, Some("z3"), None)), "hand-computed final table")
+    assert(new java.io.File(s"$tmp/s/__delta").listFiles()
+      .count(_.getName.startsWith("g")) === 0,
+      "compaction must consume all pending generations")
+  }
+
   test("sinks without column merge refuse partial batches") {
     val dumb = new UpsertJoin.UpsertSink {
       def upsert(keyCol: String, batch: DataFrame): Unit = ()
