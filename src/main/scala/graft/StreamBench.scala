@@ -490,11 +490,19 @@ object StreamBench {
 
     val json =
       if (mixOnly.nonEmpty)
-        // diagnostic partial shape: {"<mix>":{...},...}; stream tiers
-        // carry their own "<name>_stream":{...} fragment already
-        "{" + ranMixes.map { case (n, s) =>
-          if (s.startsWith("\"" + n)) s else s""""$n":{$s}"""
-        }.mkString(",") + "}"
+        // partial shape: header + {"<mix>":{...},...}; stream tiers
+        // carry their own "<name>_stream":{...} fragment already.
+        // tools/merge_streambench.py reassembles the canonical
+        // artifact from per-mix runs, each in its OWN JVM — the
+        // in-sequence form taxes whichever mix runs later (~+1-1.5 s
+        // cumulative JIT-profile pollution, measured: dim_fanout solo
+        // 2.8 s vs 3.8 s sequenced, narrowed 2.6 s vs 4.3 s), so
+        // paired tiers are only comparable fork-vs-fork.
+        f"""{"seed_listings":$base,"seed_sec":$seedSec%.1f,""" +
+          f""""buckets":$nBuckets,"payload_bytes":$payloadBytes,""" +
+          ranMixes.map { case (n, s) =>
+            if (s.startsWith("\"" + n)) s else s""""$n":{$s}"""
+          }.mkString(",") + "}"
       else
         f"""{"seed_listings":$base,"seed_sec":$seedSec%.1f,""" +
           f""""buckets":$nBuckets,"payload_bytes":$payloadBytes,""" + small +
