@@ -193,11 +193,32 @@ object StreamBench {
     }
 
     def runMix(listingRows: Int, agentRows: Int, mediaRows: Int,
-               saltBase: Int, narrow: Boolean = false): String = {
+               saltBase: Int, narrow: Boolean = false,
+               cf: Boolean = false): String = {
       val mixSinkDir = s"$tmp/sink-mix$saltBase"
-      copyDir(sinkDir, mixSinkDir)
-      val mixSink = new UpsertJoin.ParquetUpsertSink(spark, mixSinkDir,
-        nBuckets, deltaCompactEvery = compactEvery)
+      val mixSink: UpsertJoin.UpsertSink = if (cf) {
+        // Column-family layout: seed by fanning the seeded row-major
+        // sink's snapshot across the families (converged table is
+        // identical), settle, and reopen — the reopen makes the first
+        // warmup append force a fold of the seed generation, the same
+        // schedule the copied row-major mixes get from their copied
+        // pending generation. Measured batches then run the narrowed
+        // path, whose partial deltas land ONLY in the touched dim
+        // families — compaction rewrites at family width, the claim
+        // this tier measures.
+        val fams = graft.streaming.DimEnrich.roleFamilies
+        val seeder = new graft.streaming.ColumnFamilySink(spark,
+          mixSinkDir, fams, nBuckets, deltaCompactEvery = compactEvery)
+        seeder.upsertPreparedUnique("l_uc_pk", sink.snapshot(spark),
+          0 until nBuckets)
+        seeder.awaitCompaction()
+        new graft.streaming.ColumnFamilySink(spark, mixSinkDir, fams,
+          nBuckets, deltaCompactEvery = compactEvery)
+      } else {
+        copyDir(sinkDir, mixSinkDir)
+        new UpsertJoin.ParquetUpsertSink(spark, mixSinkDir,
+          nBuckets, deltaCompactEvery = compactEvery)
+      }
       val rowsPerBatch = listingRows + agentRows + mediaRows
       val times = new Array[Double](nBatches)
       val rewrites = new Array[Long](nBatches)
@@ -283,6 +304,19 @@ object StreamBench {
     val dimFan = mix("dim_fanout") { runMix(0, 2000, 2000, saltBase = 28004) }
     val dimFanNarrow = mix("dim_fanout_narrowed") {
       runMix(0, 2000, 2000, saltBase = 35005, narrow = true)
+    }
+    // Column-family twins of the narrowed tiers: same narrowed deltas,
+    // but the sink stores column GROUPS (one family per dim entity,
+    // listing columns in base) — so the amortized compactions rewrite
+    // only the touched families' buckets at family width, the term the
+    // row-major narrowed sink cannot cut (BASELINE r6 narrowing
+    // ceiling). Converged-table equality is pinned by
+    // ColumnFamilySinkSpec; comparable fork-vs-fork like every pair.
+    val dimOnlyCf = mix("dim_only_cf") {
+      runMix(0, 500, 500, saltBase = 42006, narrow = true, cf = true)
+    }
+    val dimFanCf = mix("dim_fanout_cf") {
+      runMix(0, 2000, 2000, saltBase = 49007, narrow = true, cf = true)
     }
 
     // -------------------- streaming near-dup dedup (StreamingDedup)
@@ -510,7 +544,9 @@ object StreamBench {
           s""""dim_only_batch":{$dimOnly},""" +
           s""""dim_only_batch_narrowed":{$dimOnlyNarrow},""" +
           s""""dim_fanout_batch":{$dimFan},""" +
-          s""""dim_fanout_batch_narrowed":{$dimFanNarrow},""" + dedupJson +
+          s""""dim_fanout_batch_narrowed":{$dimFanNarrow},""" +
+          s""""dim_only_batch_cf":{$dimOnlyCf},""" +
+          s""""dim_fanout_batch_cf":{$dimFanCf},""" + dedupJson +
           "," + vecDedupJson + "," + hhJson + "}"
     println(s"[streambench] $json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

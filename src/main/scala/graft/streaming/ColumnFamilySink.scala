@@ -1,0 +1,182 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Column-family realization of the keyed upsert sink: the row is
+  * stored as disjoint COLUMN GROUPS, each its own hash-bucketed
+  * [[UpsertJoin.ParquetUpsertSink]] under `dir/cf_<family>/`, all
+  * sharing one key column and one bucket function. This is the layout
+  * that narrows the COMPACTION term of the LSM trade, which the
+  * row-major narrowed sink cannot touch (BASELINE r6 "remaining
+  * narrowing ceiling"): a column-narrowed delta lands only in the
+  * families its columns belong to, so the periodic compaction rewrites
+  * those families' buckets at FAMILY width — the other families' files
+  * are never opened, let alone rewritten. The same trade HBase/Kudu
+  * column families and Parquet column projection make: writes and
+  * rewrites narrow to the touched group, reads that want the whole row
+  * pay a key-join across groups.
+  *
+  * Semantics are pinned equal to the row-major sink by
+  * ColumnFamilySinkSpec on identical mixed workloads (full upserts,
+  * partial upserts within and across families, NULL updates, new keys
+  * arriving via partial rows, restarts, pending-delta snapshots):
+  *   - a FULL upsert splits the row across families; the defensive
+  *     per-key dedup runs ONCE on the whole row (max content hash, the
+  *     row-major survivor rule) BEFORE the split, so every family keeps
+  *     the same survivor's slice — per-family dedup could tear a row
+  *     across two batch duplicates;
+  *   - a PARTIAL upsert routes each carried column to its family and
+  *     touches no other family; "NULL update" vs "column absent" keeps
+  *     the row-major contract (presence = the batch's schema);
+  *   - a key exists in the table iff it exists in >=1 family; families
+  *     that never saw the key contribute typed NULLs at read, exactly
+  *     the row-major "new key gets NULL for omitted columns" rule.
+  *
+  * The snapshot is a key-equality FULL OUTER join across the family
+  * snapshots (key first, then families in declaration order, each
+  * family's columns in its own stored order — row-major column order is
+  * NOT preserved across the layout change; compare modulo column
+  * order). At production scale the family stores share bucketing by
+  * construction, so the join is co-partitioned under a real table
+  * format; on the plain-directory layer it is a key shuffle per family
+  * — the documented read tax of the layout.
+  *
+  * Changelog emission is not offered in this layout (a retract pair is
+  * a whole-row observable; stitching it from per-family logs needs a
+  * cross-family transaction) — use the row-major sink when the CDC feed
+  * is the requirement.
+  *
+  * @param families (name, column-name predicate) in declaration order;
+  *   a column joins the FIRST family whose predicate accepts it, and
+  *   columns no predicate claims join the implicit `base` family. The
+  *   family split is part of the on-disk layout: reopening an existing
+  *   dir with predicates that route an existing column differently
+  *   strands the old slice (same class of contract as changing
+  *   nBuckets), so treat both as immutable per state dir.
+  */
+final class ColumnFamilySink(
+    spark: SparkSession, dir: String,
+    families: Seq[(String, String => Boolean)],
+    nBuckets: Int = 16,
+    deltaCompactEvery: Int = 0)
+    extends UpsertJoin.UpsertSink with Serializable {
+  import org.apache.spark.sql.expressions.Window
+
+  private val BaseFamily = "base"
+  require(!families.exists(_._1 == BaseFamily),
+    s"family name '$BaseFamily' is reserved for the catch-all")
+  private val familyNames: Seq[String] = families.map(_._1) :+ BaseFamily
+  require(familyNames.distinct.size == familyNames.size,
+    s"duplicate family names in ${familyNames.mkString(",")}")
+
+  private def familyOf(c: String): String =
+    families.find(_._2(c)).map(_._1).getOrElse(BaseFamily)
+
+  private val sinks: Map[String, UpsertJoin.ParquetUpsertSink] =
+    familyNames.map(n => n -> new UpsertJoin.ParquetUpsertSink(
+      spark, s"$dir/cf_$n", nBuckets,
+      changelogDir = None, deltaCompactEvery = deltaCompactEvery)).toMap
+
+  override def bucketCount: Option[Int] = Some(nBuckets)
+  override def supportsPartial: Boolean = true
+  override def awaitCompaction(): Unit = sinks.values.foreach(_.awaitCompaction())
+
+  /** Key column name, durable next to the families (the snapshot join
+    * key; same recovery story as the row-major delta dir's `.keycol`).
+    */
+  private def persistKeyCol(keyCol: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, ".keycol"),
+      keyCol.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Split `batch` into per-family projections (key + that family's
+    * columns), dropping families the batch carries no column of.
+    */
+  private def split(keyCol: String, batch: DataFrame): Seq[(String, DataFrame)] = {
+    val byFam = batch.columns.filterNot(_ == keyCol).groupBy(familyOf)
+    familyNames.flatMap(f => byFam.get(f).map(cs =>
+      f -> batch.select((keyCol +: cs.toSeq).map(col): _*)))
+  }
+
+  /** Fan a key-unique batch out to its families. The batch plan is
+    * evaluated once per touched family; `cache` the caller's frame when
+    * >1 family is touched so the upstream (e.g. the enrichment) doesn't
+    * recompute per family.
+    */
+  private def writeFamilies(keyCol: String, batch: DataFrame,
+                            touched: Seq[Int], partial: Boolean): Unit = {
+    persistKeyCol(keyCol)
+    val parts = split(keyCol, batch)
+    val multi = parts.size > 1
+    val src = if (multi) batch.cache() else batch
+    try {
+      val resplit = if (multi) split(keyCol, src) else parts
+      resplit.foreach { case (f, fdf) =>
+        if (partial) sinks(f).upsertPartialUnique(keyCol, fdf, touched)
+        else sinks(f).upsertPreparedUnique(keyCol, fdf, touched)
+      }
+    } finally if (multi) src.unpersist()
+  }
+
+  /** Whole-row defensive dedup (the row-major survivor rule), run
+    * BEFORE the family split so no row tears across families.
+    */
+  private def dedupWholeRow(keyCol: String, batch: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(xxhash64(struct(batch.columns.map(col): _*)).desc)
+    batch.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  def upsert(keyCol: String, batch: DataFrame): Unit = {
+    val deduped = dedupWholeRow(keyCol, batch).cache()
+    try {
+      val touched = deduped
+        .select(BucketedState.bucketOf(col(keyCol), nBuckets).as("__b"))
+        .distinct().collect().map(_.getInt(0)).toSeq.sorted
+      writeFamilies(keyCol, deduped, touched, partial = false)
+    } finally deduped.unpersist()
+  }
+
+  override def upsertPrepared(keyCol: String, batch: DataFrame,
+                              touched: Seq[Int]): Unit =
+    if (touched.nonEmpty)
+      writeFamilies(keyCol, dedupWholeRow(keyCol, batch), touched.sorted,
+        partial = false)
+
+  override def upsertPreparedUnique(keyCol: String, batch: DataFrame,
+                                    touched: Seq[Int]): Unit =
+    if (touched.nonEmpty)
+      writeFamilies(keyCol, batch, touched.sorted, partial = false)
+
+  override def upsertPartialUnique(keyCol: String, batch: DataFrame,
+                                   touched: Seq[Int]): Unit =
+    if (touched.nonEmpty) {
+      require(batch.columns.contains(keyCol),
+        s"partial batch must carry the key column $keyCol")
+      writeFamilies(keyCol, batch, touched.sorted, partial = true)
+    }
+
+  /** Converged table: FULL OUTER key join across the family snapshots
+    * (each family folds its own pending deltas — merge-on-read per
+    * family, settled compactions joined first). Key first, then
+    * families in declaration order.
+    */
+  def snapshot(spark: SparkSession): DataFrame = {
+    val keyPath = java.nio.file.Paths.get(dir, ".keycol")
+    require(java.nio.file.Files.exists(keyPath),
+      s"no state written yet under $dir")
+    val keyCol = new String(java.nio.file.Files.readAllBytes(keyPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val parts = familyNames.flatMap { f =>
+      if (new java.io.File(s"$dir/cf_$f").exists())
+        Some(sinks(f).snapshot(spark))
+      else None
+    }
+    require(parts.nonEmpty, s"no family state under $dir")
+    parts.reduce((a, b) => a.join(b, Seq(keyCol), "full_outer"))
+  }
+}

@@ -95,6 +95,20 @@ object DimEnrich {
     b.result()
   }
 
+  /** Column-family split of the enriched row for the
+    * [[ColumnFamilySink]] layout: one family per dim entity claiming
+    * its roles' output-prefix columns (the exact column sets dim-only
+    * deltas carry), the listing's own `l_*` columns falling to the
+    * implicit base family. Role prefixes are disjoint by construction
+    * (`aa_`/`ab_`/`ac_`/`ad_`, `o_`, `oa_`-`od_`, `m_`, `h_` — the
+    * underscore is part of the prefix, so `o_` never claims `oa_*`).
+    */
+  def roleFamilies: Seq[(String, String => Boolean)] =
+    dimEntities.map { spec =>
+      val prefixes = roles.filter(_._1 == spec.name).map(_._3)
+      spec.name -> ((c: String) => prefixes.exists(c.startsWith))
+    }
+
   /** Output columns of the roles fed by the given dim entities, in
     * role order — the column set a dim-only delta actually changes.
     */

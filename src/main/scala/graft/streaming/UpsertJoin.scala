@@ -81,6 +81,12 @@ object UpsertJoin {
       * the full-row form), never probe by catching the refusal.
       */
     def supportsPartial: Boolean = false
+
+    /** Block until any asynchronous background work (LSM compactions)
+      * has settled — orderly shutdown and bench quiesce. No-op for
+      * sinks with no background work.
+      */
+    def awaitCompaction(): Unit = ()
   }
 
   final class InMemorySink(schemaHolder: Array[org.apache.spark.sql.types.StructType])
@@ -321,7 +327,7 @@ object UpsertJoin {
     /** Block until any in-flight compaction has settled (tests and
       * orderly shutdown).
       */
-    def awaitCompaction(): Unit = joinCompaction()
+    override def awaitCompaction(): Unit = joinCompaction()
 
     /** Delta-mode upsert: dedup the batch per key with the SAME
       * deterministic survivor as the merge path (max content hash),
