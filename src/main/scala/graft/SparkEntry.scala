@@ -922,6 +922,22 @@ object SparkEntry {
       DedupOps.duplicateClusters(confirmed, driverThreshold = 0L)
     }),
 
+    // §2.10 near-dup: canonical-document selection — within each dup
+    // cluster keep the member with the most content (n_chars, ties to
+    // the smaller id), not the smallest id: the keep-longest policy
+    // production dedups apply so template families keep their best
+    // copy. One (id, score) join + one cluster-keyed window; text
+    // never rides an exchange.
+    "q_canonical_docs" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 40)
+      val confirmed = DedupOps.tokenJaccardPairs(d, "doc_id", "text",
+          maxDocFreq = None)
+        .filter(col("jaccard") > 0.5)
+        .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+      DedupOps.canonicalPerCluster(d, "doc_id", "n_chars",
+        DedupOps.duplicateClusters(confirmed))
+    }),
+
     // §2.10 near-dup: MinHash-LSH candidate pairs (xxhash64 signatures
     // are engine-specific, so the oracle is the pinned sf0.01 fixture
     // in OracleFixtures; semantics via ScalaTest planted dups)
@@ -1020,6 +1036,18 @@ object SparkEntry {
     // smaller candidate-generation bytes; floor-based rounding so the
     // codes are engine-reproducible). Emitted per-dimension so the
     // oracle hash covers every code.
+    // §2.10 embeddings: Johnson–Lindenstrauss random projection with a
+    // derived Rademacher matrix (md5-parity signs — no matrix state to
+    // ship, every executor and the oracle rebuild it identically).
+    // 64 -> 8 dims as one codegen'd map-only projection: zero shuffle
+    // at any corpus size, the storage/ANN-prefilter compression stage.
+    "q_random_projection" -> ((s, dir) =>
+      t(s, dir, "embeddings").select(col("vec_id"),
+          posexplode(VF.randomProjection(col("embedding"), outDim = 8,
+            dim = 64)))
+        .select(col("vec_id"), col("pos").cast("long").as("dim_idx"),
+          round(col("col"), 6).as("p"))),
+
     "q_quantize" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").filter(col("vec_id") < 200)
         .withColumn("scale", VF.int8Scale(col("embedding")))
@@ -2103,6 +2131,46 @@ object SparkEntry {
              SELECT e.dst, r.root FROM r JOIN edges e ON e.src = r.id)
            SELECT * FROM r)
          SELECT id, min(root) AS label FROM reach GROUP BY id""",
+
+    // same clustering CTE chain as q_dup_clusters, then the canonical
+    // pick: best n_chars per cluster label, ties to the smaller id;
+    // unclustered docs label themselves
+    "q_canonical_docs" ->
+      raw"""WITH d AS (SELECT * FROM documents WHERE doc_id < 40),
+         tok AS (
+           SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+           FROM d),
+         sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+           FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         confirmed AS (
+           SELECT id_a, id_b FROM pairs
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) > 0.5),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM confirmed
+           UNION SELECT id_b, id_a FROM confirmed),
+         reach AS (
+           WITH RECURSIVE r(id, root) AS (
+             SELECT DISTINCT src, src FROM edges
+             UNION
+             SELECT e.dst, r.root FROM r JOIN edges e ON e.src = r.id)
+           SELECT * FROM r),
+         labels AS (SELECT id, min(root) AS label FROM reach GROUP BY id),
+         scored AS (
+           SELECT d.doc_id, coalesce(l.label, d.doc_id) AS lbl, d.n_chars
+           FROM d LEFT JOIN labels l ON l.id = d.doc_id)
+         SELECT doc_id,
+           first_value(doc_id) OVER (PARTITION BY lbl
+             ORDER BY n_chars DESC, doc_id) AS canonical_id,
+           doc_id = first_value(doc_id) OVER (PARTITION BY lbl
+             ORDER BY n_chars DESC, doc_id) AS keep
+         FROM scored""",
+
+    "q_random_projection" -> OracleGen.randomProjectionSql(8, 64),
 
     "q_minhash_pairs" -> OracleFixtures.minhashPairsSql,
 

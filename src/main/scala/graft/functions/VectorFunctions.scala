@@ -44,6 +44,44 @@ object VectorFunctions {
       zip_with(toDouble(a), toDouble(b), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x))
 
+  /** Deterministic Rademacher sign for the random-projection matrix
+    * cell (j, d): parity of the first hex digit of md5("j_d") — a
+    * definition any engine reproduces (the DuckDB oracle replays it
+    * verbatim; RandomProjectionSpec pins this driver evaluation equal
+    * to Spark's own `md5` expression so the two can never drift).
+    */
+  def rademacherSign(j: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"${j}_$d".getBytes("UTF-8"))
+    if (((h(0) >> 4) & 0xF) % 2 == 0) 1.0 else -1.0
+  }
+
+  /** Johnson–Lindenstrauss random projection with a Rademacher (±1)
+    * matrix (Achlioptas 2003: ±1 entries preserve pairwise distances
+    * in expectation like Gaussians, with no float matrix to ship):
+    * out[j] = Σ_d sign(j,d) · v[d] / √outDim. The projection matrix is
+    * DERIVED (md5 parity of (j, d)), so no side state rides the plan
+    * and every engine — and every executor — rebuilds the same matrix.
+    *
+    * Built as outDim flat left-associated sum chains over `element_at`
+    * (no higher-order lambda: the per-element closure dispatch of
+    * `aggregate` is the cost the native-dot migration removed), so the
+    * whole projection is ONE codegen'd map-only projection — zero
+    * shuffle at any corpus size; cost O(dim · outDim) per row. The
+    * fixed association makes results bit-deterministic and
+    * oracle-comparable.
+    *
+    * @return array<double> of length outDim
+    */
+  def randomProjection(v: Column, outDim: Int, dim: Int): Column = {
+    val invSqrtK = 1.0 / math.sqrt(outDim.toDouble)
+    array((0 until outDim).map { j =>
+      (0 until dim).map { d =>
+        lit(rademacherSign(j, d)) * element_at(v, d + 1).cast("double")
+      }.reduce(_ + _) * lit(invSqrtK)
+    }: _*)
+  }
+
   /** Symmetric int8 quantization scale: max(|x|) / 127 (0.0 for the
     * zero vector). Store one scale per vector alongside the quantized
     * array — 4x smaller embeddings mean 4x fewer shuffle/scan bytes for

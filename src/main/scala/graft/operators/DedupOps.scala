@@ -483,4 +483,37 @@ object DedupOps {
       .select(col("id").as(idCol))
     docs.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** Canonical-document selection: within each duplicate cluster keep
+    * the BEST member by `scoreCol` (ties to the smaller id), not the
+    * smallest-id member — the keep-longest / keep-highest-quality
+    * policy real dedup pipelines apply (dropping by id throws away the
+    * best copy of a template family). Docs in no cluster are their own
+    * canonical.
+    *
+    * Plan shape: one broadcast-or-shuffle join of the doc ids/scores
+    * against the (bounded: one row per clustered doc) label table,
+    * then ONE window keyed on the cluster label — no text rides any
+    * exchange, and the window partitions are cluster-sized (near-dup
+    * clusters are small by construction; a pathological mega-cluster
+    * skews exactly one partition and AQE splits it). At 100 TB the
+    * join input is (id, score) pairs only.
+    *
+    * @param clusters (id, label) as produced by [[duplicateClusters]]
+    * @return (idCol, canonical_id, keep) — keep = this doc IS its
+    *   cluster's canonical
+    */
+  def canonicalPerCluster(docs: DataFrame, idCol: String, scoreCol: String,
+                          clusters: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labeled = docs.select(col(idCol), col(scoreCol))
+      .join(clusters.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("__lbl", coalesce(col("label"), col(idCol)))
+    val w = Window.partitionBy(col("__lbl"))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    labeled
+      .withColumn("canonical_id", first(col(idCol)).over(w))
+      .select(col(idCol), col("canonical_id"),
+        (col(idCol) === col("canonical_id")).as("keep"))
+  }
 }
