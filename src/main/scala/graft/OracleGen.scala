@@ -544,6 +544,32 @@ object OracleGen {
        FROM base LEFT JOIN hit USING (probe_id)"""
   }
 
+  /** Oracle for [[graft.functions.VectorFunctions.randomProjection]]:
+    * the Rademacher sign matrix is baked as DOUBLE literals — the SAME
+    * driver-side md5-parity values Spark bakes into its plan — the dot
+    * accumulates in index order (the r1-proven parity rule), and the
+    * 1/sqrt(outDim) scale is the identical shortest-round-trip double
+    * literal, so both engines compute bit-identical projections before
+    * the 6-decimal round.
+    */
+  def randomProjectionSql(outDim: Int, dim: Int): String = {
+    val signRows = (0 until outDim).map { j =>
+      val ss = (0 until dim)
+        .map(d => VectorFunctions.rademacherSign(j, d).toString)
+        .mkString("[", ", ", "]")
+      s"($j, ${ss}::DOUBLE[])"
+    }.mkString(",\n           ")
+    val invSqrtK = (1.0 / math.sqrt(outDim.toDouble)).toString
+    s"""WITH e AS (
+         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings),
+       signs(j, s) AS (
+         VALUES $signRows)
+       SELECT e.vec_id, CAST(signs.j AS BIGINT) AS dim_idx,
+              round(${dotSql("signs.s", "e.v", dim)} * $invSqrtK, 6) AS p
+       FROM e CROSS JOIN signs"""
+  }
+
   /** Oracle for [[graft.operators.DedupOps.lshRecall]]: the candidate
     * side comes in as `candSql` (the pinned MinHash fixture — xxhash64
     * signatures have no external replay), the exact shingle-Jaccard

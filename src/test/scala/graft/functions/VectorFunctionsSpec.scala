@@ -66,4 +66,55 @@ class VectorFunctionsSpec extends SparkTestBase {
       s"int8 top-1 agreement only $agree/${top1Exact.size}")
     emb.unpersist()
   }
+
+  test("rademacherSign matches Spark's own md5 expression (can never drift)") {
+    // The oracle SQL bakes driver-computed signs as literals; this pin
+    // proves the driver md5 == the md5 Spark (and so DuckDB, which the
+    // r1 fixture work proved byte-equal to Spark's) would compute.
+    val cells = for (j <- 0 until 8; d <- 0 until 64) yield (j, d)
+    val viaSpark = cells.toDF("j", "d")
+      .select(col("j"), col("d"),
+        when(expr("CAST(conv(substring(md5(concat(j, '_', d)), 1, 1), 16, 10) AS INT) % 2 = 0"),
+          lit(1.0)).otherwise(lit(-1.0)).as("s"))
+      .as[(Int, Int, Double)].collect()
+      .map { case (j, d, s) => (j, d) -> s }.toMap
+    cells.foreach { case (j, d) =>
+      assert(VectorFunctions.rademacherSign(j, d) === viaSpark((j, d)),
+        s"sign drift at ($j, $d)")
+    }
+  }
+
+  test("randomProjection: output shape and hand-computed values") {
+    val v = Array.tabulate(64)(i => (i + 1).toFloat / 10f)
+    val out = Seq((1L, v)).toDF("id", "v")
+      .select(VectorFunctions.randomProjection(col("v"), outDim = 8, dim = 64))
+      .as[Array[Double]].collect().head
+    assert(out.length === 8)
+    val invSqrtK = 1.0 / math.sqrt(8.0)
+    (0 until 8).foreach { j =>
+      var acc = 0.0
+      (0 until 64).foreach { d =>
+        acc += VectorFunctions.rademacherSign(j, d) * v(d).toDouble
+      }
+      assert(out(j) === acc * invSqrtK, s"dim $j mismatch")
+    }
+  }
+
+  test("randomProjection preserves relative distances in aggregate (JL sanity)") {
+    // Rademacher JL: E[||P(a) - P(b)||^2] = ||a - b||^2. Over the real
+    // embeddings corpus the mean ratio should be near 1.
+    val emb = graft.sources.Tables.load(spark, sf("sf0.001"), "embeddings")
+      .limit(40)
+      .withColumn("p", VectorFunctions.randomProjection(col("embedding"), 8, 64))
+      .select("vec_id", "embedding", "p")
+    val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_v"),
+      col("p").as("b_p"))
+    val ratios = emb.crossJoin(b).filter(col("vec_id") < col("b_id"))
+      .select(
+        (pow(VectorFunctions.l2Distance(col("p"), col("b_p")), 2) /
+          pow(VectorFunctions.l2Distance(col("embedding"), col("b_v")), 2)).as("r"))
+      .agg(avg(col("r"))).as[Double].collect().head
+    assert(ratios > 0.7 && ratios < 1.3,
+      s"JL mean distance ratio $ratios outside [0.7, 1.3]")
+  }
 }

@@ -241,4 +241,31 @@ class DedupOpsSpec extends SparkTestBase {
     assert(DedupOps.containmentPairs(partial, "doc_id", "text", tau = 0.4,
       maxDocFreq = None).count() === 1L)
   }
+
+  test("canonicalPerCluster keeps the best-scored member, ties to the smaller id") {
+    val d = Seq(
+      (1L, 10L), (2L, 50L), (3L, 20L), // cluster {1,2,3}: 2 has most chars
+      (5L, 30L), (6L, 30L),            // cluster {5,6}: score tie -> 5
+      (9L, 7L)                         // unclustered: its own canonical
+    ).toDF("doc_id", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = DedupOps.canonicalPerCluster(d, "doc_id", "n_chars",
+        DedupOps.duplicateClusters(pairs))
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, 2L, false), (2L, 2L, true), (3L, 2L, false),
+      (5L, 5L, true), (6L, 5L, false), (9L, 9L, true)))
+  }
+
+  test("canonicalPerCluster: exactly one keeper per cluster, none lost") {
+    val d = (1L to 30L).map(i => (i, i % 7)).toDF("doc_id", "n_chars")
+    val pairs = (1L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = DedupOps.canonicalPerCluster(d, "doc_id", "n_chars",
+      DedupOps.duplicateClusters(pairs))
+    assert(got.count() === 30L)
+    assert(got.filter(col("keep")).count() === 1L) // one giant chain
+    // the keeper is the max score (6), smallest such id (6)
+    assert(got.filter(col("keep")).select("doc_id")
+      .as[Long].collect().head === 6L)
+  }
 }
