@@ -684,6 +684,75 @@ object OracleGen {
        FROM sel$k JOIN cand ON cand.vec_id = sel$k.vec_id"""
   }
 
+  /** Oracle for [[graft.operators.KnnClassify.labelSuspectsIvf]]: the
+    * [[ivfAnnSql]] index replay (labeled rows only, EVERY labeled row
+    * as probe) feeding the [[labelSuspectsSql]] vote/pred tail. Both
+    * halves reuse their proven parity contracts: (cosine desc,
+    * neighbor_id) candidate ranking with NULL cosines excluded, and
+    * (votes desc, label) winner selection.
+    */
+  def labelSuspectsIvfSql(k: Int, nCells: Int, nProbe: Int,
+                          dim: Int): String =
+    s"""WITH e AS (
+         SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings WHERE label IS NOT NULL),
+       n AS (
+         SELECT vec_id, v,
+                sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+         FROM e),
+       cents AS (
+         SELECT vec_id AS cell_id, v AS cv, nrm AS cn
+         FROM n ORDER BY vec_id LIMIT $nCells),
+       asgn AS (
+         SELECT n.vec_id, c.cell_id,
+                CASE WHEN n.nrm * c.cn <> 0
+                     THEN ${dotSql("n.v", "c.cv", dim)} / (n.nrm * c.cn)
+                END AS sim
+         FROM n CROSS JOIN cents c),
+       ranked AS (
+         SELECT vec_id, cell_id,
+                row_number() OVER (PARTITION BY vec_id
+                  ORDER BY sim DESC NULLS LAST, cell_id) AS rn
+         FROM asgn),
+       corpus_cell AS (
+         SELECT vec_id AS neighbor_id, cell_id FROM ranked WHERE rn = 1),
+       probe_cell AS (
+         SELECT vec_id AS probe_id, cell_id FROM ranked
+         WHERE rn <= $nProbe),
+       cand AS (
+         SELECT p.probe_id, c.neighbor_id
+         FROM probe_cell p JOIN corpus_cell c
+           ON p.cell_id = c.cell_id AND c.neighbor_id <> p.probe_id),
+       scored AS (
+         SELECT cand.probe_id, cand.neighbor_id,
+                CASE WHEN np.nrm * nc.nrm <> 0
+                     THEN ${dotSql("np.v", "nc.v", dim)} / (np.nrm * nc.nrm)
+                END AS cosine
+         FROM cand JOIN n np ON np.vec_id = cand.probe_id
+                   JOIN n nc ON nc.vec_id = cand.neighbor_id),
+       nn AS (
+         SELECT probe_id, neighbor_id FROM (
+           SELECT probe_id, neighbor_id,
+                  row_number() OVER (PARTITION BY probe_id
+                    ORDER BY cosine DESC, neighbor_id) AS rank
+           FROM scored WHERE cosine IS NOT NULL) t
+         WHERE rank <= $k),
+       votes AS (
+         SELECT nn.probe_id, l.label, count(*) AS votes
+         FROM nn JOIN e l ON l.vec_id = nn.neighbor_id
+         GROUP BY 1, 2),
+       pred AS (
+         SELECT probe_id, label AS pred_label, votes FROM (
+           SELECT probe_id, label, votes,
+                  row_number() OVER (PARTITION BY probe_id
+                    ORDER BY votes DESC, label) AS vr
+           FROM votes) t
+         WHERE vr = 1)
+       SELECT p.probe_id, e.label, p.pred_label, p.votes,
+              p.pred_label <> e.label AS is_suspect
+       FROM pred p JOIN e ON e.vec_id = p.probe_id"""
+
   def ivfAnnSql(probeMax: Int, k: Int, nCells: Int, nProbe: Int,
                 dim: Int): String =
     s"""WITH e AS (

@@ -1590,6 +1590,15 @@ object SparkEntry {
       KnnClassify.labelSuspects(t(s, dir, "embeddings"), "vec_id",
         "embedding", "label", k = 10)),
 
+    // §2.10 label audit, IVF-searched: the same disagreement screen
+    // with the neighbor search routed through the deterministic IVF
+    // index — the web-scale tier the brute row's scaladoc points at
+    // (candidates shrink by ~nProbe/nCells; the approximation is
+    // deterministic, so the oracle replays index + vote end to end)
+    "q_label_suspects_ivf" -> ((s, dir) =>
+      KnnClassify.labelSuspectsIvf(t(s, dir, "embeddings"), "vec_id",
+        "embedding", "label", k = 10, nCells = 16, nProbe = 4)),
+
     // §2.10 near-dup: directional shingle containment (Broder) — the
     // quote/subset-duplicate detector symmetric Jaccard misses; cap
     // disabled so the oracle's exact counts match
@@ -3220,6 +3229,10 @@ object SparkEntry {
 
     "q_label_suspects" ->
       OracleGen.labelSuspectsSql(k = 10, dim = 64),
+
+    "q_label_suspects_ivf" ->
+      OracleGen.labelSuspectsIvfSql(k = 10, nCells = 16, nProbe = 4,
+        dim = 64),
 
     "q_pagerank" ->
       OracleGen.pagerankSql(iters = 3, damping = 0.85),

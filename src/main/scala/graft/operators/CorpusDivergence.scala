@@ -53,10 +53,18 @@ object CorpusDivergence {
     * dedup tier: it scores every doc instead of dropping pairs.
     *
     * Scale design: gram identity is the one-pass native hash (the
-    * banding/contamination identity — no string shingles on the wire);
-    * document frequency is a count window OVER the exploded table's own
-    * gram exchange (the q_lsh_recall cap pattern), then one re-keyed
-    * aggregation on doc. Two bounded-key shuffles, zero joins.
+    * banding/contamination identity — no string shingles on the wire).
+    * A doc-frequency-1 gram belongs to exactly ONE doc, so df and the
+    * owner come out of a single (count, min) aggregation on the gram
+    * key and the gram stream never has to flow BACK to documents — the
+    * first version's count-window did that and WindowExec fully sorts
+    * every exploded partition (56 GB memory spill at the 50 M-doc /
+    * 500 M-gram stress tier); hash aggregation over the same exchange
+    * holds only fixed-width (key, count, min) buffers. The df = 1
+    * survivors re-aggregate on the owner doc (partial combine shrinks
+    * them to ≤ one row per doc before the exchange), and the per-doc
+    * gram counts come map-only from the un-exploded array, so the
+    * three exchanges all carry skinny bounded rows.
     */
   def docNovelty(docs: DataFrame, idCol: String, textCol: String,
                  shingleSize: Int = 3): DataFrame = {
@@ -64,12 +72,32 @@ object CorpusDivergence {
       transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t))
     val grams = array_distinct(
       NativeExpressions.gramHashes(tokenHashes, shingleSize))
-    docs
-      .select(col(idCol), explode(grams).as("__g"))
-      .withColumn("__df", count(lit(1)).over(Window.partitionBy("__g")))
-      .groupBy(idCol).agg(
-        count(lit(1)).as("n_grams"),
-        sum(when(col("__df") === 1, 1L).otherwise(0L)).as("n_unique"))
+    // one row per doc that HAS grams (explode used to drop gram-less
+    // docs; the size filter keeps that contract, null-safely)
+    val perDoc = docs.select(col(idCol), grams.as("__gs"))
+      .filter(size(col("__gs")) > 0)
+    val nGrams = perDoc
+      .select(col(idCol), size(col("__gs")).cast("long").as("n_grams"))
+    // exchange FIRST, aggregate after: n-grams are mostly unique, so a
+    // pre-exchange partial aggregate combines ~nothing while its hash
+    // map fills with (exploded rows / SCAN partitions) keys — at the
+    // 50 M-doc tier that's ~15 M entries per task (the scan side is
+    // core-count-partitioned however the reducer side is sized) and
+    // the map's sort-fallback was the remaining 35 GB spill. Behind an
+    // explicit gram repartition both aggregation passes run over
+    // co-located grams with reducer-sized (rows / shuffle partitions)
+    // maps, which the corpus-scaled partition sizing keeps in memory.
+    val uniques = perDoc
+      .select(col(idCol), explode(col("__gs")).as("__g"))
+      .repartition(col("__g"))
+      .groupBy("__g")
+      .agg(count(lit(1)).as("__df"), min(col(idCol)).as("__owner"))
+      .filter(col("__df") === 1) // df = 1 -> __owner IS the one holder
+      .groupBy(col("__owner").as(idCol))
+      .agg(count(lit(1)).as("n_unique"))
+    nGrams.join(uniques, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"))
       .select(col(idCol), col("n_grams"), col("n_unique"),
         round(col("n_unique") / col("n_grams"), 6).as("novelty"))
   }

@@ -217,7 +217,7 @@ object CorpusScoring {
       explode(TF.tokens(col(textCol))).as("term"))
     val modelSide = if (broadcastModel) broadcast(model)
       else model.hint("shuffle_hash")
-    occurrences
+    val scoredToks = occurrences
       .join(modelSide, Seq("term"), "left_outer")
       .crossJoin(consts)
       .select(col(idCol),
@@ -227,6 +227,21 @@ object CorpusScoring {
             (col("nb") + col("v")))).as("__term"),
         (log(lit((dgN + 1).toDouble)) -
           log(lit((dbN + 1).toDouble))).as("__prior"))
+    // Under the shuffled-hash model join the token stream leaves the
+    // join TERM-partitioned: a doc's tokens scatter across every
+    // partition, so the doc aggregation's map-side partial combines
+    // ~nothing while its hash table fills with (rows/partition) doc
+    // keys — at the 50 M-doc stress tier that was 19 M entries/task
+    // and 56 GB of aggregate spill. Re-keying the skinny (id, score)
+    // rows on the doc FIRST costs the same one exchange the groupBy
+    // would have paid, but the partial agg then runs over co-located
+    // docs (corpus/partitions keys per task) and the final agg reuses
+    // the partitioning — zero spill, no extra exchange. The broadcast
+    // path keeps the scan's doc-contiguous partitioning, where the
+    // default partial-then-exchange shape already combines 12:1.
+    val reKeyed = if (broadcastModel) scoredToks
+      else scoredToks.repartition(col(idCol))
+    reKeyed
       .groupBy(idCol).agg(
         count(lit(1)).as("n_tokens"),
         round(first(col("__prior")) + sum(col("__term")), 6).as("nb_score"))

@@ -31,6 +31,18 @@ object KnnClassify {
     require(k > 0, s"k must be positive, got $k")
     val electorate = labeled.filter(col(labelCol).isNotNull)
     val nn = SimilaritySearch.bruteTopK(probes, electorate, idCol, vecCol, k)
+    vote(nn, electorate, idCol, labelCol)
+  }
+
+  /** The majority-vote tail shared by every search tier: join the
+    * (probe_id, neighbor_id) rows against the electorate's labels,
+    * count votes, keep the winner (ties to the smaller label). The
+    * vote is O(probes x k) and the ranking window sees at most
+    * #labels rows per probe — nothing downstream of the search scales
+    * with the corpus.
+    */
+  private def vote(nn: DataFrame, electorate: DataFrame, idCol: String,
+                   labelCol: String): DataFrame = {
     val lab = electorate.select(col(idCol).as("__lid"),
       col(labelCol).as("__lab"))
     val votes = nn.join(lab, col("neighbor_id") === col("__lid"))
@@ -61,10 +73,42 @@ object KnnClassify {
   def labelSuspects(labeled: DataFrame, idCol: String, vecCol: String,
                     labelCol: String, k: Int): DataFrame = {
     val electorate = labeled.filter(col(labelCol).isNotNull)
-    classify(electorate, electorate, idCol, vecCol, labelCol, k)
+    flagSuspects(
+      classify(electorate, electorate, idCol, vecCol, labelCol, k),
+      electorate, idCol, labelCol)
+  }
+
+  /** [[labelSuspects]] with the neighbor search routed through the IVF
+    * index instead of the brute probe-x-electorate scan — the
+    * web-scale realization of the audit the brute tier's scaladoc
+    * promises: the whole labeled set is both probe and corpus side, so
+    * past broadcastable sizes the brute plan is |L|^2 dots while this
+    * one compares each vector only against its nProbe nearest cells
+    * (|L|^2 x nProbe / nCells pairs, cell-local, salted-join guarded —
+    * the [[SimilaritySearch.ivfTopK]] machinery end to end).
+    *
+    * The verdict is approximate exactly where the search is: a suspect
+    * flag can differ from the brute audit only when the IVF
+    * neighborhood differs from the true one, which recall tuning
+    * (nCells x nProbe) bounds — and the whole approximate audit is
+    * deterministic (lowest-id centroids), so it replays in the oracle.
+    */
+  def labelSuspectsIvf(labeled: DataFrame, idCol: String, vecCol: String,
+                       labelCol: String, k: Int, nCells: Int = 16,
+                       nProbe: Int = 4): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val electorate = labeled.filter(col(labelCol).isNotNull)
+    val nn = SimilaritySearch.ivfTopK(electorate, electorate, idCol, vecCol,
+      k, nCells, nProbe)
+    flagSuspects(vote(nn, electorate, idCol, labelCol), electorate,
+      idCol, labelCol)
+  }
+
+  private def flagSuspects(pred: DataFrame, electorate: DataFrame,
+                           idCol: String, labelCol: String): DataFrame =
+    pred
       .join(electorate.select(col(idCol).as("probe_id"),
         col(labelCol).as("label")), Seq("probe_id"))
       .select(col("probe_id"), col("label"), col("pred_label"), col("votes"),
         (col("pred_label") =!= col("label")).as("is_suspect"))
-  }
 }

@@ -67,4 +67,47 @@ class KnnClassifySpec extends SparkTestBase {
       s"only the planted mislabel should be suspect: $out")
     assert(out.size === 7, "every labeled row is audited")
   }
+
+  test("labelSuspectsIvf agrees with the brute audit when every cell is probed") {
+    val withNoise = Seq(
+      (10L, Seq(1.0, 0.1, 0.0), Some(7)),
+      (11L, Seq(1.0, 0.2, 0.0), Some(7)),
+      (12L, Seq(1.0, 0.0, 0.1), Some(7)),
+      (16L, Seq(1.0, 0.1, 0.1), Some(3)), // the mislabel
+      (13L, Seq(0.1, 1.0, 0.0), Some(3)),
+      (14L, Seq(0.0, 1.0, 0.1), Some(3)),
+      (17L, Seq(0.1, 1.0, 0.1), Some(3))
+    ).toDF("vec_id", "embedding", "label")
+    // nProbe = nCells: the index prunes nothing, so the approximate
+    // audit must reproduce the brute verdicts row for row
+    val brute = KnnClassify.labelSuspects(withNoise, "vec_id", "embedding",
+        "label", k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getInt(2), r.getBoolean(4)))
+      .toMap
+    val ivf = KnnClassify.labelSuspectsIvf(withNoise, "vec_id", "embedding",
+        "label", k = 3, nCells = 2, nProbe = 2)
+      .collect().map(r => r.getLong(0) -> (r.getInt(2), r.getBoolean(4)))
+      .toMap
+    assert(ivf === brute)
+  }
+
+  test("labelSuspectsIvf still catches the in-cell mislabel under real pruning") {
+    // ids ordered so the 2 lowest-id centroid seeds straddle the
+    // clusters: cell 0 ~ +e0, cell 1 ~ +e1
+    val withNoise = Seq(
+      (10L, Seq(1.0, 0.1, 0.0), Some(7)),
+      (11L, Seq(0.1, 1.0, 0.0), Some(3)),
+      (12L, Seq(1.0, 0.2, 0.0), Some(7)),
+      (13L, Seq(1.0, 0.0, 0.1), Some(7)),
+      (16L, Seq(1.0, 0.1, 0.1), Some(3)), // the mislabel, inside the e0 cell
+      (14L, Seq(0.0, 1.0, 0.1), Some(3)),
+      (17L, Seq(0.1, 1.0, 0.1), Some(3))
+    ).toDF("vec_id", "embedding", "label")
+    // nProbe = 1 of 2 cells: each vector is audited only against its
+    // own cluster — the mislabel's neighborhood is all label 7
+    val out = KnnClassify.labelSuspectsIvf(withNoise, "vec_id", "embedding",
+        "label", k = 3, nCells = 2, nProbe = 1)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(out(16L), "pruned audit must still flag the in-cell mislabel")
+  }
 }
