@@ -669,6 +669,50 @@ object Stress {
       (n1, s""","distinct_names":10000,"blocks":100""")
     }
 
+    // ------------------------------------------------ graph tier
+    // Ring graph, nodes 0..G-1 with edge (i, i+1 mod G): 2-regular, so
+    // PageRank is EXACTLY uniform — one distinct rounded rank across
+    // all G nodes is the bar (any lost or duplicated edge in the
+    // per-iteration join/agg breaks it; each node's update is
+    // base + d·(r/2 + r/2), IEEE-exact halves, so uniformity survives
+    // rounding bit-for-bit). Triangles run on ring ∪ K disjoint chords
+    // (3i, 3i+2), each closing exactly one triangle through 3i+1:
+    // exactly 3K participating nodes, each count 1 — an exact bar.
+    val graphNodes = sys.env.getOrElse("SPARK_GRAFT_STRESS_GRAPH_NODES",
+      "2000000").toLong
+    val ring = spark.range(graphNodes).toDF("id")
+      .select(col("id").as("id_a"),
+        pmod(col("id") + 1, lit(graphNodes)).as("id_b"))
+    phase("pagerank") {
+      // decimals sized to the rank scale: 1/G at tier-2 is ~4e-8, so
+      // the catalog's 6-decimal contract would round every rank to 0
+      // and the chain would degenerate — the knob IS the scale lever
+      val r = operators.PageRank.ranks(ring, iters = 3, decimals = 12)
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("rank")).as("nd"),
+          max(abs(col("rank") * graphNodes - 1.0)).as("err"))
+        .head()
+      require(r.getLong(0) == graphNodes && r.getLong(1) == 1L &&
+          r.getDouble(2) < 1e-3,
+        s"pagerank: n=${r.getLong(0)} distinct=${r.getLong(1)} " +
+          s"err=${r.getDouble(2)} — uniformity bar broken")
+      (graphNodes, s""","iters":3,"distinct_ranks":${r.getLong(1)}""")
+    }
+    phase("triangles") {
+      val k = graphNodes / 100
+      val chords = spark.range(k).toDF("i")
+        .select((col("i") * 3).as("id_a"), (col("i") * 3 + 2).as("id_b"))
+      val t = operators.GraphMetrics.triangleCounts(
+          ring.unionByName(chords))
+        .agg(count(lit(1)).as("nodes"), sum("n_triangles").as("total"),
+          max("n_triangles").as("mx")).head()
+      require(t.getLong(0) == 3 * k && t.getLong(1) == 3 * k &&
+          t.getLong(2) == 1L,
+        s"triangles: nodes=${t.getLong(0)} total=${t.getLong(1)} " +
+          s"max=${t.getLong(2)}, want ${3 * k}/${3 * k}/1")
+      (graphNodes + k, s""","planted":$k""")
+    }
+
     // ------------------------------------------------ skew stress tier
     // Hot keys planted at sizes where even the UNPROTECTED run is
     // feasible by construction — the point is to MEASURE the df caps
