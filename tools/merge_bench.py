@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Merge several graft.Bench JSON lines into one BENCH.json with
+per-query MINIMA across all passes of all runs (each query keeps the
+concatenated `runs` array for transparency).
+
+Same remedy as merge_stress.py / Bench.scala's round-robin passes: a
+host-contention window can inflate at most one run's samples of any
+query, so the min across independent runs converges on the query's
+true cost. `flagged_vs_prior` is re-derived against the previously
+committed BENCH.json when present (same >5x advisory as Bench.scala).
+
+Usage: merge_bench.py out.json run1.log [run2.log ...]
+(each log is a file whose LAST {"metric":...} line is the run's JSON)
+"""
+import json
+import sys
+
+
+def load_run(path):
+    last = None
+    for line in open(path):
+        if '"metric"' in line and '"queries"' in line:
+            last = line[line.index('{'):].strip()
+    if last is None:
+        raise SystemExit(f"no bench JSON line in {path}")
+    return json.loads(last)
+
+
+def main(out_path, logs):
+    runs = [load_run(f) for f in logs]
+    base = runs[-1]
+    names = sorted(set().union(*[r["queries"].keys() for r in runs]))
+    merged_runs = {}
+    queries = {}
+    for q in names:
+        samples = []
+        for r in runs:
+            samples += r.get("runs", {}).get(q, [r["queries"][q]] if q in r["queries"] else [])
+        merged_runs[q] = samples
+        queries[q] = min(samples)
+    prior = {}
+    try:
+        prior = json.load(open(out_path)).get("queries", {})
+    except Exception:
+        pass
+    flagged = {q: [prior[q], queries[q]] for q in queries
+               if q in prior and prior[q] > 0.3 and queries[q] > 5 * prior[q]}
+    out = {
+        "metric": base.get("metric", "total"),
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "runs": merged_runs,
+        "passes": sum(r.get("passes", len(next(iter(r.get("runs", {"x": [0]}).values()))) if r.get("runs") else 1) for r in runs),
+        "flagged_vs_prior": flagged,
+        "sf": base.get("sf"),
+    }
+    json.dump(out, open(out_path, "w"))
+    print(f"wrote {out_path}: {len(queries)} queries, total {out['value']}s, "
+          f"flagged {list(flagged)}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2:])
