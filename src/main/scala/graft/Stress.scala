@@ -713,6 +713,46 @@ object Stress {
       (graphNodes + k, s""","planted":$k""")
     }
 
+    // ------------------------------------------------ kmeans tier
+    // Planted clusters with an EXACT recovery bar: vector i = center
+    // (i mod k) + per-dim jitter <= 0.001. Centers are pseudo-random on
+    // [-1, 1]^64 (pairwise cosine ~0 +- 1/sqrt(dim)), so the planted
+    // argmax dominates every competing centroid by orders of magnitude
+    // over the jitter; the lowest-id init picks ids 0..k-1 — one
+    // (jittered) prototype per cluster — so after 2 rounded Lloyd
+    // iterations EVERY vector must sit in cell (id mod k), all k cells
+    // alive. Any assignment drift, mean mis-aggregation, or ordinal
+    // shuffle breaks the zero-mismatch bar. Per iteration the only
+    // shuffle is the (cell, dim)-keyed mean aggregation — map-side
+    // partials collapse to k*dim rows per task regardless of corpus.
+    val kmVecs = sys.env.getOrElse("SPARK_GRAFT_STRESS_KMEANS_VECS",
+      "2000000").toLong
+    phase("kmeans") {
+      val k = 64
+      val kmDim = 64
+      val cluster = pmod(col("id"), lit(k.toLong))
+      val kmCorpus = spark.range(kmVecs).toDF("id")
+        .withColumn("embedding",
+          transform(sequence(lit(0), lit(kmDim - 1)), j =>
+            (pmod(xxhash64(cluster, j), lit(2000001L)).cast("double")
+                / 1000000.0 - 1.0) +
+              (pmod(xxhash64(col("id"), j + 1000), lit(2001L))
+                .cast("double") / 1000000.0 - 0.001))
+          .cast("array<float>"))
+      val a = operators.KMeans
+        .assignRounded(kmCorpus, "id", "embedding", k, iters = 2)
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("cell_id") =!= pmod(col("id"), lit(k.toLong)), 1L)
+            .otherwise(0L)).as("mismatch"),
+          countDistinct(col("cell_id")).as("cells"))
+        .head()
+      require(a.getLong(0) == kmVecs && a.getLong(1) == 0L &&
+          a.getLong(2) == k.toLong,
+        s"kmeans: n=${a.getLong(0)} mismatch=${a.getLong(1)} " +
+          s"cells=${a.getLong(2)} — planted recovery broken")
+      (kmVecs, s""","k":$k,"iters":2,"mismatch":0""")
+    }
+
     // ------------------------------------------------ skew stress tier
     // Hot keys planted at sizes where even the UNPROTECTED run is
     // feasible by construction — the point is to MEASURE the df caps
