@@ -1317,6 +1317,22 @@ object SparkEntry {
         seedFrac = 0.3, seed = "nbseed")
     }),
 
+    // §2.10 scoring eval: reliability curve of the NB quality score
+    // against the heuristic ground truth — per fixed logistic-
+    // probability decile, how many docs land there and what fraction
+    // are actually good (the threshold-selection pass before the score
+    // gates a filter). Fixed bins are map-only into a 10-row aggregate;
+    // no global sort, nothing grows with the corpus
+    "q_calibration" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val isGood = round(TF.qualityScoreOf(col("text"), TF.tokens(col("text")),
+        Seq("the", "a")), 6) >= 0.88
+      val scored = CorpusScoring.naiveBayesQuality(d, "doc_id", "text",
+        isGood, seedFrac = 0.3, seed = "nbseed")
+      CorpusScoring.calibration(scored, "doc_id", "nb_score",
+        d.select(col("doc_id"), isGood.as("is_good")), "is_good")
+    }),
+
     // §2.10 corpus scoring: cross-corpus LM scoring — score the
     // general pool against a unigram model fit on the TARGET sources
     // only, unseen tokens at the explicit floor (the two-corpus
@@ -1518,6 +1534,25 @@ object SparkEntry {
       GraphMetrics.triangleCounts(edges)
     }),
 
+    // §2.10 graph analytics: bounded-depth BFS — min hop distance
+    // from a seed account set over the customer–supplier purchase
+    // graph (orders×lineitem edges, suppliers offset out of the
+    // customer id space); the crawl-frontier / link-distance-feature
+    // primitive. Each hop is one id-keyed frontier join + anti-join;
+    // maxHops bounds the plan depth
+    "q_bfs_hops" -> ((s, dir) => {
+      val edges = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("id_a"),
+          (col("l_suppkey") + 100000000L).as("id_b"))
+        .distinct()
+      val seeds = t(s, dir, "customer")
+        .filter(col("c_custkey") % 100 === 1)
+        .select(col("c_custkey").as("id"))
+      GraphMetrics.bfsHops(edges, seeds, maxHops = 3)
+    }),
+
     // §2.10 robust monitoring: median/MAD outlier flags — the
     // fat-tail-safe zscore (a planted extreme can't mask itself by
     // inflating the stddev); two broadcast joins, fact never shuffles
@@ -1704,6 +1739,62 @@ object SparkEntry {
          count(DISTINCT eg.ngram) AS n_contaminated
        FROM eg JOIN tg USING (ngram)
        GROUP BY eg.doc_id, eg.split"""
+
+  /** The naiveBayesQuality replay's CTE chain (fit + score), shared
+    * verbatim by the q_nb_quality and q_calibration oracles so the two
+    * can never drift: `q` carries the per-doc rounded quality score,
+    * `scored` the per-doc NB log-odds.
+    */
+  private val nbChainCtes: String =
+    raw"""sc AS (
+             SELECT doc_id, text,
+               len(string_split_regex(trim(text), '\s+')) AS n,
+               len(list_filter(string_split_regex(trim(text), '\s+'),
+                   t -> t = 'the' OR t = 'a'))
+                 / greatest(len(string_split_regex(trim(text), '\s+')), 1) AS stop_ratio,
+               (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+                 / greatest(length(text), 1) AS punct_ratio
+             FROM documents),
+           q AS (
+             SELECT doc_id, text,
+               round(
+                 (CASE WHEN n < 10 THEN CAST(n AS DOUBLE) / 10.0
+                       WHEN n > 100000 THEN 100000.0 / CAST(n AS DOUBLE)
+                       ELSE 1.0 END) * 0.4
+                 + (1.0 - least(punct_ratio * 5, 1.0)) * 0.3
+                 + least(stop_ratio * 10, 1.0) * 0.3, 6) AS quality
+             FROM sc),
+           seed AS (
+             SELECT doc_id, text, quality >= 0.88 AS g FROM q
+             WHERE substr(md5('nbseed:' || CAST(doc_id AS VARCHAR)), 1, 4) < '4ccc'),
+           stok AS (
+             SELECT doc_id, g,
+               unnest(string_split_regex(trim(text), '\s+')) AS term
+             FROM seed),
+           m AS (
+             SELECT term,
+               sum(CASE WHEN g THEN 1 ELSE 0 END) AS g_n,
+               sum(CASE WHEN g THEN 0 ELSE 1 END) AS b_n
+             FROM stok GROUP BY term),
+           tt AS (SELECT sum(g_n) AS ng, sum(b_n) AS nb, count(*) AS v FROM m),
+           dt AS (
+             SELECT sum(CASE WHEN g THEN 1 ELSE 0 END) AS dg,
+               sum(CASE WHEN g THEN 0 ELSE 1 END) AS db
+             FROM seed),
+           tok AS (
+             SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+             FROM documents),
+           terms AS (
+             SELECT tok.doc_id,
+               ln(CAST(coalesce(m.g_n, 0) + 1 AS DOUBLE) / (tt.ng + tt.v)) -
+               ln(CAST(coalesce(m.b_n, 0) + 1 AS DOUBLE) / (tt.nb + tt.v)) AS term_lr
+             FROM tok LEFT JOIN m USING (term) CROSS JOIN tt),
+           scored AS (
+             SELECT terms.doc_id, count(*) AS n_tokens,
+               round(ln(CAST(dt.dg + 1 AS DOUBLE)) - ln(CAST(dt.db + 1 AS DOUBLE))
+                 + sum(term_lr), 6) AS nb_score
+             FROM terms CROSS JOIN dt
+             GROUP BY terms.doc_id, dt.dg, dt.db)"""
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -3126,58 +3217,28 @@ object SparkEntry {
     // over every document; pred thresholds the ROUNDED score like the
     // operator
     "q_nb_quality" ->
-      raw"""WITH sc AS (
-             SELECT doc_id, text,
-               len(string_split_regex(trim(text), '\s+')) AS n,
-               len(list_filter(string_split_regex(trim(text), '\s+'),
-                   t -> t = 'the' OR t = 'a'))
-                 / greatest(len(string_split_regex(trim(text), '\s+')), 1) AS stop_ratio,
-               (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
-                 / greatest(length(text), 1) AS punct_ratio
-             FROM documents),
-           q AS (
-             SELECT doc_id, text,
-               round(
-                 (CASE WHEN n < 10 THEN CAST(n AS DOUBLE) / 10.0
-                       WHEN n > 100000 THEN 100000.0 / CAST(n AS DOUBLE)
-                       ELSE 1.0 END) * 0.4
-                 + (1.0 - least(punct_ratio * 5, 1.0)) * 0.3
-                 + least(stop_ratio * 10, 1.0) * 0.3, 6) AS quality
-             FROM sc),
-           seed AS (
-             SELECT doc_id, text, quality >= 0.88 AS g FROM q
-             WHERE substr(md5('nbseed:' || CAST(doc_id AS VARCHAR)), 1, 4) < '4ccc'),
-           stok AS (
-             SELECT doc_id, g,
-               unnest(string_split_regex(trim(text), '\s+')) AS term
-             FROM seed),
-           m AS (
-             SELECT term,
-               sum(CASE WHEN g THEN 1 ELSE 0 END) AS g_n,
-               sum(CASE WHEN g THEN 0 ELSE 1 END) AS b_n
-             FROM stok GROUP BY term),
-           tt AS (SELECT sum(g_n) AS ng, sum(b_n) AS nb, count(*) AS v FROM m),
-           dt AS (
-             SELECT sum(CASE WHEN g THEN 1 ELSE 0 END) AS dg,
-               sum(CASE WHEN g THEN 0 ELSE 1 END) AS db
-             FROM seed),
-           tok AS (
-             SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
-             FROM documents),
-           terms AS (
-             SELECT tok.doc_id,
-               ln(CAST(coalesce(m.g_n, 0) + 1 AS DOUBLE) / (tt.ng + tt.v)) -
-               ln(CAST(coalesce(m.b_n, 0) + 1 AS DOUBLE) / (tt.nb + tt.v)) AS term_lr
-             FROM tok LEFT JOIN m USING (term) CROSS JOIN tt),
-           scored AS (
-             SELECT terms.doc_id, count(*) AS n_tokens,
-               round(ln(CAST(dt.dg + 1 AS DOUBLE)) - ln(CAST(dt.db + 1 AS DOUBLE))
-                 + sum(term_lr), 6) AS nb_score
-             FROM terms CROSS JOIN dt
-             GROUP BY terms.doc_id, dt.dg, dt.db)
+      s"""WITH $nbChainCtes
          SELECT doc_id, n_tokens, nb_score,
            CASE WHEN nb_score > 0 THEN 1 ELSE 0 END AS pred
          FROM scored""",
+
+    // calibration replay: the SAME fit+score chain (shared CTE val),
+    // truth re-derived from the quality CTE, logistic p rounded to 6
+    // decimals BEFORE fixed-width binning (libm's last ulp never
+    // decides a bin)
+    "q_calibration" ->
+      s"""WITH $nbChainCtes,
+           truth AS (
+             SELECT doc_id, CASE WHEN quality >= 0.88 THEN 1 ELSE 0 END AS g
+             FROM q),
+           pb AS (
+             SELECT s.doc_id, round(1.0 / (1.0 + exp(-nb_score)), 6) AS p, g
+             FROM scored s JOIN truth USING (doc_id))
+         SELECT CAST(least(floor(p * 10), 9) AS INTEGER) AS bin,
+           count(*) AS n_docs,
+           round(avg(p), 6) AS avg_p,
+           round(avg(g), 6) AS frac_good
+         FROM pb GROUP BY 1""",
 
     // scoreAgainst replay: unigram model over the target sources,
     // general-pool tokens left-joined with the ln(1e-9) unseen floor
@@ -3236,6 +3297,30 @@ object SparkEntry {
 
     "q_pagerank" ->
       OracleGen.pagerankSql(iters = 3, damping = 0.85),
+
+    // bfsHops replay: per-hop frontier CTEs (neighbors of the previous
+    // frontier, anti-joined against everything visited — first entry
+    // IS the min distance), unrolled to maxHops = 3
+    "q_bfs_hops" ->
+      """WITH e AS (
+           SELECT DISTINCT o_custkey AS a, l_suppkey + 100000000 AS b
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         dir AS (SELECT a AS src, b AS dst FROM e
+                 UNION ALL SELECT b, a FROM e),
+         v0 AS (SELECT DISTINCT c_custkey AS id, 0 AS hops FROM customer
+                WHERE c_custkey % 100 = 1),
+         f1 AS (SELECT DISTINCT dir.dst AS id
+                FROM dir JOIN v0 ON v0.id = dir.src
+                LEFT JOIN v0 vv ON vv.id = dir.dst WHERE vv.id IS NULL),
+         v1 AS (SELECT id, hops FROM v0 UNION ALL SELECT id, 1 FROM f1),
+         f2 AS (SELECT DISTINCT dir.dst AS id
+                FROM dir JOIN f1 ON f1.id = dir.src
+                LEFT JOIN v1 vv ON vv.id = dir.dst WHERE vv.id IS NULL),
+         v2 AS (SELECT id, hops FROM v1 UNION ALL SELECT id, 2 FROM f2),
+         f3 AS (SELECT DISTINCT dir.dst AS id
+                FROM dir JOIN f2 ON f2.id = dir.src
+                LEFT JOIN v2 vv ON vv.id = dir.dst WHERE vv.id IS NULL)
+         SELECT id, hops FROM v2 UNION ALL SELECT id, 3 FROM f3""",
 
     "q_chisq" ->
       """WITH cells AS (

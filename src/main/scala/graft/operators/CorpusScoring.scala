@@ -247,4 +247,38 @@ object CorpusScoring {
         round(first(col("__prior")) + sum(col("__term")), 6).as("nb_score"))
       .withColumn("pred", (col("nb_score") > 0).cast("int"))
   }
+
+  /** Reliability curve for a classifier score against ground truth —
+    * the threshold-selection harness run after every quality-model
+    * fit: per FIXED probability bin, how many documents land there and
+    * what fraction are actually good. A calibrated model's `frac_good`
+    * tracks the bin midpoints; a confident-but-wrong one doesn't, and
+    * the bin rows say which score region to distrust before the score
+    * gates a 100 TB filter pass.
+    *
+    * `scoreCol` is a log-odds (the [[naiveBayesQuality]] output);
+    * it maps through the logistic 1/(1+e^-s), ROUNDED to 6 decimals
+    * (the replayability stance — libm's last ulp never decides a bin),
+    * into `nBins` equal-width probability bins. Fixed bins, not
+    * ntile: quantile binning needs a global sort or sketch pass, while
+    * fixed bins are map-only per row into an `nBins`-row aggregate —
+    * nothing about this pass grows with the corpus.
+    *
+    * Output: (bin, n_docs, avg_p, frac_good), bins that caught no
+    * documents absent.
+    */
+  def calibration(scored: DataFrame, idCol: String, scoreCol: String,
+                  truth: DataFrame, truthCol: String,
+                  nBins: Int = 10): DataFrame = {
+    require(nBins > 0, s"nBins must be positive, got $nBins")
+    val p = round(lit(1.0) / (lit(1.0) + exp(-col(scoreCol))), 6)
+    scored.select(col(idCol), p.as("__p"))
+      .join(truth.select(col(idCol), col(truthCol).cast("int").as("__g")),
+        Seq(idCol))
+      .groupBy(least(floor(col("__p") * nBins), lit(nBins - 1L))
+        .cast("int").as("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("__p")), 6).as("avg_p"),
+        round(avg(col("__g")), 6).as("frac_good"))
+  }
 }

@@ -39,4 +39,41 @@ object GraphMetrics {
       .groupBy("id")
       .agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Bounded-depth BFS: minimum hop distance from a seed set, for
+    * every node within `maxHops` (unreached nodes are absent). The
+    * crawl-frontier / link-distance-feature primitive: "everything
+    * within k purchase-graph hops of these accounts".
+    *
+    * Classic frontier iteration, one round per hop: neighbors of the
+    * frontier, minus everything already visited (a node enters on its
+    * FIRST reachable hop, which is its minimum distance — no min-agg
+    * needed afterwards). Each round is two id-keyed equi-shuffles
+    * (neighbor distinct + visited anti-join); the frontier and visited
+    * sets carry (id, hops) only, never payloads, and `maxHops` bounds
+    * the plan depth so Catalyst sees a fixed join chain. For deep
+    * traversals (maxHops ≳ 10) checkpoint `visited` every few rounds
+    * to cut lineage — at the feature-engineering depths this serves
+    * (2-4 hops) the straight chain is the faster plan.
+    *
+    * `edges` is undirected (`id_a`, `id_b`); `seeds` is a single
+    * column `id`. Output: (id, hops), hops in [0, maxHops].
+    */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val dir = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var visited = seeds.select(col("id")).distinct()
+      .withColumn("hops", lit(0))
+    var frontier = visited.select(col("id"))
+    for (h <- 1 to maxHops) {
+      val next = dir
+        .join(frontier.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(visited, Seq("id"), "left_anti")
+      frontier = next
+      visited = visited.unionByName(next.withColumn("hops", lit(h)))
+    }
+    visited
+  }
 }

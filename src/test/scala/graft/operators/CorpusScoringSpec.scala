@@ -167,4 +167,32 @@ class CorpusScoringSpec extends SparkTestBase {
         seedFrac = 1.5)
     }
   }
+
+  test("calibration: hand-computed bins, logistic mapping, saturation") {
+    // log-odds 0 -> p = 0.5 -> bin 5; +-large saturate to bins 9 / 0;
+    // ln(3) -> p = 0.75 -> bin 7
+    val scored = Seq(
+      (1L, 0.0), (2L, 1000.0), (3L, -1000.0), (4L, math.log(3.0)),
+      (5L, 0.001)
+    ).toDF("id", "s")
+    val truth = Seq((1L, true), (2L, true), (3L, false), (4L, false),
+      (5L, false)).toDF("id", "g")
+    val got = CorpusScoring.calibration(scored, "id", "s", truth, "g")
+      .as[(Int, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // bin 5 holds ids 1 (p=.5, good) and 5 (p=.50025, bad)
+    assert(got(5) === ((2L, 0.500125, 0.5)))
+    assert(got(9) === ((1L, 1.0, 1.0)))
+    assert(got(0) === ((1L, 0.0, 0.0)))
+    assert(got(7) === ((1L, 0.75, 0.0)))
+    assert(got.keySet === Set(0, 5, 7, 9))
+  }
+
+  test("calibration: bin edges — p exactly 1.0 stays in the top bin") {
+    val scored = Seq((1L, 1000.0), (2L, 40.0)).toDF("id", "s")
+    val truth = Seq((1L, true), (2L, true)).toDF("id", "g")
+    val got = CorpusScoring.calibration(scored, "id", "s", truth, "g")
+      .as[(Int, Long, Double, Double)].collect()
+    assert(got.length === 1 && got(0)._1 === 9 && got(0)._2 === 2L)
+  }
 }

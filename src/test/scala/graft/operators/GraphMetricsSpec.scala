@@ -34,4 +34,40 @@ class GraphMetricsSpec extends SparkTestBase {
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
     assert(GraphMetrics.triangleCounts(chain).count() === 0L)
   }
+
+  test("bfsHops: min distance on a path graph, truncated at maxHops") {
+    // 1-2-3-4-5 path, seed 1: hops = position; 5 is beyond maxHops=3
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("id_a", "id_b")
+    val seeds = Seq(1L).toDF("id")
+    val got = GraphMetrics.bfsHops(path, seeds, maxHops = 3)
+      .as[(Long, Int)].collect().toMap
+    assert(got === Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
+  }
+
+  test("bfsHops: a node reachable two ways gets the SHORTER distance") {
+    // 1-2-3-4 chain plus shortcut 1-4: node 4 is hop 1, not hop 3;
+    // node 3 is hop 2 via either side
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
+      .toDF("id_a", "id_b")
+    val got = GraphMetrics.bfsHops(g, Seq(1L).toDF("id"), maxHops = 3)
+      .as[(Long, Int)].collect().toMap
+    assert(got === Map(1L -> 0, 2L -> 1, 4L -> 1, 3L -> 2))
+  }
+
+  test("bfsHops: multiple seeds, disconnected component stays absent") {
+    val g = Seq((1L, 2L), (5L, 6L), (8L, 9L)).toDF("id_a", "id_b")
+    val got = GraphMetrics
+      .bfsHops(g, Seq(1L, 5L).toDF("id"), maxHops = 2)
+      .as[(Long, Int)].collect().toMap
+    assert(got === Map(1L -> 0, 5L -> 0, 2L -> 1, 6L -> 1))
+  }
+
+  test("bfsHops: maxHops = 0 returns the deduplicated seed set") {
+    val g = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val got = GraphMetrics
+      .bfsHops(g, Seq(1L, 1L, 3L).toDF("id"), maxHops = 0)
+      .as[(Long, Int)].collect().toMap
+    assert(got === Map(1L -> 0, 3L -> 0))
+  }
 }
