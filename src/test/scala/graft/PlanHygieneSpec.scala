@@ -421,6 +421,25 @@ class PlanHygieneSpec extends SparkTestBase {
       s"exchanges must carry gram hashes/ids, not documents: $exchangeKeys")
   }
 
+  test("q_calibration: fixed-bin reliability — no global-order window, id-keyed joins only") {
+    val p = plan("q_calibration")
+    assert(!p.contains("Window"),
+      "binning must be fixed-width map-only, never ntile/global sort")
+    // (the NB chain's single-row constant cross rides a broadcast
+    // nested loop by design — the q_source_kl stance)
+    assert(!p.contains("CartesianProduct"),
+      s"truth join must stay id-keyed:\n${p.take(2000)}")
+  }
+
+  test("q_bfs_hops: frontier joins stay id-keyed equi-joins") {
+    val p = plan("q_bfs_hops")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"every hop must be an equi-join on node ids:\n${p.take(2000)}")
+    val exchangeKeys = "Exchange hashpartitioning\\([^)]*".r.findAllIn(p).toList
+    assert(exchangeKeys.forall(k => !k.contains("text")),
+      s"exchanges carry node ids only: $exchangeKeys")
+  }
+
   test("q_zipf: regression runs over the bounded top-k frame, not the vocabulary") {
     val p = plan("q_zipf")
     assert(p.contains("TakeOrderedAndProject"),
