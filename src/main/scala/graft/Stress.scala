@@ -712,6 +712,23 @@ object Stress {
           s"max=${t.getLong(2)}, want ${3 * k}/${3 * k}/1")
       (graphNodes + k, s""","planted":$k""")
     }
+    phase("bfs_hops") {
+      // seeds every 1000th ring node: hop distance on the ring is
+      // exactly min |id - seed| (seeds are 6 hops apart at the closest
+      // multiple — no interference within maxHops = 3), so the per-hop
+      // census is EXACT: nSeeds at hop 0, 2*nSeeds at hops 1..3. A
+      // frontier that leaks a visited node, drops a neighbor, or
+      // re-admits across seed boundaries breaks the bar.
+      val nSeeds = graphNodes / 1000
+      val seeds = spark.range(nSeeds).toDF("i")
+        .select((col("i") * 1000).as("id"))
+      val b = operators.GraphMetrics.bfsHops(ring, seeds, maxHops = 3)
+        .groupBy("hops").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      require(b(0) == nSeeds && (1 to 3).forall(h => b(h) == 2 * nSeeds),
+        s"bfs census broken: $b, want hop0=$nSeeds, hops1-3=${2 * nSeeds}")
+      (nSeeds * 7, s""","seeds":$nSeeds""")
+    }
 
     // ------------------------------------------------ kmeans tier
     // Planted clusters with an EXACT recovery bar: vector i = center
