@@ -142,4 +142,33 @@ class OperatorPropertiesSpec extends SparkTestBase {
         s"probes: $probes\nbuilds: $builds")
     }
   }
+
+  test("bfsHops == in-memory BFS on random graphs") {
+    val rnd = new scala.util.Random(23)
+    (1 to 8).foreach { _ =>
+      // ~12 nodes, random edges (self-loops and duplicates included on
+      // purpose — the frontier must tolerate both), 1-2 seeds
+      val nNodes = 12
+      val edges = Seq.fill(14 + rnd.nextInt(8))(
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+      val seeds = Seq.fill(1 + rnd.nextInt(2))(rnd.nextInt(nNodes).toLong)
+        .distinct
+      val maxHops = 1 + rnd.nextInt(3)
+      val got = GraphMetrics.bfsHops(
+          edges.toDF("id_a", "id_b"), seeds.toDF("id"), maxHops)
+        .as[(Long, Int)].collect().toMap
+      // reference: level-synchronous BFS over an adjacency map
+      val adj = (edges ++ edges.map(_.swap))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      var dist = seeds.map(_ -> 0).toMap
+      var frontier = seeds.toSet
+      for (h <- 1 to maxHops) {
+        val next = frontier.flatMap(adj.getOrElse(_, Set.empty))
+          .diff(dist.keySet)
+        dist ++= next.map(_ -> h)
+        frontier = next
+      }
+      assert(got === dist, s"edges=$edges seeds=$seeds maxHops=$maxHops")
+    }
+  }
 }
