@@ -1553,6 +1553,20 @@ object SparkEntry {
       GraphMetrics.bfsHops(edges, seeds, maxHops = 3)
     }),
 
+    // §2.10 graph analytics: Adamic–Adar link prediction — score
+    // supplier pairs by shared parts (Σ 1/ln(deg) over common
+    // neighbors; rare shared parts say more than commodity ones).
+    // maxDegree = 64 keeps part middles (deg ≤ ~30 at every SF) and
+    // excludes supplier middles (deg ≥ 200) — hub wedge fan-out is the
+    // deg² cost AND the least informative term, so at web scale you
+    // always cap
+    "q_adamic_adar" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .select(col("l_partkey").as("id_a"),
+          (col("l_suppkey") + 100000000L).as("id_b"))
+      GraphMetrics.adamicAdar(edges, maxDegree = Some(64))
+    }),
+
     // §2.10 robust monitoring: median/MAD outlier flags — the
     // fat-tail-safe zscore (a planted extreme can't mask itself by
     // inflating the stddev); two broadcast joins, fact never shuffles
@@ -3297,6 +3311,27 @@ object SparkEntry {
 
     "q_pagerank" ->
       OracleGen.pagerankSql(iters = 3, damping = 0.85),
+
+    // adamicAdar replay: wedge self-join through capped middles, non-
+    // edge filter, Σ 1/ln(deg) per surviving pair
+    "q_adamic_adar" ->
+      """WITH e AS (
+           SELECT DISTINCT l_partkey AS a, l_suppkey + 100000000 AS b
+           FROM lineitem),
+         adj AS (SELECT a AS z, b AS n FROM e
+                 UNION ALL SELECT b, a FROM e),
+         deg AS (SELECT z, count(*) AS d FROM adj GROUP BY z),
+         mids AS (SELECT z, d FROM deg WHERE d <= 64),
+         w AS (SELECT adj.z, adj.n, mids.d
+               FROM adj JOIN mids ON mids.z = adj.z),
+         pr AS (SELECT w1.n AS a, w2.n AS b, w1.d
+                FROM w w1 JOIN w w2 ON w1.z = w2.z AND w1.n < w2.n),
+         nw AS (SELECT pr.a, pr.b, pr.d FROM pr
+                LEFT JOIN e ON e.a = pr.a AND e.b = pr.b
+                WHERE e.a IS NULL)
+         SELECT a AS id_a, b AS id_b, count(*) AS n_common,
+           round(sum(1.0 / ln(CAST(d AS DOUBLE))), 6) AS aa_score
+         FROM nw GROUP BY 1, 2""",
 
     // bfsHops replay: per-hop frontier CTEs (neighbors of the previous
     // frontier, anti-joined against everything visited — first entry

@@ -40,6 +40,47 @@ object GraphMetrics {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Adamic–Adar link prediction over an undirected edge list: for
+    * every NON-edge pair (a < b) sharing at least one neighbor, the
+    * score Σ_z 1/ln(deg(z)) over common neighbors z — rare shared
+    * neighbors say more than hubs (Adamic & Adar 2003). The classic
+    * related-item / link-suggestion feature for the graphs the dedup
+    * and entity tiers produce.
+    *
+    * Same wedge-join shape and Σ deg(z)² work bound as
+    * [[triangleCounts]]; `maxDegree` excludes hub middles from wedge
+    * generation (the standard mitigation — a hub's 1/ln(deg) term is
+    * the least informative and its deg² wedge fan-out the most
+    * expensive; at web scale you ALWAYS cap). A degree-1 middle can't
+    * join two nodes, so deg(z) >= 2 and ln is never zero.
+    *
+    * Output: (id_a, id_b, n_common, aa_score rounded to 6).
+    */
+  def adamicAdar(edges: DataFrame,
+                 maxDegree: Option[Int] = None): DataFrame = {
+    val canon = edges
+      .select(least(col("id_a"), col("id_b")).as("a"),
+        greatest(col("id_a"), col("id_b")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val adj = canon.select(col("a").as("z"), col("b").as("n"))
+      .unionByName(canon.select(col("b").as("z"), col("a").as("n")))
+    val deg = adj.groupBy("z").agg(count(lit(1)).as("__deg"))
+    val mids = maxDegree.foldLeft(deg)((d, cap) =>
+      d.filter(col("__deg") <= cap))
+    val wedged = adj.join(mids, Seq("z"))
+    val pairs = wedged
+      .join(wedged.select(col("z"), col("n").as("n2")), Seq("z"))
+      .filter(col("n") < col("n2"))
+      .select(col("n").as("a"), col("n2").as("b"),
+        (lit(1.0) / log(col("__deg").cast("double"))).as("__w"))
+    pairs
+      .join(canon, Seq("a", "b"), "left_anti") // predict NEW links only
+      .groupBy(col("a").as("id_a"), col("b").as("id_b"))
+      .agg(count(lit(1)).as("n_common"),
+        round(sum("__w"), 6).as("aa_score"))
+  }
+
   /** Bounded-depth BFS: minimum hop distance from a seed set, for
     * every node within `maxHops` (unreached nodes are absent). The
     * crawl-frontier / link-distance-feature primitive: "everything

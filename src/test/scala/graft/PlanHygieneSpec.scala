@@ -440,6 +440,13 @@ class PlanHygieneSpec extends SparkTestBase {
       s"exchanges carry node ids only: $exchangeKeys")
   }
 
+  test("q_adamic_adar: wedge equi-joins on middle ids, never all-pairs") {
+    val p = plan("q_adamic_adar")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"wedge generation must equi-join on the middle node:\n${p.take(2000)}")
+    assert(!p.contains("Window"), "pair aggregation must hash, not rank")
+  }
+
   test("q_zipf: regression runs over the bounded top-k frame, not the vocabulary") {
     val p = plan("q_zipf")
     assert(p.contains("TakeOrderedAndProject"),

@@ -35,6 +35,49 @@ class GraphMetricsSpec extends SparkTestBase {
     assert(GraphMetrics.triangleCounts(chain).count() === 0L)
   }
 
+  test("adamicAdar: hand-computed star-plus-edge graph") {
+    // star center 10 — {1,2,3}, plus edge (1,2). Wedges through 10
+    // propose (1,2)/(1,3)/(2,3); through 1 and 2 they propose only
+    // existing edges. (1,2) is an edge -> dropped; (1,3) and (2,3)
+    // each score 1/ln(deg(10)) = 1/ln(3)
+    val g = Seq((10L, 1L), (10L, 2L), (10L, 3L), (1L, 2L))
+      .toDF("id_a", "id_b")
+    val got = GraphMetrics.adamicAdar(g)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val w = BigDecimal(1.0 / math.log(3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got === Map((1L, 3L) -> ((1L, w)), (2L, 3L) -> ((1L, w))))
+  }
+
+  test("adamicAdar: maxDegree cap removes hub middles") {
+    val g = Seq((10L, 1L), (10L, 2L), (10L, 3L), (1L, 2L))
+      .toDF("id_a", "id_b")
+    // deg(10) = 3 > 2: the only open wedges ran through the hub
+    assert(GraphMetrics.adamicAdar(g, maxDegree = Some(2)).count() === 0L)
+  }
+
+  test("adamicAdar: two common neighbors sum their weights") {
+    // a=1, b=2 share middles 10 (deg 2) and 11 (deg 3); (1,2) not an
+    // edge -> score = 1/ln(2) + 1/ln(3), n_common = 2
+    val g = Seq((1L, 10L), (2L, 10L), (1L, 11L), (2L, 11L), (3L, 11L))
+      .toDF("id_a", "id_b")
+    val got = GraphMetrics.adamicAdar(g)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val w12 = BigDecimal(1.0 / math.log(2.0) + 1.0 / math.log(3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val w = BigDecimal(1.0 / math.log(3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // (1,3)/(2,3) also share middle 11; (10,11) shares middles 1 AND 2
+    // (deg 2 each) from the other side of the bipartite wedge
+    val w1011 = BigDecimal(2.0 / math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got === Map((1L, 2L) -> ((2L, w12)),
+      (1L, 3L) -> ((1L, w)), (2L, 3L) -> ((1L, w)),
+      (10L, 11L) -> ((2L, w1011))))
+  }
+
   test("bfsHops: min distance on a path graph, truncated at maxHops") {
     // 1-2-3-4-5 path, seed 1: hops = position; 5 is beyond maxHops=3
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
