@@ -720,12 +720,15 @@ object Stress {
       // frontier that leaks a visited node, drops a neighbor, or
       // re-admits across seed boundaries breaks the bar.
       val nSeeds = graphNodes / 1000
+      require(nSeeds > 0,
+        s"graphNodes=$graphNodes too small for the bfs tier (need >= 1000)")
       val seeds = spark.range(nSeeds).toDF("i")
         .select((col("i") * 1000).as("id"))
       val b = operators.GraphMetrics.bfsHops(ring, seeds, maxHops = 3)
         .groupBy("hops").agg(count(lit(1)).as("n"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      require(b(0) == nSeeds && (1 to 3).forall(h => b(h) == 2 * nSeeds),
+      require(b.getOrElse(0, 0L) == nSeeds &&
+          (1 to 3).forall(h => b.getOrElse(h, 0L) == 2L * nSeeds),
         s"bfs census broken: $b, want hop0=$nSeeds, hops1-3=${2 * nSeeds}")
       (nSeeds * 7, s""","seeds":$nSeeds""")
     }

@@ -1142,17 +1142,22 @@ object CrmlsStream {
     }
   }
 
-  /** Bind the per-batch logic to a streaming tagged source. */
+  /** Bind the per-batch logic to a streaming tagged source.
+    * AvailableNow (drain-and-stop) by default for tests and backfills;
+    * a continuous deployment passes `Trigger.ProcessingTime(...)`
+    * (see CrmlsStreamMain).
+    */
   def run(tagged: DataFrame, store: StateStore, sink: UpsertJoin.UpsertSink,
           checkpointDir: String,
           narrowDimSink: Boolean =
-            sys.env.contains("SPARK_GRAFT_NARROW_SINK")): StreamingQuery =
+            sys.env.contains("SPARK_GRAFT_NARROW_SINK"),
+          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     tagged.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         processBatch(batch.sparkSession, batch, store, sink, narrowDimSink)
       }
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
 }

@@ -110,6 +110,8 @@ class VectorFunctionsSpec extends SparkTestBase {
     val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_v"),
       col("p").as("b_p"))
     val ratios = emb.crossJoin(b).filter(col("vec_id") < col("b_id"))
+      // zero-distance (duplicate) pairs would put Inf/NaN in the mean
+      .filter(VectorFunctions.l2Distance(col("embedding"), col("b_v")) > 0)
       .select(
         (pow(VectorFunctions.l2Distance(col("p"), col("b_p")), 2) /
           pow(VectorFunctions.l2Distance(col("embedding"), col("b_v")), 2)).as("r"))

@@ -38,13 +38,26 @@ def main(out_path, logs):
             samples += r.get("runs", {}).get(q, [r["queries"][q]] if q in r["queries"] else [])
         merged_runs[q] = samples
         queries[q] = min(samples)
+    # Baseline = the COMMITTED artifact (ad-hoc bench runs overwrite the
+    # working-tree file, so reading out_path directly could compare
+    # against a clobbered intermediate); fall back to the file when the
+    # path isn't tracked. Flag condition mirrors Bench.scala's advisory:
+    # prior > 0 && cur > 5 * prior && cur > 0.5.
     prior = {}
     try:
-        prior = json.load(open(out_path)).get("queries", {})
+        import subprocess
+        blob = subprocess.run(
+            ["git", "show", f"HEAD:{out_path}"],
+            capture_output=True, text=True, check=True).stdout
+        prior = json.loads(blob).get("queries", {})
     except Exception:
-        pass
+        try:
+            prior = json.load(open(out_path)).get("queries", {})
+        except Exception:
+            pass
     flagged = {q: [prior[q], queries[q]] for q in queries
-               if q in prior and prior[q] > 0.3 and queries[q] > 5 * prior[q]}
+               if q in prior and prior[q] > 0
+               and queries[q] > 5 * prior[q] and queries[q] > 0.5}
     out = {
         "metric": base.get("metric", "total"),
         "value": round(sum(queries.values()), 3),
