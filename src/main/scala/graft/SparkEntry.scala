@@ -1218,6 +1218,33 @@ object SparkEntry {
             .cast("int").as("ndv_ok"))
     }),
 
+    // the sketch tier ALONE — what the 100x path actually pays:
+    // approx_count_distinct is one ordinary aggregation (mergeable HLL
+    // partials, no multi-distinct expand), so this row prices the
+    // sketch without q_profile_approx's exact-NDV audit riding along.
+    // The banded contract moves to the OUTPUT: ndv_ok asserts the
+    // sketch lands inside a per-column cardinality band wide enough
+    // (10x+) that the 1% rsd cannot straddle it, and the oracle
+    // re-derives the same flag from DuckDB's exact NDV — each side
+    // pays only its own tier
+    "q_profile_sketch" -> ((s, dir) => {
+      val sk = Profile.profile(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_quantity", "l_returnflag"),
+        approxNdv = true, ndvRsd = 0.01)
+      val lo = when(col("col_name") === "l_orderkey",
+          (col("n_rows") * 0.1).cast("long"))
+        .when(col("col_name") === "l_quantity", lit(10L))
+        .otherwise(lit(1L))
+      val hi = when(col("col_name") === "l_orderkey",
+          (col("n_rows") * 0.5).cast("long"))
+        .when(col("col_name") === "l_quantity", lit(200L))
+        .otherwise(lit(10L))
+      sk.select(col("col_name"), col("n_rows"), col("n_null"),
+        col("min_val"), col("max_val"),
+        (col("n_distinct") >= lo && col("n_distinct") <= hi)
+          .cast("int").as("ndv_ok"))
+    }),
+
     // equi-width histogram profiling — plain IEEE-double bin math, so
     // the oracle recomputes the exact same bins in SQL
     "q_profile_hist" -> ((s, dir) =>
@@ -3088,6 +3115,37 @@ object SparkEntry {
            CAST(max(l_returnflag) AS VARCHAR),
            1
          FROM lineitem""",
+
+    "q_profile_sketch" ->
+      """WITH s AS (
+           SELECT 'l_orderkey' AS col_name, count(*) AS n_rows,
+             count(*) - count(l_orderkey) AS n_null,
+             count(DISTINCT l_orderkey) AS ndv,
+             CAST(min(l_orderkey) AS VARCHAR) AS min_val,
+             CAST(max(l_orderkey) AS VARCHAR) AS max_val
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_quantity', count(*), count(*) - count(l_quantity),
+             count(DISTINCT l_quantity),
+             CAST(min(l_quantity) AS VARCHAR),
+             CAST(max(l_quantity) AS VARCHAR)
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+             count(DISTINCT l_returnflag),
+             CAST(min(l_returnflag) AS VARCHAR),
+             CAST(max(l_returnflag) AS VARCHAR)
+           FROM lineitem)
+         SELECT col_name, n_rows, n_null, min_val, max_val,
+           CASE WHEN ndv
+                  BETWEEN (CASE col_name
+                           WHEN 'l_orderkey' THEN CAST(n_rows * 0.1 AS BIGINT)
+                           WHEN 'l_quantity' THEN 10 ELSE 1 END)
+                  AND (CASE col_name
+                       WHEN 'l_orderkey' THEN CAST(n_rows * 0.5 AS BIGINT)
+                       WHEN 'l_quantity' THEN 200 ELSE 10 END)
+                THEN 1 ELSE 0 END AS ndv_ok
+         FROM s""",
 
     "q_profile_hist" ->
       """WITH b AS (
