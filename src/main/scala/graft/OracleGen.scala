@@ -753,6 +753,80 @@ object OracleGen {
               p.pred_label <> e.label AS is_suspect
        FROM pred p JOIN e ON e.vec_id = p.probe_id"""
 
+  /** Oracle for [[graft.operators.GraphAnnDist.buildIndex]] over the
+    * full `embeddings` table — replays the whole deterministic
+    * construction: lowest-id centroids, argmax-cosine assignment (ties
+    * to the lower cell ordinal, zero-norm sims NULLS LAST), within-cell
+    * NSW forward edges as a window rank over same-cell predecessor
+    * pairs (node i keeps its min(m, rank) nearest j < i by cosine desc,
+    * j asc — exact neighbor selection makes the sequential insertion
+    * order-free, hence SQL-expressible), and the centroid-level stitch
+    * between entry nodes of non-empty cells under the same rule with
+    * `mCells`. Output: (src_id, dst_id), both directions.
+    */
+  def graphAnnDistSql(nCells: Int, m: Int, mCells: Int, dim: Int): String = {
+    def nrm(v: String) =
+      s"sqrt(list_sum(list_transform($v, x -> x * x)))"
+    s"""WITH e AS (
+         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings),
+       n AS (
+         SELECT vec_id, v, ${nrm("v")} AS nrm FROM e),
+       cents AS (
+         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_id,
+                v AS cv, nrm AS cn
+         FROM (SELECT vec_id, v, nrm FROM n ORDER BY vec_id LIMIT $nCells)),
+       asgn AS (
+         SELECT n.vec_id, c.cell_id,
+                CASE WHEN n.nrm * c.cn <> 0
+                     THEN ${dotSql("n.v", "c.cv", dim)} / (n.nrm * c.cn)
+                END AS sim
+         FROM n CROSS JOIN cents c),
+       cellof AS (
+         SELECT vec_id, cell_id FROM (
+           SELECT vec_id, cell_id,
+                  row_number() OVER (PARTITION BY vec_id
+                    ORDER BY sim DESC NULLS LAST, cell_id) AS rn
+           FROM asgn) r WHERE rn = 1),
+       pairs AS (
+         SELECT a.vec_id AS i, b.vec_id AS j,
+                CASE WHEN ni.nrm * nj.nrm <> 0
+                     THEN ${dotSql("ni.v", "nj.v", dim)} / (ni.nrm * nj.nrm)
+                END AS cosine
+         FROM cellof a JOIN cellof b
+           ON a.cell_id = b.cell_id AND b.vec_id < a.vec_id
+         JOIN n ni ON ni.vec_id = a.vec_id
+         JOIN n nj ON nj.vec_id = b.vec_id),
+       fwd AS (
+         SELECT i, j FROM (
+           SELECT i, j, row_number() OVER (PARTITION BY i
+             ORDER BY cosine DESC NULLS LAST, j) AS rn
+           FROM pairs) r WHERE rn <= $m),
+       entries AS (
+         SELECT cell_id, min(vec_id) AS entry FROM cellof GROUP BY cell_id),
+       cpairs AS (
+         SELECT a.cell_id AS ci, b.cell_id AS cj,
+                CASE WHEN ca.cn * cb.cn <> 0
+                     THEN ${dotSql("ca.cv", "cb.cv", dim)} / (ca.cn * cb.cn)
+                END AS cosine
+         FROM entries a JOIN entries b ON b.cell_id < a.cell_id
+         JOIN cents ca ON ca.cell_id = a.cell_id
+         JOIN cents cb ON cb.cell_id = b.cell_id),
+       cfwd AS (
+         SELECT ci, cj FROM (
+           SELECT ci, cj, row_number() OVER (PARTITION BY ci
+             ORDER BY cosine DESC NULLS LAST, cj) AS rn
+           FROM cpairs) r WHERE rn <= $mCells),
+       xfwd AS (
+         SELECT ea.entry AS i, eb.entry AS j
+         FROM cfwd JOIN entries ea ON ea.cell_id = cfwd.ci
+                   JOIN entries eb ON eb.cell_id = cfwd.cj)
+       SELECT i AS src_id, j AS dst_id FROM fwd
+       UNION ALL SELECT j AS src_id, i AS dst_id FROM fwd
+       UNION ALL SELECT i AS src_id, j AS dst_id FROM xfwd
+       UNION ALL SELECT j AS src_id, i AS dst_id FROM xfwd"""
+  }
+
   def ivfAnnSql(probeMax: Int, k: Int, nCells: Int, nProbe: Int,
                 dim: Int): String =
     s"""WITH e AS (

@@ -1121,6 +1121,17 @@ object SparkEntry {
         .select("probe_id", "neighbor_id", "rank")
     }),
 
+    // §2.10 similarity search: the DISTRIBUTED graph-index build —
+    // per-cell NSW subgraphs built in executors over an IVF
+    // partitioning, stitched through entry nodes along a
+    // centroid-level NSW (replaces the driver-bound O(n²) build past
+    // its 65k guard). The result is the INDEX ITSELF as a DataFrame;
+    // the oracle replays the entire deterministic construction —
+    // assignment, within-cell neighbor ranks, entry stitching — in SQL
+    "q_graph_ann_dist" -> ((s, dir) =>
+      GraphAnnDist.buildIndex(t(s, dir, "embeddings"), "vec_id",
+        "embedding", nCells = 8, m = 4, mCells = 2)),
+
     // §2.10 similarity search: SRP-LSH approximate top-k (oracle
     // recomputes the bucketing from the deterministic hyperplanes)
     "q_srp_ann" -> ((s, dir) => {
@@ -2136,6 +2147,10 @@ object SparkEntry {
     // GraphAnnSpec recall + equivalence tests)
     "q_graph_ann" -> OracleGen.ivfAnnSql(
       probeMax = 64, k = 5, nCells = 32, nProbe = 3, dim = 64),
+
+    // the distributed build's full edge list, reconstructed in SQL
+    "q_graph_ann_dist" -> OracleGen.graphAnnDistSql(
+      nCells = 8, m = 4, mCells = 2, dim = 64),
 
     // the salted fallback must produce EXACTLY the broadcast tier's
     // rows — same oracle SQL, independently recomputed by DuckDB

@@ -241,6 +241,76 @@ object Stress {
       (hits.count(), s""","n_nodes":$gNodes,"twins_found":$twinsFound""")
     }
 
+    // -------------------------------------- distributed graph build
+    // The corpus-scale NSW index build (GraphAnnDist): 1 M nodes in
+    // 1,024 planted clusters, every member of a cluster carrying the
+    // IDENTICAL vector — so (a) assignment must route each node to its
+    // own cluster's centroid (ids 0..1023, one per cluster, are the
+    // lowest-id quantizer), and (b) all within-cell cosines tie at 1
+    // and neighbor selection degenerates to pure ordinal tie-breaking:
+    // the node at within-cell rank r (id = cell + r*1024) must link
+    // forward to EXACTLY ranks 0..min(m,r)-1. That pins the entire
+    // 16 M-row edge list in closed form: per-cell forward counts, a
+    // zero-violation dst-rank bound, per-source forward degrees, and
+    // the stitch tier (entries = the centroids themselves) — any
+    // assignment slip, dropped edge, or tie-break drift breaks a bar.
+    // The only exchange is the one corpus-sized groupBy; per-cell work
+    // is executor-local O(|cell|^2 * dim).
+    val gdNodes = sys.env.getOrElse("SPARK_GRAFT_STRESS_GANN_NODES",
+      "1000000").toLong
+    phase("graph_ann_dist_build") {
+      val kc = 1024
+      val gm = 8
+      val gmc = 2
+      val cluster = pmod(col("id"), lit(kc.toLong))
+      val corpus = spark.range(gdNodes).toDF("id")
+        .withColumn("embedding",
+          transform(sequence(lit(0), lit(dim - 1)), j =>
+            (pmod(xxhash64(cluster, j), lit(2000001L)).cast("double")
+              / 1000000.0 - 1.0))
+          .cast("array<float>"))
+      val edges = operators.GraphAnnDist.buildIndex(corpus, "id",
+        "embedding", nCells = kc, m = gm, mCells = gmc,
+        maxCellSize = 4096).persist()
+      // closed-form expectations
+      def fwdOf(s: Long, m: Long): Long =
+        if (s <= 1) 0L
+        else if (s - 1 <= m) (s - 1) * s / 2
+        else m * (s - 1) - m * (m - 1) / 2
+      val s0 = gdNodes / kc
+      val rem = gdNodes % kc
+      val expWithin = 2L * (rem * fwdOf(s0 + 1, gm) +
+        (kc - rem) * fwdOf(s0, gm))
+      val expStitch = 2L * fwdOf(kc.toLong, gmc.toLong)
+      val within = pmod(col("src_id"), lit(kc.toLong)) ===
+        pmod(col("dst_id"), lit(kc.toLong))
+      val a = edges.agg(
+        count(lit(1)).as("total"),
+        sum(when(!within, 1L).otherwise(0L)).as("stitch"),
+        // same-cluster ids order by within-cell rank (id DIV kc):
+        // every forward edge must land on a rank < m target
+        sum(when(within && col("src_id") > col("dst_id") &&
+          expr(s"dst_id DIV $kc") >= gm, 1L).otherwise(0L)).as("bad_rank"),
+        // stitch edges connect cell ENTRIES = the centroids (ids < kc)
+        sum(when(!within && (col("src_id") >= kc || col("dst_id") >= kc),
+          1L).otherwise(0L)).as("bad_entry")).head()
+      require(a.getLong(0) == expWithin + expStitch &&
+          a.getLong(1) == expStitch && a.getLong(2) == 0L &&
+          a.getLong(3) == 0L,
+        s"planted NSW structure broken: total=${a.getLong(0)} " +
+          s"(want ${expWithin + expStitch}), stitch=${a.getLong(1)} " +
+          s"(want $expStitch), bad_rank=${a.getLong(2)}, " +
+          s"bad_entry=${a.getLong(3)}")
+      // per-source forward degree must be EXACTLY min(m, rank)
+      val badDeg = edges.filter(within && col("src_id") > col("dst_id"))
+        .groupBy("src_id").agg(count(lit(1)).as("c"))
+        .filter(col("c") =!=
+          least(lit(gm.toLong), expr(s"src_id DIV $kc"))).count()
+      require(badDeg == 0L, s"$badDeg sources with wrong forward degree")
+      edges.unpersist()
+      (a.getLong(0), s""","nodes":$gdNodes,"cells":$kc,"m":$gm""")
+    }
+
     // ------------------------------------------------------- SRP ANN
     // the third ANN path; bitsPerBand sized ~log2(corpus) per the
     // operator docs, so buckets are near-singleton for random vectors

@@ -92,42 +92,11 @@ object GraphAnn {
       norms(i) = math.sqrt(ss)
       i += 1
     }
-    def negCos(a: Int, b: Int): Double = {
-      val d = norms(a) * norms(b)
-      if (d == 0.0) 2.0
-      else {
-        var s = 0.0
-        val oa = a * dim; val ob = b * dim
-        var j = 0
-        while (j < dim) { s += flat(oa + j) * flat(ob + j); j += 1 }
-        -(s / d)
-      }
-    }
+    // insertion loop shared with the distributed per-cell build
+    // (GraphAnnDist.nswForwardEdges) so the two tiers cannot drift
     val nbrs = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Int])
-    i = 1
-    while (i < n) {
-      // exact m-nearest among already-inserted: selection over i keys
-      val keys = new Array[Double](i)
-      var j = 0
-      while (j < i) { keys(j) = negCos(i, j); j += 1 }
-      val take = math.min(m, i)
-      val used = new Array[Boolean](i)
-      var t = 0
-      while (t < take) {
-        var best = -1
-        var c = 0
-        while (c < i) {
-          if (!used(c) && (best < 0 ||
-              java.lang.Double.compare(keys(c), keys(best)) < 0))
-            best = c
-          c += 1
-        }
-        used(best) = true
-        nbrs(i) += best
-        nbrs(best) += i
-        t += 1
-      }
-      i += 1
+    GraphAnnDist.nswForwardEdges(flat, norms, dim, m).foreach {
+      case (a, b) => nbrs(a) += b; nbrs(b) += a
     }
     val adjOff = new Array[Int](n + 1)
     i = 0

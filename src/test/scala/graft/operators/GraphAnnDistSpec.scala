@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class GraphAnnDistSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def edgeSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("src_id", "dst_id").as[(Long, Long)].collect().toSet
+
+  test("one-cell distributed build IS the driver build") {
+    // with a single cell the partitioned path runs the identical
+    // insertion over the identical node set — the driver graph's
+    // bidirectional adjacency and the distributed edge list must match
+    // pair for pair
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .filter(col("vec_id") < 48)
+    val g = GraphAnn.buildGraph(emb, "vec_id", "embedding",
+      nNodes = 48, m = 4)
+    val ids = emb.orderBy("vec_id").select("vec_id")
+      .as[Long].collect()
+    val driverEdges = (0 until g.nNodes).flatMap { i =>
+      (g.adjOff(i) until g.adjOff(i + 1)).map(p => (ids(i), ids(g.adj(p))))
+    }.toSet
+    val dist = edgeSet(GraphAnnDist.buildIndex(emb, "vec_id", "embedding",
+      nCells = 1, m = 4, mCells = 2))
+    assert(dist === driverEdges)
+  }
+
+  test("deterministic under input partitioning and row order") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val a = edgeSet(GraphAnnDist.buildIndex(emb, "vec_id", "embedding",
+      nCells = 8, m = 4, mCells = 2))
+    val shuffled = emb.repartition(17, col("label"))
+      .sortWithinPartitions(col("vec_id").desc)
+    val b = edgeSet(GraphAnnDist.buildIndex(shuffled, "vec_id", "embedding",
+      nCells = 8, m = 4, mCells = 2))
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
+  test("stitched graph is connected and every node is present") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val n = emb.count()
+    val edges = edgeSet(GraphAnnDist.buildIndex(emb, "vec_id", "embedding",
+      nCells = 8, m = 4, mCells = 2))
+    val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+    assert(adj.keySet.size.toLong === n, "every node must carry edges")
+    // every link present in both directions
+    assert(edges.forall { case (s, d) => edges((d, s)) })
+    val start = adj.keySet.min
+    val seen = scala.collection.mutable.Set(start)
+    val stack = scala.collection.mutable.Stack(start)
+    while (stack.nonEmpty) {
+      adj(stack.pop()).foreach { nb =>
+        if (!seen(nb)) { seen += nb; stack.push(nb) }
+      }
+    }
+    assert(seen.size.toLong === n,
+      "entry stitching must connect every cell subgraph")
+  }
+
+  test("planted exact-tie cells: rank-r node links to the lowest min(m,r) ordinals") {
+    // every member of a cell carries the IDENTICAL vector, so all
+    // within-cell cosines tie at 1 and selection is pure ordinal
+    // tie-breaking: node at within-cell rank r must link forward to
+    // ordinals 0..min(m,r)-1 — the same planted bar the tier-2 stress
+    // phase asserts at 1M nodes
+    val k = 3; val per = 6; val m = 2
+    val rows = for (id <- 0 until (k * per)) yield {
+      val c = id % k
+      (id.toLong, Array.tabulate(4)(j =>
+        (if (j == c) 10f else 1f) + c))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val edges = edgeSet(GraphAnnDist.buildIndex(df, "vec_id", "embedding",
+      nCells = k, m = m, mCells = 1))
+    // ids 0..k-1 are the centroids (one per cluster); members of
+    // cluster c are ids {c, c+k, c+2k, ...}, so within-cell ordinal r
+    // maps to id c + r*k
+    for (c <- 0 until k; r <- 1 until per; t <- 0 until math.min(m, r)) {
+      val src = (c + r * k).toLong
+      val dst = (c + t * k).toLong
+      assert(edges((src, dst)), s"missing planted edge $src -> $dst")
+    }
+    // forward-degree bound: rank-r node sends exactly min(m, r) links,
+    // so total within edges = 2 * k * sum(min(m, r))
+    val expectWithin = 2 * k * (1 until per).map(math.min(m, _)).sum
+    val stitch = 2 * (1 until k).map(math.min(1, _)).sum
+    assert(edges.size === expectWithin + stitch)
+  }
+
+  test("hot cell past maxCellSize fails fast with the refit message") {
+    val df = (0 until 64).map(i => (i.toLong, Array(1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[org.apache.spark.SparkException] {
+      GraphAnnDist.buildIndex(df, "vec_id", "embedding",
+        nCells = 2, m = 2, mCells = 1, maxCellSize = 8).count()
+    }
+    assert(e.getMessage.contains("more cells") ||
+      Option(e.getCause).exists(_.getMessage.contains("more cells")))
+  }
+}
