@@ -802,6 +802,41 @@ object Stress {
         s"bfs census broken: $b, want hop0=$nSeeds, hops1-3=${2 * nSeeds}")
       (nSeeds * 7, s""","seeds":$nSeeds""")
     }
+    phase("bfs_hops_deep") {
+      // the deep-traversal tier: same ring and 1000-apart seeds, 8
+      // hops, with the deep knobs ON (cached doubled edge list +
+      // lineage checkpoint every 3 hops). The census stays exact
+      // (nearest seeds 1000 apart — no frontier interference through
+      // hop 8), and the FLATNESS bar runs the identical knobs at 4
+      // hops first: with bounded lineage and a cached edge scan the
+      // per-hop cost is constant, so wall(8) must stay <= 2.5x
+      // wall(4); a lineage/replan blowup makes deep hops
+      // progressively more expensive and breaks the bound.
+      val nSeeds = graphNodes / 1000
+      require(nSeeds > 0,
+        s"graphNodes=$graphNodes too small for the deep bfs tier")
+      val seeds = spark.range(nSeeds).toDF("i")
+        .select((col("i") * 1000).as("id"))
+      def census(maxHops: Int): (Map[Int, Long], Double) = {
+        val t0 = System.nanoTime()
+        val b = operators.GraphMetrics.bfsHops(ring, seeds, maxHops,
+            cacheEdges = true, checkpointEvery = 3)
+          .groupBy("hops").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        (b, (System.nanoTime() - t0) / 1e9)
+      }
+      val (b4, t4) = census(4)
+      val (b8, t8) = census(8)
+      require(b8.getOrElse(0, 0L) == nSeeds &&
+          (1 to 8).forall(h => b8.getOrElse(h, 0L) == 2L * nSeeds) &&
+          (0 to 4).forall(h => b4.getOrElse(h, 0L) == b8(h)),
+        s"deep bfs census broken: 8-hop=$b8 4-hop=$b4, " +
+          s"want hop0=$nSeeds, hops1-8=${2L * nSeeds}")
+      require(t8 <= 2.5 * t4,
+        f"per-hop cost not flat: 8 hops $t8%.1fs vs 4 hops $t4%.1fs " +
+          "(lineage/replan blowup)")
+      (nSeeds * 17, f""","seeds":$nSeeds,"sec_4hop":$t4%.2f,"sec_8hop":$t8%.2f""")
+    }
 
     // ------------------------------------------------ kmeans tier
     // Planted clusters with an EXACT recovery bar: vector i = center

@@ -92,29 +92,58 @@ object GraphMetrics {
     * needed afterwards). Each round is two id-keyed equi-shuffles
     * (neighbor distinct + visited anti-join); the frontier and visited
     * sets carry (id, hops) only, never payloads, and `maxHops` bounds
-    * the plan depth so Catalyst sees a fixed join chain. For deep
-    * traversals (maxHops ≳ 10) checkpoint `visited` every few rounds
-    * to cut lineage — at the feature-engineering depths this serves
-    * (2-4 hops) the straight chain is the faster plan.
+    * the plan depth so Catalyst sees a fixed join chain.
+    *
+    * Two DEEP-TRAVERSAL knobs, both off by default (at the
+    * feature-engineering depths this usually serves — 2-4 hops — the
+    * straight lazy chain is the faster plan, and the oracle-checked
+    * catalog row deliberately prices that honest shape):
+    *
+    *  - `cacheEdges` persists the doubled edge list, so each hop scans
+    *    memory instead of re-deriving the union from the source scan —
+    *    the per-hop constant a depth-20 crawl cares about;
+    *  - `checkpointEvery = k` (> 0) switches to materialized
+    *    iteration: EVERY hop's frontier increment is eagerly
+    *    `localCheckpoint`ed (computed exactly once — a lazy chain
+    *    re-derives each round inside every later round's plan, which
+    *    is the classic quadratic lineage blowup; the stress harness's
+    *    flatness bar caught precisely that on a checkpoint-the-span
+    *    variant), and the visited UNION is flattened every k hops so
+    *    plan width stays bounded at long diameters.
+    *
+    * With either knob on, the RESULT is materialized (eager
+    * checkpoint) before returning — iterative traversals act per hop
+    * anyway — and the edge cache is released. Output is identical to
+    * the lazy shape: (id, hops), hops in [0, maxHops].
     *
     * `edges` is undirected (`id_a`, `id_b`); `seeds` is a single
-    * column `id`. Output: (id, hops), hops in [0, maxHops].
+    * column `id`.
     */
-  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+              cacheEdges: Boolean = false,
+              checkpointEvery: Int = 0): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
-    val dir = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val dir0 = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val dir = if (cacheEdges) dir0.persist() else dir0
     var visited = seeds.select(col("id")).distinct()
       .withColumn("hops", lit(0))
     var frontier = visited.select(col("id"))
     for (h <- 1 to maxHops) {
-      val next = dir
+      var next = dir
         .join(frontier.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst").as("id")).distinct()
         .join(visited, Seq("id"), "left_anti")
+      if (checkpointEvery > 0) next = next.localCheckpoint()
       frontier = next
       visited = visited.unionByName(next.withColumn("hops", lit(h)))
+      if (checkpointEvery > 0 && h % checkpointEvery == 0 && h < maxHops)
+        visited = visited.localCheckpoint()
     }
-    visited
+    if (cacheEdges || checkpointEvery > 0) {
+      val out = visited.localCheckpoint()
+      if (cacheEdges) dir.unpersist()
+      out
+    } else visited
   }
 }

@@ -106,6 +106,24 @@ class GraphMetricsSpec extends SparkTestBase {
     assert(got === Map(1L -> 0, 5L -> 0, 2L -> 1, 6L -> 1))
   }
 
+  test("bfsHops: deep-traversal knobs change the plan, never the rows") {
+    // 12-node ring, two seeds: every node reached, distances = ring
+    // distance to the nearer seed. The cached-edges + checkpointed
+    // variant must return exactly the lazy chain's rows.
+    val ring = (0L until 12L).map(i => (i, (i + 1) % 12))
+      .toDF("id_a", "id_b")
+    val seeds = Seq(0L, 6L).toDF("id")
+    val lazyRows = GraphMetrics.bfsHops(ring, seeds, maxHops = 5)
+      .as[(Long, Int)].collect().toMap
+    val deepRows = GraphMetrics.bfsHops(ring, seeds, maxHops = 5,
+        cacheEdges = true, checkpointEvery = 2)
+      .as[(Long, Int)].collect().toMap
+    assert(deepRows === lazyRows)
+    assert(lazyRows === (0L until 12L)
+      .map(i => i -> math.min(math.min(i, 12 - i),
+        math.abs(i - 6)).toInt).toMap)
+  }
+
   test("bfsHops: maxHops = 0 returns the deduplicated seed set") {
     val g = Seq((1L, 2L)).toDF("id_a", "id_b")
     val got = GraphMetrics
