@@ -423,6 +423,21 @@ object SparkEntry {
         .select(col("window.start").as("w_start"), col("event_type"),
           col("n"), col("sum_value"))),
 
+    // STREAMING legs of the gate (StreamReplay): the streaming
+    // operators run as real MemoryStream micro-batch replays to their
+    // final tables, hashed against batch-equivalent DuckDB oracles —
+    // promoting the batch-stream identity from sbt-only
+    // (BatchStreamEquivalenceSpec & co) into the driver's correctness
+    // artifact.
+    // A2/T7 streamed: exact dedup state across four micro-batches
+    "q_stream_dedup" -> ((s, dir) => StreamReplay.dedupExact(s, dir)),
+    // A1/A2 streamed: the reference's continuous argmax
+    // latest-version-per-key, changelog reduced to its final snapshot
+    "q_stream_latest" -> ((s, dir) => StreamReplay.latestVersion(s, dir)),
+    // J5/U1 streamed: event-time as-of join with watermark-buffered
+    // probes, same oracle shape as the batch q_asof
+    "q_stream_asof" -> ((s, dir) => StreamReplay.asOfJoin(s, dir)),
+
     // §2.8 sorts/limits: top-k with deterministic tiebreak
     "q_topk" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -1910,6 +1925,36 @@ object SparkEntry {
       """SELECT event_id, user_id, ts, clk_ts, clk_value FROM (
            SELECT p.event_id, p.user_id, p.ts,
                   b.ts AS clk_ts, b.value AS clk_value,
+                  row_number() OVER (PARTITION BY p.event_id
+                    ORDER BY b.ts DESC, b.event_id DESC) AS rn
+           FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+           LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
+             ON b.user_id = p.user_id AND b.ts <= p.ts) t
+         WHERE rn = 1""",
+
+    // the streamed exact-dedup keeps min doc_id per distinct text by
+    // construction of the rank-ordered replay
+    "q_stream_dedup" ->
+      """SELECT doc_id, content_hash FROM (
+           SELECT doc_id, md5(text) AS content_hash,
+                  row_number() OVER (PARTITION BY md5(text)
+                    ORDER BY doc_id) AS rn
+           FROM documents) t WHERE rn = 1""",
+
+    // the streamed argmax snapshot = batch argmax (ties to the greater
+    // zero-padded payload = greater event_id; test ts are distinct)
+    "q_stream_latest" ->
+      """SELECT user_id, ts, event_id FROM (
+           SELECT user_id, ts, event_id,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events) t WHERE rn = 1""",
+
+    // the streamed temporal join = the batch as-of, on event ids
+    "q_stream_asof" ->
+      """SELECT event_id, user_id, ts, clk_event_id FROM (
+           SELECT p.event_id, p.user_id, p.ts,
+                  b.event_id AS clk_event_id,
                   row_number() OVER (PARTITION BY p.event_id
                     ORDER BY b.ts DESC, b.event_id DESC) AS rn
            FROM (SELECT * FROM events WHERE event_type = 'purchase') p

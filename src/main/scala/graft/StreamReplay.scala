@@ -1,0 +1,168 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.streaming.{LatestState, StreamingAsOf, StreamingDedup}
+
+/** Streaming legs of the correctness gate: deterministic MemoryStream
+  * replays of the library's streaming operators over the test tables,
+  * run to completion and reduced to their FINAL tables — so the
+  * driver's batch DuckDB oracle can hash-check streaming semantics the
+  * same way it checks every batch operator (the q_stream_* rows; the
+  * replay-vs-batch identity was previously pinned only inside the sbt
+  * suite, e.g. BatchStreamEquivalenceSpec).
+  *
+  * Replay determinism, by construction:
+  *  - feeds are chunked CHRONOLOGICALLY (or by within-group rank for
+  *    the dedup leg), so watermarks only move forward and Spark's
+  *    late-row filter can never drop a record — any positive delay is
+  *    safe;
+  *  - all tie axes ride zero-padded-id payloads (lexicographic ==
+  *    numeric order), and the test timestamps are distinct, so every
+  *    state transition is order-free;
+  *  - event timestamps are microsecond-exact; the as-of leg maps epoch
+  *    MICROS onto the operator's millisecond axis (Timestamp.getTime)
+  *    so no precision is lost crossing `java.sql.Timestamp`.
+  *
+  * Each replay runs as its own uniquely-named memory-sink query; the
+  * result is detached (collected + re-created) so the returned frame
+  * has no lifetime tie to the stopped stream.
+  */
+object StreamReplay {
+
+  private val seq = new java.util.concurrent.atomic.AtomicLong
+
+  private def detach(spark: SparkSession, name: String): DataFrame = {
+    val t = spark.table(name)
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    t.collect().foreach(rows.add)
+    spark.catalog.dropTempView(name)
+    spark.createDataFrame(rows, t.schema)
+  }
+
+  /** [[StreamingDedup.exactDedupStream]] over `documents`, replayed in
+    * four micro-batches: each duplicate group's KEEPER (min doc_id)
+    * arrives in one of the first three batches — spread by content
+    * hash — and every later copy arrives in batch four, AFTER its
+    * keeper is in state. Within any single batch all texts are
+    * distinct, so the kept set is exactly "min doc_id per distinct
+    * text" with no within-batch winner ambiguity.
+    */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val name = s"stream_dedup_${seq.incrementAndGet()}"
+    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val chunks = Tables.load(spark, dir, "documents")
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__chunk", when(col("__rn") > 1, lit(3))
+        .otherwise(pmod(xxhash64(md5(col("text"))), lit(3L)).cast("int")))
+      .select(col("__chunk"), col("doc_id"), col("text"))
+      .as[(Int, Long, String)].collect()
+      .groupBy(_._1)
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingDedup
+      .exactDedupStream(input.toDF().toDF("doc_id", "text"), "text")
+      .select("doc_id", "content_hash")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      (0 to 3).foreach { c =>
+        chunks.get(c).foreach(rs => input.addData(rs.map(r => (r._2, r._3)).toSeq: _*))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    detach(spark, name)
+  }
+
+  /** [[LatestState.latestByKey]] — the reference's continuous argmax
+    * dedup — over `events` keyed by user, replayed chronologically in
+    * four micro-batches. The memory sink accumulates the UPSERT
+    * changelog; upserts are strictly increasing per key, so the final
+    * table is the per-key maximum of the emitted rows (the standard
+    * changelog-to-snapshot reduction).
+    */
+  def latestVersion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val name = s"stream_latest_${seq.incrementAndGet()}"
+    val rows = Tables.load(spark, dir, "events")
+      .select(col("user_id").cast("string").as("key"),
+        unix_micros(col("ts").cast("timestamp")).as("ts"),
+        lpad(col("event_id").cast("string"), 12, "0").as("payload"))
+      .orderBy("ts")
+      .as[(String, Long, String)].collect()
+    val input = MemoryStream[LatestState.Versioned]
+    val q = LatestState.latestByKey(input.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    try {
+      rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { c =>
+        input.addData(c.map(t =>
+          LatestState.Versioned(t._1, t._2, t._3)).toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val wLast = Window.partitionBy(col("key"))
+      .orderBy(col("ts").desc, col("payload").desc)
+    detach(spark, name)
+      .withColumn("__rn", row_number().over(wLast))
+      .filter(col("__rn") === 1)
+      .select(col("key").cast("long").as("user_id"),
+        timestamp_micros(col("ts")).cast("timestamp_ntz").as("ts"),
+        col("payload").cast("long").as("event_id"))
+  }
+
+  /** [[StreamingAsOf.asOfStream]] — the reference's event-time temporal
+    * join — purchases probing the latest click at-or-before their
+    * timestamp, per user, replayed chronologically in four
+    * micro-batches plus three sentinel advances (the watermark must
+    * pass the last probes before they ripen; sentinels ride a dummy
+    * key and never emit). Timestamps cross the operator's millisecond
+    * axis as epoch MICROS, so sub-millisecond ordering — which the
+    * test events have — survives intact.
+    */
+  def asOfJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val name = s"stream_asof_${seq.incrementAndGet()}"
+    val rows = Tables.load(spark, dir, "events")
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("user_id").cast("string").as("key"),
+        timestamp_millis(unix_micros(col("ts").cast("timestamp"))).as("event_ts"),
+        (col("event_type") === "purchase").as("isProbe"),
+        lpad(col("event_id").cast("string"), 12, "0").as("payload"))
+      .orderBy("event_ts")
+      .as[(String, java.sql.Timestamp, Boolean, String)].collect()
+    val input = MemoryStream[(String, java.sql.Timestamp, Boolean, String)]
+    val tagged = input.toDF().toDF("key", "event_ts", "isProbe", "payload")
+      .withWatermark("event_ts", "30 seconds")
+      .select(col("key"), col("event_ts").as("ts"),
+        col("isProbe"), col("payload"))
+      .as[StreamingAsOf.Tagged]
+    val q = StreamingAsOf.asOfStream(tagged)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { c =>
+        input.addData(c.toSeq: _*)
+        q.processAllAvailable()
+      }
+      val maxMs = rows.iterator.map(_._2.getTime).max
+      (1 to 3).foreach { i =>
+        input.addData(("~advance", new java.sql.Timestamp(
+          maxMs + i * 120000L), false, "z"))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    detach(spark, name)
+      .filter(col("key") =!= "~advance")
+      .select(col("probePayload").cast("long").as("event_id"),
+        col("key").cast("long").as("user_id"),
+        timestamp_micros(col("probeTs")).cast("timestamp_ntz").as("ts"),
+        col("buildPayload").cast("long").as("clk_event_id"))
+  }
+}

@@ -430,6 +430,48 @@ object Stress {
     }
     pairs.unpersist()
 
+    // ----------------------- connected components, CHAIN-DIAMETER tier
+    // Min-label propagation needs `diameter` rounds, so a chain-shaped
+    // graph is the loop's worst case: near-dup graphs converge in a
+    // handful (they're near-cliques), a 100-long chain needs ~100.
+    // Planted chains make the labels exact (node i sits in chain
+    // i % nChains whose canonical min id IS the chain index), and
+    // running diameter 50 before diameter 100 over the SAME node and
+    // edge counts gives a flatness bar: per-round cost is
+    // size-determined and identical across the two runs, so wall must
+    // scale ~linearly with rounds (<= 3x for 2x the rounds). Without
+    // the loop's periodic localCheckpoint the round-t plan embeds all
+    // t-1 predecessors and analyzer/cache-lookup time grows with t —
+    // at 100 rounds that blows the bound (driver-side, so a SMALL
+    // corpus exposes it most clearly).
+    val chainNodes = sys.env.getOrElse("SPARK_GRAFT_STRESS_CHAIN_NODES",
+      "200000").toLong
+    phase("dup_chain_cc") {
+      def chainRun(len: Long): (Long, Long, Double) = {
+        val nChains = chainNodes / len
+        val n = nChains * len
+        val chainPairs = spark.range(n - nChains).toDF("i")
+          .select(col("i").as("id_a"), (col("i") + nChains).as("id_b"))
+        val t0 = System.nanoTime()
+        val labels = operators.DedupOps.duplicateClusters(chainPairs,
+          maxIter = len.toInt + 8, driverThreshold = 0L).persist()
+        val bad = labels
+          .filter(col("label") =!= pmod(col("id"), lit(nChains))).count()
+        val cnt = labels.count()
+        labels.unpersist()
+        require(bad == 0L && cnt == n,
+          s"chain labels broken at len=$len: n=$cnt (want $n), " +
+            s"mislabeled=$bad")
+        (n, nChains, (System.nanoTime() - t0) / 1e9)
+      }
+      val (_, _, t50) = chainRun(50L)
+      val (n100, chains100, t100) = chainRun(100L)
+      require(t100 <= 3.0 * t50,
+        f"per-round cost not flat: diameter 100 took $t100%.1fs vs " +
+          f"diameter 50 $t50%.1fs (plan-depth blowup)")
+      (n100, f""","chains":$chains100,"sec_d50":$t50%.2f,"sec_d100":$t100%.2f""")
+    }
+
     // ------------------------------ dedup-tier recall eval (q_lsh_recall)
     // exact-copy groups are the ONLY shingle overlap (unique docs draw
     // 16-hex-char words from disjoint seeds), so ground truth at any

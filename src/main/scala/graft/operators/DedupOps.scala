@@ -387,10 +387,10 @@ object DedupOps {
     *    return silently-truncated labels if maxIter is hit.
     *
     * @return (id, label) — label is the cluster's canonical (min) id.
-    *   On the distributed tier the returned frame is CACHED (its
-    *   lineage is the whole convergence loop — recomputing it would
-    *   re-run every iteration): a long-lived session labeling many
-    *   corpora should `.unpersist()` each result once consumed.
+    *   On the distributed tier the returned frame is MATERIALIZED (an
+    *   eager local checkpoint — its lineage would otherwise be the
+    *   whole convergence loop); the blocks are released by the
+    *   ContextCleaner once the frame drops out of scope.
     */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20,
                         driverThreshold: Long = 1000000L): DataFrame = {
@@ -444,18 +444,29 @@ object DedupOps {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().cache()
+    // The label table starts as a MATERIALIZED LEAF and stays one:
+    // every round eagerly localCheckpoints its result, so the plan
+    // entering round t is always join(leaf, leaf) -> agg, never the
+    // t-round history. A cache-only loop materializes the DATA but
+    // leaves the logical tree growing THREE references per round
+    // (propagation join + union + changed-join) — exponential
+    // analysis/canonicalization work that near-clique dup graphs (2-3
+    // rounds) never expose; the 100-diameter chain stress caught it
+    // blowing past 50x per-round cost by round ~12. Superseded
+    // checkpoint generations are freed by the ContextCleaner as they
+    // drop out of scope.
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).cache()
+      .withColumn("label", col("id")).localCheckpoint()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
       val prop = edges.join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("label"))
         .unionByName(labels)
-        .groupBy("id").agg(min("label").as("label")).cache()
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint()
       changed = prop.join(labels.withColumnRenamed("label", "__old"), Seq("id"))
         .filter(col("label") =!= col("__old")).count()
-      labels.unpersist()
       labels = prop
       iter += 1
     }
@@ -465,7 +476,6 @@ object DedupOps {
     // this means either maxIter is unreasonably low or the pair graph
     // is not a dup graph)
     if (changed > 0) {
-      labels.unpersist()
       throw new IllegalStateException(
         s"duplicateClusters did not converge in $maxIter iterations " +
           s"($changed labels still changing); raise maxIter")
