@@ -79,6 +79,49 @@ class AsOfJoinPlanSpec extends SparkTestBase {
     assert(e.getMessage.contains("__carried"))
   }
 
+  test("empty build side: every probe emits nulls, none dropped") {
+    val empty = Seq.empty[(Long, String, Timestamp, Long)]
+      .toDF("key", "img", "ts", "img_id")
+    val got = AsOfJoinPlan.asOf(probes, empty, "key", "ts", "ts",
+        "img_id", Seq("img"))
+      .select("probe_id", "b_img").as[(Long, Option[String])]
+      .collect().toMap
+    assert(got === Map(101L -> None, 102L -> None, 103L -> None,
+      104L -> None))
+  }
+
+  test("empty probe side: empty result, exec still plans") {
+    val empty = Seq.empty[(Long, Long, Timestamp)]
+      .toDF("probe_id", "key", "ts")
+    val df = AsOfJoinPlan.asOf(empty, images, "key", "ts", "ts",
+      "img_id", Seq("img"))
+    assert(df.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+    assert(df.count() === 0L)
+  }
+
+  test("build side of only null keys/timestamps behaves as empty") {
+    val b = Seq(
+      (Option.empty[Long], "nk", Option(ts(1)), 1L),
+      (Option(1L), "nt", Option.empty[Timestamp], 2L)
+    ).toDF("key", "img", "ts", "img_id")
+    val got = AsOfJoinPlan.asOf(probes, b, "key", "ts", "ts",
+        "img_id", Seq("img"))
+      .select("probe_id", "b_img").as[(Long, Option[String])]
+      .collect().toMap
+    assert(got.values.forall(_.isEmpty))
+    assert(got.keySet === Set(101L, 102L, 103L, 104L))
+  }
+
+  test("probe keys beyond the last build key exhaust the lookahead cleanly") {
+    val p = Seq((301L, 9L, ts(5)), (302L, 10L, ts(5)))
+      .toDF("probe_id", "key", "ts")
+    val got = AsOfJoinPlan.asOf(p, images, "key", "ts", "ts",
+        "img_id", Seq("img"))
+      .select("probe_id", "b_img").as[(Long, Option[String])]
+      .collect().toMap
+    assert(got === Map(301L -> None, 302L -> None))
+  }
+
   test("agrees with the union+window rewrite on random data") {
     val rowGen = for {
       key <- Gen.choose(0L, 6L)
@@ -103,6 +146,51 @@ class AsOfJoinPlanSpec extends SparkTestBase {
       val rewrite = AsOfJoin.asOf(pdf, bdf, "k", "ts", "ts", Seq("payload"), "bid")
         .select("pid", "b_payload").as[(Long, Option[String])].collect().toMap
       assert(custom === rewrite, s"seed $i diverged")
+    }
+  }
+
+  test("property: null keys on BOTH sides, invariant under partition count") {
+    // the original property never generated null join keys; this one
+    // makes them ~10% on both sides and re-runs the custom exec at
+    // 1 / 3 / 17 shuffle partitions — the zipPartitions merge must be
+    // partitioning-invariant and null keys must never match
+    val rowGen = for {
+      key <- Gen.frequency(9 -> Gen.choose(0L, 6L).map(Option(_)),
+        1 -> Gen.const(Option.empty[Long]))
+      t <- Gen.frequency(9 -> Gen.choose(0L, 20L).map(Option(_)),
+        1 -> Gen.const(Option.empty[Long]))
+      payload <- Gen.alphaStr.map(_.take(4))
+    } yield (key, t, payload)
+    val dataGen = Gen.listOfN(60, rowGen)
+    def withPartitions[T](n: Int)(body: => T): T = {
+      val k = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(k)
+      spark.conf.set(k, n.toString)
+      try body finally spark.conf.set(k, prev)
+    }
+    (1 to 4).foreach { i =>
+      val probeRows = dataGen(Gen.Parameters.default, Seed(1000L + i)).get
+      val buildRows = dataGen(Gen.Parameters.default, Seed(2000L + i)).get
+      val pdf = probeRows.zipWithIndex
+        .map { case ((k, t, _), idx) =>
+          (idx.toLong, k, t.map(x => new Timestamp(x * 1000))) }
+        .toDF("pid", "k", "ts")
+      val bdf = buildRows.zipWithIndex
+        .map { case ((k, t, p), idx) =>
+          (k, t.map(x => new Timestamp(x * 1000)), p + idx, idx.toLong) }
+        .toDF("k", "ts", "payload", "bid")
+      val rewrite = AsOfJoin.asOf(pdf, bdf, "k", "ts", "ts",
+          Seq("payload"), "bid")
+        .select("pid", "b_payload").as[(Long, Option[String])]
+        .collect().toMap
+      Seq(1, 3, 17).foreach { n =>
+        val custom = withPartitions(n) {
+          AsOfJoinPlan.asOf(pdf, bdf, "k", "ts", "ts", "bid", Seq("payload"))
+            .select("pid", "b_payload").as[(Long, Option[String])]
+            .collect().toMap
+        }
+        assert(custom === rewrite, s"seed $i / $n partitions diverged")
+      }
     }
   }
 }
