@@ -437,6 +437,13 @@ object SparkEntry {
     // J5/U1 streamed: event-time as-of join with watermark-buffered
     // probes, same oracle shape as the batch q_asof
     "q_stream_asof" -> ((s, dir) => StreamReplay.asOfJoin(s, dir)),
+    // the reference's PRODUCTION job end to end (S6/P*/A2/J1/T7):
+    // envelopes synthesized from orders/customer, three micro-batches
+    // covering initial build, reverse-index dimension propagation, and
+    // pk-superseding listing updates; oracle is plain SQL over the
+    // source tables because the envelope content is a pure function of
+    // them
+    "q_stream_crmls" -> ((s, dir) => StreamReplay.crmlsJoin(s, dir)),
 
     // §2.8 sorts/limits: top-k with deterministic tiebreak
     "q_topk" -> ((s, dir) =>
@@ -1961,6 +1968,19 @@ object SparkEntry {
            LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
              ON b.user_id = p.user_id AND b.ts <= p.ts) t
          WHERE rn = 1""",
+
+    // the streamed production join: latest listing version wins
+    // (V2 key for orderkey % 64 = 0), agent v2 created_ts must have
+    // propagated to the joined rows (custkey % 4 = 0)
+    "q_stream_crmls" ->
+      """SELECT 'L' || CAST(o_orderkey AS VARCHAR) AS l_uc_pk,
+                'LK' || CAST(o_orderkey AS VARCHAR) ||
+                  CASE WHEN o_orderkey % 64 = 0 THEN 'V2' ELSE '' END
+                  AS l_listing_key,
+                CAST(o_custkey AS VARCHAR) AS aa_uc_pk,
+                CAST(CASE WHEN o_custkey % 4 = 0 THEN 2 ELSE 1 END
+                  AS BIGINT) AS aa_uc_created_ts
+         FROM orders WHERE o_orderkey % 32 = 0""",
 
     "q_interval_join" ->
       """SELECT p.event_id, p.user_id, p.ts,

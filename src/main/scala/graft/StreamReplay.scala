@@ -4,8 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.crmls.Crmls
 import graft.sources.Tables
-import graft.streaming.{LatestState, StreamingAsOf, StreamingDedup}
+import graft.streaming.{CrmlsStream, LatestState, StreamingAsOf,
+  StreamingDedup, UpsertJoin}
 
 /** Streaming legs of the correctness gate: deterministic MemoryStream
   * replays of the library's streaming operators over the test tables,
@@ -164,5 +166,60 @@ object StreamReplay {
         col("key").cast("long").as("user_id"),
         timestamp_micros(col("probeTs")).cast("timestamp_ntz").as("ts"),
         col("buildPayload").cast("long").as("clk_event_id"))
+  }
+
+  /** The reference's PRODUCTION job — [[CrmlsStream]]'s incremental
+    * latest-version + multi-way join — replayed over envelopes
+    * synthesized from the test tables ([[Crmls.envelopeCol]], the same
+    * wire builder every producer-side tool uses): orders become
+    * listings (ListAgent = o_custkey), customers become agents. Three
+    * micro-batches exercise the three state paths — initial build,
+    * DIMENSION updates that must re-emit affected joined rows through
+    * the reverse index (agent v2), and listing updates superseding by
+    * pk (listing v2 with a changed listing key). Because the envelope
+    * content is a pure function of orders/customer, the final joined
+    * table is expressible as plain SQL over those tables — no JSON in
+    * the oracle.
+    */
+  def crmlsJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val orders = Tables.load(spark, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(32L)) === 0)
+    val custs = Tables.load(spark, dir, "customer")
+    def envs(df: org.apache.spark.sql.DataFrame,
+             entity: String): Seq[(String, String)] =
+      df.as[String].collect().toSeq.map(entity -> _)
+    def listingEnv(v2: Boolean) = Crmls.envelopeCol(
+      concat(lit("L"), col("o_orderkey").cast("string")),
+      lit(if (v2) 2L else 1L),
+      to_json(struct(
+        concat(lit("LK"), col("o_orderkey").cast("string"),
+          lit(if (v2) "V2" else "")).as("ListingKeyNumeric"),
+        col("o_custkey").cast("string").as("ListAgentKeyNumeric"))))
+    def agentEnv(v2: Boolean) = Crmls.envelopeCol(
+      col("c_custkey").cast("string"), lit(if (v2) 2L else 1L),
+      to_json(struct(lit(if (v2) "y" else "x").as("n"))))
+    val batch1 =
+      envs(orders.select(listingEnv(v2 = false).as("v")), "listings") ++
+        envs(custs.select(agentEnv(v2 = false).as("v")), "agents")
+    val batch2 = envs(custs.filter(pmod(col("c_custkey"), lit(4L)) === 0)
+      .select(agentEnv(v2 = true).as("v")), "agents")
+    val batch3 = envs(orders.filter(pmod(col("o_orderkey"), lit(64L)) === 0)
+      .select(listingEnv(v2 = true).as("v")), "listings")
+
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-stream-crmls").toString
+    val store = new CrmlsStream.StateStore(spark, s"$tmp/state")
+    val sink = new UpsertJoin.ParquetUpsertSink(spark, s"$tmp/sink")
+    val input = MemoryStream[(String, String)]
+    val tagged = input.toDF().toDF("entity", "value")
+    Seq(batch1, batch2, batch3).foreach { b =>
+      input.addData(b: _*)
+      CrmlsStream.run(tagged, store, sink, s"$tmp/ckpt")
+        .awaitTermination()
+    }
+    sink.snapshot(spark).select(col("l_uc_pk"), col("l_listing_key"),
+      col("aa_uc_pk"), col("aa_uc_created_ts"))
   }
 }
