@@ -53,6 +53,14 @@ object Bench {
 
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.isEmpty || only(n))
+      // q_stream_* rows are CORRECTNESS legs: MemoryStream micro-batch
+      // replays whose wall time is dominated by trigger scheduling and
+      // processAllAvailable polling, not by data work — pricing them
+      // here would distort the batch-throughput artifact while
+      // STREAMBENCH.json already prices streaming (rows/s, state
+      // rewrite amplification). An explicit SPARK_GRAFT_BENCH_ONLY
+      // selection still runs them.
+      .filterNot(n => n.startsWith("q_stream_") && only.isEmpty)
     val times = scala.collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)
     val failures = scala.collection.mutable.Set[String]()

@@ -249,15 +249,18 @@ class PlanHygieneSpec extends SparkTestBase {
     assert(!driver.contains("Join"),
       s"driver union-find tier must not leave a distributed join:\n${driver.take(2000)}")
     // driverThreshold = 0 must force the iterative min-label
-    // propagation: the final label frame's LINEAGE (analyzed plan —
-    // the result itself is cached, so the physical plan is an
-    // in-memory scan) keeps the edges-to-labels join + per-vertex min
+    // propagation, and the returned frame must be the MATERIALIZED
+    // LEAF of the convergence loop (eager local checkpoint — the
+    // chain-diameter fix: a result plan that still embedded the join
+    // history grew exponentially with rounds). The iteration itself
+    // is bar-checked by DedupOpsSpec and the dup_chain_cc stress.
     val dist = SparkEntry.queries("q_dup_clusters_dist")(spark, sf("sf0.001"))
       .queryExecution.analyzed.toString
-    assert(dist.contains("Join"),
-      s"distributed tier must join labels to edges:\n${dist.take(2000)}")
-    assert(dist.contains("min("),
-      "distributed tier must take per-vertex min(label)")
+    assert(dist.contains("LogicalRDD"),
+      s"distributed tier must return a checkpointed leaf:\n${dist.take(2000)}")
+    assert(!dist.contains("Join"),
+      "distributed tier's RESULT lineage must be truncated — a Join " +
+        s"here means the convergence loop leaked its history:\n${dist.take(2000)}")
   }
 
   test("q_dup_spans: exchanges carry (hash, doc, pos) — never document text") {
