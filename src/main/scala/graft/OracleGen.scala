@@ -827,6 +827,66 @@ object OracleGen {
        UNION ALL SELECT j AS src_id, i AS dst_id FROM xfwd"""
   }
 
+  /** Oracle for [[graft.operators.GraphAnnDist.appendToIndex]] with the
+    * base/append split at `vec_id < splitId`: quantizer = lowest-id
+    * BASE vectors; appends rank their same-cell base members (cosine
+    * desc, base id asc, zero-norm NULLS LAST) and keep min(m, |base
+    * cell|); appends in base-empty cells anchor at the global entry
+    * (min base id). Output: the NEW edges, both directions.
+    */
+  def graphAnnAppendSql(splitId: Long, nCells: Int, m: Int,
+                        dim: Int): String = {
+    def nrm(v: String) =
+      s"sqrt(list_sum(list_transform($v, x -> x * x)))"
+    s"""WITH e AS (
+         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings),
+       n AS (
+         SELECT vec_id, v, ${nrm("v")} AS nrm FROM e),
+       cents AS (
+         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_id,
+                v AS cv, nrm AS cn
+         FROM (SELECT vec_id, v, nrm FROM n WHERE vec_id < $splitId
+               ORDER BY vec_id LIMIT $nCells)),
+       asgn AS (
+         SELECT n.vec_id, n.vec_id < $splitId AS is_base, c.cell_id,
+                CASE WHEN n.nrm * c.cn <> 0
+                     THEN ${dotSql("n.v", "c.cv", dim)} / (n.nrm * c.cn)
+                END AS sim
+         FROM n CROSS JOIN cents c),
+       cellof AS (
+         SELECT vec_id, is_base, cell_id FROM (
+           SELECT vec_id, is_base, cell_id,
+                  row_number() OVER (PARTITION BY vec_id
+                    ORDER BY sim DESC NULLS LAST, cell_id) AS rn
+           FROM asgn) r WHERE rn = 1),
+       pairs AS (
+         SELECT a.vec_id AS i, b.vec_id AS j,
+                CASE WHEN ni.nrm * nj.nrm <> 0
+                     THEN ${dotSql("ni.v", "nj.v", dim)} / (ni.nrm * nj.nrm)
+                END AS cosine
+         FROM cellof a JOIN cellof b
+           ON a.cell_id = b.cell_id AND NOT a.is_base AND b.is_base
+         JOIN n ni ON ni.vec_id = a.vec_id
+         JOIN n nj ON nj.vec_id = b.vec_id),
+       fwd AS (
+         SELECT i, j FROM (
+           SELECT i, j, row_number() OVER (PARTITION BY i
+             ORDER BY cosine DESC NULLS LAST, j) AS rn
+           FROM pairs) r WHERE rn <= $m),
+       orph AS (
+         SELECT a.vec_id AS i,
+                (SELECT min(vec_id) FROM cellof WHERE is_base) AS j
+         FROM cellof a
+         WHERE NOT a.is_base AND NOT EXISTS (
+           SELECT 1 FROM cellof b
+           WHERE b.is_base AND b.cell_id = a.cell_id))
+       SELECT i AS src_id, j AS dst_id FROM fwd
+       UNION ALL SELECT j AS src_id, i AS dst_id FROM fwd
+       UNION ALL SELECT i AS src_id, j AS dst_id FROM orph
+       UNION ALL SELECT j AS src_id, i AS dst_id FROM orph"""
+  }
+
   def ivfAnnSql(probeMax: Int, k: Int, nCells: Int, nProbe: Int,
                 dim: Int): String =
     s"""WITH e AS (

@@ -1154,6 +1154,17 @@ object SparkEntry {
       GraphAnnDist.buildIndex(t(s, dir, "embeddings"), "vec_id",
         "embedding", nCells = 8, m = 4, mCells = 2)),
 
+    // the index-MAINTENANCE leg of the distributed build: appends
+    // link only to same-cell BASE members (order-free — ingest
+    // batches commute), base-empty cells anchor at the global entry;
+    // oracle replays assignment + append-to-base ranks + orphan rule
+    "q_graph_ann_append" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      GraphAnnDist.appendToIndex(
+        emb.filter(col("vec_id") < 400), emb.filter(col("vec_id") >= 400),
+        "vec_id", "embedding", nCells = 8, m = 4)
+    }),
+
     // §2.10 similarity search: SRP-LSH approximate top-k (oracle
     // recomputes the bucketing from the deterministic hyperplanes)
     "q_srp_ann" -> ((s, dir) => {
@@ -2219,6 +2230,10 @@ object SparkEntry {
     // the distributed build's full edge list, reconstructed in SQL
     "q_graph_ann_dist" -> OracleGen.graphAnnDistSql(
       nCells = 8, m = 4, mCells = 2, dim = 64),
+
+    // the incremental-append edges, reconstructed in SQL
+    "q_graph_ann_append" -> OracleGen.graphAnnAppendSql(
+      splitId = 400L, nCells = 8, m = 4, dim = 64),
 
     // the salted fallback must produce EXACTLY the broadcast tier's
     // rows — same oracle SQL, independently recomputed by DuckDB

@@ -204,4 +204,124 @@ object GraphAnnDist {
 
     withinEdges.unionByName(stitch.toDF("src_id", "dst_id"))
   }
+
+  /** Incrementally extend a built index: the daily-ingest path that
+    * avoids rebuilding. Each append vector is assigned to its cell by
+    * the SAME quantizer (the `nCells` lowest-id BASE vectors) and
+    * linked bidirectionally to its `m` exact-nearest BASE members of
+    * that cell (cosine desc, base id asc; zero-norm pairs last) —
+    * never to other appends, so the result is ORDER-FREE by
+    * construction: ingest batches produce the identical index
+    * regardless of arrival order, partitioning, or how the appends
+    * are split across calls, and the whole operation replays in SQL
+    * (q_graph_ann_append). An append landing in a cell with no base
+    * members links to the global entry node (the lowest base id)
+    * instead — deterministic, SQL-expressible (the oracle carries the
+    * same rule), and it keeps the stitched graph connected. With a
+    * quantizer fitted on THIS base frame the branch is actually
+    * unreachable (a cell is base-empty only when its centroid is an
+    * exact duplicate of a lower one, and the same cosine tie that
+    * pushed the centroid down-cell pushes every append down-cell
+    * too); it guards drift — a base frame that shrank since fitting,
+    * or centroids carried over from an earlier corpus.
+    *
+    * Cost shape matches [[buildIndex]]: one row-local assignment per
+    * side, ONE union+groupBy exchange, executor-local O(|A_c|·|B_c|·
+    * dim) per cell (both sides bounded together by `maxCellSize`).
+    * Returns only the NEW edges (both directions) — union with the
+    * existing edge table to serve.
+    */
+  def appendToIndex(base: DataFrame, appends: DataFrame, idCol: String,
+                    vecCol: String, nCells: Int, m: Int,
+                    maxCellSize: Int = 1 << 20): DataFrame = {
+    require(nCells > 0, "nCells must be positive")
+    require(nCells <= 65536, s"nCells=$nCells past the driver-held guard")
+    require(m > 0, "m must be positive")
+    val spark = base.sparkSession
+    import spark.implicits._
+    val cents = SimilaritySearch.centroidLiterals(base, idCol, vecCol, nCells)
+    val globalEntry = base.agg(min(col(idCol).cast("long"))).head().getLong(0)
+    def assigned(df: DataFrame, isBase: Int) = df
+      .select(col(idCol).cast("long").as("id"),
+        VectorFunctions.toDouble(col(vecCol)).as("v"))
+      .withColumn("cell_id", coalesce(
+        element_at(
+          SimilaritySearch.nearestCells(col("v"), cents.toSeq, take = 1), 1),
+        lit(-1L)))
+      .withColumn("is_base", lit(isBase))
+    assigned(base, 1).unionByName(assigned(appends, 0))
+      .select("cell_id", "is_base", "id", "v")
+      .as[(Long, Int, Long, Seq[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (cell, it) =>
+        val rows = it.toArray
+        require(rows.length <= maxCellSize,
+          s"cell $cell holds ${rows.length} nodes > maxCellSize=" +
+            s"$maxCellSize — refit the quantizer with more cells")
+        val (baseRows, appRows) = rows.partition(_._2 == 1)
+        if (appRows.isEmpty) Iterator.empty
+        else if (baseRows.isEmpty)
+          // quantizer drift: no base member in this cell — anchor the
+          // orphans at the global entry so the graph stays connected
+          appRows.iterator.flatMap(a =>
+            Iterator((a._3, globalEntry), (globalEntry, a._3)))
+        else {
+          val bs = baseRows.sortBy(_._3)
+          val nb = bs.length
+          var d = 0
+          rows.foreach(r => if (r._4.length > d) d = r._4.length)
+          val dd = math.max(d, 1)
+          def flatOf(rs: Array[(Long, Int, Long, Seq[Double])]) = {
+            val f = new Array[Double](rs.length * dd)
+            val nrm = new Array[Double](rs.length)
+            var i = 0
+            while (i < rs.length) {
+              val v = rs(i)._4
+              var ss = 0.0
+              var j = 0
+              while (j < v.length) {
+                f(i * dd + j) = v(j); ss += v(j) * v(j); j += 1
+              }
+              nrm(i) = math.sqrt(ss)
+              i += 1
+            }
+            (f, nrm)
+          }
+          val (bf, bn) = flatOf(bs)
+          val (af, an) = flatOf(appRows)
+          appRows.iterator.zipWithIndex.flatMap { case (a, ai) =>
+            // exact min(m, nb)-nearest base members: selection with
+            // the same (cosine desc, ordinal asc, zero-norm last)
+            // rule as nswForwardEdges
+            val keys = new Array[Double](nb)
+            var j = 0
+            while (j < nb) {
+              val den = an(ai) * bn(j)
+              keys(j) = if (den == 0.0) 2.0 else {
+                var s = 0.0
+                var k = 0
+                while (k < dd) { s += af(ai * dd + k) * bf(j * dd + k); k += 1 }
+                -(s / den)
+              }
+              j += 1
+            }
+            val take = math.min(m, nb)
+            val used = new Array[Boolean](nb)
+            (0 until take).iterator.flatMap { _ =>
+              var best = -1
+              var c = 0
+              while (c < nb) {
+                if (!used(c) && (best < 0 ||
+                    java.lang.Double.compare(keys(c), keys(best)) < 0))
+                  best = c
+                c += 1
+              }
+              used(best) = true
+              Iterator((a._3, bs(best)._3), (bs(best)._3, a._3))
+            }
+          }
+        }
+      }
+      .toDF("src_id", "dst_id")
+  }
 }

@@ -263,6 +263,21 @@ class PlanHygieneSpec extends SparkTestBase {
         s"here means the convergence loop leaked its history:\n${dist.take(2000)}")
   }
 
+  test("q_graph_ann_dist: one cell-keyed exchange, no join, row-local assignment") {
+    // the distributed NSW build's scale contract: assignment is a
+    // row-local expression over the broadcast-sized centroid matrix
+    // (never a join), the ONE exchange is the corpus groupBy on
+    // cell_id feeding the executor-local per-cell builds (MapGroups),
+    // and the stitch edges ride a local relation — no second shuffle
+    val p = plan("q_graph_ann_dist")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      p.take(3000))
+    assert(!p.contains("Join"),
+      "assignment/stitch must not plan a join")
+    assert(p.contains("MapGroups"),
+      "per-cell NSW build must run as executor-local MapGroups")
+  }
+
   test("q_dup_spans: exchanges carry (hash, doc, pos) — never document text") {
     val p = plan("q_dup_spans")
     val exchangeKeys = "Exchange hashpartitioning\\([^)]*".r.findAllIn(p).toList

@@ -91,6 +91,51 @@ class GraphAnnDistSpec extends SparkTestBase {
     assert(edges.size === expectWithin + stitch)
   }
 
+  test("appendToIndex is order-free: batch splits and row order commute") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val base = emb.filter(col("vec_id") < 64)
+    val apps = emb.filter(col("vec_id") >= 64)
+    val oneShot = edgeSet(GraphAnnDist.appendToIndex(base, apps,
+      "vec_id", "embedding", nCells = 4, m = 3))
+    // two ingest batches, fed separately, shuffled row order
+    val b1 = apps.filter(pmod(col("vec_id"), lit(2L)) === 0)
+      .repartition(7).sortWithinPartitions(col("vec_id").desc)
+    val b2 = apps.filter(pmod(col("vec_id"), lit(2L)) === 1)
+    val split = edgeSet(GraphAnnDist.appendToIndex(base, b1,
+      "vec_id", "embedding", nCells = 4, m = 3)) ++
+      edgeSet(GraphAnnDist.appendToIndex(base, b2,
+        "vec_id", "embedding", nCells = 4, m = 3))
+    assert(split === oneShot)
+    assert(oneShot.nonEmpty)
+    // every append links to m base members (4 cells over 64 base ids:
+    // every cell has >= m members for this corpus), bidirectionally
+    val fwd = oneShot.filter(_._1 >= 64)
+    assert(fwd.groupBy(_._1).forall(_._2.size == 3))
+    assert(oneShot.forall { case (s, d) => oneShot((d, s)) })
+  }
+
+  test("appendToIndex: hand-computed nearest-base links on a crafted corpus") {
+    // two orthogonal base clusters; appends must link to exactly the
+    // m nearest base members of THEIR cluster's cell, ids ascending
+    // on cosine ties
+    val base = Seq(
+      (0L, Array(1f, 0f, 0f)),     // centroid 0
+      (1L, Array(0f, 1f, 0f)),     // centroid 1
+      (2L, Array(1f, 0f, 0f)),     // cell 0
+      (3L, Array(0f, 1f, 0f)),     // cell 1
+      (4L, Array(0.9f, 0.1f, 0f))  // cell 0
+    ).toDF("vec_id", "embedding")
+    val apps = Seq(
+      (10L, Array(2f, 0f, 0f)), // cell 0: cos 1 with 0 and 2 -> both (tie, ids asc)
+      (11L, Array(0f, 3f, 0f))  // cell 1: cos 1 with 1 and 3 -> both
+    ).toDF("vec_id", "embedding")
+    val got = edgeSet(GraphAnnDist.appendToIndex(base, apps, "vec_id",
+      "embedding", nCells = 2, m = 2))
+    val fwd = got.filter(_._1 >= 10L)
+    assert(fwd === Set((10L, 0L), (10L, 2L), (11L, 1L), (11L, 3L)))
+    assert(got.forall { case (s, d) => got((d, s)) })
+  }
+
   test("hot cell past maxCellSize fails fast with the refit message") {
     val df = (0 until 64).map(i => (i.toLong, Array(1f, 0f)))
       .toDF("vec_id", "embedding")
