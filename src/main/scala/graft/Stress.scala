@@ -308,7 +308,42 @@ object Stress {
           least(lit(gm.toLong), expr(s"src_id DIV $kc"))).count()
       require(badDeg == 0L, s"$badDeg sources with wrong forward degree")
       edges.unpersist()
-      (a.getLong(0), s""","nodes":$gdNodes,"cells":$kc,"m":$gm""")
+
+      // --- incremental-append wave over the same planted corpus:
+      // appends carry their cluster's IDENTICAL vector, so every
+      // within-cell cosine ties and each append must link to EXACTLY
+      // the m lowest base ids of its cluster: cell + t*kc, t < m.
+      // Any assignment slip or rank drift breaks the closed form.
+      val nApp = gdNodes / 10
+      val appCluster = pmod(col("id"), lit(kc.toLong))
+      val appendVecs = spark.range(gdNodes, gdNodes + nApp).toDF("id")
+        .withColumn("embedding",
+          transform(sequence(lit(0), lit(dim - 1)), j =>
+            (pmod(xxhash64(appCluster, j), lit(2000001L)).cast("double")
+              / 1000000.0 - 1.0))
+          .cast("array<float>"))
+      val appEdges = operators.GraphAnnDist.appendToIndex(corpus,
+        appendVecs, "id", "embedding", nCells = kc, m = gm,
+        maxCellSize = 8192).persist()
+      val ae = appEdges.agg(
+        count(lit(1)).as("total"),
+        // forward edge (append -> base): target must be base ordinal
+        // t < m of the append's own cluster
+        sum(when(col("src_id") >= gdNodes && (
+          pmod(col("src_id"), lit(kc.toLong)) =!=
+            pmod(col("dst_id"), lit(kc.toLong)) ||
+          expr(s"dst_id DIV $kc") >= gm || col("dst_id") >= gdNodes),
+          1L).otherwise(0L)).as("bad_fwd"),
+        sum(when(col("src_id") >= gdNodes, 1L).otherwise(0L)).as("fwd"))
+        .head()
+      require(ae.getLong(0) == 2L * gm * nApp &&
+          ae.getLong(1) == 0L && ae.getLong(2) == gm * nApp,
+        s"append edges broken: total=${ae.getLong(0)} " +
+          s"(want ${2L * gm * nApp}), bad=${ae.getLong(1)}, " +
+          s"fwd=${ae.getLong(2)}")
+      appEdges.unpersist()
+      (a.getLong(0) + ae.getLong(0),
+        s""","nodes":$gdNodes,"cells":$kc,"m":$gm,"appends":$nApp""")
     }
 
     // ------------------------------------------------------- SRP ANN
