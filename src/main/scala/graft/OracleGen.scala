@@ -887,6 +887,52 @@ object OracleGen {
        UNION ALL SELECT j AS src_id, i AS dst_id FROM orph"""
   }
 
+  /** Oracle for [[graft.operators.Pca.projectLeading]] over
+    * `embeddings`: replays the rounded power-iteration chain —
+    * round(avg)-based mean and covariance (the distributed-sum-order
+    * absorption, same as kmeansSql), then `iters` steps of
+    * y = C·x / ||C·x|| with every component rounded, every fold in
+    * ASCENDING index order (ordered list comprehensions, matching the
+    * operator's driver loops bit for bit), and the final centered
+    * projection rounded per vector.
+    */
+  def pcaProjectSql(dim: Int, iters: Int, decimals: Int = 6): String = {
+    val rng = s"range(1, ${dim + 1})"
+    def iterCte(t: Int) =
+      s"""y$t AS (
+         SELECT covl.i AS i,
+                list_sum(list_transform($rng, j ->
+                  covl.cs[j] * xp.xs[j])) AS y
+         FROM covl, x${t - 1} xp),
+       x$t AS (
+         SELECT list_transform(ys, v -> round(v / sqrt(
+                  list_sum(list_transform(ys, w -> w * w))), $decimals)) AS xs
+         FROM (SELECT list(y ORDER BY i) AS ys FROM y$t))"""
+    s"""WITH e AS (
+         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings),
+       m AS (
+         SELECT u.i AS i, round(avg(e.v[u.i]), $decimals) AS mu
+         FROM e, unnest($rng) u(i) GROUP BY u.i),
+       c AS (
+         SELECT a.i AS i, b.i AS j,
+                round(avg(e.v[a.i] * e.v[b.i]), $decimals) AS cij
+         FROM e, unnest($rng) a(i), unnest($rng) b(i)
+         GROUP BY a.i, b.i),
+       cov AS (
+         SELECT c.i, c.j, c.cij - ma.mu * mb.mu AS cv
+         FROM c JOIN m ma ON ma.i = c.i JOIN m mb ON mb.i = c.j),
+       covl AS (
+         SELECT i, list(cv ORDER BY j) AS cs FROM cov GROUP BY i),
+       x0 AS (SELECT list_transform($rng, i -> 1.0) AS xs),
+       ${(1 to iters).map(iterCte).mkString(",\n       ")},
+       ml AS (SELECT list(mu ORDER BY i) AS ms FROM m)
+       SELECT e.vec_id,
+              round(list_sum(list_transform($rng, i ->
+                (e.v[i] - ml.ms[i]) * xt.xs[i])), $decimals) AS pc1
+       FROM e, ml, x$iters xt"""
+  }
+
   def ivfAnnSql(probeMax: Int, k: Int, nCells: Int, nProbe: Int,
                 dim: Int): String =
     s"""WITH e AS (

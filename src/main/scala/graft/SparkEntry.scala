@@ -1154,6 +1154,15 @@ object SparkEntry {
       GraphAnnDist.buildIndex(t(s, dir, "embeddings"), "vec_id",
         "embedding", nCells = 8, m = 4, mCells = 2)),
 
+    // §2.10 embedding analysis: leading principal component by rounded
+    // power iteration — covariance in ONE corpus pass (typed
+    // aggregator, O(dim²) corpus-size-independent shuffle), dim×dim
+    // iteration driver-held, map-only codegen'd projection. The
+    // rounded chain replays in SQL (ascending-index folds both sides)
+    "q_pca_project" -> ((s, dir) =>
+      Pca.projectLeading(t(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, iters = 6)),
+
     // the index-MAINTENANCE leg of the distributed build: appends
     // link only to same-cell BASE members (order-free — ingest
     // batches commute), base-empty cells anchor at the global entry;
@@ -2234,6 +2243,9 @@ object SparkEntry {
     // the incremental-append edges, reconstructed in SQL
     "q_graph_ann_append" -> OracleGen.graphAnnAppendSql(
       splitId = 400L, nCells = 8, m = 4, dim = 64),
+
+    // the rounded power-iteration chain, reconstructed in SQL
+    "q_pca_project" -> OracleGen.pcaProjectSql(dim = 64, iters = 6),
 
     // the salted fallback must produce EXACTLY the broadcast tier's
     // rows — same oracle SQL, independently recomputed by DuckDB
