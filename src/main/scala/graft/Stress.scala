@@ -955,6 +955,38 @@ object Stress {
       (kmVecs, s""","k":$k,"iters":2,"mismatch":0""")
     }
 
+    // ------------------------------------------------ pca tier
+    // Rank-1 planted covariance with a CLOSED-FORM spectrum: vector
+    // i = t_i * (1, 10, 0, ..., 0), t_i = (i mod 21) - 10, so the
+    // leading component is exactly (1, 10)/sqrt(101) (all-ones start
+    // has positive overlap -> positive sign) and the eigenvalue is
+    // var(t) * 101 = (2*385/21) * 101. The interesting metric is the
+    // SHUFFLE: the covariance aggregator moves one (1 + dim +
+    // dim(dim+1)/2)-double buffer per map partition — corpus-size-
+    // independent by construction, and the phase line proves it.
+    val pcaVecs = sys.env.getOrElse("SPARK_GRAFT_STRESS_PCA_VECS",
+      "10000000").toLong
+    phase("pca_fit") {
+      val tcol = (pmod(col("id"), lit(21L)) - 10L).cast("double")
+      val corpus = spark.range(pcaVecs).toDF("id")
+        .withColumn("embedding",
+          transform(sequence(lit(0), lit(dim - 1)), j =>
+            when(j === 0, tcol).when(j === 1, tcol * 10.0)
+              .otherwise(lit(0.0)))
+          .cast("array<float>"))
+      val m = operators.Pca.fitLeading(corpus, "embedding", dim, iters = 4)
+      val expectedEig = (2.0 * 385 / 21) * 101
+      val u1 = 10.0 / math.sqrt(101.0)
+      require(math.abs(m.component(1) - u1) < 1e-4 &&
+          math.abs(m.component(0) - u1 / 10) < 1e-4 &&
+          m.component.drop(2).forall(math.abs(_) < 1e-9) &&
+          math.abs(m.eigenvalue - expectedEig) < 0.01,
+        s"planted spectrum broken: comp=(${m.component(0)}, " +
+          s"${m.component(1)}, ...), eig=${m.eigenvalue} " +
+          s"(want $expectedEig)")
+      (pcaVecs, f""","eigenvalue":${m.eigenvalue}%.4f""")
+    }
+
     // ------------------------------------------------ skew stress tier
     // Hot keys planted at sizes where even the UNPROTECTED run is
     // feasible by construction — the point is to MEASURE the df caps
