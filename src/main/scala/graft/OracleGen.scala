@@ -933,6 +933,77 @@ object OracleGen {
        FROM e, ml, x$iters xt"""
   }
 
+  /** Oracle for [[graft.operators.Pca.projectTopK]]: the
+    * [[pcaProjectSql]] chain extended with Hotelling deflation —
+    * after each component, eigenvalue = rounded Rayleigh quotient
+    * (ordered folds) and the covariance lists deflate
+    * round(c_ij − λ·x_i·x_j); component r then iterates on the
+    * residual. Output: (vec_id, pc1..pck).
+    */
+  def pcaTopKSql(dim: Int, k: Int, iters: Int, decimals: Int = 6): String = {
+    val rng = s"range(1, ${dim + 1})"
+    def iterCte(r: Int, t: Int) =
+      s"""y${r}_$t AS (
+         SELECT covl.i AS i,
+                list_sum(list_transform($rng, j ->
+                  covl.cs[j] * xp.xs[j])) AS y
+         FROM covl$r covl, x${r}_${t - 1} xp),
+       x${r}_$t AS (
+         SELECT list_transform(ys, v -> round(v / sqrt(
+                  list_sum(list_transform(ys, w -> w * w))), $decimals)) AS xs
+         FROM (SELECT list(y ORDER BY i) AS ys FROM y${r}_$t))"""
+    def componentCtes(r: Int): String = {
+      val iterChain = (1 to iters).map(iterCte(r, _)).mkString(",\n       ")
+      val deflate = if (r == k) "" else s""",
+       cxl$r AS (
+         SELECT covl.i AS i,
+                list_sum(list_transform($rng, j ->
+                  covl.cs[j] * xf.xs[j])) AS cx
+         FROM covl$r covl, x${r}_$iters xf),
+       cxll$r AS (SELECT list(cx ORDER BY i) AS cxs FROM cxl$r),
+       eig$r AS (
+         SELECT round(
+                  list_sum(list_transform($rng, i -> xf.xs[i] * c.cxs[i])) /
+                  list_sum(list_transform(xf.xs, v -> v * v)),
+                  $decimals) AS e
+         FROM x${r}_$iters xf, cxll$r c),
+       covl${r + 1} AS (
+         SELECT covl.i AS i,
+                list_transform($rng, j -> round(
+                  covl.cs[j] - e.e * xf.xs[covl.i] * xf.xs[j],
+                  $decimals)) AS cs
+         FROM covl$r covl, x${r}_$iters xf, eig$r e)"""
+      s"""x${r}_0 AS (SELECT list_transform($rng, i -> 1.0) AS xs),
+       $iterChain$deflate"""
+    }
+    val pcCols = (1 to k).map(r =>
+      s"""round(list_sum(list_transform($rng, i ->
+                (e.v[i] - ml.ms[i]) * xf$r.xs[i])), $decimals) AS pc$r""")
+      .mkString(",\n              ")
+    val pcFroms = (1 to k).map(r => s"x${r}_$iters xf$r").mkString(", ")
+    s"""WITH e AS (
+         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings),
+       m AS (
+         SELECT u.i AS i, round(avg(e.v[u.i]), $decimals) AS mu
+         FROM e, unnest($rng) u(i) GROUP BY u.i),
+       c AS (
+         SELECT a.i AS i, b.i AS j,
+                round(avg(e.v[a.i] * e.v[b.i]), $decimals) AS cij
+         FROM e, unnest($rng) a(i), unnest($rng) b(i)
+         GROUP BY a.i, b.i),
+       cov AS (
+         SELECT c.i, c.j, c.cij - ma.mu * mb.mu AS cv
+         FROM c JOIN m ma ON ma.i = c.i JOIN m mb ON mb.i = c.j),
+       covl1 AS (
+         SELECT i, list(cv ORDER BY j) AS cs FROM cov GROUP BY i),
+       ${(1 to k).map(componentCtes).mkString(",\n       ")},
+       ml AS (SELECT list(mu ORDER BY i) AS ms FROM m)
+       SELECT e.vec_id,
+              $pcCols
+       FROM e, ml, $pcFroms"""
+  }
+
   def ivfAnnSql(probeMax: Int, k: Int, nCells: Int, nProbe: Int,
                 dim: Int): String =
     s"""WITH e AS (

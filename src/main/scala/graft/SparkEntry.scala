@@ -1163,6 +1163,14 @@ object SparkEntry {
       Pca.projectLeading(t(s, dir, "embeddings"), "vec_id", "embedding",
         dim = 64, iters = 6)),
 
+    // the dim-reduction form: top-2 components by Hotelling deflation
+    // (covariance fit once — still one corpus pass; the residual
+    // matrix deflates and re-iterates on the driver). Oracle replays
+    // the full chain including the rounded deflation
+    "q_pca_top2" -> ((s, dir) =>
+      Pca.projectTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, k = 2, iters = 4)),
+
     // the index-MAINTENANCE leg of the distributed build: appends
     // link only to same-cell BASE members (order-free — ingest
     // batches commute), base-empty cells anchor at the global entry;
@@ -2246,6 +2254,9 @@ object SparkEntry {
 
     // the rounded power-iteration chain, reconstructed in SQL
     "q_pca_project" -> OracleGen.pcaProjectSql(dim = 64, iters = 6),
+
+    // power iteration + rounded Hotelling deflation, reconstructed
+    "q_pca_top2" -> OracleGen.pcaTopKSql(dim = 64, k = 2, iters = 4),
 
     // the salted fallback must produce EXACTLY the broadcast tier's
     // rows — same oracle SQL, independently recomputed by DuckDB

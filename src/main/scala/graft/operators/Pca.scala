@@ -72,13 +72,9 @@ object Pca {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
   }
 
-  /** Fit the leading component. Deterministic given the data: start
-    * vector all-ones, `iters` rounded power steps, eigenvalue =
-    * rounded Rayleigh quotient.
-    */
-  def fitLeading(df: DataFrame, vecCol: String, dim: Int, iters: Int,
-                 decimals: Int = 6): Model = {
-    require(dim > 0 && iters >= 1, "dim and iters must be positive")
+  /** Rounded mean vector + covariance matrix in one corpus pass. */
+  private def fitCov(df: DataFrame, vecCol: String, dim: Int,
+                     decimals: Int): (Array[Double], Array[Array[Double]]) = {
     val spark = df.sparkSession
     import spark.implicits._
     val sums: Seq[Double] = df
@@ -103,7 +99,15 @@ object Pca {
       }
       i += 1
     }
-    var x = Array.fill(dim)(1.0)
+    (mean, cov)
+  }
+
+  /** `iters` rounded power steps on `cov` from the all-ones start;
+    * returns (component, rounded Rayleigh eigenvalue).
+    */
+  private def powerIterate(cov: Array[Array[Double]], dim: Int,
+                           iters: Int,
+                           decimals: Int): (Array[Double], Double) = {
     def matVec(v: Array[Double]): Array[Double] =
       Array.tabulate(dim) { r =>
         var s = 0.0
@@ -111,6 +115,7 @@ object Pca {
         while (c < dim) { s += cov(r)(c) * v(c); c += 1 }
         s
       }
+    var x = Array.fill(dim)(1.0)
     for (_ <- 1 to iters) {
       val y = matVec(x)
       var ss = 0.0
@@ -123,9 +128,66 @@ object Pca {
     val cx = matVec(x)
     var num = 0.0
     var den = 0.0
-    i = 0
+    var i = 0
     while (i < dim) { num += x(i) * cx(i); den += x(i) * x(i); i += 1 }
-    Model(mean, x, roundAt(num / den, decimals))
+    (x, roundAt(num / den, decimals))
+  }
+
+  /** Fit the leading component. Deterministic given the data: start
+    * vector all-ones, `iters` rounded power steps, eigenvalue =
+    * rounded Rayleigh quotient.
+    */
+  def fitLeading(df: DataFrame, vecCol: String, dim: Int, iters: Int,
+                 decimals: Int = 6): Model = {
+    require(dim > 0 && iters >= 1, "dim and iters must be positive")
+    val (mean, cov) = fitCov(df, vecCol, dim, decimals)
+    val (x, eig) = powerIterate(cov, dim, iters, decimals)
+    Model(mean, x, eig)
+  }
+
+  /** Top-k components by Hotelling deflation — the dim-reduction /
+    * whitening form. The covariance is fit ONCE (still the single
+    * corpus pass); after each extracted component the driver deflates
+    * C ← C − λ·x·xᵀ and re-iterates, so component r is the leading
+    * direction of the residual. Deflation arithmetic is plain double
+    * on ROUNDED (λ, x) inputs and the residual matrix is re-rounded,
+    * keeping the whole k·iters chain engine-replayable
+    * (q_pca_top2's oracle).
+    */
+  def fitTopK(df: DataFrame, vecCol: String, dim: Int, k: Int,
+              iters: Int, decimals: Int = 6): Seq[Model] = {
+    require(k >= 1 && k <= dim, s"k must be in [1, $dim]")
+    require(iters >= 1, "iters must be positive")
+    val (mean, cov) = fitCov(df, vecCol, dim, decimals)
+    val out = Seq.newBuilder[Model]
+    for (_ <- 1 to k) {
+      val (x, eig) = powerIterate(cov, dim, iters, decimals)
+      out += Model(mean, x, eig)
+      var i = 0
+      while (i < dim) {
+        var j = 0
+        while (j < dim) {
+          cov(i)(j) = roundAt(cov(i)(j) - eig * x(i) * x(j), decimals)
+          j += 1
+        }
+        i += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Map-only projection onto the top-k components: (id, pc1..pck). */
+  def projectTopK(df: DataFrame, idCol: String, vecCol: String,
+                  dim: Int, k: Int, iters: Int,
+                  decimals: Int = 6): DataFrame = {
+    val models = fitTopK(df, vecCol, dim, k, iters, decimals)
+    val meanLit = typedlit(models.head.mean.toSeq)
+    val centered = zip_with(VectorFunctions.toDouble(col(vecCol)), meanLit,
+      (a, b) => a - b)
+    df.select(col(idCol) +: models.zipWithIndex.map { case (m, i) =>
+      round(VectorFunctions.dot(centered, typedlit(m.component.toSeq)),
+        decimals).as(s"pc${i + 1}")
+    }: _*)
   }
 
   /** Map-only projection of every vector onto the fitted component:

@@ -53,6 +53,46 @@ class PcaSpec extends SparkTestBase {
     assert(n === emb.count())
   }
 
+  test("fitTopK: planted two-direction spectrum, ordered and orthogonal") {
+    // axis 1 carries 100x the variance of axis 3; everything else 0
+    val rows = (0 until 420).map { i =>
+      val t = (i % 21 - 10).toDouble
+      val s = ((i / 21) % 5 - 2).toDouble
+      (i.toLong, Array(0f, (10 * t).toFloat, 0f, s.toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val ms = Pca.fitTopK(df, "embedding", dim = 4, k = 2, iters = 12)
+    assert(ms.size === 2)
+    assert(math.abs(ms(0).component(1)) > 0.999, "pc1 must be axis 1")
+    assert(math.abs(ms(1).component(3)) > 0.999, "pc2 must be axis 3")
+    assert(ms(0).eigenvalue > ms(1).eigenvalue,
+      "eigenvalues must come out in decreasing order")
+    val dot = (0 until 4).map(i =>
+      ms(0).component(i) * ms(1).component(i)).sum
+    assert(math.abs(dot) < 1e-3, s"components must be orthogonal, dot=$dot")
+  }
+
+  test("projectTopK column variances match the eigenvalues") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val ms = Pca.fitTopK(emb, "embedding", dim = 64, k = 2, iters = 16)
+    val stats = Pca.projectTopK(emb, "vec_id", "embedding",
+        dim = 64, k = 2, iters = 16)
+      .agg(avg(col("pc1") * col("pc1")), avg(col("pc2") * col("pc2")),
+        avg(col("pc1") * col("pc2")))
+      .head()
+    assert(math.abs(stats.getDouble(0) - ms(0).eigenvalue)
+      / ms(0).eigenvalue < 0.05)
+    assert(math.abs(stats.getDouble(1) - ms(1).eigenvalue)
+      / ms(1).eigenvalue < 0.05)
+    // near-uncorrelated projections: random embeddings have a FLAT
+    // spectrum, so power iteration converges slowly (per-step gain =
+    // eigen-gap ratio) — bound the correlation coefficient, not zero
+    val corr = stats.getDouble(2) /
+      math.sqrt(ms(0).eigenvalue * ms(1).eigenvalue)
+    assert(math.abs(corr) < 0.2,
+      s"pc1/pc2 correlation $corr too large even for a flat spectrum")
+  }
+
   test("rejects empty input and dim mismatches") {
     val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     intercept[IllegalArgumentException] {
