@@ -437,6 +437,9 @@ object SparkEntry {
     // J5/U1 streamed: event-time as-of join with watermark-buffered
     // probes, same oracle shape as the batch q_asof
     "q_stream_asof" -> ((s, dir) => StreamReplay.asOfJoin(s, dir)),
+    // T3/T4 streamed: watermark-finalized tumbling windows in append
+    // mode; same oracle as the batch q_tumbling
+    "q_stream_tumbling" -> ((s, dir) => StreamReplay.tumbling(s, dir)),
     // the reference's PRODUCTION job end to end (S6/P*/A2/J1/T7):
     // envelopes synthesized from orders/customer, three micro-batches
     // covering initial build, reverse-index dimension propagation, and
@@ -1999,6 +2002,13 @@ object SparkEntry {
            LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
              ON b.user_id = p.user_id AND b.ts <= p.ts) t
          WHERE rn = 1""",
+
+    // the streamed windows, finalized by the watermark, must equal the
+    // batch grouping exactly
+    "q_stream_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS w_start, event_type,
+         count(*) AS n, sum(value) AS sum_value
+         FROM events GROUP BY 1, 2""",
 
     // the streamed production join: latest listing version wins
     // (V2 key for orderkey % 64 = 0), agent v2 created_ts must have

@@ -168,6 +168,58 @@ object StreamReplay {
         col("buildPayload").cast("long").as("clk_event_id"))
   }
 
+  /** Full-precision (microsecond) Timestamp for the MemoryStream
+    * encoders: java.sql.Timestamp's nanos field carries what the
+    * millisecond constructor would truncate.
+    */
+  private def tsOfMicros(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** T3/T4 streamed: watermarked 1-hour tumbling-window aggregation in
+    * APPEND mode — windows emit only once the watermark passes their
+    * end (the genuine finalization machinery, not a complete-mode
+    * recomputation), replayed chronologically in four micro-batches
+    * plus sentinel advances that close the last real windows (the
+    * sentinel's own never-finalized window is filtered out). Same
+    * oracle as the batch q_tumbling.
+    */
+  def tumbling(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val name = s"stream_tumbling_${seq.incrementAndGet()}"
+    val rows = Tables.load(spark, dir, "events")
+      .select(unix_micros(col("ts").cast("timestamp")).as("us"),
+        col("event_type"), col("value"))
+      .orderBy("us")
+      .as[(Long, String, Double)].collect()
+      .map(r => (tsOfMicros(r._1), r._2, r._3))
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = input.toDF().toDF("ts", "event_type", "value")
+      .withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").cast("timestamp_ntz").as("w_start"),
+        col("event_type"), col("n"), col("sum_value"))
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { c =>
+        input.addData(c.toSeq: _*)
+        q.processAllAvailable()
+      }
+      val maxMs = rows.iterator.map(_._1.getTime).max
+      (1 to 2).foreach { i =>
+        input.addData((new java.sql.Timestamp(
+          maxMs + i * 2 * 3600 * 1000L), "~advance", 0.0))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    detach(spark, name).filter(col("event_type") =!= "~advance")
+  }
+
   /** The reference's PRODUCTION job — [[CrmlsStream]]'s incremental
     * latest-version + multi-way join — replayed over envelopes
     * synthesized from the test tables ([[Crmls.envelopeCol]], the same
