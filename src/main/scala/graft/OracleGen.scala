@@ -933,6 +933,64 @@ object OracleGen {
        FROM e, ml, x$iters xt"""
   }
 
+  /** Oracle for [[graft.operators.Pca.diagnostics]]: the
+    * [[pcaProjectSql]] chain reduced to its one-row summary — trace =
+    * ordered fold of the rounded covariance diagonal, λ₁ = rounded
+    * Rayleigh quotient of the final iterate, dominant ratio =
+    * round(λ₁·dim/trace).
+    */
+  def pcaDiagSql(dim: Int, iters: Int, decimals: Int = 6): String = {
+    val rng = s"range(1, ${dim + 1})"
+    def iterCte(t: Int) =
+      s"""y$t AS (
+         SELECT covl.i AS i,
+                list_sum(list_transform($rng, j ->
+                  covl.cs[j] * xp.xs[j])) AS y
+         FROM covl covl, x${t - 1} xp),
+       x$t AS (
+         SELECT list_transform(ys, v -> round(v / sqrt(
+                  list_sum(list_transform(ys, w -> w * w))), $decimals)) AS xs
+         FROM (SELECT list(y ORDER BY i) AS ys FROM y$t))"""
+    s"""WITH e AS (
+         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings),
+       m AS (
+         SELECT u.i AS i, round(avg(e.v[u.i]), $decimals) AS mu
+         FROM e, unnest($rng) u(i) GROUP BY u.i),
+       c AS (
+         SELECT a.i AS i, b.i AS j,
+                round(avg(e.v[a.i] * e.v[b.i]), $decimals) AS cij
+         FROM e, unnest($rng) a(i), unnest($rng) b(i)
+         GROUP BY a.i, b.i),
+       cov AS (
+         SELECT c.i, c.j, c.cij - ma.mu * mb.mu AS cv
+         FROM c JOIN m ma ON ma.i = c.i JOIN m mb ON mb.i = c.j),
+       covl AS (
+         SELECT i, list(cv ORDER BY j) AS cs FROM cov GROUP BY i),
+       x0 AS (SELECT list_transform($rng, i -> 1.0) AS xs),
+       ${(1 to iters).map(iterCte).mkString(",\n       ")},
+       cxl AS (
+         SELECT covl.i AS i,
+                list_sum(list_transform($rng, j ->
+                  covl.cs[j] * xf.xs[j])) AS cx
+         FROM covl covl, x$iters xf),
+       cxll AS (SELECT list(cx ORDER BY i) AS cxs FROM cxl),
+       eig AS (
+         SELECT round(
+                  list_sum(list_transform($rng, i -> xf.xs[i] * c.cxs[i])) /
+                  list_sum(list_transform(xf.xs, v -> v * v)),
+                  $decimals) AS e
+         FROM x$iters xf, cxll c),
+       tr AS (
+         SELECT round(list_sum(ds), $decimals) AS trace FROM (
+           SELECT list(cv ORDER BY i) AS ds FROM cov WHERE i = j))
+       SELECT (SELECT count(*) FROM e) AS n_vectors,
+              tr.trace AS trace,
+              eig.e AS lambda1,
+              round(eig.e * $dim / tr.trace, $decimals) AS dominant_ratio
+       FROM tr, eig"""
+  }
+
   /** Oracle for [[graft.operators.Pca.projectTopK]]: the
     * [[pcaProjectSql]] chain extended with Hotelling deflation —
     * after each component, eigenvalue = rounded Rayleigh quotient

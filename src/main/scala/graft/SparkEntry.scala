@@ -1166,6 +1166,14 @@ object SparkEntry {
       Pca.projectLeading(t(s, dir, "embeddings"), "vec_id", "embedding",
         dim = 64, iters = 6)),
 
+    // the embedding-health summary: total variance, dominant
+    // eigenvalue, and the isotropy ratio lambda1*dim/trace — the
+    // number to check on every embedding drop before trusting cosine
+    // geometry (anisotropy inflates similarity scores)
+    "q_embedding_diag" -> ((s, dir) =>
+      Pca.diagnostics(t(s, dir, "embeddings"), "embedding",
+        dim = 64, iters = 6)),
+
     // the dim-reduction form: top-2 components by Hotelling deflation
     // (covariance fit once — still one corpus pass; the residual
     // matrix deflates and re-iterates on the driver). Oracle replays
@@ -2267,6 +2275,9 @@ object SparkEntry {
 
     // power iteration + rounded Hotelling deflation, reconstructed
     "q_pca_top2" -> OracleGen.pcaTopKSql(dim = 64, k = 2, iters = 4),
+
+    // trace + dominant eigenvalue + isotropy ratio, reconstructed
+    "q_embedding_diag" -> OracleGen.pcaDiagSql(dim = 64, iters = 6),
 
     // the salted fallback must produce EXACTLY the broadcast tier's
     // rows — same oracle SQL, independently recomputed by DuckDB

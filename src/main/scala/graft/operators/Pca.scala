@@ -75,6 +75,12 @@ object Pca {
   /** Rounded mean vector + covariance matrix in one corpus pass. */
   private def fitCov(df: DataFrame, vecCol: String, dim: Int,
                      decimals: Int): (Array[Double], Array[Array[Double]]) = {
+    val (_, mean, cov) = fitCovN(df, vecCol, dim, decimals)
+    (mean, cov)
+  }
+
+  private def fitCovN(df: DataFrame, vecCol: String, dim: Int,
+                      decimals: Int): (Long, Array[Double], Array[Array[Double]]) = {
     val spark = df.sparkSession
     import spark.implicits._
     val sums: Seq[Double] = df
@@ -99,7 +105,7 @@ object Pca {
       }
       i += 1
     }
-    (mean, cov)
+    (n.toLong, mean, cov)
   }
 
   /** `iters` rounded power steps on `cov` from the all-ones start;
@@ -174,6 +180,29 @@ object Pca {
       }
     }
     out.result()
+  }
+
+  /** One-row embedding-health diagnostic: total variance (trace of
+    * the covariance, ascending-fold of the rounded diagonal), the
+    * dominant eigenvalue, and the dominant ratio λ₁·dim/trace — 1.0
+    * for a perfectly isotropic corpus, dim for rank-1 collapse. The
+    * number a pipeline checks on every new embedding drop before
+    * trusting cosine geometry (anisotropy inflates similarity scores).
+    * Same single corpus pass as [[fitLeading]].
+    */
+  def diagnostics(df: DataFrame, vecCol: String, dim: Int, iters: Int,
+                  decimals: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (n, _, cov) = fitCovN(df, vecCol, dim, decimals)
+    val (_, eig) = powerIterate(cov, dim, iters, decimals)
+    var tr = 0.0
+    var i = 0
+    while (i < dim) { tr += cov(i)(i); i += 1 }
+    val trace = roundAt(tr, decimals)
+    require(trace > 0, "zero-variance corpus")
+    Seq((n, trace, eig, roundAt(eig * dim / trace, decimals)))
+      .toDF("n_vectors", "trace", "lambda1", "dominant_ratio")
   }
 
   /** Map-only projection onto the top-k components: (id, pc1..pck). */
