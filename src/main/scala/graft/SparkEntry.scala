@@ -1166,6 +1166,20 @@ object SparkEntry {
       Pca.projectLeading(t(s, dir, "embeddings"), "vec_id", "embedding",
         dim = 64, iters = 6)),
 
+    // profiling: pairwise Pearson correlations over the fact table's
+    // numeric columns — ONE aggregation pass (all six corr aggregates
+    // share the scan and combine map-side), the collinearity check
+    // run before feature selection / regression on a new drop
+    "q_corr_matrix" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val pairs = for {
+        i <- cols.indices; j <- cols.indices if i < j
+      } yield round(corr(col(cols(i)), col(cols(j))), 6)
+        .as(s"corr_${cols(i).stripPrefix("l_")}_${cols(j).stripPrefix("l_")}")
+      li.agg(pairs.head, pairs.tail: _*)
+    }),
+
     // the embedding-health summary: total variance, dominant
     // eigenvalue, and the isotropy ratio lambda1*dim/trace — the
     // number to check on every embedding drop before trusting cosine
@@ -2278,6 +2292,15 @@ object SparkEntry {
 
     // trace + dominant eigenvalue + isotropy ratio, reconstructed
     "q_embedding_diag" -> OracleGen.pcaDiagSql(dim = 64, iters = 6),
+
+    "q_corr_matrix" ->
+      """SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_quantity_extendedprice,
+         round(corr(l_quantity, l_discount), 6) AS corr_quantity_discount,
+         round(corr(l_quantity, l_tax), 6) AS corr_quantity_tax,
+         round(corr(l_extendedprice, l_discount), 6) AS corr_extendedprice_discount,
+         round(corr(l_extendedprice, l_tax), 6) AS corr_extendedprice_tax,
+         round(corr(l_discount, l_tax), 6) AS corr_discount_tax
+         FROM lineitem""",
 
     // the salted fallback must produce EXACTLY the broadcast tier's
     // rows — same oracle SQL, independently recomputed by DuckDB

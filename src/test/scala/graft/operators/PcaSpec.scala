@@ -93,6 +93,25 @@ class PcaSpec extends SparkTestBase {
       s"pc1/pc2 correlation $corr too large even for a flat spectrum")
   }
 
+  test("diagnostics: rank-1 corpus reads dominant_ratio ~ dim") {
+    val rows = (0 until 210).map { i =>
+      val t = (i % 21 - 10).toDouble
+      (i.toLong, Array(t.toFloat, (2 * t).toFloat, (3 * t).toFloat, 0f))
+    }
+    val d = Pca.diagnostics(rows.toDF("vec_id", "embedding"),
+      "embedding", dim = 4, iters = 10).head()
+    // all variance on one direction: trace = lambda1, ratio = dim
+    assert(math.abs(d.getDouble(3) - 4.0) < 0.01,
+      s"rank-1 corpus must read ratio ~ dim, got ${d.getDouble(3)}")
+    assert(math.abs(d.getDouble(1) - d.getDouble(2)) / d.getDouble(1) < 0.01)
+    assert(d.getLong(0) === 210L)
+    // the real corpus is near-isotropic: ratio far from collapse
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val r = Pca.diagnostics(emb, "embedding", dim = 64, iters = 6)
+      .head().getDouble(3)
+    assert(r > 0.9 && r < 8.0, s"random embeddings should be near-isotropic, got $r")
+  }
+
   test("rejects empty input and dim mismatches") {
     val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     intercept[IllegalArgumentException] {
