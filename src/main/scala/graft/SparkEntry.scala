@@ -440,6 +440,9 @@ object SparkEntry {
     // T3/T4 streamed: watermark-finalized tumbling windows in append
     // mode; same oracle as the batch q_tumbling
     "q_stream_tumbling" -> ((s, dir) => StreamReplay.tumbling(s, dir)),
+    // T10 streamed: session windows merging across micro-batches;
+    // same gaps-and-islands oracle as the batch q_session
+    "q_stream_session" -> ((s, dir) => StreamReplay.sessionWindows(s, dir)),
     // the reference's PRODUCTION job end to end (S6/P*/A2/J1/T7):
     // envelopes synthesized from orders/customer, three micro-batches
     // covering initial build, reverse-index dimension propagation, and
@@ -2104,6 +2107,25 @@ object SparkEntry {
            FROM x)
          SELECT w_start, event_type, count(*) AS n, sum(value) AS sum_value
          FROM w GROUP BY 1, 2""",
+
+    // the streamed sessions, merged across micro-batches and finalized
+    // by the watermark, must equal the batch islands exactly
+    "q_stream_session" ->
+      """WITH o AS (
+           SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 10 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+           FROM events),
+         s AS (
+           SELECT user_id, ts, value,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+           FROM o)
+         SELECT min(ts) AS sess_start, user_id, count(*) AS n,
+                sum(value) AS sum_value
+         FROM s GROUP BY user_id, sess""",
 
     "q_session" ->
       """WITH o AS (

@@ -220,6 +220,46 @@ object StreamReplay {
     detach(spark, name).filter(col("event_type") =!= "~advance")
   }
 
+  /** T10 streamed: event-time SESSION windows (10-minute gap) per
+    * user in append mode — sessions must MERGE across micro-batches
+    * (the stateful part a tumbling window never exercises) and emit
+    * only once the watermark passes their close. Same gaps-and-islands
+    * oracle as the batch q_session.
+    */
+  def sessionWindows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val name = s"stream_session_${seq.incrementAndGet()}"
+    val rows = Tables.load(spark, dir, "events")
+      .select(unix_micros(col("ts").cast("timestamp")).as("us"),
+        col("user_id"), col("value"))
+      .orderBy("us")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (tsOfMicros(r._1), r._2, r._3))
+    val input = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val agg = input.toDF().toDF("ts", "user_id", "value")
+      .withWatermark("ts", "1 minute")
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("session_window.start").cast("timestamp_ntz")
+        .as("sess_start"), col("user_id"), col("n"), col("sum_value"))
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { c =>
+        input.addData(c.toSeq: _*)
+        q.processAllAvailable()
+      }
+      val maxMs = rows.iterator.map(_._1.getTime).max
+      (1 to 2).foreach { i =>
+        input.addData((new java.sql.Timestamp(
+          maxMs + i * 3600 * 1000L), -1L, 0.0))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    detach(spark, name).filter(col("user_id") =!= -1L)
+  }
+
   /** The reference's PRODUCTION job — [[CrmlsStream]]'s incremental
     * latest-version + multi-way join — replayed over envelopes
     * synthesized from the test tables ([[Crmls.envelopeCol]], the same
