@@ -443,6 +443,9 @@ object SparkEntry {
     // T10 streamed: session windows merging across micro-batches;
     // same gaps-and-islands oracle as the batch q_session
     "q_stream_session" -> ((s, dir) => StreamReplay.sessionWindows(s, dir)),
+    // the NATIVE stream-stream join leg (symmetric hash, bounded
+    // state): purchases x same-user clicks within the preceding hour
+    "q_stream_interval" -> ((s, dir) => StreamReplay.intervalJoin(s, dir)),
     // the reference's PRODUCTION job end to end (S6/P*/A2/J1/T7):
     // envelopes synthesized from orders/customer, three micro-batches
     // covering initial build, reverse-index dimension propagation, and
@@ -2107,6 +2110,16 @@ object SparkEntry {
            FROM x)
          SELECT w_start, event_type, count(*) AS n, sum(value) AS sum_value
          FROM w GROUP BY 1, 2""",
+
+    // the streamed symmetric-hash join must produce exactly the batch
+    // interval pairs
+    "q_stream_interval" ->
+      """SELECT p.event_id AS event_id, p.user_id AS user_id,
+                b.event_id AS clk_event_id
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         JOIN (SELECT * FROM events WHERE event_type = 'click') b
+           ON b.user_id = p.user_id
+          AND b.ts >= p.ts - INTERVAL 1 HOUR AND b.ts <= p.ts""",
 
     // the streamed sessions, merged across micro-batches and finalized
     // by the watermark, must equal the batch islands exactly

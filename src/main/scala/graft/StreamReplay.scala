@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.crmls.Crmls
 import graft.sources.Tables
 import graft.streaming.{CrmlsStream, LatestState, StreamingAsOf,
-  StreamingDedup, UpsertJoin}
+  StreamingDedup, StreamingIntervalJoin, UpsertJoin}
 
 /** Streaming legs of the correctness gate: deterministic MemoryStream
   * replays of the library's streaming operators over the test tables,
@@ -258,6 +258,53 @@ object StreamReplay {
       }
     } finally q.stop()
     detach(spark, name).filter(col("user_id") =!= -1L)
+  }
+
+  /** The native STREAM-STREAM leg: Spark's symmetric-hash interval
+    * join ([[StreamingIntervalJoin.joinWithin]] — the one join shape
+    * the engine runs with bounded state), purchases joining clicks of
+    * the same user within the preceding hour. Two MemoryStreams fed
+    * in chronological lockstep; inner-join matches emit as both sides
+    * arrive, so no sentinel is needed — the watermark only governs
+    * state EVICTION, which by the join bound can never drop a
+    * still-matchable row under a forward-only feed.
+    */
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val name = s"stream_interval_${seq.incrementAndGet()}"
+    def sideRows(eventType: String) = Tables.load(spark, dir, "events")
+      .filter(col("event_type") === eventType)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .orderBy("us")
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2, tsOfMicros(r._3)))
+    val purchases = sideRows("purchase")
+    val clicks = sideRows("click")
+    val pIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val bIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val joined = StreamingIntervalJoin.joinWithin(
+      pIn.toDF().toDF("event_id", "user_id", "ts"),
+      bIn.toDF().toDF("event_id", "user_id", "ts"),
+      key = "user_id", probeTs = "ts", buildTs = "ts",
+      lookbackSec = 3600L)
+      .select(col("event_id"), col("user_id"),
+        col("b_event_id").as("clk_event_id"))
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      val nChunks = 4
+      def chunksOf(a: Array[(Long, Long, java.sql.Timestamp)]) =
+        a.grouped(math.max(1, a.length / nChunks + 1)).toArray
+      val (pc, bc) = (chunksOf(purchases), chunksOf(clicks))
+      (0 until math.max(pc.length, bc.length)).foreach { i =>
+        if (i < pc.length) pIn.addData(pc(i).toSeq: _*)
+        if (i < bc.length) bIn.addData(bc(i).toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    detach(spark, name)
   }
 
   /** The reference's PRODUCTION job — [[CrmlsStream]]'s incremental
