@@ -117,6 +117,27 @@ object Demo {
       val bins = packed.select("pack_shard", "pack_bin").distinct().count()
       println(s"[demo] train docs packed into $bins bins of 64 tokens")
     }
+
+    // ---- round-7 additions: distributed graph index + embedding PCA
+    {
+      import graft.operators.{GraphAnnDist, Pca}
+      val emb = sources.Tables.load(spark,
+        sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"),
+        "embeddings")
+      val edges = GraphAnnDist.buildIndex(emb, "vec_id", "embedding",
+        nCells = 8, m = 4, mCells = 2)
+      val appended = GraphAnnDist.appendToIndex(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", nCells = 8, m = 4)
+      println(s"[demo] distributed NSW index: ${edges.count()} edges " +
+        s"built, ${appended.count()} edges from an incremental append")
+      val diag = Pca.diagnostics(emb, "embedding", dim = 64, iters = 6)
+        .head()
+      println(f"[demo] embedding health: trace=${diag.getDouble(1)}%.4f " +
+        f"lambda1=${diag.getDouble(2)}%.4f " +
+        f"isotropy_ratio=${diag.getDouble(3)}%.3f (1.0 = isotropic)")
+    }
     spark.stop()
   }
 }
