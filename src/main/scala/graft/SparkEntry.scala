@@ -446,6 +446,9 @@ object SparkEntry {
     // the NATIVE stream-stream join leg (symmetric hash, bounded
     // state): purchases x same-user clicks within the preceding hour
     "q_stream_interval" -> ((s, dir) => StreamReplay.intervalJoin(s, dir)),
+    // T2/T9 streamed: out-of-order arrival (event_id % 4 batches) with
+    // bounded lateness — the oracle recomputes which rows Spark DROPS
+    "q_stream_latedrop" -> ((s, dir) => StreamReplay.lateDrop(s, dir)),
     // the reference's PRODUCTION job end to end (S6/P*/A2/J1/T7):
     // envelopes synthesized from orders/customer, three micro-batches
     // covering initial build, reverse-index dimension propagation, and
@@ -2110,6 +2113,29 @@ object SparkEntry {
            FROM x)
          SELECT w_start, event_type, count(*) AS n, sum(value) AS sum_value
          FROM w GROUP BY 1, 2""",
+
+    // replay of the late-drop rule: per-arrival-chunk running-max
+    // watermark; a row survives iff its window end exceeds the
+    // watermark carried into its batch
+    "q_stream_latedrop" ->
+      """WITH e AS (
+           SELECT ts, event_type, value, event_id % 4 AS chunk
+           FROM events),
+         mx AS (SELECT chunk, max(ts) AS mts FROM e GROUP BY chunk),
+         wm AS (
+           SELECT c.chunk,
+                  max(m.mts) - INTERVAL 30 MINUTE AS wm_prev
+           FROM (SELECT DISTINCT chunk FROM e) c
+           JOIN mx m ON m.chunk < c.chunk
+           GROUP BY c.chunk),
+         kept AS (
+           SELECT e.ts, e.event_type, e.value
+           FROM e LEFT JOIN wm ON wm.chunk = e.chunk
+           WHERE wm.wm_prev IS NULL
+              OR date_trunc('hour', e.ts) + INTERVAL 1 HOUR > wm.wm_prev)
+         SELECT date_trunc('hour', ts) AS w_start, event_type,
+                count(*) AS n, sum(value) AS sum_value
+         FROM kept GROUP BY 1, 2""",
 
     // the streamed symmetric-hash join must produce exactly the batch
     // interval pairs

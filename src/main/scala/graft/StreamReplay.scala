@@ -260,6 +260,53 @@ object StreamReplay {
     detach(spark, name).filter(col("user_id") =!= -1L)
   }
 
+  /** T2/T9 streamed: BOUNDED-LATENESS drop semantics, made a gate
+    * artifact. Events arrive OUT OF ORDER (arrival batch =
+    * event_id % 4 — plain arithmetic, so the oracle recomputes the
+    * same schedule), feeding a watermarked 1-hour window aggregation
+    * with 30-minute lateness. Spark drops a row when its WINDOW is
+    * already finalized — window_end <= the watermark carried in from
+    * the previous batch (max event time seen so far minus the delay).
+    * The oracle applies exactly that rule in SQL: per-chunk running
+    * max -> previous-chunk watermark -> keep rows whose window end
+    * exceeds it -> re-aggregate. Any divergence in Spark's late-row
+    * boundary or watermark bookkeeping breaks the hash match.
+    */
+  def lateDrop(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val name = s"stream_latedrop_${seq.incrementAndGet()}"
+    val rows = Tables.load(spark, dir, "events")
+      .select(pmod(col("event_id"), lit(4L)).cast("int").as("chunk"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        col("event_type"), col("value"))
+      .orderBy("us")
+      .as[(Int, Long, String, Double)].collect()
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = input.toDF().toDF("ts", "event_type", "value")
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").cast("timestamp_ntz").as("w_start"),
+        col("event_type"), col("n"), col("sum_value"))
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      (0 to 3).foreach { c =>
+        input.addData(rows.filter(_._1 == c)
+          .map(r => (tsOfMicros(r._2), r._3, r._4)).toSeq: _*)
+        q.processAllAvailable()
+      }
+      val maxMs = rows.iterator.map(_._2 / 1000L).max
+      (1 to 2).foreach { i =>
+        input.addData((new java.sql.Timestamp(
+          maxMs + i * 3 * 3600 * 1000L), "~advance", 0.0))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    detach(spark, name).filter(col("event_type") =!= "~advance")
+  }
+
   /** The native STREAM-STREAM leg: Spark's symmetric-hash interval
     * join ([[StreamingIntervalJoin.joinWithin]] — the one join shape
     * the engine runs with bounded state), purchases joining clicks of
