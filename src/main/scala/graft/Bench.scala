@@ -132,12 +132,24 @@ object Bench {
     val flaggedJson = flagged.map { case (k, x) => f""""$k":$x%.1f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Provenance stamp: catalog size + git SHA of the tree that ran,
+    // so a stale committed artifact (tree != headline) is self-evident
+    // instead of needing forensic diffing against README/BASELINE.
+    val gitSha = try {
+      val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD")
+        .redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      if (p.waitFor() == 0) out else "unknown"
+    } catch { case _: Throwable => "unknown" }
+    val nCatalog = SparkEntry.queries.size
+    val stamp = s""""catalog_size":$nCatalog,"bench_rows":${results.size},"git_sha":"$gitSha""""
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$stamp,"sf":"$sfDir"}"""
     // The full record (with the per-run arrays) is one very long line;
     // round 2's driver capture clipped it mid-line and the round
     // artifact parsed as null. Durable copy goes to a file; stdout gets
     // only the compact line any line-buffered capture can hold.
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"passes":$passes,"flagged_vs_prior":$flaggedJson,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"passes":$passes,"flagged_vs_prior":$flaggedJson,$stamp,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(outPath),

@@ -732,6 +732,37 @@ object SparkEntry {
           TF.tokenCount(col("text")), capacity = 512L)
         .select("doc_id", "pack_shard", "pack_bin", "bin_offset")),
 
+    // §2.10 training-data assembly: first-fit-decreasing (whole-doc,
+    // no splitting) sequence packing. The greedy bin layout is a
+    // sequential per-shard pass no SQL replays, so the row is a BANDED
+    // CONTRACT: per shard the oracle derives n_docs / n_tokens
+    // (= Σ min(tok, cap)) straight from the input and asserts the two
+    // invariants FFD guarantees — zero over-budget bins, and a bin
+    // count in [ceil(sum/cap), max(ceil(2*sum/cap), 1)] (any first-fit
+    // leaves at most one bin ≤ half-full, so n_bins < 2*sum/cap + 1).
+    // A layout bug on the Spark side flips a flag and fails the hash.
+    "q_pack_ffd" -> ((s, dir) => {
+      val cap = 512L
+      val packed = TrainingOps.packSequencesFfd(t(s, dir, "documents"),
+        "doc_id", TF.tokenCount(col("text")), capacity = cap)
+      packed
+        .groupBy(col("pack_shard"), col("pack_bin"))
+        .agg(sum("pack_tokens").as("__load"),
+          count(lit(1)).as("__docs"))
+        .groupBy(col("pack_shard"))
+        .agg(sum("__docs").as("n_docs"),
+          sum("__load").as("n_tokens"),
+          count(lit(1)).as("__bins"),
+          sum(when(col("__load") > cap, 1L).otherwise(0L))
+            .as("n_over_budget"))
+        .select(col("pack_shard"), col("n_docs"), col("n_tokens"),
+          (col("__bins") >= ceil(col("n_tokens").cast("double") / cap) &&
+            col("__bins") <= greatest(
+              ceil(col("n_tokens").cast("double") * 2 / cap), lit(1L)))
+            .cast("int").as("bins_ok"),
+          col("n_over_budget"))
+    }),
+
     // §2.10 training-data assembly: length-bucketed batching audit —
     // width-32 token-count buckets, per-bucket doc/token volume and the
     // padding waste a max-length-padded batch of that bucket would
@@ -1329,12 +1360,16 @@ object SparkEntry {
       val sk = Profile.profile(t(s, dir, "lineitem"),
         Seq("l_orderkey", "l_quantity", "l_returnflag"),
         approxNdv = true)
+      // floor() explicitly on BOTH engines: Spark's cast(long)
+      // truncates toward zero while DuckDB's CAST(... AS BIGINT)
+      // rounds to nearest — an NDV on the band edge would flip
+      // ndv_ok on one side only
       val lo = when(col("col_name") === "l_orderkey",
-          (col("n_rows") * 0.1).cast("long"))
+          floor(col("n_rows") * 0.1))
         .when(col("col_name") === "l_quantity", lit(10L))
         .otherwise(lit(1L))
       val hi = when(col("col_name") === "l_orderkey",
-          (col("n_rows") * 0.5).cast("long"))
+          floor(col("n_rows") * 0.5))
         .when(col("col_name") === "l_quantity", lit(200L))
         .otherwise(lit(10L))
       sk.select(col("col_name"), col("n_rows"), col("n_null"),
@@ -2116,12 +2151,17 @@ object SparkEntry {
 
     // replay of the late-drop rule: per-arrival-chunk running-max
     // watermark; a row survives iff its window end exceeds the
-    // watermark carried into its batch
+    // watermark carried into its batch. The watermark bookkeeping
+    // floors event times to MILLISECONDS (Spark's EventTimeStats
+    // tracks epoch millis), so mts is ms-truncated before the delay
+    // subtraction — at microsecond precision the oracle's watermark
+    // could sit up to ~1ms above Spark's and drop a row Spark keeps.
     "q_stream_latedrop" ->
       """WITH e AS (
            SELECT ts, event_type, value, event_id % 4 AS chunk
            FROM events),
-         mx AS (SELECT chunk, max(ts) AS mts FROM e GROUP BY chunk),
+         mx AS (SELECT chunk, max(date_trunc('milliseconds', ts)) AS mts
+                FROM e GROUP BY chunk),
          wm AS (
            SELECT c.chunk,
                   max(m.mts) - INTERVAL 30 MINUTE AS wm_prev
@@ -2812,6 +2852,21 @@ object SparkEntry {
            (cum - n_tok) % 512 AS bin_offset
          FROM c""",
 
+    // see the Spark-side comment: banded FFD contract — shard volumes
+    // from the input, invariant flags as literals the hash pins
+    "q_pack_ffd" ->
+      raw"""WITH d AS (SELECT doc_id,
+             LEAST(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT),
+                   512) AS placed,
+             substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 1)
+               AS pack_shard
+           FROM documents)
+         SELECT pack_shard, count(*) AS n_docs,
+           CAST(sum(placed) AS BIGINT) AS n_tokens,
+           CAST(1 AS INTEGER) AS bins_ok,
+           CAST(0 AS BIGINT) AS n_over_budget
+         FROM d GROUP BY 1""",
+
     "q_topterms" ->
       raw"""WITH d AS (SELECT * FROM documents WHERE doc_id < 40),
          tok AS (
@@ -3365,10 +3420,10 @@ object SparkEntry {
          SELECT col_name, n_rows, n_null, min_val, max_val,
            CASE WHEN ndv
                   BETWEEN (CASE col_name
-                           WHEN 'l_orderkey' THEN CAST(n_rows * 0.1 AS BIGINT)
+                           WHEN 'l_orderkey' THEN CAST(FLOOR(n_rows * 0.1) AS BIGINT)
                            WHEN 'l_quantity' THEN 10 ELSE 1 END)
                   AND (CASE col_name
-                       WHEN 'l_orderkey' THEN CAST(n_rows * 0.5 AS BIGINT)
+                       WHEN 'l_orderkey' THEN CAST(FLOOR(n_rows * 0.5) AS BIGINT)
                        WHEN 'l_quantity' THEN 200 ELSE 10 END)
                 THEN 1 ELSE 0 END AS ndv_ok
          FROM s""",

@@ -52,6 +52,11 @@ object StreamReplay {
     * keeper is in state. Within any single batch all texts are
     * distinct, so the kept set is exactly "min doc_id per distinct
     * text" with no within-batch winner ambiguity.
+    *
+    * HARNESS-ONLY: feeds MemoryStream from a whole-table collect of
+    * the sf fixture — fine for gate replays, never the production
+    * pattern. Production streams read [[sources.Streams.kafkaJsonSource]]
+    * or a file source; do not copy this collect into pipeline code.
     */
   def dedupExact(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -86,6 +91,11 @@ object StreamReplay {
     * changelog; upserts are strictly increasing per key, so the final
     * table is the per-key maximum of the emitted rows (the standard
     * changelog-to-snapshot reduction).
+    *
+    * HARNESS-ONLY: feeds MemoryStream from a whole-table collect of
+    * the sf fixture — fine for gate replays, never the production
+    * pattern. Production streams read [[sources.Streams.kafkaJsonSource]]
+    * or a file source; do not copy this collect into pipeline code.
     */
   def latestVersion(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -126,6 +136,11 @@ object StreamReplay {
     * key and never emit). Timestamps cross the operator's millisecond
     * axis as epoch MICROS, so sub-millisecond ordering — which the
     * test events have — survives intact.
+    *
+    * HARNESS-ONLY: feeds MemoryStream from a whole-table collect of
+    * the sf fixture — fine for gate replays, never the production
+    * pattern. Production streams read [[sources.Streams.kafkaJsonSource]]
+    * or a file source; do not copy this collect into pipeline code.
     */
   def asOfJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -185,6 +200,11 @@ object StreamReplay {
     * plus sentinel advances that close the last real windows (the
     * sentinel's own never-finalized window is filtered out). Same
     * oracle as the batch q_tumbling.
+    *
+    * HARNESS-ONLY: feeds MemoryStream from a whole-table collect of
+    * the sf fixture — fine for gate replays, never the production
+    * pattern. Production streams read [[sources.Streams.kafkaJsonSource]]
+    * or a file source; do not copy this collect into pipeline code.
     */
   def tumbling(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -225,6 +245,11 @@ object StreamReplay {
     * (the stateful part a tumbling window never exercises) and emit
     * only once the watermark passes their close. Same gaps-and-islands
     * oracle as the batch q_session.
+    *
+    * HARNESS-ONLY: feeds MemoryStream from a whole-table collect of
+    * the sf fixture — fine for gate replays, never the production
+    * pattern. Production streams read [[sources.Streams.kafkaJsonSource]]
+    * or a file source; do not copy this collect into pipeline code.
     */
   def sessionWindows(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -271,6 +296,11 @@ object StreamReplay {
     * max -> previous-chunk watermark -> keep rows whose window end
     * exceeds it -> re-aggregate. Any divergence in Spark's late-row
     * boundary or watermark bookkeeping breaks the hash match.
+    *
+    * HARNESS-ONLY: feeds MemoryStream from a whole-table collect of
+    * the sf fixture — fine for gate replays, never the production
+    * pattern. Production streams read [[sources.Streams.kafkaJsonSource]]
+    * or a file source; do not copy this collect into pipeline code.
     */
   def lateDrop(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -315,6 +345,11 @@ object StreamReplay {
     * arrive, so no sentinel is needed — the watermark only governs
     * state EVICTION, which by the join bound can never drop a
     * still-matchable row under a forward-only feed.
+    *
+    * HARNESS-ONLY: feeds MemoryStream from a whole-table collect of
+    * the sf fixture — fine for gate replays, never the production
+    * pattern. Production streams read [[sources.Streams.kafkaJsonSource]]
+    * or a file source; do not copy this collect into pipeline code.
     */
   def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -366,6 +401,11 @@ object StreamReplay {
     * content is a pure function of orders/customer, the final joined
     * table is expressible as plain SQL over those tables — no JSON in
     * the oracle.
+    *
+    * HARNESS-ONLY: feeds MemoryStream from a whole-table collect of
+    * the sf fixture — fine for gate replays, never the production
+    * pattern. Production streams read [[sources.Streams.kafkaJsonSource]]
+    * or a file source; do not copy this collect into pipeline code.
     */
   def crmlsJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -405,7 +445,20 @@ object StreamReplay {
       CrmlsStream.run(tagged, store, sink, s"$tmp/ckpt")
         .awaitTermination()
     }
-    sink.snapshot(spark).select(col("l_uc_pk"), col("l_listing_key"),
-      col("aa_uc_pk"), col("aa_uc_created_ts"))
+    val out = sink.snapshot(spark).select(col("l_uc_pk"),
+      col("l_listing_key"), col("aa_uc_pk"), col("aa_uc_created_ts"))
+    // Detach like every other replay leg: the snapshot reads the
+    // parquet sink under tmp, so collect + recreate before deleting
+    // the temp tree — otherwise the result's lifetime is tied to the
+    // temp files and each gate invocation leaks disk.
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    out.collect().foreach(rows.add)
+    val detached = spark.createDataFrame(rows, out.schema)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(new java.io.File(tmp))
+    detached
   }
 }

@@ -455,6 +455,15 @@ object DedupOps {
     // blowing past 50x per-round cost by round ~12. Superseded
     // checkpoint generations are freed by the ContextCleaner as they
     // drop out of scope.
+    //
+    // FAULT-TOLERANCE CAVEAT (multi-executor deploys): localCheckpoint
+    // blocks are UNREPLICATED executor-local RDD blocks with truncated
+    // lineage — losing an executor mid-loop makes the result
+    // unrecomputable and fails the job (acceptable: the loop restarts
+    // from the pairs input, which IS recomputable). On clusters where
+    // that retry cost matters, set spark.checkpoint.dir and swap these
+    // for reliable checkpoint(), trading per-round HDFS writes for
+    // executor-loss survival.
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()
     var changed = 1L

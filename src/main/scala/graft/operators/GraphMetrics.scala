@@ -74,11 +74,18 @@ object GraphMetrics {
       .filter(col("n") < col("n2"))
       .select(col("n").as("a"), col("n2").as("b"),
         (lit(1.0) / log(col("__deg").cast("double"))).as("__w"))
+    // Aggregate BEFORE the anti-join: the anti-join then probes the
+    // distinct candidate-pair set (bounded by #pairs) instead of the
+    // raw Σ deg² wedge stream, and the groupBy's hash partitioning on
+    // (a, b) is reused by the anti-join — one exchange saved and the
+    // anti-join input is orders of magnitude smaller on dense graphs.
     pairs
-      .join(canon, Seq("a", "b"), "left_anti") // predict NEW links only
-      .groupBy(col("a").as("id_a"), col("b").as("id_b"))
+      .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n_common"),
         round(sum("__w"), 6).as("aa_score"))
+      .join(canon, Seq("a", "b"), "left_anti") // predict NEW links only
+      .select(col("a").as("id_a"), col("b").as("id_b"),
+        col("n_common"), col("aa_score"))
   }
 
   /** Bounded-depth BFS: minimum hop distance from a seed set, for
@@ -115,6 +122,13 @@ object GraphMetrics {
     * checkpoint) before returning — iterative traversals act per hop
     * anyway — and the edge cache is released. Output is identical to
     * the lazy shape: (id, hops), hops in [0, maxHops].
+    *
+    * Fault-tolerance caveat (multi-executor deploys): localCheckpoint
+    * blocks are unreplicated and lineage-truncated, so an executor
+    * loss mid-traversal fails the job instead of recomputing — the
+    * traversal restarts from `edges`, which is recomputable. Where
+    * that retry cost matters, set spark.checkpoint.dir and use
+    * reliable checkpoint() instead.
     *
     * `edges` is undirected (`id_a`, `id_b`); `seeds` is a single
     * column `id`.

@@ -45,16 +45,26 @@ def main(out_path, logs):
     # prior > 0 && cur > 5 * prior && cur > 0.5.
     prior = {}
     try:
-        import subprocess
+        import subprocess, os
+        # git show needs a repo-root-relative path: an absolute
+        # out_path or an invocation from a subdirectory would fail the
+        # lookup and silently fall back to the clobberable file.
+        top = subprocess.run(
+            ["git", "rev-parse", "--show-toplevel"],
+            capture_output=True, text=True, check=True).stdout.strip()
+        rel = os.path.relpath(os.path.abspath(out_path), top)
         blob = subprocess.run(
-            ["git", "show", f"HEAD:{out_path}"],
+            ["git", "show", f"HEAD:{rel}"], cwd=top,
             capture_output=True, text=True, check=True).stdout
         prior = json.loads(blob).get("queries", {})
+        print(f"baseline: git HEAD:{rel}", file=sys.stderr)
     except Exception:
         try:
             prior = json.load(open(out_path)).get("queries", {})
+            print(f"baseline: working-tree {out_path} (NOT committed — "
+                  "may be a clobbered intermediate)", file=sys.stderr)
         except Exception:
-            pass
+            print("baseline: none found", file=sys.stderr)
     flagged = {q: [prior[q], queries[q]] for q in queries
                if q in prior and prior[q] > 0
                and queries[q] > 5 * prior[q] and queries[q] > 0.5}
@@ -66,6 +76,9 @@ def main(out_path, logs):
         "runs": merged_runs,
         "passes": sum(r.get("passes", len(next(iter(r.get("runs", {"x": [0]}).values()))) if r.get("runs") else 1) for r in runs),
         "flagged_vs_prior": flagged,
+        "catalog_size": base.get("catalog_size"),
+        "bench_rows": base.get("bench_rows"),
+        "git_sha": base.get("git_sha"),
         "sf": base.get("sf"),
     }
     json.dump(out, open(out_path, "w"))
