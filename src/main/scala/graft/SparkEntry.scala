@@ -457,6 +457,11 @@ object SparkEntry {
     // them
     "q_stream_crmls" -> ((s, dir) => StreamReplay.crmlsJoin(s, dir)),
 
+    // retract-churn worst case: one hot key updating in EVERY batch
+    // (rotating its agent ref, so the reverse index accrues stale
+    // entries) and dims arriving only AFTER the facts they enrich
+    "q_stream_crmls_churn" -> ((s, dir) => StreamReplay.crmlsChurn(s, dir)),
+
     // §2.8 sorts/limits: top-k with deterministic tiebreak
     "q_topk" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -1138,6 +1143,25 @@ object SparkEntry {
     // §2.10 similarity search: recall@k evaluation harness — the IVF
     // tier measured against the exact cosine top-k on the same probes
     // (how every index knob gets tuned before a 100 TB deployment)
+    // the distributed index's SERVING path: beam search over the
+    // stitched-NSW edge list, probes routed by the build's quantizer
+    // (the SPANN split). ef here is set past the largest cell, so the
+    // beam provably visits every member of the probed cells (the
+    // within-cell graph is connected by construction) and the result
+    // is exactly the IVF candidate scan over the same cells — which is
+    // what the deterministic oracle replays. The beam-LIMITED
+    // production shape is pinned by GraphAnnDistSpec and the tier-2
+    // stress recall bar.
+    "q_gann_search" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val edges = GraphAnnDist.buildIndex(emb, "vec_id", "embedding",
+        nCells = 16, m = 4, mCells = 2)
+      GraphAnnDist.searchIndex(emb, edges,
+        emb.filter(col("vec_id") < 64), "vec_id", "embedding",
+        nCells = 16, k = 5, ef = 1 << 20, nProbe = 4)
+        .select("probe_id", "neighbor_id", "rank")
+    }),
+
     "q_ann_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val probes = emb.filter(col("vec_id") < 64)
@@ -2089,6 +2113,33 @@ object SparkEntry {
                   AS BIGINT) AS aa_uc_created_ts
          FROM orders WHERE o_orderkey % 32 = 0""",
 
+    // the churn replay's final table is latest-version-join arithmetic:
+    // listings %32==16 (v2 where %64==16), agents ts 20 where %4==1
+    // else 10, plus the hot key whose SIXTH version survives with its
+    // rotated agent ref (1 + (hot o_custkey + 6) mod max custkey)
+    "q_stream_crmls_churn" ->
+      """WITH hot AS (
+           SELECT (SELECT o_custkey FROM orders WHERE o_orderkey =
+                     (SELECT min(o_orderkey) FROM orders
+                      WHERE o_orderkey % 32 = 16)) AS hc,
+                  (SELECT max(c_custkey) FROM customer) AS mx),
+         l AS (
+           SELECT 'L' || CAST(o_orderkey AS VARCHAR) AS l_uc_pk,
+                  'LK' || CAST(o_orderkey AS VARCHAR) ||
+                    CASE WHEN o_orderkey % 64 = 16 THEN 'V2' ELSE '' END
+                    AS l_listing_key,
+                  CAST(o_custkey AS VARCHAR) AS ref
+           FROM orders WHERE o_orderkey % 32 = 16
+           UNION ALL
+           SELECT 'LHOT', 'LKHOT6', CAST(1 + (hc + 6) % mx AS VARCHAR)
+           FROM hot)
+         SELECT l.l_uc_pk, l.l_listing_key,
+                CAST(c.c_custkey AS VARCHAR) AS aa_uc_pk,
+                CAST(CASE WHEN c.c_custkey % 4 = 1 THEN 20 ELSE 10 END
+                  AS BIGINT) AS aa_uc_created_ts
+         FROM l LEFT JOIN customer c
+           ON CAST(c.c_custkey AS VARCHAR) = l.ref""",
+
     "q_interval_join" ->
       """SELECT p.event_id, p.user_id, p.ts,
          count(b.user_id) AS n_clicks,
@@ -2380,6 +2431,11 @@ object SparkEntry {
     // the distributed build's full edge list, reconstructed in SQL
     "q_graph_ann_dist" -> OracleGen.graphAnnDistSql(
       nCells = 8, m = 4, mCells = 2, dim = 64),
+
+    // exhaustive-beam serving over the distributed index == the IVF
+    // candidate scan over the same cells (see the Spark-side comment)
+    "q_gann_search" -> OracleGen.ivfAnnSql(
+      probeMax = 64, k = 5, nCells = 16, nProbe = 4, dim = 64),
 
     // the incremental-append edges, reconstructed in SQL
     "q_graph_ann_append" -> OracleGen.graphAnnAppendSql(

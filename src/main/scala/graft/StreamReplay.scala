@@ -407,6 +407,93 @@ object StreamReplay {
     * pattern. Production streams read [[sources.Streams.kafkaJsonSource]]
     * or a file source; do not copy this collect into pipeline code.
     */
+  /** ADVERSARIAL-CHURN variant of [[crmlsJoin]] — the retract-churn
+    * worst case the steady replay never hits: ONE hot listing key
+    * updates in EVERY micro-batch (each version re-pointing at a
+    * DIFFERENT agent, so the reverse index accumulates stale entries
+    * that later dim updates fan out through as false positives), and
+    * every dimension arrives or updates AFTER the facts that reference
+    * it (batch 1 is listings only — their agent role columns are null
+    * until batch 3 heals them through the index). The final table is
+    * pure latest-version-join arithmetic, hash-checked by the same
+    * batch oracle style as q_stream_crmls.
+    *
+    * Six batches: (1) all listings v1 + hot#1, (2) hot#2, (3) all
+    * agents v1 + hot#3, (4) listings %64==16 v2 + hot#4, (5) agents
+    * %4==1 v2 + hot#5, (6) hot#6 (the surviving hot version).
+    *
+    * HARNESS-ONLY: feeds MemoryStream from a whole-table collect of
+    * the sf fixture — fine for gate replays, never the production
+    * pattern. Production streams read [[sources.Streams.kafkaJsonSource]]
+    * or a file source; do not copy this collect into pipeline code.
+    */
+  def crmlsChurn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val orders = Tables.load(spark, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(32L)) === 16)
+    val custs = Tables.load(spark, dir, "customer")
+    val (hotCust, mxCust) = {
+      val h = orders.orderBy("o_orderkey").select("o_custkey")
+        .as[Long].head()
+      val m = custs.agg(max(col("c_custkey"))).as[Long].head()
+      (h, m)
+    }
+    def envs(df: org.apache.spark.sql.DataFrame,
+             entity: String): Seq[(String, String)] =
+      df.as[String].collect().toSeq.map(entity -> _)
+    def listingEnv(v2: Boolean) = Crmls.envelopeCol(
+      concat(lit("L"), col("o_orderkey").cast("string")),
+      lit(if (v2) 4L else 1L),
+      to_json(struct(
+        concat(lit("LK"), col("o_orderkey").cast("string"),
+          lit(if (v2) "V2" else "")).as("ListingKeyNumeric"),
+        col("o_custkey").cast("string").as("ListAgentKeyNumeric"))))
+    def agentEnv(v2: Boolean) = Crmls.envelopeCol(
+      col("c_custkey").cast("string"), lit(if (v2) 20L else 10L),
+      to_json(struct(lit(if (v2) "y" else "x").as("n"))))
+    def hotEnv(b: Int): Seq[(String, String)] = {
+      val ref = 1L + (hotCust + b) % mxCust
+      envs(spark.range(1).select(Crmls.envelopeCol(lit("LHOT"), lit(b.toLong),
+        to_json(struct(lit(s"LKHOT$b").as("ListingKeyNumeric"),
+          lit(ref.toString).as("ListAgentKeyNumeric")))).as("v")), "listings")
+    }
+    val batches = Seq(
+      envs(orders.select(listingEnv(v2 = false).as("v")), "listings") ++
+        hotEnv(1),
+      hotEnv(2),
+      envs(custs.select(agentEnv(v2 = false).as("v")), "agents") ++
+        hotEnv(3),
+      envs(orders.filter(pmod(col("o_orderkey"), lit(64L)) === 16)
+        .select(listingEnv(v2 = true).as("v")), "listings") ++ hotEnv(4),
+      envs(custs.filter(pmod(col("c_custkey"), lit(4L)) === 1)
+        .select(agentEnv(v2 = true).as("v")), "agents") ++ hotEnv(5),
+      hotEnv(6))
+
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-stream-churn").toString
+    val store = new CrmlsStream.StateStore(spark, s"$tmp/state")
+    val sink = new UpsertJoin.ParquetUpsertSink(spark, s"$tmp/sink")
+    val input = MemoryStream[(String, String)]
+    val tagged = input.toDF().toDF("entity", "value")
+    batches.foreach { b =>
+      input.addData(b: _*)
+      CrmlsStream.run(tagged, store, sink, s"$tmp/ckpt")
+        .awaitTermination()
+    }
+    val out = sink.snapshot(spark).select(col("l_uc_pk"),
+      col("l_listing_key"), col("aa_uc_pk"), col("aa_uc_created_ts"))
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    out.collect().foreach(rows.add)
+    val detached = spark.createDataFrame(rows, out.schema)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(new java.io.File(tmp))
+    detached
+  }
+
   def crmlsJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -307,6 +307,27 @@ object Stress {
         .filter(col("c") =!=
           least(lit(gm.toLong), expr(s"src_id DIV $kc"))).count()
       require(badDeg == 0L, s"$badDeg sources with wrong forward degree")
+
+      // --- SEARCH recall bar, beam-LIMITED (the serving shape, not
+      // the oracle's exhaustive one): probes are corpus members, so
+      // each probe's true neighbor set IS its own planted cluster
+      // (identical vectors, cosine 1; every other cluster scores
+      // below). Require every returned hit to be a member of the
+      // probe's cluster and every probe to fill its k — recall 1.0 by
+      // construction; a quantizer slip, a broken adjacency, or a beam
+      // that cannot reach k members within ef expansions fails the
+      // bar.
+      val sHits = operators.GraphAnnDist.searchIndex(corpus, edges,
+        corpus.filter(col("id") < 256), "id", "embedding",
+        nCells = kc, k = 10, ef = 64, nProbe = 1).persist()
+      val nHits = sHits.count()
+      val offCluster = sHits.filter(
+        pmod(col("neighbor_id"), lit(kc.toLong)) =!=
+          pmod(col("probe_id"), lit(kc.toLong))).count()
+      require(nHits == 256L * 10 && offCluster == 0L,
+        s"beam-limited search recall broken: hits=$nHits (want 2560), " +
+          s"off-cluster=$offCluster")
+      sHits.unpersist()
       edges.unpersist()
 
       // --- incremental-append wave over the same planted corpus:
@@ -343,7 +364,8 @@ object Stress {
           s"fwd=${ae.getLong(2)}")
       appEdges.unpersist()
       (a.getLong(0) + ae.getLong(0),
-        s""","nodes":$gdNodes,"cells":$kc,"m":$gm,"appends":$nApp""")
+        s""","nodes":$gdNodes,"cells":$kc,"m":$gm,"appends":$nApp""" +
+          s""","search_hits":$nHits,"search_off_cluster":$offCluster""")
     }
 
     // ------------------------------------------------------- SRP ANN

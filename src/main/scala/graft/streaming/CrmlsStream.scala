@@ -84,6 +84,13 @@ object CrmlsStream {
     * cause a harmless false-positive re-join of that listing.
     */
   private val IdxName = "listing_ref_idx"
+
+  /** Kill switch for the pending-delta (LSM) state tier —
+    * `SPARK_GRAFT_STATE_PENDING=off` restores full touched-bucket
+    * rewrites per batch.
+    */
+  private val PendingStateEnabled: Boolean =
+    !sys.env.get("SPARK_GRAFT_STATE_PENDING").contains("off")
   private val IdxSchema = StructType(Seq(
     StructField("ref_col", StringType), StructField("ref_val", StringType),
     StructField("l_uc_pk", StringType)))
@@ -225,8 +232,197 @@ object CrmlsStream {
       extends Serializable {
     private[streaming] def path(entity: String) = s"$dir/$entity"
 
-    def read(entity: String): Option[DataFrame] =
+    // ---- pending-delta state appends (LSM tier) ----------------------
+    // A FUSED micro-batch appends each entity's per-batch WINNERS (the
+    // merged rows whose key was in the batch's delta) as one pending
+    // generation — per-batch durable I/O is then proportional to the
+    // DELTA, not to the touched buckets' accumulated content (a 2k-key
+    // dim update was rewriting the entire 100k-row media state every
+    // batch). Pendings are folded into the bucket files (a) from the
+    // resident snapshot every [[PendingFoldEvery]] generations — free
+    // content-wise, the snapshot IS base ⊎ pendings, (b) synchronously
+    // before ANY path that reads state files (non-fused batches, cold
+    // start, upsertLatest), via [[ensureFolded]]. Readers therefore
+    // NEVER merge pendings — the fold is their only consumer.
+    //
+    // Crash matrix: a gen dir without _SUCCESS is swept; a crash after
+    // the fold's bucket swaps but before gen deletion leaves stale
+    // pendings whose content the promoted buckets already contain
+    // (pure fold: no new delta in the same write), so a re-fold is
+    // content-identical; an unfolded pending after a JVM crash is
+    // recovered by the cold fold-from-files, where LATEST GENERATION
+    // wins per key (never the argmax — its isNew axis is not
+    // recoverable from files, and each pending row is already the
+    // post-merge winner of its batch).
+    private[streaming] val PendingFoldEvery: Int = 8
+    private def pendingPath(entity: String) = s"${path(entity)}/__pending"
+    @transient private lazy val pendingGenNext =
+      scala.collection.mutable.Map.empty[String, Long]
+    @transient private lazy val pendingBucketSets =
+      scala.collection.mutable.Map.empty[String,
+        scala.collection.mutable.Set[Int]]
+
+    private def pendingGenDirs(entity: String): Seq[java.io.File] = {
+      val d = new java.io.File(pendingPath(entity))
+      if (!d.isDirectory) Nil
+      else d.listFiles().filter(f =>
+          f.isDirectory && f.getName.startsWith("g"))
+        .filter { f =>
+          if (new java.io.File(f, "_SUCCESS").exists()) true
+          else { BucketedState.deleteRecursively(f.toPath); false }
+        }
+        .sortBy(_.getName.stripPrefix("g").toLong).toSeq
+    }
+
+    private[streaming] def hasPendings(entity: String): Boolean =
+      pendingGenDirs(entity).nonEmpty
+
+    /** Append one entity's batch winners as a pending generation
+      * (entity schema + __gen + __bucket, driver-direct, _SUCCESS
+      * last). Caller contract: the entity's local snapshot is resident
+      * and already refreshed with this batch's merge — the periodic
+      * fold writes from it.
+      */
+    private[streaming] def appendPendingLocal(
+        entity: String, rows: Array[Row], schema: StructType,
+        keyColName: String): Unit = synchronized {
+      val g = pendingGenNext.getOrElseUpdate(entity,
+        pendingGenDirs(entity).lastOption
+          .map(_.getName.stripPrefix("g").toLong + 1L).getOrElse(0L))
+      val genDir = java.nio.file.Paths.get(pendingPath(entity), s"g$g")
+      java.nio.file.Files.createDirectories(genDir)
+      val ki = schema.fieldIndex(keyColName)
+      val outSchema = StructType(schema.fields ++ Seq(
+        StructField("__gen", org.apache.spark.sql.types.LongType),
+        StructField(BucketedState.BucketColName, IntegerType)))
+      val bs = pendingBucketSets.getOrElseUpdate(entity,
+        scala.collection.mutable.Set.empty[Int])
+      // key column, durable next to the gens (schema-less fold sites —
+      // read()/upsertLatest — recover it from here)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(pendingPath(entity), ".keycol"),
+        keyColName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      LocalParquet.write(spark, rows.iterator.map { r =>
+        val b = BucketedState.bucketOfLocal(
+          if (r.isNullAt(ki)) null else r.getString(ki), nBuckets)
+        bs += b
+        Row.fromSeq(r.toSeq ++ Seq[Any](g, b))
+      }, outSchema, genDir.resolve("part-00000.parquet").toString)
+      java.nio.file.Files.write(genDir.resolve("_SUCCESS"),
+        Array.empty[Byte])
+      pendingGenNext(entity) = g + 1L
+    }
+
+    private[streaming] def pendingGenCount(entity: String): Int =
+      pendingGenDirs(entity).size
+
+    /** Schema-less [[ensureFolded]] for call sites that only know the
+      * entity name: schema comes from the pending files' footers,
+      * the key column from the durable `.keycol`.
+      */
+    private[streaming] def ensureFoldedAuto(entity: String): Unit =
+      synchronized {
+        val gens = pendingGenDirs(entity)
+        if (gens.isEmpty) return
+        val keyCol = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(pendingPath(entity), ".keycol")),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val inferred = spark.read.parquet(gens.map(_.getPath): _*).schema
+        val schema = StructType(inferred.fields.filterNot(f =>
+          f.name == "__gen" || f.name == BucketedState.BucketColName))
+        ensureFolded(entity, schema, keyCol)
+      }
+
+    /** Fold every entity's pendings — the prelude of any non-fused
+      * batch (after it, every state read sees plain bucket files).
+      */
+    private[streaming] def foldAllPendings(): Unit = {
+      Crmls.allEntities.foreach(s =>
+        ensureFolded(s.name, Crmls.projectionSchema(s), s.dedupKeyCol))
+      ensureFolded(IdxName, IdxSchema, "ref_val")
+    }
+
+    /** Fold every pending generation into the bucket files (no-op
+      * without pendings). Snapshot-resident entities fold driver-direct
+      * from the snapshot (its rows ARE base ⊎ pendings); otherwise —
+      * cold start — a latest-generation-wins file merge runs (one
+      * bounded distributed job). Protocol per the crash matrix above:
+      * write + swap buckets first, delete gens last.
+      */
+    private[streaming] def ensureFolded(entity: String, schema: StructType,
+                                        keyColName: String): Unit =
+      synchronized {
+        val gens = pendingGenDirs(entity)
+        if (gens.isEmpty) return
+        snapshots.get(entity) match {
+          case Some(Left(snap)) =>
+            val covered = pendingBucketSets.get(entity).map(_.toSet)
+              .getOrElse(readPendingBuckets(gens, schema))
+            val byBucket = scala.collection.mutable.Map
+              .empty[Int, scala.collection.mutable.ArrayBuffer[Row]]
+            covered.foreach(b => byBucket(b) =
+              scala.collection.mutable.ArrayBuffer.empty[Row])
+            var i = 0
+            while (i < snap.rows.length) {
+              if (covered.contains(snap.buckets(i)))
+                byBucket(snap.buckets(i)) += snap.rows(i)
+              i += 1
+            }
+            BucketedState.overwriteBucketsLocal(spark, path(entity),
+              byBucket.map { case (b, rs) => b -> rs.toArray }.toMap, schema)
+            // the snapshot stays installed: the fold wrote exactly its
+            // content, so files and snapshot now agree
+          case other =>
+            val pendSchema = StructType(schema.fields ++ Seq(
+              StructField("__gen", org.apache.spark.sql.types.LongType),
+              StructField(BucketedState.BucketColName, IntegerType)))
+            val pend = spark.read.schema(pendSchema)
+              .parquet(gens.map(_.getPath): _*)
+            val covered = pend
+              .select(col(BucketedState.BucketColName)).distinct()
+              .collect().map(_.getInt(0)).toSeq.sorted
+            val base = BucketedState.readBuckets(spark, path(entity),
+              covered, Some(schema))
+            val all = base.map(_.withColumn("__gen", lit(-1L)))
+              .map(_.unionByName(
+                pend.drop(BucketedState.BucketColName)))
+              .getOrElse(pend.drop(BucketedState.BucketColName))
+            val merged =
+              if (entity == IdxName)
+                all.drop("__gen").distinct()
+              else {
+                val w = org.apache.spark.sql.expressions.Window
+                  .partitionBy(col(keyColName)).orderBy(col("__gen").desc)
+                all.withColumn("__rn", row_number().over(w))
+                  .filter(col("__rn") === 1).drop("__rn", "__gen")
+              }
+            BucketedState.overwriteBuckets(spark, path(entity),
+              merged.withColumn(BucketedState.BucketColName,
+                BucketedState.bucketOf(col(keyColName), nBuckets)),
+              covered)
+            // a persisted distributed snapshot (Right) is stale after a
+            // file merge — drop it; pendings imply it shouldn't exist
+            // (appends require a local snapshot), so this is defensive
+            if (other.isDefined) invalidate(entity)
+        }
+        gens.foreach(g => BucketedState.deleteRecursively(g.toPath))
+        pendingBucketSets.remove(entity)
+      }
+
+    private def readPendingBuckets(gens: Seq[java.io.File],
+                                   schema: StructType): Set[Int] = {
+      val pendSchema = StructType(schema.fields ++ Seq(
+        StructField("__gen", org.apache.spark.sql.types.LongType),
+        StructField(BucketedState.BucketColName, IntegerType)))
+      spark.read.schema(pendSchema).parquet(gens.map(_.getPath): _*)
+        .select(col(BucketedState.BucketColName)).distinct()
+        .collect().map(_.getInt(0)).toSet
+    }
+
+    def read(entity: String): Option[DataFrame] = {
+      ensureFoldedAuto(entity)
       BucketedState.readAll(spark, path(entity))
+    }
 
     /** Cross-batch snapshot cache for the latest-state tables: without
       * it every batch re-lists and re-scans bucket trees — that, not
@@ -391,7 +587,11 @@ object CrmlsStream {
       */
     private[streaming] def localOrEmpty(entity: String): Boolean =
       localSnap(entity).isDefined ||
-        BucketedState.listBuckets(path(entity)).isEmpty
+        (BucketedState.listBuckets(path(entity)).isEmpty &&
+          // cold start with unfolded pendings: the bucket dirs can be
+          // empty while the real state sits in __pending — such an
+          // entity must take the non-fused path, whose prelude folds
+          !hasPendings(entity))
 
     private[streaming] def cachedReadAll(
         entity: String, schema: StructType,
@@ -401,6 +601,7 @@ object CrmlsStream {
           case Some(Left(snap)) => Some(localDf(snap.rows, schema))
           case Some(Right(df)) => Some(df)
           case None =>
+            ensureFolded(entity, schema, keyColName)
             BucketedState.readAll(spark, path(entity), Some(schema)).map { df =>
               val probe = df.limit(capFor(entity) + 1).collect()
               if (probe.length <= capFor(entity)) {
@@ -436,6 +637,7 @@ object CrmlsStream {
           Some(keep.result())
         case Some(Right(_)) => None
         case None =>
+          ensureFolded(entity, schema, keyColName)
           val others = BucketedState.listBuckets(path(entity)).filterNot(t)
           BucketedState.readBuckets(spark, path(entity), others,
               Some(schema)) match {
@@ -508,6 +710,7 @@ object CrmlsStream {
       */
     def upsertLatest(entity: String, delta: DataFrame, keyCol: String,
                      tsCol: String): DataFrame = {
+      ensureFoldedAuto(entity)
       invalidate(entity)
       val cached = delta.cache()
       try {
@@ -719,6 +922,15 @@ object CrmlsStream {
       mark("J1:discover")
       if (present.isEmpty) return
 
+      // Fused-tier admission, decided UP FRONT (nothing below mutates
+      // snapshots before the fastMerge branch): a non-fused batch first
+      // folds any pending state generations, so every file read below
+      // sees plain bucket files — readers never merge pendings.
+      val branchEntities: Seq[String] =
+        present ++ touched.get(IdxName).map(_ => IdxName).toSeq
+      val fastMerge = driverTier && branchEntities.forall(store.localOrEmpty)
+      if (!fastMerge) store.foldAllPendings()
+
       // ---- merged latest-state frames per present entity: LAZY plans
       // over the PRE-write generation — local snapshot rows where
       // resident (zero state-file I/O), bucket files otherwise. Both
@@ -859,8 +1071,6 @@ object CrmlsStream {
       // derives from the pre-write generation plus the delta, so on a
       // write failure + replay the recomputation converges (idempotent
       // argmax), and a JVM crash simply rebuilds from files.
-      val branchEntities: Seq[String] =
-        present ++ touched.get(IdxName).map(_ => IdxName).toSeq
       def schemaOf(entity: String): (StructType, String) =
         if (entity == IdxName) (IdxSchema, "ref_val")
         else (projectionSchema(specByName(entity)),
@@ -899,8 +1109,14 @@ object CrmlsStream {
       // desc), with the content hash evaluated through the identical
       // xxhash64(struct(...)) expression ([[tieHasher]]). The idx
       // branch (constant ts/tie) reduces to a distinct over triples.
-      def driverMerged(): Array[Row] = {
+      // ALSO returns, per entity, the batch's PENDING rows (entity
+      // schema): the merged winners of keys the delta touched — exactly
+      // the rows whose durable content changed, i.e. the delta-
+      // proportional state append of the LSM tier. For the reverse
+      // index: the genuinely new entries.
+      def driverMerged(): (Array[Row], Map[String, Array[Row]]) = {
         val out = Array.newBuilder[Row]
+        val pendings = Map.newBuilder[String, Array[Row]]
         present.foreach { name =>
           val spec = specByName(name)
           val schema = projectionSchema(spec)
@@ -908,18 +1124,22 @@ object CrmlsStream {
           val tsI = schema.fieldIndex(spec.prefix + "uc_created_ts")
           val pos = schema.fields.map(f => canonIdx(f.name))
           val hash = tieHasher(schema)
-          // value = (row, tsOrNull, isNew, contentHash)
+          // value = (row, tsOrNull, isNew). The content hash is the
+          // LAST tiebreak axis and timestamps are almost never equal —
+          // evaluating the Catalyst hash expression eagerly for every
+          // state row was the dominant merge cost (100k+ evals/batch
+          // for a media-sized entity); compute it only on an exact
+          // (ts, isNew) tie. Winner identical by construction.
           val best = scala.collection.mutable.HashMap
-            .empty[String, (Row, java.lang.Long, Int, Long)]
+            .empty[String, (Row, java.lang.Long, Int)]
           def consider(r: Row, isNew: Int): Unit = {
             val key = if (r.isNullAt(keyI)) null else r.getString(keyI)
             val ts: java.lang.Long =
               if (r.isNullAt(tsI)) null
               else java.lang.Long.valueOf(r.getLong(tsI))
-            val h = hash(r)
             best.get(key) match {
-              case None => best(key) = (r, ts, isNew, h)
-              case Some((_, bts, bNew, bh)) =>
+              case None => best(key) = (r, ts, isNew)
+              case Some((br, bts, bNew)) =>
                 // (ts desc nulls-last, isNew desc, hash desc): a null
                 // ts loses to any non-null; exact full ties keep the
                 // incumbent (the window's arbitrary-but-single pick)
@@ -929,34 +1149,44 @@ object CrmlsStream {
                   else if (ts.longValue != bts.longValue)
                     ts.longValue > bts.longValue
                   else if (isNew != bNew) isNew > bNew
-                  else h > bh
-                if (wins) best(key) = (r, ts, isNew, h)
+                  else hash(r) > hash(br)
+                if (wins) best(key) = (r, ts, isNew)
             }
           }
           store.localTouchedRows(name, touched(name))
             .foreach(_.foreach(consider(_, 0)))
           deltaRows(name).foreach(consider(_, 1))
-          best.foreach { case (key, (r, _, _, _)) =>
+          val deltaKeys = deltaRows(name).iterator
+            .map(r => if (r.isNullAt(keyI)) null else r.getString(keyI))
+            .toSet
+          val pend = Array.newBuilder[Row]
+          best.foreach { case (key, (r, _, _)) =>
             out += unionRow(name, BucketedState.bucketOfLocal(key, storeN),
               r, pos)
+            if (deltaKeys.contains(key)) pend += r
           }
+          pendings += name -> pend.result()
         }
         touched.get(IdxName).foreach { idxTouched =>
           val pos = IdxSchema.fields.map(f => canonIdx(f.name))
           val seen = scala.collection.mutable.HashSet
             .empty[(String, String, String)]
-          def considerIdx(r: Row): Unit = {
+          def considerIdx(r: Row): Boolean = {
             val t = (r.getString(0), r.getString(1),
               if (r.isNullAt(2)) null else r.getString(2))
-            if (seen.add(t))
+            val added = seen.add(t)
+            if (added)
               out += unionRow(IdxName,
                 BucketedState.bucketOfLocal(t._2, storeN), r, pos)
+            added
           }
           store.localTouchedRows(IdxName, idxTouched)
-            .foreach(_.foreach(considerIdx))
-          refRows.foreach(considerIdx)
+            .foreach(_.foreach(considerIdx(_)))
+          val pendIdx = Array.newBuilder[Row]
+          refRows.foreach(r => if (considerIdx(r)) pendIdx += r)
+          pendings += IdxName -> pendIdx.result()
         }
-        out.result()
+        (out.result(), pendings.result())
       }
       // Fused-tier admission is RESIDENCY, not a row budget: every merge
       // input is already a driver-resident array (local snapshots +
@@ -969,13 +1199,16 @@ object CrmlsStream {
       // middle tier. (Round 5 gated this at 80k rows, which pushed the
       // 4,000-row bench mix into four distributed window merges per
       // batch — 3s of the 9.7s mean — for state the driver already held.)
-      val fastMerge = driverTier && branchEntities.forall(store.localOrEmpty)
+      // (fastMerge itself is decided up front, right after discovery —
+      // the non-fused prelude folds pending state generations there.)
 
       var collectedUnion: Option[(Array[Row], StructType)] = None
+      var pendingByEntity: Map[String, Array[Row]] = Map.empty
       val refreshed: Set[String] =
         if (fastMerge) {
-          val collected = driverMerged() // zero jobs: every merge
+          val (collected, pend) = driverMerged() // zero jobs: every merge
           collectedUnion = Some((collected, unionSchema))
+          pendingByEntity = pend
           branchEntities.filter { e =>
             val (schema, keyCol) = schemaOf(e)
             store.refreshFromRows(e, schema, keyCol, touched(e),
@@ -1036,12 +1269,42 @@ object CrmlsStream {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
-      val writeFrame = collectedUnion
-        .map { case (rows, schema) => parallelDfOf(spark, rows, schema) }
-        .getOrElse(unionFrame)
+      // LSM tier admission: fused batch, every branch entity refreshed
+      // (its snapshot now holds the post-merge truth the periodic fold
+      // writes from). The append is delta-proportional; the classic
+      // full-bucket write below is the fold/fallback path.
+      val usePendings = PendingStateEnabled && fastMerge &&
+        refreshed.size == branchEntities.size
       val stateWrite = Future {
-        BucketedState.writeEntityInflight(spark, store.dir, writeFrame,
-          touchedByEntity)
+        if (usePendings) {
+          branchEntities.foreach { e =>
+            val rows = pendingByEntity.getOrElse(e, Array.empty[Row])
+            if (rows.nonEmpty) {
+              val (schema, keyCol) = schemaOf(e)
+              store.appendPendingLocal(e, rows, schema, keyCol)
+            }
+          }
+          // amortized fold from the resident snapshots (content-free:
+          // they ARE base ⊎ pendings); runs here so it overlaps J4,
+          // which on the fused path never reads state files
+          branchEntities.foreach { e =>
+            if (store.pendingGenCount(e) >= store.PendingFoldEvery) {
+              val (schema, keyCol) = schemaOf(e)
+              store.ensureFolded(e, schema, keyCol)
+            }
+          }
+        } else collectedUnion match {
+          // fused tier: the merged generation is a driver array —
+          // write the inflight bucket files driver-direct (no
+          // parallelize/exchange/write job; see
+          // [[BucketedState.writeEntityInflightLocal]])
+          case Some((rows, schema)) =>
+            BucketedState.writeEntityInflightLocal(spark, store.dir,
+              rows, schema, touchedByEntity)
+          case None =>
+            BucketedState.writeEntityInflight(spark, store.dir,
+              unionFrame, touchedByEntity)
+        }
       }
       try {
         affectedOpt.foreach { case (affected, affBuckets, sinkBuckets) =>
@@ -1051,17 +1314,25 @@ object CrmlsStream {
           // reads; otherwise touched buckets come from the lazy merged
           // frame and untouched-but-affected buckets read from disk
           // (files this batch never replaces)
-          val affectedListingsOpt: Option[DataFrame] =
+          val affectedListingRows: Option[Array[Row]] =
             (affectedLocalPks, store.localSnap("listings")) match {
               case (Some(pks), Some(snap))
                   if !present.contains("listings") ||
                     refreshed.contains("listings") =>
                 val pkI = lSchema.fieldIndex("l_uc_pk")
                 val pkSet = pks.toSet
-                Some(localDfOf(spark, snap.rows.filter(r =>
-                  !r.isNullAt(pkI) && pkSet.contains(r.getString(pkI))),
-                  lSchema))
-              case _ =>
+                Some(snap.rows.filter(r =>
+                  !r.isNullAt(pkI) && pkSet.contains(r.getString(pkI))))
+              case _ => None
+            }
+          val affectedListingsOpt: Option[DataFrame] =
+            affectedListingRows match {
+              // parallelDfOf, not localDfOf: a high-fanout dim batch
+              // can affect tens of thousands of full-width listing
+              // rows — distribute the InternalRow conversion instead
+              // of paying it on the driver thread at plan time
+              case Some(rows) => Some(parallelDfOf(spark, rows, lSchema))
+              case None =>
                 val listingParts = BucketedState.readBuckets(
                     spark, store.path("listings"),
                     affBuckets.filterNot(
@@ -1101,30 +1372,62 @@ object CrmlsStream {
             // other ~90 columns are never built or written.
             val narrow = narrowDimSink && sink.supportsPartial &&
               !present.contains("listings")
-            val joined =
-              if (narrow) dimMapsOpt match {
-                case Some(maps) => DimEnrich.enrichPartial(
-                  affectedListings, maps, present.toSet, "l_uc_pk")
-                case None =>
-                  // fallback SQL tier: full join plan, narrowed select
-                  // — Catalyst prunes the untouched dims' join legs
-                  joinAll(affectedListings, fullState(agents),
-                    fullState(openHouses), fullState(offices),
-                    fullState(media), fullState(history))
-                    .select(("l_uc_pk" +:
-                      DimEnrich.roleColumns(present.toSet)).map(col): _*)
-              }
-              else dimMapsOpt match {
-                case Some(maps) => DimEnrich.enrich(affectedListings, maps)
-                case None => joinAll(affectedListings, fullState(agents),
-                  fullState(openHouses), fullState(offices), fullState(media),
-                  fullState(history))
-              }
-            // one row per l_uc_pk by construction: the affected side is
-            // a latest-state snapshot slice (or a semi-joined merge of
-            // one), never a raw delta — the sink may skip its dedup
-            if (narrow) sink.upsertPartialUnique("l_uc_pk", joined, sinkBuckets)
-            else sink.upsertPreparedUnique("l_uc_pk", joined, sinkBuckets)
+            if (profile) println(s"[profile] tier narrow=$narrow " +
+              s"maps=${dimMapsOpt.isDefined} " +
+              s"localRows=${affectedListingRows.map(_.length)} " +
+              s"fastMerge=$fastMerge")
+            // driver tier of the narrow path — the incremental-
+            // maintenance fast lane: probe the (driver-held) dim maps
+            // over the resident snapshot rows and hand the sink a
+            // driver ARRAY it appends joblessly
+            // ([[DimEnrich.enrichPartialLocal]] +
+            // [[UpsertJoin.UpsertSink.upsertPartialRowsUnique]]) —
+            // zero full-width conversion, zero Catalyst passes, zero
+            // exchanges on the whole J4 leg
+            val narrowLocal: Option[(Array[Row], StructType)] =
+              if (narrow) (dimMapsOpt, affectedListingRows) match {
+                case (Some(maps), Some(rows)) =>
+                  val res = DimEnrich.enrichPartialLocal(rows, lSchema,
+                    maps.map { case (n, b) => n -> b.value },
+                    present.toSet, "l_uc_pk")
+                  mark("J4:enrich-loc")
+                  Some(res)
+                case _ => None
+              } else None
+            narrowLocal match {
+              case Some((outRows, outSchema)) =>
+                sink.upsertPartialRowsUnique(spark, "l_uc_pk", outRows,
+                  outSchema, sinkBuckets)
+              case None =>
+                val joined =
+                  if (narrow) dimMapsOpt match {
+                    case Some(maps) => DimEnrich.enrichPartial(
+                      affectedListings, maps, present.toSet, "l_uc_pk")
+                    case None =>
+                      // fallback SQL tier: full join plan, narrowed
+                      // select — Catalyst prunes the untouched dims'
+                      // join legs
+                      joinAll(affectedListings, fullState(agents),
+                        fullState(openHouses), fullState(offices),
+                        fullState(media), fullState(history))
+                        .select(("l_uc_pk" +:
+                          DimEnrich.roleColumns(present.toSet)).map(col): _*)
+                  }
+                  else dimMapsOpt match {
+                    case Some(maps) => DimEnrich.enrich(affectedListings, maps)
+                    case None => joinAll(affectedListings, fullState(agents),
+                      fullState(openHouses), fullState(offices),
+                      fullState(media), fullState(history))
+                  }
+                // one row per l_uc_pk by construction: the affected
+                // side is a latest-state snapshot slice (or a
+                // semi-joined merge of one), never a raw delta — the
+                // sink may skip its dedup
+                if (narrow)
+                  sink.upsertPartialUnique("l_uc_pk", joined, sinkBuckets)
+                else
+                  sink.upsertPreparedUnique("l_uc_pk", joined, sinkBuckets)
+            }
           }
         }
         mark("J4:join-sink")

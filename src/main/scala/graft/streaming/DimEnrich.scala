@@ -168,6 +168,59 @@ object DimEnrich {
     }(Encoders.row(outSchema))
   }
 
+  /** Driver-tier [[enrichPartial]] — the incremental-maintenance fast
+    * path for dimension-only micro-batches: the affected listing rows
+    * are already driver-resident (local snapshot slice) and every dim
+    * lookup map is driver-held, so the role probes run here as a plain
+    * loop. This skips everything the frame form pays per batch: the
+    * full-width LocalRelation conversion of the affected listings
+    * (each carrying the listing payload the narrow delta never emits),
+    * the mapPartitions stage, and its exchange — the sink append then
+    * writes only (key + changed dims' role columns), delta-sized work
+    * in the reference's retract-stream sense (CRMLSJoiner.scala:
+    * 471-489 maintains the join incrementally the same way). Values
+    * are identical to [[enrichPartial]] by construction (same maps,
+    * same probe order, same null semantics); DimEnrichSpec pins it.
+    */
+  def enrichPartialLocal(rows: Array[Row], inSchema: StructType,
+                         maps: Map[String, Map[String, Array[Any]]],
+                         entities: Set[String], keyCol: String)
+      : (Array[Row], StructType) = {
+    val active = roles.filter(r => entities(r._1))
+    val outSchema = StructType(
+      inSchema(inSchema.fieldIndex(keyCol)) +:
+      active.flatMap { case (entity, _, outPrefix, srcPrefix) =>
+        projectionSchema(specByName(entity)).fields.map(f => StructField(
+          outPrefix + f.name.stripPrefix(srcPrefix), f.dataType,
+          nullable = true))
+      })
+    val keyIdx = inSchema.fieldIndex(keyCol)
+    val probeIdx: Array[Int] = active.map(r => inSchema.fieldIndex(r._2)).toArray
+    val widths: Array[Int] =
+      active.map(r => projectionSchema(specByName(r._1)).length).toArray
+    val lookups: Array[Map[String, Array[Any]]] =
+      active.map(r => maps(r._1)).toArray
+    val nActive = active.length
+    val nOut = outSchema.length
+    val out = rows.map { row =>
+      val arr = new Array[Any](nOut)
+      arr(0) = row.get(keyIdx)
+      var pos = 1
+      var r = 0
+      while (r < nActive) {
+        val key = row.get(probeIdx(r))
+        if (key != null) {
+          val hit = lookups(r).getOrElse(key.asInstanceOf[String], null)
+          if (hit != null) System.arraycopy(hit, 0, arr, pos, widths(r))
+        }
+        pos += widths(r)
+        r += 1
+      }
+      Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(arr))
+    }
+    (out, outSchema)
+  }
+
   /** The 11-way left join as one narrow stage: for each listing row,
     * copy its fields and append each role's dim fields from the
     * broadcast map (nulls on a miss — left outer). No shuffle, no

@@ -82,6 +82,21 @@ object UpsertJoin {
       */
     def supportsPartial: Boolean = false
 
+    /** Driver-array form of [[upsertPartialUnique]]: the caller's
+      * narrow delta is already a driver-resident Row array (the
+      * incremental-maintenance fast path builds it with map probes, no
+      * job). Default adapter wraps it in a LocalRelation frame; sinks
+      * with a jobless append (delta-mode parquet) override to write it
+      * directly.
+      */
+    def upsertPartialRowsUnique(spark: SparkSession, keyCol: String,
+                                rows: Array[Row], schema:
+                                org.apache.spark.sql.types.StructType,
+                                touched: Seq[Int]): Unit =
+      upsertPartialUnique(keyCol,
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema),
+        touched)
+
     /** Block until any asynchronous background work (LSM compactions)
       * has settled — orderly shutdown and bench quiesce. No-op for
       * sinks with no background work.
@@ -377,9 +392,44 @@ object UpsertJoin {
       // bench mix: writing 8 files via coalesce(8) instead is within
       // noise of this — the append's cost is the ~100-column enriched
       // write job itself, not writer parallelism; see BASELINE r6.)
+      // a driver-built batch (LocalRelation leaves only — the narrow
+      // incremental-maintenance tier hands us one) has no upstream
+      // enrichment to keep parallel, and its LocalTableScan slices pull
+      // into a coalesced task without a shuffle — repartition(1) would
+      // serialize the whole (payload-bearing) delta through an exchange
+      // for nothing
+      // "driver-built" = projections/filters over LocalRelation only;
+      // anything with real upstream compute (a mapPartitions
+      // enrichment, a join) keeps the parallelism-preserving
+      // repartition
+      lazy val isLocalBatch = {
+        import org.apache.spark.sql.catalyst.plans.logical.{
+          Filter => LFilter, LocalRelation, Project}
+        !stamped.queryExecution.analyzed.exists {
+          case _: Project | _: LFilter | _: LocalRelation => false
+          case _ => true
+        }
+      }
       val oneFile =
-        if (keyUnique) stamped.repartition(1) else stamped.coalesce(1)
+        if (!keyUnique || isLocalBatch) stamped.coalesce(1)
+        else stamped.repartition(1)
+      if (sys.env.contains("SPARK_GRAFT_SB_PROFILE")) {
+        val t0 = System.nanoTime()
+        oneFile.queryExecution.executedPlan
+        val t1 = System.nanoTime()
+        oneFile.write.mode("overwrite").parquet(s"$deltaDir/g$gen")
+        val t2 = System.nanoTime()
+        println(f"[profile] append:plan ${(t1 - t0) / 1e9}%6.2fs " +
+          f"write ${(t2 - t1) / 1e9}%6.2fs local=$isLocalBatch")
+      } else
       oneFile.write.mode("overwrite").parquet(s"$deltaDir/g$gen")
+      commitGen(keyCol)
+    }
+
+    /** Shared post-append bookkeeping: advance the generation counter
+      * and kick the amortized async compaction when the window fills.
+      */
+    private def commitGen(keyCol: String): Unit = {
       gen += 1
       sinceCompact += 1
       if (sinceCompact >= deltaCompactEvery) {
@@ -392,6 +442,67 @@ object UpsertJoin {
         }
       }
     }
+
+    /** Jobless delta append for a DRIVER-RESIDENT narrow batch: stamp
+      * gen + bucket per row in the same pass that encodes them
+      * ([[LocalParquet]] — Spark's own ParquetWriteSupport, one
+      * sequential conversion instead of the frame path's fold + write
+      * double materialization), then commit the generation with the
+      * same marker discipline as the job form (file first, _SUCCESS
+      * last — a crash mid-write leaves an unmarked dir that the next
+      * restart sweeps). Restart/compaction behavior is IDENTICAL to
+      * [[appendDelta]]: same dir layout, same footer-carried presence
+      * schema, same latest-gen-wins fold.
+      */
+    override def upsertPartialRowsUnique(
+        spark: SparkSession, keyCol: String, rows: Array[Row],
+        schema: org.apache.spark.sql.types.StructType,
+        touched: Seq[Int]): Unit =
+      if (touched.nonEmpty) {
+        if (deltaCompactEvery <= 0 || rows.length > 200000)
+          super.upsertPartialRowsUnique(spark, keyCol, rows, schema, touched)
+        else {
+          require(schema.fieldNames.contains(keyCol),
+            s"partial batch must carry the key column $keyCol")
+          java.nio.file.Files.createDirectories(
+            java.nio.file.Paths.get(deltaDir))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(deltaDir, ".keycol"),
+            keyCol.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val genDir = java.nio.file.Paths.get(s"$deltaDir/g$gen")
+          java.nio.file.Files.createDirectories(genDir)
+          val outSchema = org.apache.spark.sql.types.StructType(
+            schema.fields ++ Seq(
+              org.apache.spark.sql.types.StructField("__gen",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField(
+                BucketedState.BucketColName,
+                org.apache.spark.sql.types.IntegerType)))
+          val ki = schema.fieldIndex(keyCol)
+          val g = gen
+          def stamp(r: Row): Row = {
+            val key = if (r.isNullAt(ki)) null else r.getString(ki)
+            // Seq[Any] on purpose: Seq(long, int) would HARMONIZE to
+            // Seq[Long], silently widening the bucket int out of its
+            // declared IntegerType
+            Row.fromSeq(r.toSeq ++
+              Seq[Any](g, BucketedState.bucketOfLocal(key, nBuckets)))
+          }
+          // a gen dir may hold several part files (compaction reads the
+          // dir) — chunk large deltas across the common pool; _SUCCESS
+          // lands only after every part is durable
+          val conf = LocalParquet.prepareConf(spark, outSchema)
+          val chunks = rows.grouped(8192).zipWithIndex.toSeq
+          import scala.jdk.CollectionConverters._
+          chunks.asJava.parallelStream().forEach { case (chunk, i) =>
+            LocalParquet.write(chunk.iterator.map(stamp), outSchema,
+              genDir.resolve(f"part-$i%05d.parquet").toString, conf)
+          }
+          java.nio.file.Files.write(genDir.resolve("_SUCCESS"),
+            Array.empty[Byte])
+          commitGen(keyCol)
+        }
+      }
 
     /** Fold the given pending deltas into the bucket files: latest
       * generation wins per key (base reads as generation -1), exactly

