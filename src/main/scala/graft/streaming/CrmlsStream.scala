@@ -169,6 +169,25 @@ object CrmlsStream {
     tieHashers.getOrElseUpdate(schema,
       org.apache.spark.sql.graftx.ColumnBridge.rowXxHash64(schema))
 
+  /** Cached driver-side evaluators of [[Crmls.project]] per entity —
+    * the same analyzed expression tree the plan form folds, bound and
+    * codegen'd ONCE (ColumnBridge.rowProjector). The per-batch
+    * alternative (a fresh LocalRelation plan per entity per batch)
+    * re-ran the analyzer + optimizer for identical expressions every
+    * micro-batch — 0.3-0.45 s of every fused batch's J1 leg.
+    */
+  private val envProjectors =
+    scala.collection.concurrent.TrieMap.empty[String, Row => Row]
+  private def envProjector(spark: SparkSession,
+                           spec: Crmls.EntitySpec): Row => Row =
+    envProjectors.getOrElseUpdate(spec.name, {
+      val valueSchema = StructType(Seq(StructField("value", StringType)))
+      val empty = spark.createDataFrame(
+        java.util.Collections.emptyList[Row](), valueSchema)
+      org.apache.spark.sql.graftx.ColumnBridge.rowProjector(
+        Crmls.project(empty, spec), valueSchema)
+    })
+
   /** Driver-tier cap for the reverse-index probe: past this many index
     * rows the affected-key resolution falls back to a distributed join.
     */
@@ -436,8 +455,14 @@ object CrmlsStream {
       * broadcastability, which is the real scale limit of the join
       * shape (Crmls.joinAll's documented fallback drops the hint).
       */
+    /** @param keyIndex dedup-key -> row position (last wins — exactly
+      *   one row per key by the latestOne invariant for entity tables;
+      *   meaningless for the reverse index, which is keyless). Lets
+      *   the incremental refresh replace winners in O(delta).
+      */
     private[streaming] final case class LocalSnap(rows: Array[Row],
-                                                  buckets: Array[Int])
+        buckets: Array[Int],
+        keyIndex: java.util.HashMap[String, Integer])
 
     @transient private lazy val snapshots =
       scala.collection.mutable.Map.empty[String, Either[LocalSnap, DataFrame]]
@@ -456,30 +481,42 @@ object CrmlsStream {
       * enrichment probe dims with zero per-batch broadcast-exchange
       * builds (the RocksDB-resident-state analog).
       */
-    @transient private lazy val dimMaps = scala.collection.mutable.Map
+    // Driver lookup maps are the source of truth; a BROADCAST of a map
+    // is published lazily, only when a distributed consumer
+    // (DimEnrich.enrich / enrichPartial mapPartitions) actually needs
+    // it, and cached until the map changes. The narrow driver tier
+    // probes the driver map directly — eagerly re-broadcasting the
+    // (payload-bearing, ~100k-entry) media map every batch was pure
+    // serialization tax on the fused path.
+    @transient private lazy val dimMapVals = scala.collection.mutable.Map
+      .empty[String, Map[String, Array[Any]]]
+    @transient private lazy val dimMapBcs = scala.collection.mutable.Map
       .empty[String, org.apache.spark.broadcast.Broadcast[Map[String, Array[Any]]]]
+
+    private def setMapVal(entity: String,
+                          m: Map[String, Array[Any]]): Unit = {
+      dimMapBcs.remove(entity).foreach(_.destroy())
+      dimMapVals(entity) = m
+    }
 
     private def rebuildMap(entity: String, rows: Array[Row],
                            schema: StructType, keyCol: String)
-        : org.apache.spark.broadcast.Broadcast[Map[String, Array[Any]]] = {
-      dimMaps.remove(entity).foreach(_.destroy())
-      val bc = spark.sparkContext.broadcast(
-        DimEnrich.buildLookup(rows.iterator, schema, keyCol))
-      dimMaps(entity) = bc
-      bc
+        : Map[String, Array[Any]] = {
+      val m = DimEnrich.buildLookup(rows.iterator, schema, keyCol)
+      setMapVal(entity, m)
+      m
     }
 
-    /** The entity's current lookup map, building (and caching) it from
-      * the local snapshot on first use. None = the entity's state is
-      * past the local tier — the caller must fall back to the SQL join
-      * form. An entity with no state at all gets an empty map (a left
-      * join against an empty dim).
+    /** The entity's current DRIVER-HELD lookup map, building (and
+      * caching) it from the local snapshot on first use. None = the
+      * entity's state is past the local tier — the caller must fall
+      * back to the SQL join form. An entity with no state at all gets
+      * an empty map (a left join against an empty dim).
       */
-    private[streaming] def lookupMap(spec: Crmls.EntitySpec,
-        schema: StructType)
-        : Option[org.apache.spark.broadcast.Broadcast[Map[String, Array[Any]]]] =
+    private[streaming] def lookupMapLocal(spec: Crmls.EntitySpec,
+        schema: StructType): Option[Map[String, Array[Any]]] =
       synchronized {
-        dimMaps.get(spec.name).map(Some(_)).getOrElse {
+        dimMapVals.get(spec.name).map(Some(_)).getOrElse {
           cachedReadAll(spec.name, schema, spec.dedupKeyCol) match {
             case None =>
               Some(rebuildMap(spec.name, Array.empty, schema, spec.dedupKeyCol))
@@ -489,6 +526,20 @@ object CrmlsStream {
               case _ => None
             }
           }
+        }
+      }
+
+    /** Broadcast form of [[lookupMapLocal]] for the mapPartitions
+      * enrichment paths — published on demand, cached per map
+      * generation.
+      */
+    private[streaming] def lookupMap(spec: Crmls.EntitySpec,
+        schema: StructType)
+        : Option[org.apache.spark.broadcast.Broadcast[Map[String, Array[Any]]]] =
+      synchronized {
+        lookupMapLocal(spec, schema).map { m =>
+          dimMapBcs.getOrElseUpdate(spec.name,
+            spark.sparkContext.broadcast(m))
         }
       }
 
@@ -507,13 +558,17 @@ object CrmlsStream {
                        schema: StructType, keyColName: String): LocalSnap = {
       val ki = schema.fieldIndex(keyColName)
       val buckets = new Array[Int](rows.length)
+      val keyIndex = new java.util.HashMap[String, Integer](
+        math.max(16, rows.length * 2))
       var i = 0
       while (i < rows.length) {
-        buckets(i) = BucketedState.bucketOfLocal(
-          if (rows(i).isNullAt(ki)) null else rows(i).getString(ki), nBuckets)
+        val key =
+          if (rows(i).isNullAt(ki)) null else rows(i).getString(ki)
+        buckets(i) = BucketedState.bucketOfLocal(key, nBuckets)
+        keyIndex.put(key, i)
         i += 1
       }
-      LocalSnap(rows, buckets)
+      LocalSnap(rows, buckets, keyIndex)
     }
 
     private def installSnap(entity: String, snap: LocalSnap,
@@ -667,6 +722,89 @@ object CrmlsStream {
       refreshFromRows(entity, schema, keyColName, touchedBuckets,
         () => merged.collect(), buildMap)
 
+    /** O(delta) snapshot refresh for the fused LSM path: the batch's
+      * WINNERS replace (or append) by key via the snapshot's keyIndex;
+      * rows/buckets copy as reference arrays (a 100k-pointer memcpy,
+      * microseconds — never a re-hash of every row's bucket), the
+      * keyIndex clones once, the dim lookup map updates persistently
+      * (`old ++ delta`, structural sharing; broadcast re-publication
+      * is deferred to the first distributed consumer), and the
+      * reverse index APPENDS (its winners are new-entry-only by
+      * construction). The earlier full form re-bucketed, re-mapped and
+      * re-broadcast the entire entity per batch — O(state) driver work
+      * the LSM tier exists to avoid. Falls back to [[refreshFromRows]]
+      * (full content via `full`) when no local snapshot is resident.
+      */
+    private[streaming] def refreshFromDelta(
+        entity: String, schema: StructType, keyColName: String,
+        touchedBuckets: Seq[Int], winners: Array[Row],
+        full: () => Array[Row], buildMap: Boolean): Boolean =
+      synchronized {
+        snapshots.get(entity) match {
+          case Some(Left(snap)) =>
+            val ki = schema.fieldIndex(keyColName)
+            def keyOf(r: Row): String =
+              if (r.isNullAt(ki)) null else r.getString(ki)
+            val fresh =
+              if (entity == IdxName) winners
+              else winners.filter(w => !snap.keyIndex.containsKey(keyOf(w)))
+            val n = snap.rows.length
+            if (n + fresh.length > capFor(entity)) {
+              invalidate(entity); false
+            } else {
+              val rows = java.util.Arrays.copyOf(snap.rows, n + fresh.length)
+              val buckets =
+                java.util.Arrays.copyOf(snap.buckets, n + fresh.length)
+              val keyIndex =
+                new java.util.HashMap[String, Integer](snap.keyIndex)
+              if (entity != IdxName) {
+                winners.foreach { w =>
+                  val key = keyOf(w)
+                  val at = keyIndex.get(key)
+                  if (at != null) rows(at) = w // same key => same bucket
+                }
+              }
+              var i = 0
+              fresh.foreach { w =>
+                val key = keyOf(w)
+                rows(n + i) = w
+                buckets(n + i) = BucketedState.bucketOfLocal(key, nBuckets)
+                keyIndex.put(key, n + i)
+                i += 1
+              }
+              snapshots(entity) = Left(LocalSnap(rows, buckets, keyIndex))
+              if (buildMap) {
+                val updates = winners.iterator.flatMap { w =>
+                  val key = keyOf(w)
+                  if (key == null) None
+                  else {
+                    val vals = new Array[Any](schema.length)
+                    var j = 0
+                    while (j < schema.length) { vals(j) = w.get(j); j += 1 }
+                    Some(key -> vals)
+                  }
+                }.toSeq
+                setMapVal(entity,
+                  dimMapVals.getOrElse(entity,
+                    DimEnrich.buildLookup(snap.rows.iterator, schema,
+                      keyColName)) ++ updates)
+              }
+              if (entity == IdxName) idxMap match {
+                case Some(m) => fresh.foreach { r =>
+                  m.getOrElseUpdate((r.getString(0), r.getString(1)),
+                    scala.collection.mutable.ArrayBuffer.empty[String]) +=
+                    r.getString(2)
+                }
+                case None => rebuildIdxMap(rows)
+              }
+              true
+            }
+          case _ =>
+            refreshFromRows(entity, schema, keyColName, touchedBuckets,
+              full, buildMap)
+        }
+      }
+
     private[streaming] def refreshFromRows(
         entity: String, schema: StructType, keyColName: String,
         touchedBuckets: Seq[Int], fresh: () => Array[Row],
@@ -694,7 +832,8 @@ object CrmlsStream {
         case Right(df) => df.unpersist()
         case Left(_) => ()
       }
-      dimMaps.remove(entity).foreach(_.destroy())
+      dimMapVals.remove(entity)
+      dimMapBcs.remove(entity).foreach(_.destroy())
       if (entity == IdxName) idxMap = None
     }
 
@@ -839,7 +978,7 @@ object CrmlsStream {
             .filter(r => r.getString(eIdx) == s.name)
             .map(r => Row(r.getString(vIdx))).toArray
           s.name -> (if (vals.isEmpty) Array.empty[Row]
-            else project(localDfOf(spark, vals, valueSchema), s).collect())
+            else { val p = envProjector(spark, s); vals.map(p) })
         }.toMap
         val lSchema = projectionSchema(listings)
         val pkI = lSchema.fieldIndex("l_uc_pk")
@@ -1109,84 +1248,107 @@ object CrmlsStream {
       // desc), with the content hash evaluated through the identical
       // xxhash64(struct(...)) expression ([[tieHasher]]). The idx
       // branch (constant ts/tie) reduces to a distinct over triples.
-      // ALSO returns, per entity, the batch's PENDING rows (entity
-      // schema): the merged winners of keys the delta touched — exactly
-      // the rows whose durable content changed, i.e. the delta-
-      // proportional state append of the LSM tier. For the reverse
-      // index: the genuinely new entries.
-      def driverMerged(): (Array[Row], Map[String, Array[Row]]) = {
-        val out = Array.newBuilder[Row]
+      // Returns, per entity (ENTITY schema rows): the full merged
+      // touched-bucket content (what the snapshot refresh installs)
+      // and the batch's PENDING rows — the merged winners of keys the
+      // delta touched, i.e. the delta-proportional LSM append; for the
+      // reverse index, the genuinely new entries. The merge is
+      // KEY-LEVEL: the argmax hash map holds only the DELTA's keys
+      // (thousands), and the state pass is a contains-probe +
+      // pass-through per row — the earlier whole-state form built a
+      // 100k-entry map AND a 60-field canonical union row per state
+      // row per batch, which was most of the fused merge's cost.
+      // Winner selection still replicates latestOne's window ordering
+      // exactly: (ts desc nulls-last, isNew desc, contentHash desc),
+      // hash evaluated lazily (only on exact ts ties; a state and a
+      // delta row never tie into the hash — isNew differs — and the
+      // state holds ONE row per key by the latestOne invariant).
+      def driverMerged()
+          : (Map[String, Array[Row]], Map[String, Array[Row]]) = {
+        val merged = Map.newBuilder[String, Array[Row]]
         val pendings = Map.newBuilder[String, Array[Row]]
         present.foreach { name =>
           val spec = specByName(name)
           val schema = projectionSchema(spec)
           val keyI = schema.fieldIndex(spec.dedupKeyCol)
           val tsI = schema.fieldIndex(spec.prefix + "uc_created_ts")
-          val pos = schema.fields.map(f => canonIdx(f.name))
           val hash = tieHasher(schema)
-          // value = (row, tsOrNull, isNew). The content hash is the
-          // LAST tiebreak axis and timestamps are almost never equal —
-          // evaluating the Catalyst hash expression eagerly for every
-          // state row was the dominant merge cost (100k+ evals/batch
-          // for a media-sized entity); compute it only on an exact
-          // (ts, isNew) tie. Winner identical by construction.
+          def tsOf(r: Row): java.lang.Long =
+            if (r.isNullAt(tsI)) null
+            else java.lang.Long.valueOf(r.getLong(tsI))
+          def keyOf(r: Row): String =
+            if (r.isNullAt(keyI)) null else r.getString(keyI)
+          // 1. argmax among the DELTA rows per key (isNew ties fall to
+          //    the content hash, exactly as before)
           val best = scala.collection.mutable.HashMap
-            .empty[String, (Row, java.lang.Long, Int)]
-          def consider(r: Row, isNew: Int): Unit = {
-            val key = if (r.isNullAt(keyI)) null else r.getString(keyI)
-            val ts: java.lang.Long =
-              if (r.isNullAt(tsI)) null
-              else java.lang.Long.valueOf(r.getLong(tsI))
+            .empty[String, (Row, java.lang.Long)]
+          deltaRows(name).foreach { r =>
+            val key = keyOf(r)
+            val ts = tsOf(r)
             best.get(key) match {
-              case None => best(key) = (r, ts, isNew)
-              case Some((br, bts, bNew)) =>
-                // (ts desc nulls-last, isNew desc, hash desc): a null
-                // ts loses to any non-null; exact full ties keep the
-                // incumbent (the window's arbitrary-but-single pick)
+              case None => best(key) = (r, ts)
+              case Some((br, bts)) =>
                 val wins =
                   if (ts == null) false
                   else if (bts == null) true
                   else if (ts.longValue != bts.longValue)
                     ts.longValue > bts.longValue
-                  else if (isNew != bNew) isNew > bNew
                   else hash(r) > hash(br)
-                if (wins) best(key) = (r, ts, isNew)
+                if (wins) best(key) = (r, ts)
             }
           }
-          store.localTouchedRows(name, touched(name))
-            .foreach(_.foreach(consider(_, 0)))
-          deltaRows(name).foreach(consider(_, 1))
-          val deltaKeys = deltaRows(name).iterator
-            .map(r => if (r.isNullAt(keyI)) null else r.getString(keyI))
-            .toSet
-          val pend = Array.newBuilder[Row]
-          best.foreach { case (key, (r, _, _)) =>
-            out += unionRow(name, BucketedState.bucketOfLocal(key, storeN),
-              r, pos)
-            if (deltaKeys.contains(key)) pend += r
+          // 2. one pass over the touched state rows: a key outside the
+          //    delta passes through untouched; a delta key's state row
+          //    beats the delta winner only on a strictly NEWER ts (on
+          //    an exact tie isNew=1 wins — the delta row)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          store.localTouchedRows(name, touched(name)).foreach(_.foreach {
+            r =>
+              val key = keyOf(r)
+              best.get(key) match {
+                case None => out += r
+                case Some((_, bts)) =>
+                  val ts = tsOf(r)
+                  // state beats the delta winner on a strictly newer
+                  // ts; when BOTH are null the incumbent state row
+                  // stays (a null ts never replaces — the sequential
+                  // form considered state first and `wins` is false
+                  // for a null challenger)
+                  val stateWins =
+                    if (ts == null) bts == null
+                    else bts == null || ts.longValue > bts.longValue
+                  if (stateWins) best(key) = (r, ts)
+              }
+          })
+          // 3. the per-key winners are both merged content and the
+          //    pending append (every best key came from the delta)
+          val pend = new Array[Row](best.size)
+          var i = 0
+          best.foreach { case (_, (r, _)) =>
+            out += r; pend(i) = r; i += 1
           }
-          pendings += name -> pend.result()
+          merged += name -> out.toArray
+          pendings += name -> pend
         }
         touched.get(IdxName).foreach { idxTouched =>
-          val pos = IdxSchema.fields.map(f => canonIdx(f.name))
           val seen = scala.collection.mutable.HashSet
             .empty[(String, String, String)]
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
           def considerIdx(r: Row): Boolean = {
             val t = (r.getString(0), r.getString(1),
               if (r.isNullAt(2)) null else r.getString(2))
             val added = seen.add(t)
-            if (added)
-              out += unionRow(IdxName,
-                BucketedState.bucketOfLocal(t._2, storeN), r, pos)
+            if (added) out += r
             added
           }
           store.localTouchedRows(IdxName, idxTouched)
             .foreach(_.foreach(considerIdx(_)))
           val pendIdx = Array.newBuilder[Row]
           refRows.foreach(r => if (considerIdx(r)) pendIdx += r)
+          merged += IdxName -> out.toArray
           pendings += IdxName -> pendIdx.result()
         }
-        (out.result(), pendings.result())
+        (merged.result(), pendings.result())
       }
       // Fused-tier admission is RESIDENCY, not a row budget: every merge
       // input is already a driver-resident array (local snapshots +
@@ -1203,17 +1365,19 @@ object CrmlsStream {
       // the non-fused prelude folds pending state generations there.)
 
       var collectedUnion: Option[(Array[Row], StructType)] = None
+      var mergedEntityRows: Map[String, Array[Row]] = Map.empty
       var pendingByEntity: Map[String, Array[Row]] = Map.empty
       val refreshed: Set[String] =
         if (fastMerge) {
-          val (collected, pend) = driverMerged() // zero jobs: every merge
-          collectedUnion = Some((collected, unionSchema))
+          val (mergedEnt, pend) = driverMerged() // zero jobs: every merge
+          mergedEntityRows = mergedEnt
           pendingByEntity = pend
+          mark("J2:argmax")
           branchEntities.filter { e =>
             val (schema, keyCol) = schemaOf(e)
-            store.refreshFromRows(e, schema, keyCol, touched(e),
-              () => extractEntityRows(collected, e, schema),
-              buildMap = isDim(e))
+            store.refreshFromDelta(e, schema, keyCol, touched(e),
+              pend.getOrElse(e, Array.empty[Row]),
+              () => mergedEnt(e), buildMap = isDim(e))
           }.toSet
         } else {
           // MIDDLE tier: distributed merge plans, but each refresh's
@@ -1246,16 +1410,22 @@ object CrmlsStream {
         }
       // the map-enrichment tier applies only when EVERY dim resolves a
       // lookup map with post-merge content; any dim past the local
-      // tier falls the whole join back to the joinAll broadcast plan
-      val dimMapsOpt = {
+      // tier falls the whole join back to the joinAll broadcast plan.
+      // DRIVER maps here; the mapPartitions paths publish broadcasts
+      // on demand (lookupMap caches per map generation).
+      val dimMapsOpt: Option[Map[String, Map[String, Array[Any]]]] = {
         val ms = DimEnrich.dimEntities.flatMap { spec =>
           if (present.contains(spec.name) && !refreshed.contains(spec.name))
             None
-          else store.lookupMap(spec, projectionSchema(spec))
+          else store.lookupMapLocal(spec, projectionSchema(spec))
             .map(spec.name -> _)
         }
         if (ms.size == DimEnrich.dimEntities.size) Some(ms.toMap) else None
       }
+      def dimBroadcasts(): Map[String,
+          org.apache.spark.broadcast.Broadcast[Map[String, Array[Any]]]] =
+        DimEnrich.dimEntities.map(spec => spec.name ->
+          store.lookupMap(spec, projectionSchema(spec)).get).toMap
       mark(if (fastMerge) "J2:merge" else "J3:refresh")
 
       // ---- J2 ∥ J4: launch the inflight state write on a worker
@@ -1293,9 +1463,18 @@ object CrmlsStream {
               store.ensureFolded(e, schema, keyCol)
             }
           }
+        } else if (fastMerge) {
+          // fused but not pendings-eligible (a refresh fell past the
+          // local cap, or the kill switch): canonical union rows are
+          // built here — only on this path — from the merged entity
+          // rows, and written driver-direct
+          val rows = branchEntities.toArray.flatMap(e =>
+            unionRowsOf(e, mergedEntityRows(e)))
+          BucketedState.writeEntityInflightLocal(spark, store.dir,
+            rows, unionSchema, touchedByEntity)
         } else collectedUnion match {
-          // fused tier: the merged generation is a driver array —
-          // write the inflight bucket files driver-direct (no
+          // middle tier with every refresh captured: write the
+          // inflight bucket files driver-direct (no
           // parallelize/exchange/write job; see
           // [[BucketedState.writeEntityInflightLocal]])
           case Some((rows, schema)) =>
@@ -1388,8 +1567,7 @@ object CrmlsStream {
               if (narrow) (dimMapsOpt, affectedListingRows) match {
                 case (Some(maps), Some(rows)) =>
                   val res = DimEnrich.enrichPartialLocal(rows, lSchema,
-                    maps.map { case (n, b) => n -> b.value },
-                    present.toSet, "l_uc_pk")
+                    maps, present.toSet, "l_uc_pk")
                   mark("J4:enrich-loc")
                   Some(res)
                 case _ => None
@@ -1401,8 +1579,9 @@ object CrmlsStream {
               case None =>
                 val joined =
                   if (narrow) dimMapsOpt match {
-                    case Some(maps) => DimEnrich.enrichPartial(
-                      affectedListings, maps, present.toSet, "l_uc_pk")
+                    case Some(_) => DimEnrich.enrichPartial(
+                      affectedListings, dimBroadcasts(), present.toSet,
+                      "l_uc_pk")
                     case None =>
                       // fallback SQL tier: full join plan, narrowed
                       // select — Catalyst prunes the untouched dims'
@@ -1414,7 +1593,8 @@ object CrmlsStream {
                           DimEnrich.roleColumns(present.toSet)).map(col): _*)
                   }
                   else dimMapsOpt match {
-                    case Some(maps) => DimEnrich.enrich(affectedListings, maps)
+                    case Some(_) =>
+                      DimEnrich.enrich(affectedListings, dimBroadcasts())
                     case None => joinAll(affectedListings, fullState(agents),
                       fullState(openHouses), fullState(offices),
                       fullState(media), fullState(history))

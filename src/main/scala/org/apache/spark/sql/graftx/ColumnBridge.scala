@@ -35,6 +35,59 @@ object ColumnBridge {
     * tiebreak bit for bit; drift between the two would silently pick
     * different winners in merges that must converge across tiers.
     */
+  /** Compile a projection-only DataFrame (a chain of Project nodes
+    * over one LocalRelation leaf) into a driver-side Row => Row
+    * evaluator: the exact analyzed expression trees, bound once and
+    * codegen'd once (UnsafeProjection), then applied per row with no
+    * further Catalyst passes. The per-micro-batch alternative —
+    * re-analyzing and constant-folding a fresh LocalRelation plan —
+    * costs a full analyzer+optimizer run per entity per batch for the
+    * SAME expressions; this is the cached form. Values are identical
+    * by construction (same trees, same eval). Deterministic
+    * expressions only.
+    */
+  def rowProjector(df: org.apache.spark.sql.DataFrame,
+                   inSchema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.Row => org.apache.spark.sql.Row = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      Attribute, BindReferences, UnsafeProjection}
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      LocalRelation, LogicalPlan, Project}
+    val analyzed = df
+      .asInstanceOf[org.apache.spark.sql.classic.Dataset[
+        org.apache.spark.sql.Row]]
+      .queryExecution.analyzed
+    def chain(p: LogicalPlan)
+        : (List[Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression]],
+           LogicalPlan) =
+      p match {
+        case Project(exprs, child) =>
+          val (rest, leaf) = chain(child)
+          (rest :+ exprs, leaf)
+        case leaf => (Nil, leaf)
+      }
+    val (projLists, leaf) = chain(analyzed)
+    require(leaf.isInstanceOf[LocalRelation] && projLists.nonEmpty,
+      s"rowProjector needs Project* over LocalRelation, got:\n$analyzed")
+    var curOutput: Seq[Attribute] = leaf.output
+    val projections = projLists.map { exprs =>
+      val bound = exprs.map(e => BindReferences.bindReference(e, curOutput))
+      curOutput = exprs.map(_.toAttribute)
+      UnsafeProjection.create(bound)
+    }
+    val outSchema = df.schema
+    val toCatalyst = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToCatalystConverter(inSchema)
+    val toScala = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToScalaConverter(outSchema)
+    row => {
+      var ir = toCatalyst(row)
+        .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+      projections.foreach(p => ir = p(ir))
+      toScala(ir).asInstanceOf[org.apache.spark.sql.Row]
+    }
+  }
+
   def rowXxHash64(schema: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.Row => Long = {
     import org.apache.spark.sql.catalyst.expressions.{BoundReference, CreateNamedStruct, Literal, XxHash64}
