@@ -1563,19 +1563,25 @@ object CrmlsStream {
             // [[UpsertJoin.UpsertSink.upsertPartialRowsUnique]]) —
             // zero full-width conversion, zero Catalyst passes, zero
             // exchanges on the whole J4 leg
-            val narrowLocal: Option[(Array[Row], StructType)] =
-              if (narrow) (dimMapsOpt, affectedListingRows) match {
+            val localTier: Option[(Array[Row], StructType)] =
+              (dimMapsOpt, affectedListingRows) match {
                 case (Some(maps), Some(rows)) =>
-                  val res = DimEnrich.enrichPartialLocal(rows, lSchema,
-                    maps, present.toSet, "l_uc_pk")
+                  val res =
+                    if (narrow) DimEnrich.enrichPartialLocal(rows, lSchema,
+                      maps, present.toSet, "l_uc_pk")
+                    else DimEnrich.enrichLocal(rows, lSchema, maps)
                   mark("J4:enrich-loc")
                   Some(res)
                 case _ => None
-              } else None
-            narrowLocal match {
+              }
+            localTier match {
               case Some((outRows, outSchema)) =>
-                sink.upsertPartialRowsUnique(spark, "l_uc_pk", outRows,
-                  outSchema, sinkBuckets)
+                if (narrow)
+                  sink.upsertPartialRowsUnique(spark, "l_uc_pk", outRows,
+                    outSchema, sinkBuckets)
+                else
+                  sink.upsertPreparedRowsUnique(spark, "l_uc_pk", outRows,
+                    outSchema, sinkBuckets)
               case None =>
                 val joined =
                   if (narrow) dimMapsOpt match {

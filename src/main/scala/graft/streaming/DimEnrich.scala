@@ -221,6 +221,45 @@ object DimEnrich {
     (out, outSchema)
   }
 
+  /** Driver-tier [[enrich]] — the full-row twin of
+    * [[enrichPartialLocal]]: listing rows and every dim map are
+    * driver-resident, so the 11 role probes run here as a plain loop
+    * and the caller hands the sink a complete-row driver array it can
+    * append joblessly. Identical output to [[enrich]] by construction
+    * (same maps, same probe order, same left-outer null fill).
+    */
+  def enrichLocal(rows: Array[Row], inSchema: StructType,
+                  maps: Map[String, Map[String, Array[Any]]])
+      : (Array[Row], StructType) = {
+    val outSchema = joinedSchema(inSchema)
+    val nIn = inSchema.length
+    val nOut = outSchema.length
+    val keyIdx: Array[Int] = roles.map(r => inSchema.fieldIndex(r._2)).toArray
+    val widths: Array[Int] =
+      roles.map(r => projectionSchema(specByName(r._1)).length).toArray
+    val lookups: Array[Map[String, Array[Any]]] =
+      roles.map(r => maps(r._1)).toArray
+    val nRoles = roles.length
+    val out = rows.map { row =>
+      val arr = new Array[Any](nOut)
+      var i = 0
+      while (i < nIn) { arr(i) = row.get(i); i += 1 }
+      var pos = nIn
+      var r = 0
+      while (r < nRoles) {
+        val key = row.get(keyIdx(r))
+        if (key != null) {
+          val hit = lookups(r).getOrElse(key.asInstanceOf[String], null)
+          if (hit != null) System.arraycopy(hit, 0, arr, pos, widths(r))
+        }
+        pos += widths(r)
+        r += 1
+      }
+      Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(arr))
+    }
+    (out, outSchema)
+  }
+
   /** The 11-way left join as one narrow stage: for each listing row,
     * copy its fields and append each role's dim fields from the
     * broadcast map (nulls on a miss — left outer). No shuffle, no

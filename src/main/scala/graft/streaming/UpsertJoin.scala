@@ -97,6 +97,18 @@ object UpsertJoin {
         spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema),
         touched)
 
+    /** Full-row twin of [[upsertPartialRowsUnique]]: the batch carries
+      * COMPLETE rows (the fused full-row enrichment output), still at
+      * most one per key. Default adapter wraps a LocalRelation frame.
+      */
+    def upsertPreparedRowsUnique(spark: SparkSession, keyCol: String,
+                                 rows: Array[Row], schema:
+                                 org.apache.spark.sql.types.StructType,
+                                 touched: Seq[Int]): Unit =
+      upsertPreparedUnique(keyCol,
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema),
+        touched)
+
     /** Block until any asynchronous background work (LSM compactions)
       * has settled — orderly shutdown and bench quiesce. No-op for
       * sinks with no background work.
@@ -461,48 +473,73 @@ object UpsertJoin {
       if (touched.nonEmpty) {
         if (deltaCompactEvery <= 0 || rows.length > 200000)
           super.upsertPartialRowsUnique(spark, keyCol, rows, schema, touched)
-        else {
-          require(schema.fieldNames.contains(keyCol),
-            s"partial batch must carry the key column $keyCol")
-          java.nio.file.Files.createDirectories(
-            java.nio.file.Paths.get(deltaDir))
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(deltaDir, ".keycol"),
-            keyCol.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          val genDir = java.nio.file.Paths.get(s"$deltaDir/g$gen")
-          java.nio.file.Files.createDirectories(genDir)
-          val outSchema = org.apache.spark.sql.types.StructType(
-            schema.fields ++ Seq(
-              org.apache.spark.sql.types.StructField("__gen",
-                org.apache.spark.sql.types.LongType),
-              org.apache.spark.sql.types.StructField(
-                BucketedState.BucketColName,
-                org.apache.spark.sql.types.IntegerType)))
-          val ki = schema.fieldIndex(keyCol)
-          val g = gen
-          def stamp(r: Row): Row = {
-            val key = if (r.isNullAt(ki)) null else r.getString(ki)
-            // Seq[Any] on purpose: Seq(long, int) would HARMONIZE to
-            // Seq[Long], silently widening the bucket int out of its
-            // declared IntegerType
-            Row.fromSeq(r.toSeq ++
-              Seq[Any](g, BucketedState.bucketOfLocal(key, nBuckets)))
-          }
-          // a gen dir may hold several part files (compaction reads the
-          // dir) — chunk large deltas across the common pool; _SUCCESS
-          // lands only after every part is durable
-          val conf = LocalParquet.prepareConf(spark, outSchema)
-          val chunks = rows.grouped(8192).zipWithIndex.toSeq
-          import scala.jdk.CollectionConverters._
-          chunks.asJava.parallelStream().forEach { case (chunk, i) =>
-            LocalParquet.write(chunk.iterator.map(stamp), outSchema,
-              genDir.resolve(f"part-$i%05d.parquet").toString, conf)
-          }
-          java.nio.file.Files.write(genDir.resolve("_SUCCESS"),
-            Array.empty[Byte])
-          commitGen(keyCol)
-        }
+        else appendDeltaRowsLocal(spark, keyCol, rows, schema)
       }
+
+    /** Full-row twin of [[upsertPartialRowsUnique]]: a driver-resident
+      * batch carrying the COMPLETE row (the fused full-row
+      * enrichment). Delta mode appends it joblessly; otherwise the
+      * frame form merges on write.
+      */
+    override def upsertPreparedRowsUnique(
+        spark: SparkSession, keyCol: String, rows: Array[Row],
+        schema: org.apache.spark.sql.types.StructType,
+        touched: Seq[Int]): Unit =
+      if (touched.nonEmpty) {
+        if (deltaCompactEvery <= 0 || rows.length > 200000)
+          super.upsertPreparedRowsUnique(spark, keyCol, rows, schema,
+            touched)
+        else appendDeltaRowsLocal(spark, keyCol, rows, schema)
+      }
+
+    /** Jobless delta append of a driver Row array (shared by the
+      * partial and full-row forms — the dir layout is identical; a
+      * partial batch's presence set rides in its schema's footer as
+      * always).
+      */
+    private def appendDeltaRowsLocal(
+        spark: SparkSession, keyCol: String, rows: Array[Row],
+        schema: org.apache.spark.sql.types.StructType): Unit = {
+      require(schema.fieldNames.contains(keyCol),
+        s"batch must carry the key column $keyCol")
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(deltaDir))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(deltaDir, ".keycol"),
+        keyCol.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val genDir = java.nio.file.Paths.get(s"$deltaDir/g$gen")
+      java.nio.file.Files.createDirectories(genDir)
+      val outSchema = org.apache.spark.sql.types.StructType(
+        schema.fields ++ Seq(
+          org.apache.spark.sql.types.StructField("__gen",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField(
+            BucketedState.BucketColName,
+            org.apache.spark.sql.types.IntegerType)))
+      val ki = schema.fieldIndex(keyCol)
+      val g = gen
+      def stamp(r: Row): Row = {
+        val key = if (r.isNullAt(ki)) null else r.getString(ki)
+        // Seq[Any] on purpose: Seq(long, int) would HARMONIZE to
+        // Seq[Long], silently widening the bucket int out of its
+        // declared IntegerType
+        Row.fromSeq(r.toSeq ++
+          Seq[Any](g, BucketedState.bucketOfLocal(key, nBuckets)))
+      }
+      // a gen dir may hold several part files (compaction reads the
+      // dir) — chunk large deltas across the common pool; _SUCCESS
+      // lands only after every part is durable
+      val conf = LocalParquet.prepareConf(spark, outSchema)
+      val chunks = rows.grouped(8192).zipWithIndex.toSeq
+      import scala.jdk.CollectionConverters._
+      chunks.asJava.parallelStream().forEach { case (chunk, i) =>
+        LocalParquet.write(chunk.iterator.map(stamp), outSchema,
+          genDir.resolve(f"part-$i%05d.parquet").toString, conf)
+      }
+      java.nio.file.Files.write(genDir.resolve("_SUCCESS"),
+        Array.empty[Byte])
+      commitGen(keyCol)
+    }
 
     /** Fold the given pending deltas into the bucket files: latest
       * generation wins per key (base reads as generation -1), exactly
