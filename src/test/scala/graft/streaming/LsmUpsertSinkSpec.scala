@@ -100,4 +100,29 @@ class LsmUpsertSinkSpec extends SparkTestBase {
         .forall(!_.getName.startsWith("g")),
       "forced compaction cleared the pending deltas")
   }
+
+  test("jobless driver-array appends are observationally identical to frame appends") {
+    // upsertPreparedRowsUnique (chunked LocalParquet, zero jobs) vs
+    // upsertPreparedUnique (frame path): same gens-on-disk semantics,
+    // same snapshot, same compaction fold, same restart recovery —
+    // including multi-part gen dirs (chunked writes)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lsm4").toString
+    val viaRows = new UpsertJoin.ParquetUpsertSink(spark, s"$tmp/r", 4,
+      deltaCompactEvery = 3)
+    val viaFrame = new UpsertJoin.ParquetUpsertSink(spark, s"$tmp/f", 4,
+      deltaCompactEvery = 3)
+    val schema = batchDf(batches.head).schema
+    batches.foreach { b =>
+      val df = batchDf(b)
+      viaRows.upsertPreparedRowsUnique(spark, "k", df.collect(), schema,
+        0 until 4)
+      viaFrame.upsertPreparedUnique("k", df, 0 until 4)
+    }
+    viaRows.awaitCompaction(); viaFrame.awaitCompaction()
+    assert(rowsOf(viaRows) === rowsOf(viaFrame))
+    // restart over the rows-appended dir (pending gens survive)
+    val reopened = new UpsertJoin.ParquetUpsertSink(spark, s"$tmp/r", 4,
+      deltaCompactEvery = 3)
+    assert(rowsOf(reopened) === rowsOf(viaFrame))
+  }
 }
