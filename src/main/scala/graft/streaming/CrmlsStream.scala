@@ -938,9 +938,15 @@ object CrmlsStream {
     // at 1 (the latency regime this path is tuned for), wide sources
     // keep bounded parallelism.
     val srcParts = taggedBatch.rdd.getNumPartitions
-    val cached = taggedBatch
+    val coalesced = taggedBatch
       .coalesce(if (srcParts <= 16) 1 else math.min(64, srcParts / 4))
-      .cache()
+    // cache only for the legacy (distributed-discovery) tier, which
+    // re-scans the batch per entity; the driver tier's single probe
+    // collect needs no cache materialization
+    var cachedOpt: Option[DataFrame] = None
+    def cached: DataFrame = cachedOpt.getOrElse {
+      val c = coalesced.cache(); cachedOpt = Some(c); c
+    }
     val scratch = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try {
       // ---- J1: batch materialization + discovery. DRIVER TIER: one
@@ -952,7 +958,7 @@ object CrmlsStream {
       // analyze per batch. A catch-up batch past the row budget keeps
       // the distributed discovery aggregation (the legacy leg below),
       // whose collect is CAPPED so truncated key lists are never used.
-      val probeRows = cached.limit(DriverBatchMaxRows + 1).collect()
+      val probeRows = coalesced.limit(DriverBatchMaxRows + 1).collect()
       val driverTier = probeRows.length <= DriverBatchMaxRows
       val specByName = allEntities.map(s => s.name -> s).toMap
       def mkRefEntries(listingDf: DataFrame): DataFrame =
@@ -1077,10 +1083,14 @@ object CrmlsStream {
       // which is what lets the two jobs run CONCURRENTLY — neither
       // reads anything the other mutates (the inflight write creates
       // new files only; bucket promotion waits for both).
-      val refEntriesDf: DataFrame =
+      // everything in this block is LAZY: the fused tier consumes the
+      // driver arrays directly and must not pay the eager
+      // Row->InternalRow conversion these LocalRelation frames do at
+      // construction (measured ~0.15s/batch of pure never-used frames)
+      lazy val refEntriesDf: DataFrame =
         if (driverTier) localDfOf(spark, refRows, IdxSchema)
         else mkRefEntries(deltas("listings"))
-      val mergedByName: Map[String, DataFrame] = present.map { name =>
+      lazy val mergedByName: Map[String, DataFrame] = present.map { name =>
         val spec = specByName(name)
         val schema = projectionSchema(spec)
         val all = store.localTouchedDf(name, schema, touched(name))
@@ -1092,12 +1102,12 @@ object CrmlsStream {
         name -> LatestVersion.latestOne(all, spec.dedupKeyCol,
           spec.prefix + "uc_created_ts", tiebreakCol = "__tie").drop("__tie")
       }.toMap
-      val entityBranches = present.map { name =>
+      lazy val entityBranches = present.map { name =>
         val spec = specByName(name)
         canonicalize(mergedByName(name), name,
           BucketedState.bucketOf(col(spec.dedupKeyCol), storeN))
       }
-      val idxMergedOpt = touched.get(IdxName).map { idxTouched =>
+      lazy val idxMergedOpt = touched.get(IdxName).map { idxTouched =>
         (store.localTouchedDf(IdxName, IdxSchema, idxTouched)
             .orElse(BucketedState.readBuckets(
               spark, store.path(IdxName), idxTouched, Some(IdxSchema))) match {
@@ -1105,10 +1115,10 @@ object CrmlsStream {
           case None => refEntriesDf
         }).distinct()
       }
-      val idxBranch = idxMergedOpt.map(m =>
+      lazy val idxBranch = idxMergedOpt.map(m =>
         canonicalize(m, IdxName, BucketedState.bucketOf(col("ref_val"), storeN)))
       val touchedByEntity = (present.map(n => n -> touched(n)) ++
-        idxBranch.map(_ => IdxName -> touched(IdxName))).toMap
+        touched.get(IdxName).map(_ => IdxName -> touched(IdxName))).toMap
 
       // ---- J3 (dims only): affected listing pks = direct + reverse-
       // index fan-out, resolved against the PRE-write index. Equivalent
@@ -1216,7 +1226,8 @@ object CrmlsStream {
           specByName(entity).dedupKeyCol)
       def isDim(entity: String): Boolean =
         DimEnrich.dimEntities.exists(_.name == entity)
-      val unionFrame = (entityBranches ++ idxBranch.toSeq).reduce(_ unionByName _)
+      lazy val unionFrame =
+        (entityBranches ++ idxBranch.toSeq).reduce(_ unionByName _)
       val unionWidth = unionSchema.length
       def unionRow(entity: String, bucket: Int, r: Row,
                    pos: Array[Int]): Row = {
@@ -1627,7 +1638,7 @@ object CrmlsStream {
       mark("J2:promote")
     } finally {
       scratch.foreach(_.unpersist())
-      cached.unpersist()
+      cachedOpt.foreach(_.unpersist())
     }
   }
 
