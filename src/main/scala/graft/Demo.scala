@@ -118,6 +118,46 @@ object Demo {
       println(s"[demo] train docs packed into $bins bins of 64 tokens")
     }
 
+    // ---- round-8 addition: the streaming job's incremental
+    // maintenance, end to end — six-topic batches through
+    // CrmlsStream.processBatch against the LSM state store + delta
+    // sink, a dimension-only batch propagating through the reverse
+    // index without recomputing the world, and a search over the
+    // round-8 graph index serving path
+    {
+      import graft.streaming.{CrmlsStream, UpsertJoin}
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-demo-stream").toString
+      val store = new CrmlsStream.StateStore(spark, s"$tmp/state")
+      val sink = new UpsertJoin.ParquetUpsertSink(spark, s"$tmp/sink",
+        nBuckets = 16, deltaCompactEvery = 4)
+      def tagged(rows: (String, String)*) =
+        rows.toSeq.toDF("entity", "value")
+      // batch 1: facts + dims
+      CrmlsStream.processBatch(spark, tagged(
+        ("listings", env("L1", 100,
+          """{"ListingKeyNumeric":"LK1","ListAgentKeyNumeric":"A1"}""")),
+        ("listings", env("L2", 100,
+          """{"ListingKeyNumeric":"LK2","ListAgentKeyNumeric":"A1"}""")),
+        ("agents", env("A1", 10, """{"name":"v1"}"""))), store, sink)
+      // batch 2: DIMENSION-ONLY update — both listings' agent role
+      // columns heal through the reverse index; per-batch durable I/O
+      // is the delta (pending generations), not the state
+      CrmlsStream.processBatch(spark, tagged(
+        ("agents", env("A1", 20, """{"name":"v2"}"""))), store, sink)
+      val outRows = sink.snapshot(spark)
+        .select("l_uc_pk", "aa_uc_pk", "aa_uc_created_ts")
+        .orderBy("l_uc_pk")
+      println("[demo] streaming upsert sink after a dim-only batch " +
+        "(both listings carry the agent's v2 timestamp):")
+      outRows.show(truncate = false)
+      val pend = new java.io.File(s"$tmp/state/agents/__pending")
+      println(s"[demo] LSM state tier: agent updates live as pending " +
+        s"generations (${Option(pend.listFiles()).map(_.count(
+          _.getName.startsWith("g"))).getOrElse(0)} gens) until a fold " +
+        "— per-batch state I/O is delta-sized")
+    }
+
     // ---- round-7 additions: distributed graph index + embedding PCA
     {
       import graft.operators.{GraphAnnDist, Pca}
@@ -132,6 +172,11 @@ object Demo {
         "vec_id", "embedding", nCells = 8, m = 4)
       println(s"[demo] distributed NSW index: ${edges.count()} edges " +
         s"built, ${appended.count()} edges from an incremental append")
+      val hits = GraphAnnDist.searchIndex(emb, edges,
+        emb.filter(col("vec_id") < 4), "vec_id", "embedding",
+        nCells = 8, k = 3, ef = 32)
+      println(s"[demo] beam search over the index (4 probes, top-3): " +
+        s"${hits.count()} hits")
       val diag = Pca.diagnostics(emb, "embedding", dim = 64, iters = 6)
         .head()
       println(f"[demo] embedding health: trace=${diag.getDouble(1)}%.4f " +
