@@ -111,6 +111,26 @@ class PendingStateSpec extends SparkTestBase {
     assert(folded === Map("A1" -> 20L))
   }
 
+  test("a crashed (unmarked) pending generation is ignored and swept") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pend5").toString
+    val store = new CrmlsStream.StateStore(spark, s"$tmp/state")
+    val sink = new UpsertJoin.ParquetUpsertSink(spark, s"$tmp/out")
+    CrmlsStream.processBatch(spark, batch(Seq(
+      ("agents", env("A1", 10, """{"n":"v1"}""")))), store, sink)
+    // simulate a crash mid-append: a gen dir with a (garbage) part
+    // file but NO _SUCCESS marker — the sweep must drop it before any
+    // fold reads it
+    val ghost = java.nio.file.Paths.get(
+      s"$tmp/state/agents/__pending/g999")
+    java.nio.file.Files.createDirectories(ghost)
+    java.nio.file.Files.write(ghost.resolve("part-00000.parquet"),
+      "not parquet".getBytes)
+    val cold = new CrmlsStream.StateStore(spark, s"$tmp/state")
+    assert(agentTs(cold) === Map("A1" -> 10L))
+    assert(!java.nio.file.Files.exists(ghost),
+      "the unmarked generation must be swept")
+  }
+
   test("kill switch off produces identical converged state") {
     def runAll(tmp: String, extraEnv: Boolean): Map[String, Long] = {
       val store = new CrmlsStream.StateStore(spark, s"$tmp/state")
