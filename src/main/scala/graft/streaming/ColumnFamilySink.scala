@@ -160,6 +160,61 @@ final class ColumnFamilySink(
       writeFamilies(keyCol, batch, touched.sorted, partial = true)
     }
 
+  /** Driver-array forms: split the ROWS per family here — one plain
+    * loop instead of caching a frame and re-evaluating its plan per
+    * family — and delegate each slice to the family store's jobless
+    * delta append. Same family routing, same write order, same
+    * key-unique contract as the frame forms.
+    */
+  private def writeFamilyRows(spark: SparkSession, keyCol: String,
+      rows: Array[org.apache.spark.sql.Row],
+      schema: org.apache.spark.sql.types.StructType,
+      touched: Seq[Int], partial: Boolean): Unit = {
+    persistKeyCol(keyCol)
+    val ki = schema.fieldIndex(keyCol)
+    val nonKey = schema.fields.zipWithIndex.filter(_._1.name != keyCol)
+    familyNames.foreach { f =>
+      val idxs = nonKey.collect {
+        case (fld, i) if familyOf(fld.name) == f => i
+      }
+      if (idxs.nonEmpty) {
+        val famSchema = org.apache.spark.sql.types.StructType(
+          schema.fields(ki) +: idxs.map(schema.fields(_)))
+        val famRows = rows.map { r =>
+          val arr = new Array[Any](1 + idxs.length)
+          arr(0) = r.get(ki)
+          var i = 0
+          while (i < idxs.length) { arr(i + 1) = r.get(idxs(i)); i += 1 }
+          org.apache.spark.sql.Row.fromSeq(
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(arr))
+        }
+        if (partial) sinks(f).upsertPartialRowsUnique(spark, keyCol,
+          famRows, famSchema, touched)
+        else sinks(f).upsertPreparedRowsUnique(spark, keyCol,
+          famRows, famSchema, touched)
+      }
+    }
+  }
+
+  override def upsertPartialRowsUnique(spark: SparkSession, keyCol: String,
+      rows: Array[org.apache.spark.sql.Row],
+      schema: org.apache.spark.sql.types.StructType,
+      touched: Seq[Int]): Unit =
+    if (touched.nonEmpty) {
+      require(schema.fieldNames.contains(keyCol),
+        s"partial batch must carry the key column $keyCol")
+      writeFamilyRows(spark, keyCol, rows, schema, touched.sorted,
+        partial = true)
+    }
+
+  override def upsertPreparedRowsUnique(spark: SparkSession, keyCol: String,
+      rows: Array[org.apache.spark.sql.Row],
+      schema: org.apache.spark.sql.types.StructType,
+      touched: Seq[Int]): Unit =
+    if (touched.nonEmpty)
+      writeFamilyRows(spark, keyCol, rows, schema, touched.sorted,
+        partial = false)
+
   /** Converged table: FULL OUTER key join across the family snapshots
     * (each family folds its own pending deltas — merge-on-read per
     * family, settled compactions joined first). Key first, then
