@@ -122,17 +122,34 @@ object Crmls {
   def project(raw: DataFrame, spec: EntitySpec,
               valueCol: String = "value"): DataFrame = {
     val env = from_json(col(valueCol), envelopeSchema).as("__env")
-    val parsed = raw.select(env)
     val p = spec.prefix
     val dataCol = coalesce(col("__env.data"), lit("")).as(p + "data")
     val strings = envelopeStringCols.map(c =>
       coalesce(col(s"__env.$c"), lit("")).as(p + c))
     val longs = envelopeLongCols.map(c =>
       col(s"__env.$c").cast(LongType).as(p + c))
-    val extras = spec.extraKeys.map { case (field, name) =>
-      get_json_object(col("__env.data"), s"$$.$field").as(p + name)
+    if (spec.extraKeys.isEmpty)
+      raw.select(env).select(dataCol +: (strings ++ longs): _*)
+    else {
+      // ONE parse of the nested `data` payload for every extracted key
+      // (held in its own Project so CollapseProject cannot duplicate the
+      // JsonToStructs per field — the per-field get_json_object form
+      // re-parsed `data` once per key, N parses per row for listings).
+      // from_json with a StringType field yields the field's raw JSON
+      // text exactly like get_json_object's path extraction: unquoted
+      // strings, literal numerals, null when absent or malformed.
+      val dataSchema = StructType(spec.extraKeys.map { case (field, _) =>
+        StructField(field, StringType) })
+      // the re-select aliases __env (never a bare attribute: a bare
+      // AttributeReference binds to an unnamed BoundReference, which
+      // ColumnBridge.rowProjector's NamedExpression projection rejects)
+      val parsed = raw.select(env)
+        .select(col("__env").as("__env"),
+          from_json(col("__env.data"), dataSchema).as("__d"))
+      val extras = spec.extraKeys.map { case (field, name) =>
+        col(s"__d.$field").as(p + name) }
+      parsed.select(dataCol +: (strings ++ longs ++ extras): _*)
     }
-    parsed.select(dataCol +: (strings ++ longs ++ extras): _*)
   }
 
   /** Latest-version view of a projected entity (the reference's

@@ -175,31 +175,42 @@ object CrmlsStream {
     * alternative (a fresh LocalRelation plan per entity per batch)
     * re-ran the analyzer + optimizer for identical expressions every
     * micro-batch — 0.3-0.45 s of every fused batch's J1 leg.
+    *
+    * Keyed by (SparkSession, entity): the analyzed tree folds
+    * session-conf-dependent expressions (e.g. timeZone) at compile
+    * time, so a projector must not outlive or cross sessions. Wrapped
+    * per-thread (ThreadLocal) because UnsafeProjection reuses a mutable
+    * result buffer — two streaming queries batching concurrently in one
+    * JVM would otherwise corrupt each other's rows.
     */
-  private val envProjectors =
-    scala.collection.concurrent.TrieMap.empty[String, Row => Row]
+  private val envProjectors = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), ThreadLocal[Row => Row]]
   private def envProjector(spark: SparkSession,
                            spec: Crmls.EntitySpec): Row => Row =
-    envProjectors.getOrElseUpdate(spec.name, {
-      val valueSchema = StructType(Seq(StructField("value", StringType)))
-      val empty = spark.createDataFrame(
-        java.util.Collections.emptyList[Row](), valueSchema)
-      org.apache.spark.sql.graftx.ColumnBridge.rowProjector(
-        Crmls.project(empty, spec), valueSchema)
-    })
+    envProjectors.getOrElseUpdate((spark, spec.name),
+      ThreadLocal.withInitial { () =>
+        val valueSchema = StructType(Seq(StructField("value", StringType)))
+        val empty = spark.createDataFrame(
+          java.util.Collections.emptyList[Row](), valueSchema)
+        org.apache.spark.sql.graftx.ColumnBridge.rowProjector(
+          Crmls.project(empty, spec), valueSchema)
+      }).get()
 
   /** Driver-tier cap for the reverse-index probe: past this many index
     * rows the affected-key resolution falls back to a distributed join.
+    * Overridable per [[processBatch]] call (tier-forcing tests and
+    * benches drive the distributed fallbacks with tiny caps).
     */
-  private val DriverAffectedMaxRows: Int = 100000
+  private[streaming] val DriverAffectedMaxRows: Int = 100000
 
   /** Driver tier for batch materialization: a micro-batch at or under
     * this many raw rows is collected once and parsed via local-relation
     * projections (which fold at optimize time), so discovery schedules
     * no aggregation job and builds no per-batch mega-plan. Catch-up
     * batches past it keep the distributed discovery aggregation.
+    * Overridable per [[processBatch]] call, like [[DriverAffectedMaxRows]].
     */
-  private val DriverBatchMaxRows: Int = 50000
+  private[streaming] val DriverBatchMaxRows: Int = 50000
 
   private def localDfOf(spark: SparkSession, rows: Array[Row],
                         schema: StructType): DataFrame =
@@ -245,9 +256,22 @@ object CrmlsStream {
     * (CRMLSJoiner.scala:57-59), and untouched buckets' files stay
     * byte-identical.
     */
+  /** @param localSnapshotMaxRows / idxLocalMaxRows residency caps of
+    *   the driver snapshot tier — injectable so tests and benches can
+    *   force every batch past the local tiers onto the distributed
+    *   middle/legacy paths (the exact code a 100x-state deployment
+    *   runs), not just exercise them on paper.
+    * @param pendingEnabled the pending-delta (LSM) tier flag, defaulting
+    *   to the `SPARK_GRAFT_STATE_PENDING` kill switch — injectable so
+    *   on/off equivalence is testable in-process.
+    */
   final class StateStore(spark: SparkSession,
                          private[streaming] val dir: String,
-                         private[streaming] val nBuckets: Int = 16)
+                         private[streaming] val nBuckets: Int = 16,
+                         private[streaming] val localSnapshotMaxRows: Int = 200000,
+                         private[streaming] val idxLocalMaxRows: Int = 1000000,
+                         private[streaming] val pendingEnabled: Boolean =
+                           PendingStateEnabled)
       extends Serializable {
     private[streaming] def path(entity: String) = s"$dir/$entity"
 
@@ -543,12 +567,10 @@ object CrmlsStream {
         }
       }
 
-    private[streaming] val LocalSnapshotMaxRows: Int = 200000
     // the reverse index's rows are three short strings — hold more of
     // them than of the wide entity projections
-    private[streaming] val IdxLocalMaxRows: Int = 1000000
     private def capFor(entity: String): Int =
-      if (entity == IdxName) IdxLocalMaxRows else LocalSnapshotMaxRows
+      if (entity == IdxName) idxLocalMaxRows else localSnapshotMaxRows
 
     private def localDf(rows: Array[Row],
                         schema: StructType): DataFrame =
@@ -917,7 +939,9 @@ object CrmlsStream {
   def processBatch(spark: SparkSession, taggedBatch: DataFrame,
                    store: StateStore, sink: UpsertJoin.UpsertSink,
                    narrowDimSink: Boolean =
-                     sys.env.contains("SPARK_GRAFT_NARROW_SINK")): Unit = {
+                     sys.env.contains("SPARK_GRAFT_NARROW_SINK"),
+                   driverBatchMaxRows: Int = DriverBatchMaxRows,
+                   driverAffectedMaxRows: Int = DriverAffectedMaxRows): Unit = {
     import Crmls._
     val profile = sys.env.contains("SPARK_GRAFT_SB_PROFILE")
     var t0 = System.nanoTime()
@@ -958,8 +982,8 @@ object CrmlsStream {
       // analyze per batch. A catch-up batch past the row budget keeps
       // the distributed discovery aggregation (the legacy leg below),
       // whose collect is CAPPED so truncated key lists are never used.
-      val probeRows = coalesced.limit(DriverBatchMaxRows + 1).collect()
-      val driverTier = probeRows.length <= DriverBatchMaxRows
+      val probeRows = coalesced.limit(driverBatchMaxRows + 1).collect()
+      val driverTier = probeRows.length <= driverBatchMaxRows
       val specByName = allEntities.map(s => s.name -> s).toMap
       def mkRefEntries(listingDf: DataFrame): DataFrame =
         listingDf.select(col("l_uc_pk"),
@@ -1044,7 +1068,7 @@ object CrmlsStream {
                   .filter(col("__k").isNotNull),
                 col("__k")) }
         val discLimit =
-          (allEntities.size + 1) * storeN + DriverAffectedMaxRows + 1
+          (allEntities.size + 1) * storeN + driverAffectedMaxRows + 1
         var discRows = discovery.reduce(_ unionByName _).distinct()
           .limit(discLimit).collect()
         discoveryOverflow = discRows.length >= discLimit
@@ -1140,15 +1164,15 @@ object CrmlsStream {
             (refCols, dimKeys.getOrElse(name, Set.empty[String])) }) match {
           case Some(fanout) =>
             val pks = (directPks ++ fanout).distinct
-            if (pks.size > DriverAffectedMaxRows) None else Some(pks)
+            if (pks.size > driverAffectedMaxRows) None else Some(pks)
           case None =>
             val lookupBuckets = dims.flatMap(d => touched(d._1)).distinct
             BucketedState.readBuckets(spark, store.path(IdxName),
                 lookupBuckets, Some(IdxSchema)) match {
               case None => Some(directPks.distinct)
               case Some(idx) =>
-                val probe = idx.limit(DriverAffectedMaxRows + 1).collect()
-                if (probe.length > DriverAffectedMaxRows) None
+                val probe = idx.limit(driverAffectedMaxRows + 1).collect()
+                if (probe.length > driverAffectedMaxRows) None
                 else {
                   val fanout = dims.flatMap { case (name, _, refCols) =>
                     val keys = dimKeys.getOrElse(name, Set.empty[String])
@@ -1454,8 +1478,24 @@ object CrmlsStream {
       // (its snapshot now holds the post-merge truth the periodic fold
       // writes from). The append is delta-proportional; the classic
       // full-bucket write below is the fold/fallback path.
-      val usePendings = PendingStateEnabled && fastMerge &&
+      val usePendings = store.pendingEnabled && fastMerge &&
         refreshed.size == branchEntities.size
+      // A FUSED batch that is NOT taking the pendings path (a refresh
+      // fell past the local cap, or the LSM tier is off) is about to
+      // rewrite its branch entities' base buckets with full merged
+      // content. Outstanding pending generations for those entities
+      // MUST fold first: after the promote, base would be NEWER than
+      // the pendings, yet the cold/file fold orders base as __gen=-1 —
+      // stale pending rows would win per key and silently regress this
+      // batch's updates on the next fold. Folding here is correct on
+      // both sub-cases (a still-resident snapshot folds from itself;
+      // an invalidated entity file-merges against the pre-write base),
+      // and runs BEFORE the concurrent J4 leg so no reader races the
+      // fold's bucket swaps. The non-fused tier folded at batch start.
+      if (fastMerge && !usePendings) branchEntities.foreach { e =>
+        val (schema, keyCol) = schemaOf(e)
+        store.ensureFolded(e, schema, keyCol)
+      }
       val stateWrite = Future {
         if (usePendings) {
           branchEntities.foreach { e =>
@@ -1651,12 +1691,15 @@ object CrmlsStream {
           checkpointDir: String,
           narrowDimSink: Boolean =
             sys.env.contains("SPARK_GRAFT_NARROW_SINK"),
-          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+          trigger: Trigger = Trigger.AvailableNow(),
+          driverBatchMaxRows: Int = DriverBatchMaxRows,
+          driverAffectedMaxRows: Int = DriverAffectedMaxRows): StreamingQuery =
     tagged.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(batch.sparkSession, batch, store, sink, narrowDimSink)
+        processBatch(batch.sparkSession, batch, store, sink, narrowDimSink,
+          driverBatchMaxRows, driverAffectedMaxRows)
       }
       .trigger(trigger)
       .start()

@@ -500,6 +500,11 @@ object UpsertJoin {
     private def appendDeltaRowsLocal(
         spark: SparkSession, keyCol: String, rows: Array[Row],
         schema: org.apache.spark.sql.types.StructType): Unit = {
+      // an empty batch MUST NOT commit a generation: zero part files
+      // under a _SUCCESS marker would fail genFrames' schema inference
+      // and permanently brick every later compaction/snapshot (the
+      // frame path is immune — Spark writes a schema-only part file)
+      if (rows.isEmpty) return
       require(schema.fieldNames.contains(keyCol),
         s"batch must carry the key column $keyCol")
       java.nio.file.Files.createDirectories(

@@ -463,6 +463,27 @@ class PlanHygieneSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"wedge generation must equi-join on the middle node:\n${p.take(2000)}")
     assert(!p.contains("Window"), "pair aggregation must hash, not rank")
+    // drift-watch for the r7 regression (bench 3.66 -> 5.97 s): the
+    // existing-edge anti-join must NEVER plan as a shuffled join over
+    // the raw Σ deg² wedge stream. Healthy shape: the anti-join is a
+    // BROADCAST (canon is edge-bounded, orders smaller than wedges),
+    // and the wedge stream is reduced by a map-side partial aggregate
+    // BEFORE its single pair-keyed exchange.
+    assert("BroadcastHashJoin [^\\n]*LeftAnti".r.findAllIn(p).size === 1,
+      s"existing-edge anti-join must broadcast, not shuffle:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "no join may shuffle the wedge stream")
+    assert(
+      "HashAggregate\\(keys=\\[a#\\d+L?, b#\\d+L?\\], functions=\\[partial_count"
+        .r.findAllIn(p).nonEmpty,
+      s"pair scores must partial-aggregate map-side:\n${p.take(2000)}")
+    // the weighted wedge stream (__w) itself never rides an exchange:
+    // every pair-keyed exchange sits above an aggregate, not above the
+    // raw wedge projection
+    val rawWedgeExchange =
+      "Exchange hashpartitioning[^\\n]*\\n[^\\n]*Project [^\\n]*__w".r
+    assert(rawWedgeExchange.findFirstIn(p).isEmpty,
+      s"raw weighted wedges must not shuffle:\n${p.take(2000)}")
   }
 
   test("q_zipf: regression runs over the bounded top-k frame, not the vocabulary") {

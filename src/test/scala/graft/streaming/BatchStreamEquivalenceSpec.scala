@@ -54,16 +54,24 @@ class BatchStreamEquivalenceSpec extends SparkTestBase {
   private def streamResult(batchSplits: Seq[Seq[(String, String)]],
       narrow: Boolean = false,
       mkSink: String => UpsertJoin.UpsertSink =
-        _ => UpsertJoin.newInMemorySink()): Set[Seq[Any]] = {
+        _ => UpsertJoin.newInMemorySink(),
+      mkStore: (String, org.apache.spark.sql.SparkSession) =>
+        CrmlsStream.StateStore =
+        (tmp, s) => new CrmlsStream.StateStore(s, s"$tmp/state"),
+      driverBatchMaxRows: Int = CrmlsStream.DriverBatchMaxRows,
+      driverAffectedMaxRows: Int = CrmlsStream.DriverAffectedMaxRows)
+      : Set[Seq[Any]] = {
     implicit val sqlCtx = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("graft-eq").toString
-    val store = new CrmlsStream.StateStore(spark, s"$tmp/state")
+    val store = mkStore(tmp, spark)
     val sink = mkSink(tmp)
     val input = MemoryStream[(String, String)]
     val tagged = input.toDF().toDF("entity", "value")
     batchSplits.foreach { b =>
       input.addData(b: _*)
-      CrmlsStream.run(tagged, store, sink, s"$tmp/ckpt", narrow)
+      CrmlsStream.run(tagged, store, sink, s"$tmp/ckpt", narrow,
+        driverBatchMaxRows = driverBatchMaxRows,
+        driverAffectedMaxRows = driverAffectedMaxRows)
         .awaitTermination()
     }
     sink.snapshot(spark).select(compareCols.map(col): _*)
@@ -79,6 +87,33 @@ class BatchStreamEquivalenceSpec extends SparkTestBase {
     val splits = Seq(history.take(3), history.slice(3, 7),
       history.slice(7, 10), history.drop(10))
     assert(streamResult(splits) === expected)
+  }
+
+  test("forced over-cap fallback: middle + legacy distributed tiers " +
+      "converge to the batch result") {
+    val expected = batchResult()
+    val splits = Seq(history.take(3), history.slice(3, 7),
+      history.slice(7, 10), history.drop(10))
+    // snapshot caps forced to 1 row: every entity overflows the local
+    // tier immediately, so every batch runs the MIDDLE tier's
+    // distributed merge frames (the lazily-built plans the fused path
+    // never executes) and the persisted-snapshot/fullState join legs
+    val tiny = (tmp: String, s: org.apache.spark.sql.SparkSession) =>
+      new CrmlsStream.StateStore(s, s"$tmp/state",
+        localSnapshotMaxRows = 1, idxLocalMaxRows = 1)
+    assert(streamResult(splits, mkStore = tiny) === expected,
+      "middle tier (snapshot caps forced to 1)")
+    // additionally force the LEGACY discovery aggregation and the
+    // distributed affected-key fallback: batch row budget 0 (no batch
+    // qualifies for the driver tier), affected probe budget 0
+    assert(streamResult(splits, mkStore = tiny,
+      driverBatchMaxRows = 0, driverAffectedMaxRows = 0) === expected,
+      "legacy tier (all driver budgets forced to 0)")
+    // and the file-backed sink through the same forced tiers
+    assert(streamResult(splits, mkStore = tiny,
+      mkSink = tmp => new UpsertJoin.ParquetUpsertSink(spark, s"$tmp/sink", 4),
+      driverBatchMaxRows = 0, driverAffectedMaxRows = 0) === expected,
+      "legacy tier, parquet sink")
   }
 
   test("narrowed dim-only sink deltas converge to the same table") {
