@@ -292,6 +292,48 @@ object OracleGen {
        FROM enc GROUP BY doc_id"""
   }
 
+  /** Oracle for [[graft.operators.BpeLearn.learnMerges]] — the greedy
+    * argmax merge LOOP unrolled as k CTE stages (the q_mmr trick for
+    * greedy iterations). Each word type is a chr(31)-separated symbol
+    * string; per stage: adjacent-pair counts weighted by word
+    * frequency, argmax under the loop's total order (count desc, left,
+    * right), then the merge applied via replace() — SQL replace scans
+    * left-to-right and resumes AFTER each replacement, which IS the
+    * loop's greedy non-overlapping application. MATERIALIZED CTEs:
+    * inlined, the stage chain re-evaluates its ancestors exponentially.
+    * chr(31) never occurs in the corpus (checked; a corpus symbol
+    * containing the separator would break the encoding).
+    */
+  def bpeLearnSql(k: Int): String = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val stages = (1 to k).map { i =>
+      s""",
+       p$i AS MATERIALIZED (
+         SELECT a[j] AS l, a[j + 1] AS r, sum(n) AS c
+         FROM (SELECT string_split(s, chr(31)) AS a, n FROM w${i - 1}),
+              unnest(range(1, len(a))) AS u(j)
+         GROUP BY 1, 2),
+       b$i AS MATERIALIZED (
+         SELECT l, r FROM p$i ORDER BY c DESC, l, r LIMIT 1),
+       w$i AS MATERIALIZED (
+         SELECT replace(s, (SELECT l || chr(31) || r FROM b$i),
+                           (SELECT l || r FROM b$i)) AS s, n
+         FROM w${i - 1})"""
+    }.mkString
+    val out = (1 to k).map(i =>
+      s"SELECT $i AS merge_rank, l AS sym_left, r AS sym_right FROM b$i")
+      .mkString("\n       UNION ALL ")
+    raw"""WITH wc AS MATERIALIZED (
+         SELECT w, count(*) AS n FROM (
+           SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+           FROM documents)
+         WHERE len(w) > 0 GROUP BY w),
+       w0 AS MATERIALIZED (
+         SELECT array_to_string(string_split(w, ''), chr(31)) AS s, n
+         FROM wc)$stages
+       $out"""
+  }
+
   /** Oracle for [[graft.operators.KnnClassify.classify]] with probes
     * `vec_id < probeMax` and electorate `vec_id >= probeMax` (NULL
     * labels excluded): exact cosine top-k (rank ties on neighbor_id,

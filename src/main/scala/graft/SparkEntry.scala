@@ -1533,15 +1533,23 @@ object SparkEntry {
 
     // §2.10 tokenizer training, stage 0 (the SQL-replayable one):
     // adjacent character-pair counts over word types weighted by word
-    // frequency, top 20 under the merge loop's total order. The
-    // iterative argmax merge loop itself (BpeLearn.learnMerges) is NOT
-    // SQL-expressible and therefore not a catalog row — it is pinned by
-    // BpeLearnSpec's hand-computed tables instead, keeping the catalog
-    // 100% oracled (CatalogSpec's invariant)
+    // frequency, top 20 under the merge loop's total order — iteration
+    // 0 of the merge loop as a standalone frame (the full loop is
+    // q_bpe_learn below; BpeLearnSpec pins hand-computed tables too)
     "q_bpe_pairs" -> ((s, dir) =>
       BpeLearn.initialPairCounts(t(s, dir, "documents"), "text")
         .orderBy(desc("pair_count"), asc("sym_left"), asc("sym_right"))
         .limit(20)),
+
+    // §2.10 tokenizer training: the iterative argmax merge LOOP itself
+    // (BpeLearn.learnMerges), oracled by unrolling the k greedy stages
+    // as CTEs (OracleGen.bpeLearnSql — the q_mmr greedy-unroll trick).
+    // Closes the catalog's last spec-only operator: the distributed leg
+    // is the word-type aggregation; the loop is bounded driver work.
+    "q_bpe_learn" -> ((s, dir) =>
+      BpeLearn.learnMergesDf(t(s, dir, "documents"), "text", nMerges = 8)
+        .select(col("merge_rank"), col("left").as("sym_left"),
+          col("right").as("sym_right"))),
 
     // §2.10 embedding ops: deterministic rounded-Lloyd k-means —
     // lowest-id init, per-iteration cosine argmax (map-only, centroid
@@ -3682,6 +3690,8 @@ object SparkEntry {
            GROUP BY 1, 2)
          SELECT sym_left, sym_right, pair_count FROM p
          ORDER BY pair_count DESC, sym_left, sym_right LIMIT 20""",
+
+    "q_bpe_learn" -> OracleGen.bpeLearnSql(k = 8),
 
     "q_kmeans" -> OracleGen.kmeansSql(k = 8, iters = 2, dim = 64),
 
