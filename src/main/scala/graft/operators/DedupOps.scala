@@ -392,8 +392,14 @@ object DedupOps {
     *   whole convergence loop); the blocks are released by the
     *   ContextCleaner once the frame drops out of scope.
     */
+  /** @param reliableCheckpoint distributed-tier rounds checkpoint to
+    *   the reliable store instead of executor-local blocks
+    *   ([[Checkpoints.materialize]]) — survives executor loss at the
+    *   cost of one distributed write per round. Results identical.
+    */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20,
-                        driverThreshold: Long = 1000000L): DataFrame = {
+                        driverThreshold: Long = 1000000L,
+                        reliableCheckpoint: Boolean = false): DataFrame = {
     import org.apache.spark.sql.types._
     val spark = pairs.sparkSession
     import spark.implicits._
@@ -417,12 +423,13 @@ object DedupOps {
           val edges = cached.select(col("id_a"), col("id_b"))
             .as[(String, String)].collect()
           unionFindLabels(edges).toDF("id", "label")
-        case _ => distributedClusters(cached, maxIter)
-      } else distributedClusters(cached, maxIter)
+        case _ => distributedClusters(cached, maxIter, reliableCheckpoint)
+      } else distributedClusters(cached, maxIter, reliableCheckpoint)
     } finally cached.unpersist()
   }
 
-  private def distributedClusters(pairs: DataFrame, maxIter: Int): DataFrame = {
+  private def distributedClusters(pairs: DataFrame, maxIter: Int,
+                                  reliable: Boolean): DataFrame = {
     val spark = pairs.sparkSession
     // AQE re-plans every exchange of every iteration as its own query
     // stage with runtime stats — the right call for one 100 GB join,
@@ -433,14 +440,15 @@ object DedupOps {
     val aqeKey = "spark.sql.adaptive.enabled"
     val prevAqe = spark.conf.getOption(aqeKey)
     spark.conf.set(aqeKey, "false")
-    try distributedClustersLoop(pairs, maxIter)
+    try distributedClustersLoop(pairs, maxIter, reliable)
     finally prevAqe match {
       case Some(v) => spark.conf.set(aqeKey, v)
       case None => spark.conf.unset(aqeKey)
     }
   }
 
-  private def distributedClustersLoop(pairs: DataFrame, maxIter: Int): DataFrame = {
+  private def distributedClustersLoop(pairs: DataFrame, maxIter: Int,
+                                      reliable: Boolean): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().cache()
@@ -456,24 +464,25 @@ object DedupOps {
     // checkpoint generations are freed by the ContextCleaner as they
     // drop out of scope.
     //
-    // FAULT-TOLERANCE CAVEAT (multi-executor deploys): localCheckpoint
-    // blocks are UNREPLICATED executor-local RDD blocks with truncated
-    // lineage — losing an executor mid-loop makes the result
-    // unrecomputable and fails the job (acceptable: the loop restarts
-    // from the pairs input, which IS recomputable). On clusters where
-    // that retry cost matters, set spark.checkpoint.dir and swap these
-    // for reliable checkpoint(), trading per-round HDFS writes for
-    // executor-loss survival.
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
+    // FAULT-TOLERANCE (multi-executor deploys): the default
+    // localCheckpoint blocks are UNREPLICATED executor-local RDD
+    // blocks with truncated lineage — losing an executor mid-loop
+    // fails the job (acceptable: the loop restarts from the pairs
+    // input, which IS recomputable). Where that retry cost matters,
+    // pass reliableCheckpoint=true (+ setCheckpointDir) and each round
+    // persists to the reliable store instead — Checkpoints.materialize
+    // documents the trade.
+    var labels = Checkpoints.materialize(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")), reliable)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
-      val prop = edges.join(labels, edges("src") === labels("id"))
-        .select(col("dst").as("id"), col("label"))
-        .unionByName(labels)
-        .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint()
+      val prop = Checkpoints.materialize(
+        edges.join(labels, edges("src") === labels("id"))
+          .select(col("dst").as("id"), col("label"))
+          .unionByName(labels)
+          .groupBy("id").agg(min("label").as("label")), reliable)
       changed = prop.join(labels.withColumnRenamed("label", "__old"), Seq("id"))
         .filter(col("label") =!= col("__old")).count()
       labels = prop

@@ -123,19 +123,22 @@ object GraphMetrics {
     * anyway — and the edge cache is released. Output is identical to
     * the lazy shape: (id, hops), hops in [0, maxHops].
     *
-    * Fault-tolerance caveat (multi-executor deploys): localCheckpoint
-    * blocks are unreplicated and lineage-truncated, so an executor
-    * loss mid-traversal fails the job instead of recomputing — the
-    * traversal restarts from `edges`, which is recomputable. Where
-    * that retry cost matters, set spark.checkpoint.dir and use
-    * reliable checkpoint() instead.
+    * Fault-tolerance (multi-executor deploys): the default
+    * localCheckpoint blocks are unreplicated and lineage-truncated, so
+    * an executor loss mid-traversal fails the job instead of
+    * recomputing — the traversal restarts from `edges`, which is
+    * recomputable. Where that retry cost matters, pass
+    * `reliableCheckpoint = true` (with sparkContext.setCheckpointDir)
+    * and each materialization persists to the reliable store instead
+    * ([[Checkpoints.materialize]] documents the trade).
     *
     * `edges` is undirected (`id_a`, `id_b`); `seeds` is a single
     * column `id`.
     */
   def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int,
               cacheEdges: Boolean = false,
-              checkpointEvery: Int = 0): DataFrame = {
+              checkpointEvery: Int = 0,
+              reliableCheckpoint: Boolean = false): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
     val dir0 = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -148,14 +151,15 @@ object GraphMetrics {
         .join(frontier.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst").as("id")).distinct()
         .join(visited, Seq("id"), "left_anti")
-      if (checkpointEvery > 0) next = next.localCheckpoint()
+      if (checkpointEvery > 0)
+        next = Checkpoints.materialize(next, reliableCheckpoint)
       frontier = next
       visited = visited.unionByName(next.withColumn("hops", lit(h)))
       if (checkpointEvery > 0 && h % checkpointEvery == 0 && h < maxHops)
-        visited = visited.localCheckpoint()
+        visited = Checkpoints.materialize(visited, reliableCheckpoint)
     }
     if (cacheEdges || checkpointEvery > 0) {
-      val out = visited.localCheckpoint()
+      val out = Checkpoints.materialize(visited, reliableCheckpoint)
       if (cacheEdges) dir.unpersist()
       out
     } else visited

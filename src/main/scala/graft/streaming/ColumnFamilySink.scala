@@ -42,10 +42,23 @@ import org.apache.spark.sql.functions._
   * format; on the plain-directory layer it is a key shuffle per family
   * — the documented read tax of the layout.
   *
-  * Changelog emission is not offered in this layout (a retract pair is
-  * a whole-row observable; stitching it from per-family logs needs a
-  * cross-family transaction) — use the row-major sink when the CDC feed
-  * is the requirement.
+  * Changelog emission IS offered in this layout, as PER-FAMILY retract
+  * logs under one SHARED batch stamp: every member store receives its
+  * batch id from this sink (one id per logical upsert, however many
+  * families it touches), so the family logs are mutually orderable and
+  * [[changelogSnapshotAt]] reassembles the whole-row table AS OF any
+  * batch with a key join across the per-family replays — the
+  * column-family realization of the row-major sink's CDC feed
+  * (ChangelogSinkSpec pins batch-for-batch equivalence). What a
+  * per-family log deliberately does NOT give is a pre-stitched
+  * whole-row retract PAIR stream: a consumer that needs (false,
+  * oldRow)/(true, newRow) wire pairs without a reassembly join should
+  * use the row-major sink — stitching pairs at write time would need a
+  * cross-family read of every touched key's untouched families, the
+  * exact write amplification this layout exists to avoid. Changelog
+  * requires merge-on-write (deltaCompactEvery == 0): delta mode's
+  * per-compaction emission is asynchronous per family, which would
+  * tear the shared-stamp invariant.
   *
   * @param families (name, column-name predicate) in declaration order;
   *   a column joins the FIRST family whose predicate accepts it, and
@@ -59,9 +72,15 @@ final class ColumnFamilySink(
     spark: SparkSession, dir: String,
     families: Seq[(String, String => Boolean)],
     nBuckets: Int = 16,
-    deltaCompactEvery: Int = 0)
+    deltaCompactEvery: Int = 0,
+    changelogDir: Option[String] = None)
     extends UpsertJoin.UpsertSink with Serializable {
   import org.apache.spark.sql.expressions.Window
+
+  require(changelogDir.isEmpty || deltaCompactEvery == 0,
+    "column-family changelog requires merge-on-write " +
+      "(deltaCompactEvery = 0): delta-mode emission is per-family " +
+      "asynchronous and cannot share one batch stamp")
 
   private val BaseFamily = "base"
   require(!families.exists(_._1 == BaseFamily),
@@ -73,10 +92,48 @@ final class ColumnFamilySink(
   private def familyOf(c: String): String =
     families.find(_._2(c)).map(_._1).getOrElse(BaseFamily)
 
+  private def familyLogDir(f: String): Option[String] =
+    changelogDir.map(cl => s"$cl/cf_$f")
+
+  /** Shared changelog batch stamp: recovered on construction as
+    * (max batch_id over every family log) + 1 — the same restart
+    * contract as the row-major sink's, held ONCE here so a restarted
+    * instance cannot stamp one family past another.
+    */
+  private var batchEpoch: Long = changelogDir match {
+    case Some(_) =>
+      val maxes = familyNames.flatMap(familyLogDir).flatMap { clDir =>
+        val d = new java.io.File(clDir)
+        if (d.exists() && d.listFiles() != null &&
+            d.listFiles().exists(_.getName.endsWith(".parquet")))
+          spark.read.parquet(clDir)
+            .agg(org.apache.spark.sql.functions.max(col("batch_id")))
+            .head() match {
+            case r if r.isNullAt(0) => None
+            case r => Some(r.getLong(0))
+          }
+        else None
+      }
+      if (maxes.isEmpty) 0L else maxes.max + 1L
+    case None => 0L
+  }
+
+  /** Current stamp, read by every member store's emit within one
+    * logical upsert; advanced once per upsert entry point.
+    */
+  @volatile private var currentEpoch: Long = batchEpoch
+  private def advanceEpoch(): Unit = synchronized {
+    currentEpoch = batchEpoch
+    batchEpoch += 1L
+  }
+
   private val sinks: Map[String, UpsertJoin.ParquetUpsertSink] =
     familyNames.map(n => n -> new UpsertJoin.ParquetUpsertSink(
       spark, s"$dir/cf_$n", nBuckets,
-      changelogDir = None, deltaCompactEvery = deltaCompactEvery)).toMap
+      changelogDir = familyLogDir(n),
+      deltaCompactEvery = deltaCompactEvery,
+      epochSource = if (changelogDir.isEmpty) None
+                    else Some(() => currentEpoch))).toMap
 
   override def bucketCount: Option[Int] = Some(nBuckets)
   override def supportsPartial: Boolean = true
@@ -108,6 +165,7 @@ final class ColumnFamilySink(
     */
   private def writeFamilies(keyCol: String, batch: DataFrame,
                             touched: Seq[Int], partial: Boolean): Unit = {
+    if (changelogDir.isDefined) advanceEpoch() // one stamp per batch
     persistKeyCol(keyCol)
     val parts = split(keyCol, batch)
     val multi = parts.size > 1
@@ -170,6 +228,7 @@ final class ColumnFamilySink(
       rows: Array[org.apache.spark.sql.Row],
       schema: org.apache.spark.sql.types.StructType,
       touched: Seq[Int], partial: Boolean): Unit = {
+    if (changelogDir.isDefined) advanceEpoch() // one stamp per batch
     persistKeyCol(keyCol)
     val ki = schema.fieldIndex(keyCol)
     val nonKey = schema.fields.zipWithIndex.filter(_._1.name != keyCol)
@@ -232,6 +291,44 @@ final class ColumnFamilySink(
       else None
     }
     require(parts.nonEmpty, s"no family state under $dir")
+    parts.reduce((a, b) => a.join(b, Seq(keyCol), "full_outer"))
+  }
+
+  /** Join-time changelog reassembly: the whole-row table AS OF batch
+    * `upToBatch` (inclusive), rebuilt purely from the per-family
+    * retract logs. Per family: replay entries with batch_id <=
+    * upToBatch — within a key, the LATEST batch wins and within one
+    * batch the op=true row beats its retract (exactly the row-major
+    * replay rule ChangelogSinkSpec pins); a key whose latest entry is
+    * a bare retract drops. Families first touched after `upToBatch`
+    * contribute typed NULLs via the full-outer key join — the same
+    * evolution the live snapshot had at that batch. One window per
+    * family log (logs are delta-sized) + the layout's usual key join.
+    */
+  def changelogSnapshotAt(spark: SparkSession, upToBatch: Long): DataFrame = {
+    require(changelogDir.isDefined,
+      "changelogSnapshotAt needs the sink constructed with changelogDir")
+    val keyPath = java.nio.file.Paths.get(dir, ".keycol")
+    require(java.nio.file.Files.exists(keyPath),
+      s"no state written yet under $dir")
+    val keyCol = new String(java.nio.file.Files.readAllBytes(keyPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val parts = familyNames.flatMap { f =>
+      familyLogDir(f).filter { clDir =>
+        val d = new java.io.File(clDir)
+        d.exists() && d.listFiles() != null &&
+          d.listFiles().exists(_.getName.endsWith(".parquet"))
+      }.map { clDir =>
+        val log = spark.read.parquet(clDir)
+          .filter(col("batch_id") <= upToBatch)
+        val w = Window.partitionBy(col(keyCol))
+          .orderBy(col("batch_id").desc, col("op").desc)
+        log.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1 && col("op"))
+          .drop("__rn", "op", "batch_id")
+      }
+    }
+    require(parts.nonEmpty, s"no family changelog under $changelogDir")
     parts.reduce((a, b) => a.join(b, Seq(keyCol), "full_outer"))
   }
 }

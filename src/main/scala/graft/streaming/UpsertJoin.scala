@@ -207,10 +207,19 @@ object UpsertJoin {
     *   snapshot exactly (ChangelogSinkSpec's LSM variant); per-batch
     *   granularity needs merge-on-write.
     */
+  /** @param epochSource when set, changelog batch stamps come from the
+    *   caller instead of the sink's own counter — the composition hook
+    *   for multi-store sinks ([[graft.streaming.ColumnFamilySink]])
+    *   whose member stores must stamp ONE logical batch with ONE id
+    *   across their per-family logs. The supplier is read once per
+    *   emit; monotonicity and restart recovery are the caller's
+    *   contract.
+    */
   final class ParquetUpsertSink(spark: SparkSession, dir: String,
                                 nBuckets: Int = 16,
                                 changelogDir: Option[String] = None,
-                                deltaCompactEvery: Int = 0)
+                                deltaCompactEvery: Int = 0,
+                                epochSource: Option[() => Long] = None)
       extends UpsertSink with Serializable {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
@@ -220,10 +229,13 @@ object UpsertJoin {
       * keep appending AFTER the batches already emitted, or a replay
       * sorted by batch_id would order post-restart updates before the
       * old tail and reconstruct a stale snapshot. One bounded read of
-      * the changelog's batch_id column, only when a log exists.
+      * the changelog's batch_id column, only when a log exists (and
+      * only when the sink stamps for itself — an [[epochSource]]
+      * owner recovers its own counter).
       */
     private var epoch: Long = changelogDir match {
-      case Some(clDir) if new java.io.File(clDir).exists() &&
+      case Some(clDir) if epochSource.isEmpty &&
+          new java.io.File(clDir).exists() &&
           new java.io.File(clDir).listFiles() != null &&
           new java.io.File(clDir).listFiles().exists(_.getName.endsWith(".parquet")) =>
         spark.read.parquet(clDir).agg(max(col("batch_id"))).head() match {
@@ -237,7 +249,10 @@ object UpsertJoin {
       * async compaction thread (delta mode emits from the latter).
       */
     private def nextEpoch(): Long = synchronized {
-      val e = epoch; epoch += 1; e
+      epochSource match {
+        case Some(src) => src()
+        case None => val e = epoch; epoch += 1; e
+      }
     }
 
     private def deltaDir = s"$dir/__delta"

@@ -122,6 +122,93 @@ class ChangelogSinkSpec extends SparkTestBase {
     assert(replayed.toMap === snapshot)
   }
 
+  test("column-family changelog: shared batch stamp, join-time reassembly " +
+      "equals the row-major CDC feed batch for batch") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cl-cf").toString
+    val fams: Seq[(String, String => Boolean)] =
+      Seq("hot" -> ((c: String) => c == "ts"))
+    val cf = new ColumnFamilySink(spark, s"$tmp/cf", fams, nBuckets = 4,
+      changelogDir = Some(s"$tmp/cfcl"))
+    val rm = new UpsertJoin.ParquetUpsertSink(spark, s"$tmp/rm",
+      nBuckets = 4, changelogDir = Some(s"$tmp/rmcl"))
+
+    // identical mixed workload: full rows (split across families),
+    // a cross-family update, a partial (single-family) update, a new
+    // key arriving via partial, and a no-op rewrite
+    def drive(s: UpsertJoin.UpsertSink): Unit = {
+      s.upsert("k", Seq(("a", 1L, "v1"), ("b", 1L, "w1")).toDF("k", "ts", "p"))
+      s.upsert("k", Seq(("a", 2L, "v2")).toDF("k", "ts", "p"))          // both fams
+      s.upsertPartialUnique("k", Seq(("b", 9L)).toDF("k", "ts"),        // hot only
+        Seq(0, 1, 2, 3))
+      s.upsertPartialUnique("k", Seq(("c", "x1")).toDF("k", "p"),       // base only, new key
+        Seq(0, 1, 2, 3))
+      s.upsert("k", Seq(("a", 2L, "v2")).toDF("k", "ts", "p"))          // no-op
+    }
+    drive(cf)
+    drive(rm)
+
+    // one stamp per logical batch, shared across the family logs: the
+    // cross-family update (batch 1) appears in BOTH family logs under
+    // the SAME id; the hot-only update (batch 2) only in hot's
+    val hotIds = spark.read.parquet(s"$tmp/cfcl/cf_hot")
+      .select("batch_id").distinct().collect().map(_.getLong(0)).toSet
+    val baseIds = spark.read.parquet(s"$tmp/cfcl/cf_base")
+      .select("batch_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(hotIds === Set(0L, 1L, 2L), s"hot log batches: $hotIds")
+    assert(baseIds === Set(0L, 1L, 3L), s"base log batches: $baseIds")
+
+    // replay the row-major log to batch b (the pinned replay rule)
+    def rmAt(b: Long): Map[String, (Option[Long], Option[String])] = {
+      val log = spark.read.parquet(s"$tmp/rmcl")
+        .filter(col("batch_id") <= b)
+        .select("batch_id", "op", "k", "ts", "p").collect()
+        .map(r => (r.getLong(0), r.getBoolean(1), r.getString(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getString(4))))
+      val m = scala.collection.mutable.Map
+        .empty[String, (Option[Long], Option[String])]
+      log.sortBy(e => (e._1, e._2)).foreach {
+        case (_, true, k, ts, p) => m(k) = (ts, p)
+        case (_, false, k, ts, p) =>
+          if (m.get(k).contains((ts, p))) m.remove(k)
+      }
+      m.toMap
+    }
+    def cfAt(b: Long): Map[String, (Option[Long], Option[String])] =
+      cf.changelogSnapshotAt(spark, b).select("k", "ts", "p").collect()
+        .map(r => r.getString(0) -> ((
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getString(2))))).toMap
+    (0L to 4L).foreach { b =>
+      assert(cfAt(b) === rmAt(b), s"reassembly diverged at batch $b")
+    }
+    // and the final reassembly equals the live cf table
+    val live = cf.snapshot(spark).select("k", "ts", "p").collect()
+      .map(r => r.getString(0) -> ((
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getString(2))))).toMap
+    assert(cfAt(4L) === live)
+
+    // restart recovery: a fresh instance stamps past every family log
+    val cf2 = new ColumnFamilySink(spark, s"$tmp/cf", fams, nBuckets = 4,
+      changelogDir = Some(s"$tmp/cfcl"))
+    cf2.upsert("k", Seq(("a", 5L, "v5")).toDF("k", "ts", "p"))
+    val afterIds = spark.read.parquet(s"$tmp/cfcl/cf_hot")
+      .select("batch_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(afterIds.max === 4L,
+      s"restarted cf sink must stamp 4 next, got $afterIds")
+  }
+
+  test("column-family changelog refuses delta mode (shared stamp would tear)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cl-cfx").toString
+    val e = intercept[IllegalArgumentException] {
+      new ColumnFamilySink(spark, s"$tmp/cf",
+        Seq("hot" -> ((c: String) => c == "ts")), nBuckets = 4,
+        deltaCompactEvery = 2, changelogDir = Some(s"$tmp/cl"))
+    }
+    assert(e.getMessage.contains("merge-on-write"))
+  }
+
   test("changelog off by default: no side output, merge unchanged") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-nocl").toString
     val sink = new UpsertJoin.ParquetUpsertSink(spark, s"$tmp/out", nBuckets = 4)
