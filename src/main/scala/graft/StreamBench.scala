@@ -194,8 +194,21 @@ object StreamBench {
 
     def runMix(listingRows: Int, agentRows: Int, mediaRows: Int,
                saltBase: Int, narrow: Boolean = false,
-               cf: Boolean = false): String = {
+               cf: Boolean = false, overCap: Boolean = false): String = {
       val mixSinkDir = s"$tmp/sink-mix$saltBase"
+      // over-cap tier: a COPY of the seeded state under a store whose
+      // driver-residency caps are forced to 1 row — no snapshot ever
+      // installs, so every batch runs the middle/legacy DISTRIBUTED
+      // tiers end-to-end (the code path a 100x-state deployment
+      // executes); its first batch's non-fused prelude folds the
+      // copied pending generations
+      val (mixStore, mixStateDir) =
+        if (overCap) {
+          val d = s"$tmp/state-mix$saltBase"
+          copyDir(stateDir, d)
+          (new CrmlsStream.StateStore(spark, d, nBuckets,
+            localSnapshotMaxRows = 1, idxLocalMaxRows = 1), d)
+        } else (store, stateDir)
       val mixSink: UpsertJoin.UpsertSink = if (cf) {
         // Column-family layout: seed by fanning the seeded row-major
         // sink's snapshot across the families (converged table is
@@ -234,16 +247,16 @@ object StreamBench {
           .unionByName(agentBatch(pick(agentRows, 1)
             .select(pmod(col("id"), lit(nAgents)).as("id")), ts))
           .unionByName(mediaBatch(pick(mediaRows, 2), ts))
-        if (i == 0) snap = fileSizes(Seq(stateDir, mixSinkDir))
+        if (i == 0) snap = fileSizes(Seq(mixStateDir, mixSinkDir))
         val j0 = counter.count.get()
         val b0 = System.nanoTime()
-        CrmlsStream.processBatch(spark, batch, store, mixSink, narrow)
+        CrmlsStream.processBatch(spark, batch, mixStore, mixSink, narrow)
         val sec = (System.nanoTime() - b0) / 1e9
         if (i < 0) warmupSec += sec
         else {
           times(i) = sec
           jobs(i) = counter.count.get() - j0
-          val cur = fileSizes(Seq(stateDir, mixSinkDir))
+          val cur = fileSizes(Seq(mixStateDir, mixSinkDir))
           rewrites(i) = rewrittenBytes(snap, cur)
           snap = cur
         }
@@ -317,6 +330,13 @@ object StreamBench {
     }
     val dimFanCf = mix("dim_fanout_cf") {
       runMix(0, 2000, 2000, saltBase = 49007, narrow = true, cf = true)
+    }
+    // Over-cap tier: the small 40-row mix against forced-tiny driver
+    // caps — every batch takes the distributed middle/legacy tiers
+    // (the 100x-state code path), so the fallback's latency is a
+    // MEASURED number and the fused tier's win is priced against it.
+    val overCap = mix("over_cap") {
+      runMix(30, 5, 5, saltBase = 56008, overCap = true)
     }
 
     // -------------------- streaming near-dup dedup (StreamingDedup)
@@ -546,7 +566,8 @@ object StreamBench {
           s""""dim_fanout_batch":{$dimFan},""" +
           s""""dim_fanout_batch_narrowed":{$dimFanNarrow},""" +
           s""""dim_only_batch_cf":{$dimOnlyCf},""" +
-          s""""dim_fanout_batch_cf":{$dimFanCf},""" + dedupJson +
+          s""""dim_fanout_batch_cf":{$dimFanCf},""" +
+          s""""over_cap_batch":{$overCap},""" + dedupJson +
           "," + vecDedupJson + "," + hhJson + "}"
     println(s"[streambench] $json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

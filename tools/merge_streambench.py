@@ -30,12 +30,13 @@ RENAME = {
     "dim_fanout_narrowed": "dim_fanout_batch_narrowed",
     "dim_only_cf": "dim_only_batch_cf",
     "dim_fanout_cf": "dim_fanout_batch_cf",
+    "over_cap": "over_cap_batch",
 }
 HEADER = ("seed_listings", "buckets", "payload_bytes")
 CANON_ORDER = [
     "large_batch", "dim_only_batch", "dim_only_batch_narrowed",
     "dim_fanout_batch", "dim_fanout_batch_narrowed",
-    "dim_only_batch_cf", "dim_fanout_batch_cf",
+    "dim_only_batch_cf", "dim_fanout_batch_cf", "over_cap_batch",
     "dedup_stream", "vec_dedup_stream", "hh_stream",
 ]
 
