@@ -99,4 +99,35 @@ class CrmlsSpec extends SparkTestBase {
         s"schema drift for entity ${spec.name}")
     }
   }
+
+  test("projection parses each row's JSON at most twice — never per key") {
+    // one from_json for the envelope + one for the nested data payload;
+    // the per-field get_json_object form re-parsed `data` once per
+    // extracted key (9x for listings) on every row of the hot streaming
+    // J1 leg. Optimizer included: CollapseProject must not inline the
+    // data parse back into per-field copies.
+    import org.apache.spark.sql.catalyst.expressions.{GetJsonObject, JsonToStructs}
+    // a non-foldable, non-local source: a LocalRelation (or a literal)
+    // would let ConvertToLocalRelation/ConstantFolding evaluate the
+    // projection away and the count would trivially read 0
+    val src = spark.range(1)
+      .select(org.apache.spark.sql.functions.col("id")
+        .cast("string").as("value"))
+    Crmls.allEntities.foreach { spec =>
+      val optimized = Crmls.project(src, spec)
+        .queryExecution.optimizedPlan
+      def countExpr(pf: PartialFunction[
+          org.apache.spark.sql.catalyst.expressions.Expression, Unit]): Int =
+        optimized.collect { case p =>
+          p.expressions.map(_.collect(pf).size).sum
+        }.sum
+      val parses = countExpr { case _: JsonToStructs => () }
+      val perField = countExpr { case _: GetJsonObject => () }
+      val expected = if (spec.extraKeys.isEmpty) 1 else 2
+      assert(parses === expected,
+        s"${spec.name}: expected $expected JSON parses, got $parses")
+      assert(perField === 0,
+        s"${spec.name}: per-field get_json_object crept back in")
+    }
+  }
 }
