@@ -504,14 +504,15 @@ object Stress {
     val chainNodes = sys.env.getOrElse("SPARK_GRAFT_STRESS_CHAIN_NODES",
       "200000").toLong
     phase("dup_chain_cc") {
-      def chainRun(len: Long): (Long, Long, Double) = {
+      def chainRun(len: Long, reliable: Boolean = false): (Long, Long, Double) = {
         val nChains = chainNodes / len
         val n = nChains * len
         val chainPairs = spark.range(n - nChains).toDF("i")
           .select(col("i").as("id_a"), (col("i") + nChains).as("id_b"))
         val t0 = System.nanoTime()
         val labels = operators.DedupOps.duplicateClusters(chainPairs,
-          maxIter = len.toInt + 8, driverThreshold = 0L).persist()
+          maxIter = len.toInt + 8, driverThreshold = 0L,
+          reliableCheckpoint = reliable).persist()
         val bad = labels
           .filter(col("label") =!= pmod(col("id"), lit(nChains))).count()
         val cnt = labels.count()
@@ -526,7 +527,16 @@ object Stress {
       require(t100 <= 3.0 * t50,
         f"per-round cost not flat: diameter 100 took $t100%.1fs vs " +
           f"diameter 50 $t50%.1fs (plan-depth blowup)")
-      (n100, f""","chains":$chains100,"sec_d50":$t50%.2f,"sec_d100":$t100%.2f""")
+      // price the reliable-checkpoint trade at the worst shape (one
+      // durable write per round x 100 rounds): same labels required,
+      // wall reported next to the local form — the number a spot-fleet
+      // deploy reads before flipping the flag
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-stress-ckpt")
+          .toString)
+      val (_, _, t100r) = chainRun(100L, reliable = true)
+      (n100, f""","chains":$chains100,"sec_d50":$t50%.2f,""" +
+        f""""sec_d100":$t100%.2f,"sec_d100_reliable":$t100r%.2f""")
     }
 
     // ------------------------------ dedup-tier recall eval (q_lsh_recall)

@@ -60,6 +60,15 @@ import org.apache.spark.sql.functions._
   * per-compaction emission is asynchronous per family, which would
   * tear the shared-stamp invariant.
   *
+  * Crash caveat (same class as the row-major log's duplicate-on-replay
+  * note): a crash BETWEEN two families' appends of one logical batch
+  * leaves that batch id present in only some family logs until the
+  * batch replays under the next id — a reassembly pinned exactly at
+  * the torn id reads a partial batch; reassembly at any LATER id is
+  * correct (the replayed batch supersedes per key). Production points
+  * the logs at a transactional table format for exactly-once, as with
+  * the row-major sink.
+  *
   * @param families (name, column-name predicate) in declaration order;
   *   a column joins the FIRST family whose predicate accepts it, and
   *   columns no predicate claims join the implicit `base` family. The

@@ -116,6 +116,28 @@ class BatchStreamEquivalenceSpec extends SparkTestBase {
       "legacy tier, parquet sink")
   }
 
+  test("legacy discovery OVERFLOW: capped key lists are never used truncated") {
+    val expected = batchResult()
+    // discLimit = (entities + 1) * nBuckets + driverAffectedMaxRows + 1
+    // = 7 * 2 + 0 + 1 = 15 with two buckets and a zero affected budget.
+    // The whole 12-row history in ONE batch produces > 15 discovery
+    // rows (bucket legs across 6 entities + idx, direct pks, dim keys),
+    // so the legacy tier's discovery collect overflows, re-collects the
+    // bucket legs only, and the affected-key resolution MUST fall back
+    // to the distributed lookup join instead of trusting a truncated
+    // key list.
+    val tiny = (tmp: String, s: org.apache.spark.sql.SparkSession) =>
+      new CrmlsStream.StateStore(s, s"$tmp/state", nBuckets = 2,
+        localSnapshotMaxRows = 1, idxLocalMaxRows = 1)
+    assert(streamResult(Seq(history), mkStore = tiny,
+      driverBatchMaxRows = 0, driverAffectedMaxRows = 0) === expected)
+    // and split across two batches so a later batch's dim updates fan
+    // out through the reverse index under the same overflow regime
+    assert(streamResult(Seq(history.take(7), history.drop(7)),
+      mkStore = tiny, driverBatchMaxRows = 0,
+      driverAffectedMaxRows = 0) === expected)
+  }
+
   test("narrowed dim-only sink deltas converge to the same table") {
     val expected = batchResult()
     // record-at-a-time maximizes dim-only batches (each dim update is
