@@ -457,6 +457,13 @@ object SparkEntry {
     // them
     "q_stream_crmls" -> ((s, dir) => StreamReplay.crmlsJoin(s, dir)),
 
+    // the SAME replay forced onto the distributed middle/legacy tiers
+    // (snapshot caps 1, driver budgets 0) — the 100x-state fallback
+    // path under the driver's oracle; shares q_stream_crmls's SQL
+    // verbatim because the converged table must be identical
+    "q_stream_crmls_overcap" -> ((s, dir) =>
+      StreamReplay.crmlsJoin(s, dir, forceDistributedTiers = true)),
+
     // retract-churn worst case: one hot key updating in EVERY batch
     // (rotating its agent ref, so the reverse index accrues stale
     // entries) and dims arriving only AFTER the facts they enrich
@@ -2112,6 +2119,19 @@ object SparkEntry {
     // (V2 key for orderkey % 64 = 0), agent v2 created_ts must have
     // propagated to the joined rows (custkey % 4 = 0)
     "q_stream_crmls" ->
+      """SELECT 'L' || CAST(o_orderkey AS VARCHAR) AS l_uc_pk,
+                'LK' || CAST(o_orderkey AS VARCHAR) ||
+                  CASE WHEN o_orderkey % 64 = 0 THEN 'V2' ELSE '' END
+                  AS l_listing_key,
+                CAST(o_custkey AS VARCHAR) AS aa_uc_pk,
+                CAST(CASE WHEN o_custkey % 4 = 0 THEN 2 ELSE 1 END
+                  AS BIGINT) AS aa_uc_created_ts
+         FROM orders WHERE o_orderkey % 32 = 0""",
+
+    // identical converged table by contract — the overcap twin shares
+    // the oracle verbatim (a drift between the fused and distributed
+    // tiers turns exactly one row red)
+    "q_stream_crmls_overcap" ->
       """SELECT 'L' || CAST(o_orderkey AS VARCHAR) AS l_uc_pk,
                 'LK' || CAST(o_orderkey AS VARCHAR) ||
                   CASE WHEN o_orderkey % 64 = 0 THEN 'V2' ELSE '' END

@@ -494,7 +494,15 @@ object StreamReplay {
     detached
   }
 
-  def crmlsJoin(spark: SparkSession, dir: String): DataFrame = {
+  /** @param forceDistributedTiers gate-row twin knob: snapshot caps
+    *   forced to 1 row and driver budgets to 0, so every replay batch
+    *   runs the middle/legacy DISTRIBUTED tiers (distributed discovery
+    *   aggregation, persisted snapshots, fullState join legs, the
+    *   distributed affected-key fallback) — the 100x-state code path
+    *   under the DRIVER's DuckDB oracle, not just a local spec.
+    */
+  def crmlsJoin(spark: SparkSession, dir: String,
+                forceDistributedTiers: Boolean = false): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val orders = Tables.load(spark, dir, "orders")
@@ -523,13 +531,20 @@ object StreamReplay {
 
     val tmp = java.nio.file.Files
       .createTempDirectory("graft-stream-crmls").toString
-    val store = new CrmlsStream.StateStore(spark, s"$tmp/state")
+    val store =
+      if (forceDistributedTiers)
+        new CrmlsStream.StateStore(spark, s"$tmp/state",
+          localSnapshotMaxRows = 1, idxLocalMaxRows = 1)
+      else new CrmlsStream.StateStore(spark, s"$tmp/state")
     val sink = new UpsertJoin.ParquetUpsertSink(spark, s"$tmp/sink")
     val input = MemoryStream[(String, String)]
     val tagged = input.toDF().toDF("entity", "value")
     Seq(batch1, batch2, batch3).foreach { b =>
       input.addData(b: _*)
-      CrmlsStream.run(tagged, store, sink, s"$tmp/ckpt")
+      (if (forceDistributedTiers)
+         CrmlsStream.run(tagged, store, sink, s"$tmp/ckpt",
+           driverBatchMaxRows = 0, driverAffectedMaxRows = 0)
+       else CrmlsStream.run(tagged, store, sink, s"$tmp/ckpt"))
         .awaitTermination()
     }
     val out = sink.snapshot(spark).select(col("l_uc_pk"),
