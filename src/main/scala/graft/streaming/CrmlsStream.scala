@@ -185,8 +185,8 @@ object CrmlsStream {
     */
   private val envProjectors = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), ThreadLocal[Row => Row]]
-  private def envProjector(spark: SparkSession,
-                           spec: Crmls.EntitySpec): Row => Row =
+  private[streaming] def envProjector(spark: SparkSession,
+                                      spec: Crmls.EntitySpec): Row => Row =
     envProjectors.getOrElseUpdate((spark, spec.name),
       ThreadLocal.withInitial { () =>
         val valueSchema = StructType(Seq(StructField("value", StringType)))
