@@ -443,6 +443,81 @@ object NativeExpressions {
     new GenericArrayData(out)
   }
 
+  /** Loop body of [[RademacherProject]], shared by eval and generated
+    * code. Accumulation order is d = 0..dim-1 sequential — exactly the
+    * left fold the unrolled `reduce(_ + _)` column form applied, so
+    * doubles come out bit-identical. Returns null (whole value) for a
+    * vector shorter than `dim` or carrying a null element — the corner
+    * the old form surfaced as per-element nulls; no caller feeds
+    * either shape.
+    */
+  def rademacherProjectEval(arr: ArrayData, signs: Array[Double],
+                            outDim: Int, dim: Int, isFloat: Boolean): Any = {
+    if (arr.numElements() < dim) return null
+    val out = new Array[Any](outDim)
+    val invSqrtK = 1.0 / math.sqrt(outDim.toDouble)
+    var j = 0
+    while (j < outDim) {
+      var acc = 0.0
+      val base = j * dim
+      var d = 0
+      while (d < dim) {
+        if (arr.isNullAt(d)) return null
+        val x = if (isFloat) arr.getFloat(d).toDouble else arr.getDouble(d)
+        acc += signs(base + d) * x
+        d += 1
+      }
+      out(j) = acc * invSqrtK
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Johnson–Lindenstrauss Rademacher projection as ONE native
+    * expression: the ±1 matrix lives in the expression object and
+    * reaches generated code as a reference. The previous column form
+    * unrolled outDim x dim element_at terms into the plan — at 8 x 64
+    * the generated Java blew the 64 KB method limit, codegen FAILED to
+    * compile, and the projection ran interpreted on every row (the
+    * bench log's one recurring codegen fallback). Values bit-identical
+    * ([[rademacherProjectEval]]'s order note; VectorFunctionsSpec's
+    * hand-computed pins cover it).
+    */
+  case class RademacherProject(child: Expression, outDim: Int, dim: Int)
+      extends UnaryExpression {
+    override def dataType: DataType =
+      ArrayType(DoubleType, containsNull = false)
+    override def nullable: Boolean = true
+    private lazy val isFloat = elemKind(child.dataType) == 0
+
+    @transient private lazy val signs: Array[Double] = {
+      val arr = new Array[Double](outDim * dim)
+      var idx = 0
+      for (j <- 0 until outDim; d <- 0 until dim) {
+        arr(idx) = VectorFunctions.rademacherSign(j, d)
+        idx += 1
+      }
+      arr
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      rademacherProjectEval(input.asInstanceOf[ArrayData], signs,
+        outDim, dim, isFloat)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("rademacherSigns", signs, "double[]")
+      nullSafeCodeGen(ctx, ev, c => s"""
+        Object r = graft.functions.NativeExpressions.rademacherProjectEval(
+          $c, $ref, $outDim, $dim, $isFloat);
+        if (r == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) r; }
+      """)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** `bands` SRP bucket ids (band index = array position, band = the
     * hyperplane seed) computed in one expression. The hyperplane matrix
     * lives in the expression object and reaches generated code as a
@@ -1395,6 +1470,10 @@ object NativeExpressions {
                      maxDim: Int): Column =
     ColumnBridge.column(SrpBucketArray(
       ColumnBridge.expression(vec), bands, bitsPerBand, maxDim))
+
+  def rademacherProject(vec: Column, outDim: Int, dim: Int): Column =
+    ColumnBridge.column(RademacherProject(
+      ColumnBridge.expression(vec), outDim, dim))
 
   def ngramRepRatio(toks: Column, n: Int): Column =
     ColumnBridge.column(NgramRepetitionRatio(

@@ -74,12 +74,12 @@ object VectorFunctions {
     * @return array<double> of length outDim
     */
   def randomProjection(v: Column, outDim: Int, dim: Int): Column = {
-    val invSqrtK = 1.0 / math.sqrt(outDim.toDouble)
-    array((0 until outDim).map { j =>
-      (0 until dim).map { d =>
-        lit(rademacherSign(j, d)) * element_at(v, d + 1).cast("double")
-      }.reduce(_ + _) * lit(invSqrtK)
-    }: _*)
+    // native loop expression, NOT an unrolled column sum: outDim x dim
+    // element_at terms generated Java past the 64 KB method limit at
+    // 8 x 64, so codegen failed to compile and the projection ran
+    // interpreted per row. Values are bit-identical (same sequential
+    // accumulation order; VectorFunctionsSpec's hand-computed pins).
+    NativeExpressions.rademacherProject(v, outDim, dim)
   }
 
   /** Symmetric int8 quantization scale: max(|x|) / 127 (0.0 for the

@@ -77,7 +77,9 @@ def main(out_path, logs):
         "passes": sum(r.get("passes", len(next(iter(r.get("runs", {"x": [0]}).values()))) if r.get("runs") else 1) for r in runs),
         "flagged_vs_prior": flagged,
         "catalog_size": base.get("catalog_size"),
-        "bench_rows": base.get("bench_rows"),
+        # derived from the merged set: a filtered (BENCH_ONLY) last run
+        # would otherwise stamp its own tiny row count onto the artifact
+        "bench_rows": len(queries),
         "git_sha": base.get("git_sha"),
         "sf": base.get("sf"),
     }
