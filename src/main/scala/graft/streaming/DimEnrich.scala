@@ -33,6 +33,15 @@ import graft.crmls.Crmls
   * with null keys and missing dims).
   */
 object DimEnrich {
+
+  /** Broadcast-tier invocation counter (test observability only): the
+    * mapPartitions enrichment paths run on exactly one processBatch
+    * tier (dims resident, listings evicted) — equivalence tests assert
+    * this moved so a routing change can't silently retire the tier
+    * while the test keeps passing through another path.
+    */
+  private[streaming] val broadcastEnrichCalls =
+    new java.util.concurrent.atomic.AtomicLong(0L)
   import Crmls._
 
   /** Join roles in EXACTLY the column-append order of
@@ -130,6 +139,7 @@ object DimEnrich {
   def enrichPartial(listings: DataFrame,
                     maps: Map[String, Broadcast[Map[String, Array[Any]]]],
                     entities: Set[String], keyCol: String): DataFrame = {
+    broadcastEnrichCalls.incrementAndGet()
     val inSchema = listings.schema
     val active = roles.filter(r => entities(r._1))
     val outSchema = StructType(
@@ -272,6 +282,7 @@ object DimEnrich {
     */
   def enrich(listings: DataFrame,
              maps: Map[String, Broadcast[Map[String, Array[Any]]]]): DataFrame = {
+    broadcastEnrichCalls.incrementAndGet()
     val inSchema = listings.schema
     val outSchema = joinedSchema(inSchema)
     val nIn = inSchema.length

@@ -138,6 +138,44 @@ class BatchStreamEquivalenceSpec extends SparkTestBase {
       driverAffectedMaxRows = 0) === expected)
   }
 
+  test("mixed residency: listings evicted, dims resident — the broadcast " +
+      "enrichment tier converges") {
+    // cap = 2 keeps the 2-key dims resident while the 3-key listings
+    // table overflows: a dim-only follow-up batch then resolves
+    // affected keys from the resident reverse index but must read +
+    // semi-join listing FILES and enrich through the dim-map BROADCAST
+    // mapPartitions tier (DimEnrich.enrich/enrichPartial) — the one
+    // processBatch tier neither the all-local nor the all-evicted
+    // equivalence cases reach.
+    val hist = Seq(
+      "listings" -> env("L1", 100, """{"ListingKeyNumeric":"LK1","ListAgentKeyNumeric":"A1"}"""),
+      "listings" -> env("L2", 100, """{"ListingKeyNumeric":"LK2","ListAgentKeyNumeric":"A2"}"""),
+      "listings" -> env("L3", 100, """{"ListingKeyNumeric":"LK3","ListAgentKeyNumeric":"A1"}"""),
+      "agents" -> env("A1", 10, """{"n":"a1v1"}"""),
+      "agents" -> env("A2", 10, """{"n":"a2v1"}"""),
+      "media" -> env("M1", 5, """{"ResourceRecordKeyNumeric":"L2"}"""))
+    val dimUpdate = Seq(
+      "agents" -> env("A1", 30, """{"n":"a1v2"}"""))
+    val full = hist ++ dimUpdate
+    val byEntity = full.groupBy(_._1).map { case (k, v) =>
+      k -> v.map(_._2).toDF("value") }
+    val expected = Crmls.pipeline(Crmls.allEntities.map(s => s.name ->
+        byEntity.getOrElse(s.name, Seq.empty[String].toDF("value"))).toMap)
+      .select(compareCols.map(col): _*).collect().map(_.toSeq).toSet
+    val mixedCap = (tmp: String, s: org.apache.spark.sql.SparkSession) =>
+      new CrmlsStream.StateStore(s, s"$tmp/state",
+        localSnapshotMaxRows = 2)
+    val before = DimEnrich.broadcastEnrichCalls.get()
+    assert(streamResult(Seq(hist, dimUpdate), mkStore = mixedCap)
+      === expected, "full-row broadcast enrichment tier")
+    assert(streamResult(Seq(hist, dimUpdate), narrow = true,
+      mkStore = mixedCap) === expected,
+      "narrowed broadcast enrichment tier")
+    assert(DimEnrich.broadcastEnrichCalls.get() >= before + 2,
+      "the broadcast mapPartitions tier must actually have run — the " +
+        "equivalence would otherwise pass through a different path")
+  }
+
   test("narrowed dim-only sink deltas converge to the same table") {
     val expected = batchResult()
     // record-at-a-time maximizes dim-only batches (each dim update is
