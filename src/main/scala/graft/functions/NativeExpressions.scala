@@ -506,11 +506,12 @@ object NativeExpressions {
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val ref = ctx.addReferenceObj("rademacherSigns", signs, "double[]")
+      val r = ctx.freshName("radProj")
       nullSafeCodeGen(ctx, ev, c => s"""
-        Object r = graft.functions.NativeExpressions.rademacherProjectEval(
+        Object $r = graft.functions.NativeExpressions.rademacherProjectEval(
           $c, $ref, $outDim, $dim, $isFloat);
-        if (r == null) { ${ev.isNull} = true; }
-        else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) r; }
+        if ($r == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $r; }
       """)
     }
 

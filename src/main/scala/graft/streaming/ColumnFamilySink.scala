@@ -311,8 +311,11 @@ final class ColumnFamilySink(
     * replay rule ChangelogSinkSpec pins); a key whose latest entry is
     * a bare retract drops. Families first touched after `upToBatch`
     * contribute typed NULLs via the full-outer key join — the same
-    * evolution the live snapshot had at that batch. One window per
-    * family log (logs are delta-sized) + the layout's usual key join.
+    * evolution the live snapshot had at that batch. Cost: one window
+    * per family log over the FULL log read — the logs are append-only
+    * and grow with history, so this is an audit/replay-time API
+    * (bounded by log retention), not a serving path; the live table
+    * is [[snapshot]].
     */
   def changelogSnapshotAt(spark: SparkSession, upToBatch: Long): DataFrame = {
     require(changelogDir.isDefined,
