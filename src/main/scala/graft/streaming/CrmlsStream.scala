@@ -1166,6 +1166,13 @@ object CrmlsStream {
             val pks = (directPks ++ fanout).distinct
             if (pks.size > driverAffectedMaxRows) None else Some(pks)
           case None =>
+            // raw file probe without an ensureFolded: safe by the
+            // fold invariant — index pendings exist only while the idx
+            // SNAPSHOT is resident (appends require a refreshed
+            // snapshot; cold start and every non-fused batch fold in
+            // the prelude; the fused fallback folds before its write),
+            // and a resident snapshot takes the idxFanout branch above,
+            // never this probe. Reordering tiers here must re-prove it.
             val lookupBuckets = dims.flatMap(d => touched(d._1)).distinct
             BucketedState.readBuckets(spark, store.path(IdxName),
                 lookupBuckets, Some(IdxSchema)) match {
