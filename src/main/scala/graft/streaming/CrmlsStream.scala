@@ -1205,7 +1205,16 @@ object CrmlsStream {
                 pks.map(BucketedState.bucketOfLocal(_, n)).distinct.sorted)
                 .getOrElse(Nil)))
           case None =>
-            // distributed fallback: lookup join + bucket collect
+            // distributed fallback: lookup join + bucket collect.
+            // This leg reads index AND listing bucket FILES; reached
+            // from the FUSED tier (an over-budget fan-out on resident
+            // snapshots) those entities' pendings may be unfolded and
+            // the files incomplete — on a young store the index bucket
+            // dirs may not even exist yet while every entry sits in
+            // __pending. Fold first: file readers never merge pendings
+            // (the fold invariant), and the resident-snapshot fold is
+            // driver-direct.
+            if (fastMerge) store.foldAllPendings()
             val direct = DirectPkSources.filter(p => present.contains(p._1))
               .map { case (n, k) =>
                 deltas(n).select(col(k).as("l_uc_pk"))

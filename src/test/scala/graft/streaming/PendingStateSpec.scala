@@ -131,6 +131,32 @@ class PendingStateSpec extends SparkTestBase {
       "the unmarked generation must be swept")
   }
 
+  test("over-budget affected fan-out folds pendings before the file probe " +
+      "(young store: the index lives only in __pending)") {
+    // batch 1 (fused, LSM on) leaves the ENTIRE reverse index as
+    // pending generations — the bucket dirs don't exist yet. Batch 2
+    // is a dim update whose fan-out budget is forced to 0, so the
+    // affected-key resolution takes the DISTRIBUTED fallback, which
+    // reads index bucket FILES. Without the pre-read fold those files
+    // are missing/incomplete and the agent update silently never
+    // reaches the joined row.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pend7").toString
+    val store = new CrmlsStream.StateStore(spark, s"$tmp/state")
+    val sink = new UpsertJoin.ParquetUpsertSink(spark, s"$tmp/out")
+    CrmlsStream.processBatch(spark, batch(Seq(
+      ("listings", env("L1", 100,
+        """{"ListingKeyNumeric":"LK1","ListAgentKeyNumeric":"A1"}""")),
+      ("agents", env("A1", 10, """{"n":"v1"}""")))), store, sink)
+    CrmlsStream.processBatch(spark, batch(Seq(
+      ("agents", env("A1", 20, """{"n":"v2"}""")))), store, sink,
+      driverAffectedMaxRows = 0)
+    val joined = sink.snapshot(spark)
+      .select("l_uc_pk", "aa_uc_created_ts")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(joined === Map("L1" -> 20L),
+      "the dim update must propagate through the fallback's file probe")
+  }
+
   test("kill switch off produces identical converged state") {
     def runAll(tmp: String, pendingOn: Boolean): Map[String, Long] = {
       val store = new CrmlsStream.StateStore(spark, s"$tmp/state",
