@@ -176,6 +176,28 @@ class BatchStreamEquivalenceSpec extends SparkTestBase {
         "equivalence would otherwise pass through a different path")
   }
 
+  test("column-family changelog under the streaming job: reassembly at the " +
+      "final batch equals the batch oracle") {
+    val expected = batchResult()
+    val perRecord = history.map(Seq(_))
+    var sinkRef: Option[ColumnFamilySink] = None
+    val got = streamResult(perRecord, narrow = true, mkSink = tmp => {
+      val s = new ColumnFamilySink(spark, s"$tmp/cfsink",
+        graft.streaming.DimEnrich.roleFamilies, nBuckets = 4,
+        changelogDir = Some(s"$tmp/cfcl"))
+      sinkRef = Some(s)
+      s
+    })
+    assert(got === expected, "live cf table")
+    // the per-family retract logs alone reconstruct the same table
+    val cf = sinkRef.get
+    val maxBatch = Long.MaxValue
+    val reassembled = cf.changelogSnapshotAt(spark, maxBatch)
+      .select(compareCols.map(col): _*)
+      .collect().map(_.toSeq).toSet
+    assert(reassembled === expected, "changelog reassembly")
+  }
+
   test("narrowed dim-only sink deltas converge to the same table") {
     val expected = batchResult()
     // record-at-a-time maximizes dim-only batches (each dim update is
