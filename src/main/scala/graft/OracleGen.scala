@@ -263,14 +263,23 @@ object OracleGen {
   }
 
   /** Oracle for [[graft.operators.BpeLearn.encodeStats]] with a FIXED
-    * merge table: each word becomes its characters joined by `~`, then
-    * each merge (l, r) applies as `replace(s, 'l~r', 'lr')` in rank
-    * order — sequential non-overlapping replace IS greedy
-    * left-to-right, so the chain replays the trainer's update rule
-    * exactly. Docs with no non-empty tokens emit no row (the UnigramLm
-    * convention). Merge symbols are restricted to [a-z0-9] so they
-    * embed in SQL literals verbatim (and can never contain the
-    * separator).
+    * merge table, applied BOUNDARY-EXACTLY via the double-separator
+    * encoding: a word's symbol string carries ONE `~` at each end and
+    * TWO between adjacent symbols, so the merge pattern `~l~~r~` can
+    * only match where `l` and `r` are whole symbols (a symbol merely
+    * ENDING in `l` has no `~` before the `l`), and back-to-back
+    * occurrences `...l,r,l,r...` never share a separator (each match
+    * consumes one `~` of each double, leaving the neighbor's half in
+    * place) — so one `replace()` pass is exactly the trainer's greedy
+    * non-overlapping left-to-right application, including the
+    * overlapping l==r chain (`aaaaa` -> `aa,aa,a`). The replacement
+    * `~lr~` restores single flanks, preserving the encoding invariant
+    * for the next merge in the chain. (A single-separator `replace(s,
+    * 'l~r', 'lr')` is WRONG: it fuses pairs straddling a symbol
+    * boundary, e.g. symbols [ab, d] under merge (b, d).) Docs with no
+    * non-empty tokens emit no row (the UnigramLm convention). Merge
+    * symbols are restricted to [a-z0-9] so they embed in SQL literals
+    * verbatim (and can never contain the separator).
     */
   def bpeEncodeSql(merges: Seq[(String, String)]): String = {
     require(merges.nonEmpty, "bpeEncodeSql needs at least one merge")
@@ -278,46 +287,59 @@ object OracleGen {
       require((l + r).matches("[a-z0-9]+"),
         s"merge symbols must be [a-z0-9]+, got ($l, $r)") }
     val chain = merges.foldLeft("s") { case (acc, (l, r)) =>
-      s"replace($acc, '$l~$r', '$l$r')" }
+      s"replace($acc, '~$l~~$r~', '~$l$r~')" }
     raw"""WITH tok AS (
          SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
          FROM documents),
        sep AS (
          SELECT doc_id,
-           rtrim(regexp_replace(w, '(.)', '\1~', 'g'), '~') AS s
+           '~' || array_to_string(string_split(w, ''), '~~') || '~' AS s
          FROM tok WHERE len(w) > 0),
        enc AS (SELECT doc_id, $chain AS e FROM sep)
        SELECT doc_id, count(*) AS n_words,
-         CAST(sum(len(string_split(e, '~'))) AS BIGINT) AS n_tokens
+         CAST(sum(len(string_split(trim(e, '~'), '~~'))) AS BIGINT)
+           AS n_tokens
        FROM enc GROUP BY doc_id"""
   }
 
   /** Oracle for [[graft.operators.BpeLearn.learnMerges]] — the greedy
     * argmax merge LOOP unrolled as k CTE stages (the q_mmr trick for
-    * greedy iterations). Each word type is a chr(31)-separated symbol
-    * string; per stage: adjacent-pair counts weighted by word
-    * frequency, argmax under the loop's total order (count desc, left,
-    * right), then the merge applied via replace() — SQL replace scans
-    * left-to-right and resumes AFTER each replacement, which IS the
-    * loop's greedy non-overlapping application. MATERIALIZED CTEs:
-    * inlined, the stage chain re-evaluates its ancestors exponentially.
-    * chr(31) never occurs in the corpus (checked; a corpus symbol
-    * containing the separator would break the encoding).
+    * greedy iterations). Each word type is a symbol string under the
+    * DOUBLE-SEPARATOR encoding: one chr(31) at each end, two between
+    * adjacent symbols. Per stage: adjacent-pair counts weighted by
+    * word frequency (split on the double separator after trimming the
+    * single end flanks), argmax under the loop's total order (count
+    * desc, left, right), then the merge applied via one `replace()` of
+    * `SEP||l||SEP||SEP||r||SEP` with `SEP||l||r||SEP`. The flanking
+    * separators make the match boundary-exact (a symbol merely ENDING
+    * in l, e.g. [ab, d] under merge (b, d), can never match — the bug
+    * a single-separator replace has), and the doubles mean back-to-back
+    * occurrences never share a separator, so one left-to-right
+    * `replace()` pass IS the loop's greedy non-overlapping application
+    * (including overlapping l==r chains: `aaaaa` -> `aa,aa,a`). The
+    * replacement restores single flanks, preserving the encoding
+    * invariant for the next stage. MATERIALIZED CTEs: inlined, the
+    * stage chain re-evaluates its ancestors exponentially. chr(31)
+    * never occurs in the corpus (checked; a corpus symbol containing
+    * the separator would break the encoding).
     */
   def bpeLearnSql(k: Int): String = {
     require(k >= 1, s"k must be >= 1, got $k")
+    val SEP = "chr(31)"
     val stages = (1 to k).map { i =>
       s""",
        p$i AS MATERIALIZED (
          SELECT a[j] AS l, a[j + 1] AS r, sum(n) AS c
-         FROM (SELECT string_split(s, chr(31)) AS a, n FROM w${i - 1}),
+         FROM (SELECT string_split(trim(s, $SEP), $SEP || $SEP) AS a, n
+               FROM w${i - 1}),
               unnest(range(1, len(a))) AS u(j)
          GROUP BY 1, 2),
        b$i AS MATERIALIZED (
          SELECT l, r FROM p$i ORDER BY c DESC, l, r LIMIT 1),
        w$i AS MATERIALIZED (
-         SELECT replace(s, (SELECT l || chr(31) || r FROM b$i),
-                           (SELECT l || r FROM b$i)) AS s, n
+         SELECT replace(s,
+             (SELECT $SEP || l || $SEP || $SEP || r || $SEP FROM b$i),
+             (SELECT $SEP || l || r || $SEP FROM b$i)) AS s, n
          FROM w${i - 1})"""
     }.mkString
     val out = (1 to k).map(i =>
@@ -329,7 +351,8 @@ object OracleGen {
            FROM documents)
          WHERE len(w) > 0 GROUP BY w),
        w0 AS MATERIALIZED (
-         SELECT array_to_string(string_split(w, ''), chr(31)) AS s, n
+         SELECT $SEP || array_to_string(string_split(w, ''), $SEP || $SEP)
+                || $SEP AS s, n
          FROM wc)$stages
        $out"""
   }

@@ -22,6 +22,25 @@ class BpeLearnSpec extends SparkTestBase {
     assert(merges === Seq((1, "a", "a"), (2, "aa", "aa")))
   }
 
+  test("merge application is boundary-exact when a symbol suffix " +
+       "straddles a later argmax pair") {
+    // Corpus: ab x20, xbd x3, bd x4, abd x6.
+    //  stage 1: (a,b)=26, (b,d)=13, (x,b)=3 -> merge (a,b);
+    //           abd becomes [ab, d] (b is now INSIDE symbol ab)
+    //  stage 2: (b,d)=7, (ab,d)=6, (x,b)=3 -> merge (b,d);
+    //           [ab, d] must NOT fuse — its b is a symbol SUFFIX, not
+    //           a whole symbol (a string-level 'b<sep>d' replace would
+    //           wrongly produce [abd] here)
+    //  stage 3: (ab,d)=6 beats (x,bd)=3 -> merge (ab, d).
+    // A boundary-sloppy application yields (3, x, bd) instead — this
+    // corpus makes the straddled word the argmax decider, pinning both
+    // learnMerges and the oracle's double-separator replace encoding.
+    val docs = (Seq.fill(20)("ab") ++ Seq.fill(3)("xbd") ++
+        Seq.fill(4)("bd") ++ Seq.fill(6)("abd")).toDF("text")
+    val merges = BpeLearn.learnMerges(docs, "text", nMerges = 3)
+    assert(merges === Seq((1, "a", "b"), (2, "b", "d"), (3, "ab", "d")))
+  }
+
   test("ties break to the lexicographically smallest pair") {
     // "ba" and "cb" each once: pairs (b,a) = 1 and (c,b) = 1 -> (b,a)
     val docs = Seq("ba cb").toDF("text")
