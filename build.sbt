@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Inherit stdout in forked runs instead of sbt's logger: the round
+// driver tail-parses graft.Bench's one JSON stdout line, and sbt's
+// default BufferedOutput would prefix it with "[info] " (breaking a
+// line-wise json.loads) and interleave it with logger framing.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

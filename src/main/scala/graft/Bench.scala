@@ -119,9 +119,6 @@ object Bench {
       }
     }
 
-    // 3-decimal (ms) precision keeps the compact stdout line bounded;
-    // round 2's driver capture kept only a ~2 KB tail, so the compact
-    // line carries queries only, never the per-run arrays
     val qs = results.map { case (k, v, _) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     // all runs per query, so a noisy host shows up as min<<max instead
@@ -144,7 +141,31 @@ object Bench {
     } catch { case _: Throwable => "unknown" }
     val nCatalog = SparkEntry.queries.size
     val stamp = s""""catalog_size":$nCatalog,"bench_rows":${results.size},"git_sha":"$gitSha""""
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$stamp,"sf":"$sfDir"}"""
+    // STDOUT BUDGET: the round driver keeps only the LAST 2,000 chars
+    // of stdout and parses the JSON line out of that tail — with sbt's
+    // trailing "[success] Total time: ..." line (~80 chars) also in the
+    // tail, a compact line over ~1.9 KB gets its head clipped and the
+    // artifact records "parsed": null (it did, rounds 1-9: the full
+    // 166-query map is ~3.5 KB). So stdout carries the totals plus as
+    // many per-query entries as fit a 1,800-byte line — slowest first,
+    // because the expensive rows are the informative ones — with an
+    // explicit omission count; the COMPLETE map (plus per-run arrays)
+    // always goes to the SPARK_GRAFT_BENCH_OUT file.
+    val head = s"""{"metric":"total","value":$total,"unit":"sec","""
+    def tailFixed(omitted: Int) =
+      s""""queries_omitted":$omitted,"full_in":"$outPath",$stamp,"sf":"$sfDir"}"""
+    val budget = 1800
+    val slowFirst = results.sortBy(-_._2)
+      .map { case (k, v, _) => f""""$k":$v%.3f""" }
+    val fixedLen = head.length + "\"queries\":{},".length +
+      tailFixed(results.size).length // size with the max omitted digits
+    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = fixedLen
+    slowFirst.foreach { e =>
+      if (used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
+    }
+    val compact = head + "\"queries\":" + kept.mkString("{", ",", "}") +
+      "," + tailFixed(results.size - kept.size)
     // The full record (with the per-run arrays) is one very long line;
     // round 2's driver capture clipped it mid-line and the round
     // artifact parsed as null. Durable copy goes to a file; stdout gets
