@@ -84,6 +84,14 @@ object StreamBench {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.sql.session.timeZone", "UTC")
+      // a bucketed-state read opens up to nBuckets dirs; past the
+      // default threshold (32) Spark schedules a PARALLEL-LISTING JOB
+      // per read — 0.3-1s of pure scheduling per state read on a local
+      // FS where sequential listing is microseconds. Keep listing
+      // driver-side here; an object-store deployment (S3 listing
+      // latency ~10ms/dir) would leave the default in place.
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        "4096")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel(
@@ -247,7 +255,15 @@ object StreamBench {
           .unionByName(agentBatch(pick(agentRows, 1)
             .select(pmod(col("id"), lit(nAgents)).as("id")), ts))
           .unionByName(mediaBatch(pick(mediaRows, 2), ts))
-        if (i == 0) snap = fileSizes(Seq(mixStateDir, mixSinkDir))
+        if (i == 0) {
+          // the warmup's forced seed compaction (see the mix-isolation
+          // note above) is async — settle it BEFORE the measured window
+          // so it doesn't steal cores from the first measured batches
+          // (compactions TRIGGERED inside the window still land in the
+          // mean, which is the honest amortized cost)
+          mixSink.awaitCompaction()
+          snap = fileSizes(Seq(mixStateDir, mixSinkDir))
+        }
         val j0 = counter.count.get()
         val b0 = System.nanoTime()
         CrmlsStream.processBatch(spark, batch, mixStore, mixSink, narrow)

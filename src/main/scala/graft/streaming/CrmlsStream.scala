@@ -212,6 +212,13 @@ object CrmlsStream {
     */
   private[streaming] val DriverBatchMaxRows: Int = 50000
 
+  /** Key budget of the over-cap point-lookup tier: past this many
+    * affected listing pks the per-dim `isin` point-lookup plans stop
+    * paying (hundreds of thousands of literals) and the batch falls
+    * back to the joinAll plan, whose cost is amortized by its size.
+    */
+  private[streaming] val DriverSliceMaxKeys: Int = 10000
+
   private def localDfOf(spark: SparkSession, rows: Array[Row],
                         schema: StructType): DataFrame =
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
@@ -572,6 +579,120 @@ object CrmlsStream {
     private def capFor(entity: String): Int =
       if (entity == IdxName) idxLocalMaxRows else localSnapshotMaxRows
 
+    // ---- cross-batch distributed snapshot (base + dirty buckets) ----
+    // For an entity past the driver-residency caps the store keeps a
+    // PERSISTED full-state base (the Right leg of `snapshots`, carrying
+    // a precomputed [[SnapBucketCol]]) ACROSS batches, plus the set of
+    // buckets whose truth has moved to FILES since the base was taken
+    // (each batch's promote marks its touched buckets dirty via
+    // [[distMarkDirty]]). The entity's current state is then
+    //   base (clean buckets, executor memory) ∪ file read (dirty)
+    // so per-batch state I/O is proportional to the buckets dirtied
+    // since the last rebase — never to the accumulated state — and the
+    // composed plan has CONSTANT depth (no chained incremental views,
+    // hence no lineage blowup and nothing to checkpoint). The base is
+    // materialized EAGERLY at install (one bounded job): the bucket
+    // promote deletes the files it replaces, so a lazily-materialized
+    // cache could dangle on missing files; an eager cache is immutable.
+    // Pure derived data: a lost cached block surfaces as a batch
+    // failure whose replay rebuilds the base from files (the state
+    // files stay the single durable truth). Once dirty covers half the
+    // buckets the cache stops paying — drop it and rebase on next use.
+    //
+    // `pastLocalCap` memoizes "this entity's row count exceeds its
+    // driver-residency cap": state tables only grow under the upsert
+    // flows, so once true it stays true, and the per-batch local-tier
+    // residency probes (one limit-collect job per entity per batch on
+    // the forced-distributed path) are skipped for good.
+    private val SnapBucketCol = "__snap_bucket"
+    @transient private lazy val distDirty =
+      scala.collection.mutable.Map.empty[String, Set[Int]]
+    @transient private[streaming] lazy val pastLocalCap =
+      scala.collection.mutable.Set.empty[String]
+
+    /** Install (and eagerly materialize) a fresh dist base from the
+      * entity's current files. Caller holds the store lock and has
+      * already folded pendings. Returns None when the entity has no
+      * state files at all.
+      */
+    private def installDistBase(entity: String, schema: StructType,
+                                keyColName: String): Option[DataFrame] =
+      BucketedState.readAll(spark, path(entity), Some(schema)).map { df =>
+        val base = df.withColumn(SnapBucketCol,
+          BucketedState.bucketOf(col(keyColName), nBuckets)).persist()
+        base.count() // pin content now — promote deletes replaced files
+        snapshots(entity) = Right(base)
+        distDirty(entity) = Set.empty
+        base
+      }
+
+    /** The dist-composed current state restricted to `buckets` (all of
+      * them when `buckets` is None): clean buckets from the cached
+      * base, dirty buckets from their files.
+      */
+    private def composeDist(entity: String, base: DataFrame,
+                            schema: StructType,
+                            buckets: Option[Seq[Int]]): DataFrame = {
+      val dirty = distDirty.getOrElse(entity, Set.empty)
+      val want = buckets.map(_.distinct)
+      val cleanPart = want match {
+        case Some(bs) =>
+          val clean = bs.filterNot(dirty)
+          if (clean.isEmpty) None
+          else Some(base.filter(col(SnapBucketCol).isin(clean: _*)))
+        case None =>
+          if (dirty.isEmpty) Some(base)
+          else Some(base.filter(!col(SnapBucketCol).isin(dirty.toSeq: _*)))
+      }
+      val fileBuckets = want.map(_.filter(dirty)).getOrElse(dirty.toSeq)
+      val filePart =
+        if (fileBuckets.isEmpty) None
+        else BucketedState.readBuckets(spark, path(entity),
+          fileBuckets, Some(schema))
+      (cleanPart.map(_.drop(SnapBucketCol)).toSeq ++ filePart.toSeq)
+        .reduceOption(_ unionByName _)
+        .getOrElse(emptyOf(spark, schema))
+    }
+
+    /** Current content of `touched` buckets via the dist snapshot —
+      * None when no base is installed and the entity isn't known to be
+      * past the local tier (callers then fall back to a plain file
+      * read). Installs the base on first use for a memo'd entity.
+      */
+    private[streaming] def distTouchedDf(entity: String, schema: StructType,
+        keyColName: String, touched: Seq[Int]): Option[DataFrame] =
+      synchronized {
+        snapshots.get(entity) match {
+          case Some(Right(base)) =>
+            Some(composeDist(entity, base, schema, Some(touched)))
+          case Some(Left(_)) => None // the local tier serves these
+          case None if pastLocalCap(entity) =>
+            ensureFolded(entity, schema, keyColName)
+            installDistBase(entity, schema, keyColName)
+              .map(b => composeDist(entity, b, schema, Some(touched)))
+          case None => None
+        }
+      }
+
+    /** Record that a batch promoted new content into `touched` buckets
+      * of an entity whose dist base is installed. Returns false when no
+      * base exists (the caller falls back to a plain invalidate). Once
+      * the dirty set covers half the buckets the base is dropped — the
+      * next read rebases from files.
+      */
+    private[streaming] def distMarkDirty(entity: String,
+                                         touched: Seq[Int]): Boolean =
+      synchronized {
+        snapshots.get(entity) match {
+          case Some(Right(_)) =>
+            val d = distDirty.getOrElse(entity, Set.empty) ++ touched
+            if (d.size * 2 >= nBuckets) invalidate(entity)
+            else distDirty(entity) = d
+            true
+          case _ => false
+        }
+      }
+
     private def localDf(rows: Array[Row],
                         schema: StructType): DataFrame =
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
@@ -676,19 +797,27 @@ object CrmlsStream {
       synchronized {
         snapshots.get(entity) match {
           case Some(Left(snap)) => Some(localDf(snap.rows, schema))
-          case Some(Right(df)) => Some(df)
+          case Some(Right(base)) =>
+            Some(composeDist(entity, base, schema, None))
           case None =>
             ensureFolded(entity, schema, keyColName)
-            BucketedState.readAll(spark, path(entity), Some(schema)).map { df =>
-              val probe = df.limit(capFor(entity) + 1).collect()
-              if (probe.length <= capFor(entity)) {
-                installSnap(entity, mkSnap(entity, probe, schema, keyColName),
-                  schema, keyColName, buildMap = false)
-                localDf(probe, schema)
-              } else {
-                val p = df.persist()
-                snapshots(entity) = Right(p)
-                p
+            BucketedState.readAll(spark, path(entity), Some(schema)).flatMap { df =>
+              val localProbe =
+                if (pastLocalCap(entity)) None
+                else {
+                  val probe = df.limit(capFor(entity) + 1).collect()
+                  if (probe.length <= capFor(entity)) Some(probe)
+                  else { pastLocalCap += entity; None }
+                }
+              localProbe match {
+                case Some(probe) =>
+                  installSnap(entity,
+                    mkSnap(entity, probe, schema, keyColName),
+                    schema, keyColName, buildMap = false)
+                  Some(localDf(probe, schema))
+                case None =>
+                  installDistBase(entity, schema, keyColName)
+                    .map(b => composeDist(entity, b, schema, None))
               }
             }
         }
@@ -713,6 +842,7 @@ object CrmlsStream {
           }
           Some(keep.result())
         case Some(Right(_)) => None
+        case None if pastLocalCap(entity) => None // memo: skip the probe
         case None =>
           ensureFolded(entity, schema, keyColName)
           val others = BucketedState.listBuckets(path(entity)).filterNot(t)
@@ -721,7 +851,9 @@ object CrmlsStream {
             case None => Some(Array.empty[Row])
             case Some(df) =>
               val probe = df.limit(capFor(entity) + 1).collect()
-              if (probe.length > capFor(entity)) None else Some(probe)
+              if (probe.length > capFor(entity)) {
+                pastLocalCap += entity; None
+              } else Some(probe)
           }
       }
     }
@@ -772,7 +904,7 @@ object CrmlsStream {
               else winners.filter(w => !snap.keyIndex.containsKey(keyOf(w)))
             val n = snap.rows.length
             if (n + fresh.length > capFor(entity)) {
-              invalidate(entity); false
+              pastLocalCap += entity; invalidate(entity); false
             } else {
               val rows = java.util.Arrays.copyOf(snap.rows, n + fresh.length)
               val buckets =
@@ -833,7 +965,13 @@ object CrmlsStream {
         buildMap: Boolean): Boolean =
       synchronized {
         untouchedRows(entity, schema, keyColName, touchedBuckets) match {
-          case None => invalidate(entity); false
+          case None =>
+            // past the local tier: drop a (now-stale-to-be) LOCAL
+            // snapshot, but a dist BASE stays — the batch's promote
+            // marks its touched buckets dirty, which keeps the base
+            // correct without re-reading the whole state next batch
+            if (localSnap(entity).isDefined) invalidate(entity)
+            false
           case Some(untouched) =>
             val freshRows = fresh()
             if (untouched.length + freshRows.length <= capFor(entity)) {
@@ -841,7 +979,7 @@ object CrmlsStream {
                 mkSnap(entity, untouched ++ freshRows, schema, keyColName),
                 schema, keyColName, buildMap)
               true
-            } else { invalidate(entity); false }
+            } else { pastLocalCap += entity; invalidate(entity); false }
         }
       }
 
@@ -854,6 +992,7 @@ object CrmlsStream {
         case Right(df) => df.unpersist()
         case Left(_) => ()
       }
+      distDirty.remove(entity)
       dimMapVals.remove(entity)
       dimMapBcs.remove(entity).foreach(_.destroy())
       if (entity == IdxName) idxMap = None
@@ -1118,6 +1257,8 @@ object CrmlsStream {
         val spec = specByName(name)
         val schema = projectionSchema(spec)
         val all = store.localTouchedDf(name, schema, touched(name))
+            .orElse(store.distTouchedDf(name, schema, spec.dedupKeyCol,
+              touched(name)))
             .orElse(BucketedState.readBuckets(
               spark, store.path(name), touched(name), Some(schema))) match {
           case Some(cur) => tieTagged(cur, 0).unionByName(tieTagged(deltas(name), 1))
@@ -1133,6 +1274,8 @@ object CrmlsStream {
       }
       lazy val idxMergedOpt = touched.get(IdxName).map { idxTouched =>
         (store.localTouchedDf(IdxName, IdxSchema, idxTouched)
+            .orElse(store.distTouchedDf(IdxName, IdxSchema, "ref_val",
+              idxTouched))
             .orElse(BucketedState.readBuckets(
               spark, store.path(IdxName), idxTouched, Some(IdxSchema))) match {
           case Some(cur) => cur.unionByName(refEntriesDf)
@@ -1174,8 +1317,9 @@ object CrmlsStream {
             // and a resident snapshot takes the idxFanout branch above,
             // never this probe. Reordering tiers here must re-prove it.
             val lookupBuckets = dims.flatMap(d => touched(d._1)).distinct
-            BucketedState.readBuckets(spark, store.path(IdxName),
-                lookupBuckets, Some(IdxSchema)) match {
+            store.distTouchedDf(IdxName, IdxSchema, "ref_val", lookupBuckets)
+              .orElse(BucketedState.readBuckets(spark, store.path(IdxName),
+                lookupBuckets, Some(IdxSchema))) match {
               case None => Some(directPks.distinct)
               case Some(idx) =>
                 val probe = idx.limit(driverAffectedMaxRows + 1).collect()
@@ -1219,8 +1363,10 @@ object CrmlsStream {
               .map { case (n, k) =>
                 deltas(n).select(col(k).as("l_uc_pk"))
                   .filter(col("l_uc_pk").isNotNull) }
-            val idxRead = BucketedState.readBuckets(spark, store.path(IdxName),
-              dims.flatMap(d => touched(d._1)), Some(IdxSchema))
+            val idxRead = store.distTouchedDf(IdxName, IdxSchema, "ref_val",
+                dims.flatMap(d => touched(d._1)))
+              .orElse(BucketedState.readBuckets(spark, store.path(IdxName),
+                dims.flatMap(d => touched(d._1)), Some(IdxSchema)))
             val fanout = idxRead.toSeq.flatMap { idx =>
               dims.map { case (name, keyCol, refCols) =>
                 val keys = deltas(name).select(col(keyCol).as("__k"))
@@ -1579,14 +1725,21 @@ object CrmlsStream {
               // of paying it on the driver thread at plan time
               case Some(rows) => Some(parallelDfOf(spark, rows, lSchema))
               case None =>
-                val listingParts = BucketedState.readBuckets(
-                    spark, store.path("listings"),
-                    affBuckets.filterNot(
-                      touched.getOrElse("listings", Nil).toSet),
-                    Some(lSchema)).toSeq ++ mergedByName.get("listings").toSeq
+                val unTouchedAff = affBuckets.filterNot(
+                  touched.getOrElse("listings", Nil).toSet)
+                val listingParts = store.distTouchedDf("listings", lSchema,
+                    "l_uc_pk", unTouchedAff)
+                  .orElse(BucketedState.readBuckets(spark,
+                    store.path("listings"), unTouchedAff, Some(lSchema)))
+                  .toSeq ++ mergedByName.get("listings").toSeq
                 if (listingParts.isEmpty) None
+                // re-select into lSchema order after the semi-join: a
+                // USING join projects the key column FIRST, and a sink
+                // must see ONE column layout regardless of which J4
+                // tier produced a batch's rows
                 else Some(listingParts.reduce(_ unionByName _)
-                  .join(broadcast(affected), Seq("l_uc_pk"), "left_semi"))
+                  .join(broadcast(affected), Seq("l_uc_pk"), "left_semi")
+                  .select(lSchema.fieldNames.toSeq.map(col): _*))
             }
           mark("J4:aff-df")
           affectedListingsOpt.foreach { affectedListings =>
@@ -1639,7 +1792,73 @@ object CrmlsStream {
                     else DimEnrich.enrichLocal(rows, lSchema, maps)
                   mark("J4:enrich-loc")
                   Some(res)
-                case _ => None
+                case (Some(_), _) =>
+                  None // maps resident, rows not local: frame tier below
+                case (None, _) =>
+                  // Over-cap driver POINT-LOOKUP tier: the dims are past
+                  // driver residency (no lookup maps), but the batch's
+                  // affected set is bounded — so instead of re-planning
+                  // the 11-join and re-broadcasting whole dim states,
+                  // run TWO bounded jobs: (1) collect the affected
+                  // listing rows from the pre-write merged listing view,
+                  // (2) ONE union job point-looking-up every dim's
+                  // slice for exactly the keys those rows reference
+                  // (canonical-union encoded, so five entity schemas
+                  // ride one collect). The dim states are only SCANNED
+                  // (cached dist base + dirty-bucket files) — never
+                  // collected or broadcast — and the driver holds
+                  // delta-proportional rows only, which is the RocksDB
+                  // point-lookup analog of the reference's production
+                  // join (CRMLSJoiner.scala:471-487). Past the key
+                  // budget the batch falls to the joinAll plan below.
+                  affectedLocalPks match {
+                    case Some(pks)
+                        if pks.nonEmpty && pks.size <= DriverSliceMaxKeys =>
+                      // re-select into lSchema order: the semi-join
+                      // that built affectedListings is a USING join,
+                      // which projects the key column FIRST — the
+                      // driver enrichment below indexes by lSchema
+                      val affRows = affectedListings
+                        .select(lSchema.fieldNames.toSeq.map(col): _*)
+                        .collect()
+                      mark("J4:aff-coll")
+                      val keysByDim: Map[String, Set[String]] =
+                        DimEnrich.dimEntities.map { spec =>
+                          val idxs = DimEnrich.roles
+                            .filter(_._1 == spec.name)
+                            .map(r => lSchema.fieldIndex(r._2))
+                          val ks = Set.newBuilder[String]
+                          affRows.foreach(r => idxs.foreach(i =>
+                            if (!r.isNullAt(i)) ks += r.getString(i)))
+                          spec.name -> ks.result()
+                        }.toMap
+                      val slices = DimEnrich.dimEntities.flatMap { spec =>
+                        val ks = keysByDim(spec.name)
+                        if (ks.isEmpty) None
+                        else Some(canonicalize(
+                          fullState(spec).filter(
+                            col(spec.dedupKeyCol).isin(ks.toSeq: _*)),
+                          spec.name, lit(0)))
+                      }
+                      val sliceRows =
+                        if (slices.isEmpty) Array.empty[Row]
+                        else slices.reduce(_ unionByName _).collect()
+                      mark("J4:dim-slice")
+                      val maps = DimEnrich.dimEntities.map { spec =>
+                        val schema = projectionSchema(spec)
+                        spec.name -> DimEnrich.buildLookup(
+                          extractEntityRows(sliceRows, spec.name,
+                            schema).iterator,
+                          schema, spec.dedupKeyCol)
+                      }.toMap
+                      val res =
+                        if (narrow) DimEnrich.enrichPartialLocal(affRows,
+                          lSchema, maps, present.toSet, "l_uc_pk")
+                        else DimEnrich.enrichLocal(affRows, lSchema, maps)
+                      mark("J4:enrich-pt")
+                      Some(res)
+                    case _ => None
+                  }
               }
             localTier match {
               case Some((outRows, outSchema)) =>
@@ -1658,7 +1877,13 @@ object CrmlsStream {
                     case None =>
                       // fallback SQL tier: full join plan, narrowed
                       // select — Catalyst prunes the untouched dims'
-                      // join legs
+                      // join legs. No broadcast hint: these dims are
+                      // past driver residency by construction, so the
+                      // join strategy falls to the size stats of the
+                      // cached/dist state (small dims still broadcast
+                      // via autoBroadcastJoinThreshold; big ones take
+                      // a shuffled join instead of a forced per-batch
+                      // full-state broadcast build).
                       joinAll(affectedListings, fullState(agents),
                         fullState(openHouses), fullState(offices),
                         fullState(media), fullState(history))
@@ -1687,10 +1912,15 @@ object CrmlsStream {
       } finally Await.ready(stateWrite, Duration.Inf)
       Await.result(stateWrite, Duration.Inf) // rethrow a write failure
       mark("J2:write-wait")
-      // snapshots were refreshed pre-join; anything not refreshable
-      // (past the local tier) is invalidated and re-probed on demand
+      // snapshots were refreshed pre-join; an entity past the local
+      // tier keeps its dist base — the promote only moved its TOUCHED
+      // buckets' truth to new files, which distMarkDirty records (the
+      // base serves the other buckets from cache next batch). Only an
+      // entity with neither snapshot form is invalidated outright.
       BucketedState.promoteEntityBuckets(store.dir, touchedByEntity)
-      branchEntities.filterNot(refreshed).foreach(store.invalidate)
+      branchEntities.filterNot(refreshed).foreach { e =>
+        if (!store.distMarkDirty(e, touched(e))) store.invalidate(e)
+      }
       mark("J2:promote")
     } finally {
       scratch.foreach(_.unpersist())

@@ -148,9 +148,24 @@ object UpsertJoin {
           .GenericRowWithSchema(base, full))
       }
     }
-    def snapshot(spark: SparkSession): DataFrame =
+    def snapshot(spark: SparkSession): DataFrame = {
+      // align by NAME: stored rows keep the schema of the batch that
+      // wrote them, and batches from different processBatch tiers may
+      // carry the same columns in different orders — a positional
+      // build under the last batch's schema would silently scramble
+      // older rows' values
+      val full = schemaHolder(0)
+      val aligned = rows.values.toSeq.map { r =>
+        if (r.schema == null ||
+            java.util.Arrays.equals(
+              r.schema.fieldNames.asInstanceOf[Array[AnyRef]],
+              full.fieldNames.asInstanceOf[Array[AnyRef]])) r
+        else Row.fromSeq(full.fieldNames.toSeq.map(n =>
+          r.get(r.schema.fieldIndex(n))))
+      }
       spark.createDataFrame(
-        spark.sparkContext.parallelize(rows.values.toSeq), schemaHolder(0))
+        spark.sparkContext.parallelize(aligned), full)
+    }
   }
 
   def newInMemorySink(): InMemorySink =
