@@ -454,6 +454,27 @@ object Stress {
       (flags.count(), s""","n_cells":$sdCells,"drops":$drops""")
     }
 
+    // ------------------------------------------- SemDeDup, SCALE path
+    // two-level assignment (coarse Lloyd cell x deterministic SRP
+    // signature): the tier the 10 M-vector sizing actually runs, where
+    // the flat argmax above is the wall (O(k·dim·N) ≈ 2.6e13 at
+    // k = N/250 — see SemDedup.semDedupScale). The bar stays EXACT:
+    // planted twins are identical vectors, so both deterministic
+    // levels co-locate them and each pair drops exactly its higher id;
+    // random 64-dim pairs never reach tau = 0.99, so no false drops.
+    val sdCoarse = math.max(64, math.min(512, (nVecs / 40000).toInt))
+    phase("semdedup_scale") {
+      val flags = operators.SemDedup.semDedupScale(
+        vecs, "vec_id", "embedding", kCoarse = sdCoarse, iters = 1,
+        srpBits = 8, tau = 0.99)
+      val drops = flags.filter(!col("keep")).count()
+      require(drops == nDupVecs / 2,
+        s"semdedup_scale must drop exactly the ${nDupVecs / 2} planted " +
+          s"higher-id twins, got $drops")
+      (flags.count(),
+        s""","k_coarse":$sdCoarse,"srp_bits":8,"drops":$drops""")
+    }
+
     vecs.unpersist()
 
     // ------------------------------------- minhash LSH candidate pairs

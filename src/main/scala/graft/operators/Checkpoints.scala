@@ -41,4 +41,27 @@ object Checkpoints {
           "before running the iterative operator")
       df.checkpoint()
     }
+
+  /** Delete the reliable-checkpoint files backing a SUPERSEDED
+    * generation of an iterative loop. Without this, every round's full
+    * label/frontier table lives in the checkpoint store for the
+    * application lifetime (the ContextCleaner only removes checkpoint
+    * files under `spark.cleaner.referenceTracking.cleanCheckpoints`,
+    * default false, and then only on GC) — a 100-round traversal would
+    * retain 100 full tables. CALLER CONTRACT: nothing still references
+    * `df`'s lineage — release a round's table only after every frame
+    * derived from it has itself been materialized to a leaf (the loops
+    * below release a generation once the next one is a leaf and any
+    * accumulator union covering it has been checkpointed). No-op for
+    * localCheckpoint frames (executor-local blocks, freed on GC) and
+    * for frames that were never checkpointed.
+    */
+  def release(df: DataFrame): Unit =
+    org.apache.spark.sql.graftx.ColumnBridge.checkpointFile(df).foreach {
+      file =>
+        val p = new org.apache.hadoop.fs.Path(file)
+        val fs = p.getFileSystem(
+          df.sparkSession.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+    }
 }

@@ -485,7 +485,12 @@ object DedupOps {
           .groupBy("id").agg(min("label").as("label")), reliable)
       changed = prop.join(labels.withColumnRenamed("label", "__old"), Seq("id"))
         .filter(col("label") =!= col("__old")).count()
+      // the superseded generation is dead once `prop` is a leaf and
+      // the changed-count consumed it — free its reliable-store files
+      // now (retention is then 2 tables, not one per round)
+      val prev = labels
       labels = prop
+      Checkpoints.release(prev)
       iter += 1
     }
     edges.unpersist()

@@ -65,15 +65,28 @@ object GraphMetrics {
       .distinct()
     val adj = canon.select(col("a").as("z"), col("b").as("n"))
       .unionByName(canon.select(col("b").as("z"), col("a").as("n")))
-    val deg = adj.groupBy("z").agg(count(lit(1)).as("__deg"))
-    val mids = maxDegree.foldLeft(deg)((d, cap) =>
+    // ONE aggregation per middle replaces the degree aggregation + the
+    // wedge self-join: adj is distinct by construction, so the sorted
+    // neighbor list IS the degree, and the Σ deg² wedge-pair stream is
+    // produced by codegen'd collection expressions (posexplode +
+    // slice) instead of flowing through a join exchange twice. Per-row
+    // memory is the neighbor list — bounded by `maxDegree` when
+    // capped; an UNCAPPED call on a hub-bearing graph materializes a
+    // hub's full list in one row, which is exactly why web scale
+    // always caps (the scaladoc note above).
+    val byMid = adj
+      .groupBy("z").agg(sort_array(collect_list(col("n"))).as("ns"))
+      .withColumn("__deg", size(col("ns")))
+      .filter(col("__deg") >= 2) // a degree-1 middle joins nothing
+    val mids = maxDegree.foldLeft(byMid)((d, cap) =>
       d.filter(col("__deg") <= cap))
-    val wedged = adj.join(mids, Seq("z"))
-    val pairs = wedged
-      .join(wedged.select(col("z"), col("n").as("n2")), Seq("z"))
-      .filter(col("n") < col("n2"))
-      .select(col("n").as("a"), col("n2").as("b"),
-        (lit(1.0) / log(col("__deg").cast("double"))).as("__w"))
+    val pairs = mids
+      .select((lit(1.0) / log(col("__deg").cast("double"))).as("__w"),
+        col("ns"), posexplode(col("ns")).as(Seq("__i", "a")))
+      // neighbors after position __i (sorted, distinct => a < b, each
+      // unordered pair generated exactly once per middle)
+      .select(col("__w"), col("a"),
+        explode(expr("slice(ns, __i + 2, size(ns))")).as("b"))
     // Aggregate BEFORE the anti-join: the anti-join then probes the
     // distinct candidate-pair set (bounded by #pairs) instead of the
     // raw Σ deg² wedge stream, and the groupBy's hash partitioning on
@@ -146,6 +159,14 @@ object GraphMetrics {
     var visited = seeds.select(col("id")).distinct()
       .withColumn("hops", lit(0))
     var frontier = visited.select(col("id"))
+    // reliable-store hygiene: a frontier's checkpoint files stay live
+    // while EITHER the next round's join reads it or the (not yet
+    // re-materialized) visited union still has it in lineage — so
+    // superseded frontiers park in `pending` and are released on the
+    // next visited materialization, which covers them; each visited
+    // checkpoint also supersedes the previous one.
+    val pending = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var lastVisitedCkpt: Option[DataFrame] = None
     for (h <- 1 to maxHops) {
       var next = dir
         .join(frontier.withColumnRenamed("id", "src"), Seq("src"))
@@ -153,13 +174,22 @@ object GraphMetrics {
         .join(visited, Seq("id"), "left_anti")
       if (checkpointEvery > 0)
         next = Checkpoints.materialize(next, reliableCheckpoint)
+      pending += frontier
       frontier = next
       visited = visited.unionByName(next.withColumn("hops", lit(h)))
-      if (checkpointEvery > 0 && h % checkpointEvery == 0 && h < maxHops)
+      if (checkpointEvery > 0 && h % checkpointEvery == 0 && h < maxHops) {
         visited = Checkpoints.materialize(visited, reliableCheckpoint)
+        pending.foreach(Checkpoints.release)
+        pending.clear()
+        lastVisitedCkpt.foreach(Checkpoints.release)
+        lastVisitedCkpt = Some(visited)
+      }
     }
     if (cacheEdges || checkpointEvery > 0) {
       val out = Checkpoints.materialize(visited, reliableCheckpoint)
+      pending.foreach(Checkpoints.release)
+      Checkpoints.release(frontier)
+      lastVisitedCkpt.foreach(Checkpoints.release)
       if (cacheEdges) dir.unpersist()
       out
     } else visited

@@ -34,6 +34,51 @@ object SemDedup {
   def semDedup(vecs: DataFrame, idCol: String, vecCol: String,
                k: Int, iters: Int, tau: Double): DataFrame = {
     val assign = KMeans.assignRounded(vecs, idCol, vecCol, k, iters)
+    flagWithinCells(vecs, assign, idCol, vecCol, tau)
+  }
+
+  /** Scale path of [[semDedup]]: at paper-sized cluster counts the
+    * FLAT assignment argmax is the wall — k = N/250 at 10 M vectors is
+    * 40k centroids, O(k·dim·N) ≈ 2.6e13 mult-adds, infeasible in one
+    * JVM and wasteful on a cluster (sharding the argmax by centroid
+    * block moves the flops around, it does not remove any). The
+    * standard fix is a TWO-LEVEL cell (hierarchical coarse
+    * quantization, the IVF/IMI shape): a coarse rounded-Lloyd cell
+    * (`kCoarse` centroids) refined by a deterministic
+    * sign-random-projection signature (`srpBits` hyperplane signs,
+    * [[VectorFunctions.srpBucket]]). Assignment flops drop to
+    * O((kCoarse + srpBits)·dim·N) — ~100x at the tier-2 sizing — while
+    * the effective cell count kCoarse·2^srpBits keeps the
+    * within-cell pair volume at the paper's budget. IDENTICAL vectors
+    * still co-locate exactly (both levels are deterministic functions
+    * of the vector), so exact-twin recall is 1; a cos >= tau near-dup
+    * pair splits only when an SRP plane separates it — probability
+    * <= srpBits·acos(tau)/pi (< 1% at tau = 0.99, srpBits = 8), the
+    * standard SRP recall trade, tunable via srpBits.
+    * Output schema identical to [[semDedup]]; cell_id is the composite
+    * coarse·2^srpBits + signature.
+    */
+  def semDedupScale(vecs: DataFrame, idCol: String, vecCol: String,
+                    kCoarse: Int, iters: Int, srpBits: Int,
+                    tau: Double): DataFrame = {
+    require(srpBits >= 1 && srpBits <= 24, s"srpBits out of range: $srpBits")
+    val coarse = KMeans.assignRounded(vecs, idCol, vecCol, kCoarse, iters)
+    val sig = vecs.select(col(idCol).as("__sid"),
+      VectorFunctions.srpBucket(
+        VectorFunctions.toDouble(col(vecCol)), srpBits).as("__sig"))
+    val assign = coarse.join(sig, col(idCol) === col("__sid"))
+      .select(col(idCol),
+        (col("cell_id") * (1L << srpBits) + col("__sig")).as("cell_id"))
+    flagWithinCells(vecs, assign, idCol, vecCol, tau)
+  }
+
+  /** The paper's within-cell pair rule over a finished assignment:
+    * drop every vector with a smaller-id same-cell neighbor at
+    * cosine >= tau. Shared by the flat and two-level assignments.
+    */
+  private def flagWithinCells(vecs: DataFrame, assign: DataFrame,
+                              idCol: String, vecCol: String,
+                              tau: Double): DataFrame = {
     val emb = vecs.select(col(idCol).as("__eid"),
       VectorFunctions.toDouble(col(vecCol)).as("__v"))
     val cellVecs = assign

@@ -128,10 +128,17 @@ final class ColumnFamilySink(
   }
 
   /** Current stamp, read by every member store's emit within one
-    * logical upsert; advanced once per upsert entry point.
+    * logical upsert; advanced once per upsert entry point. The stamp
+    * is only coherent while ONE logical batch is in flight, so the
+    * advance AND every family emit of a batch run under [[writeLock]]
+    * ([[writeFamilies]]/[[writeFamilyRows]]) — two threads upserting
+    * the same sink concurrently would otherwise stamp one batch's
+    * family logs with two different ids, tearing the shared-stamp
+    * invariant this class exists to provide.
     */
   @volatile private var currentEpoch: Long = batchEpoch
-  private def advanceEpoch(): Unit = synchronized {
+  private val writeLock = new Object
+  private def advanceEpoch(): Unit = {
     currentEpoch = batchEpoch
     batchEpoch += 1L
   }
@@ -173,20 +180,23 @@ final class ColumnFamilySink(
     * recompute per family.
     */
   private def writeFamilies(keyCol: String, batch: DataFrame,
-                            touched: Seq[Int], partial: Boolean): Unit = {
-    if (changelogDir.isDefined) advanceEpoch() // one stamp per batch
-    persistKeyCol(keyCol)
-    val parts = split(keyCol, batch)
-    val multi = parts.size > 1
-    val src = if (multi) batch.cache() else batch
-    try {
-      val resplit = if (multi) split(keyCol, src) else parts
-      resplit.foreach { case (f, fdf) =>
-        if (partial) sinks(f).upsertPartialUnique(keyCol, fdf, touched)
-        else sinks(f).upsertPreparedUnique(keyCol, fdf, touched)
-      }
-    } finally if (multi) src.unpersist()
-  }
+                            touched: Seq[Int], partial: Boolean): Unit =
+    writeLock.synchronized {
+      if (changelogDir.isDefined) advanceEpoch() // one stamp per batch
+      persistKeyCol(keyCol)
+      val parts = split(keyCol, batch)
+      val multi = parts.size > 1
+      val src = if (multi) batch.cache() else batch
+      try {
+        val resplit = if (multi) split(keyCol, src) else parts
+        resplit.foreach { case (f, fdf) =>
+          val fp = ColumnFamilySink.familyFailpoint.get()
+          if (fp != null) fp(f)
+          if (partial) sinks(f).upsertPartialUnique(keyCol, fdf, touched)
+          else sinks(f).upsertPreparedUnique(keyCol, fdf, touched)
+        }
+      } finally if (multi) src.unpersist()
+    }
 
   /** Whole-row defensive dedup (the row-major survivor rule), run
     * BEFORE the family split so no row tears across families.
@@ -236,7 +246,7 @@ final class ColumnFamilySink(
   private def writeFamilyRows(spark: SparkSession, keyCol: String,
       rows: Array[org.apache.spark.sql.Row],
       schema: org.apache.spark.sql.types.StructType,
-      touched: Seq[Int], partial: Boolean): Unit = {
+      touched: Seq[Int], partial: Boolean): Unit = writeLock.synchronized {
     if (changelogDir.isDefined) advanceEpoch() // one stamp per batch
     persistKeyCol(keyCol)
     val ki = schema.fieldIndex(keyCol)
@@ -246,6 +256,8 @@ final class ColumnFamilySink(
         case (fld, i) if familyOf(fld.name) == f => i
       }
       if (idxs.nonEmpty) {
+        val fp = ColumnFamilySink.familyFailpoint.get()
+        if (fp != null) fp(f)
         val famSchema = org.apache.spark.sql.types.StructType(
           schema.fields(ki) +: idxs.map(schema.fields(_)))
         val famRows = rows.map { r =>
@@ -343,4 +355,15 @@ final class ColumnFamilySink(
     require(parts.nonEmpty, s"no family changelog under $changelogDir")
     parts.reduce((a, b) => a.join(b, Seq(keyCol), "full_outer"))
   }
+}
+
+object ColumnFamilySink {
+  /** Test-only failpoint, invoked with the family name immediately
+    * before each family's append within one logical batch — the
+    * documented torn-batch window (a crash between two families'
+    * appends leaves that batch id partial until replay supersedes it).
+    * Null (the default) is a no-op on the hot path.
+    */
+  private[streaming] val familyFailpoint =
+    new java.util.concurrent.atomic.AtomicReference[String => Unit](null)
 }

@@ -183,11 +183,24 @@ object CrmlsStream {
     * result buffer — two streaming queries batching concurrently in one
     * JVM would otherwise corrupt each other's rows.
     */
-  private val envProjectors = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), ThreadLocal[Row => Row]]
+  // weak session keys: a long-running JVM that churns sessions (or
+  // many foreachBatch threads) must not retain dead sessions' compiled
+  // projectors forever — entries become GC-able with their session
+  private val envProjectors = new java.util.WeakHashMap[
+    SparkSession, scala.collection.concurrent.TrieMap[
+      String, ThreadLocal[Row => Row]]]()
   private[streaming] def envProjector(spark: SparkSession,
-                                      spec: Crmls.EntitySpec): Row => Row =
-    envProjectors.getOrElseUpdate((spark, spec.name),
+                                      spec: Crmls.EntitySpec): Row => Row = {
+    val perSession = envProjectors.synchronized {
+      var m = envProjectors.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap
+          .empty[String, ThreadLocal[Row => Row]]
+        envProjectors.put(spark, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate(spec.name,
       ThreadLocal.withInitial { () =>
         val valueSchema = StructType(Seq(StructField("value", StringType)))
         val empty = spark.createDataFrame(
@@ -195,6 +208,7 @@ object CrmlsStream {
         org.apache.spark.sql.graftx.ColumnBridge.rowProjector(
           Crmls.project(empty, spec), valueSchema)
       }).get()
+  }
 
   /** Driver-tier cap for the reverse-index probe: past this many index
     * rows the affected-key resolution falls back to a distributed join.
@@ -218,6 +232,14 @@ object CrmlsStream {
     * back to the joinAll plan, whose cost is amortized by its size.
     */
   private[streaming] val DriverSliceMaxKeys: Int = 10000
+
+  /** Test-only failpoint, invoked with each phase label at
+    * [[processBatch]]'s phase boundaries (the `mark` calls). A
+    * fault-injection test installs a thrower to simulate a crash at an
+    * exact window; null (the default) is a no-op on the hot path.
+    */
+  private[streaming] val failpoint =
+    new java.util.concurrent.atomic.AtomicReference[String => Unit](null)
 
   private def localDfOf(spark: SparkSession, rows: Array[Row],
                         schema: StructType): DataFrame =
@@ -1084,10 +1106,16 @@ object CrmlsStream {
     import Crmls._
     val profile = sys.env.contains("SPARK_GRAFT_SB_PROFILE")
     var t0 = System.nanoTime()
-    def mark(phase: String): Unit = if (profile) {
-      val t1 = System.nanoTime()
-      println(f"[profile] $phase%-12s ${(t1 - t0) / 1e9}%6.2fs")
-      t0 = t1
+    def mark(phase: String): Unit = {
+      // test-only failpoint: the phase boundaries ARE the crash
+      // windows, so fault-injection enumerates them from here instead
+      // of hand-picking call sites
+      val fp = failpoint.get(); if (fp != null) fp(phase)
+      if (profile) {
+        val t1 = System.nanoTime()
+        println(f"[profile] $phase%-12s ${(t1 - t0) / 1e9}%6.2fs")
+        t0 = t1
+      }
     }
     val storeN = store.nBuckets
     // a micro-batch is tiny relative to its source partitioning (a
@@ -1913,14 +1941,19 @@ object CrmlsStream {
       Await.result(stateWrite, Duration.Inf) // rethrow a write failure
       mark("J2:write-wait")
       // snapshots were refreshed pre-join; an entity past the local
-      // tier keeps its dist base — the promote only moved its TOUCHED
+      // tier keeps its dist base — the promote moves its TOUCHED
       // buckets' truth to new files, which distMarkDirty records (the
       // base serves the other buckets from cache next batch). Only an
       // entity with neither snapshot form is invalidated outright.
-      BucketedState.promoteEntityBuckets(store.dir, touchedByEntity)
+      // Dirty-mark BEFORE the promote: marking is conservative (a
+      // dirty bucket is read from files, which are correct both before
+      // and after the swap), while the reverse order had a window —
+      // an exception mid-promote would leave promoted buckets unmarked
+      // and a same-JVM retry reading their stale cached content.
       branchEntities.filterNot(refreshed).foreach { e =>
         if (!store.distMarkDirty(e, touched(e))) store.invalidate(e)
       }
+      BucketedState.promoteEntityBuckets(store.dir, touchedByEntity)
       mark("J2:promote")
     } finally {
       scratch.foreach(_.unpersist())

@@ -28,6 +28,18 @@ object ColumnBridge {
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
       .logicalPlan
 
+  /** Reliable-checkpoint directory backing a Dataset returned by
+    * `Dataset.checkpoint()` — the LogicalRDD leaf's RDD checkpoint
+    * file. None for un-checkpointed frames and for localCheckpoint
+    * (whose blocks the ContextCleaner frees on GC).
+    */
+  def checkpointFile(df: org.apache.spark.sql.DataFrame): Option[String] =
+    logicalPlan(df) match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.getCheckpointFile
+      case _ => None
+    }
+
   /** Driver-side evaluator of `xxhash64(struct(col1, ..., colN))` over
     * external Rows of `schema` — the SAME expression tree the Column
     * form builds (seed 42, recursive struct hashing), evaluated

@@ -43,6 +43,35 @@ class ReliableCheckpointSpec extends SparkTestBase {
     } finally prev.foreach(spark.sparkContext.setCheckpointDir)
   }
 
+  test("reliable checkpoints: superseded generations are deleted, " +
+      "retention is O(1) not O(rounds)") {
+    def rddDirs(ckpt: String): Long =
+      java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+        .filter(p => java.nio.file.Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("rdd-")).count()
+    // CC over the 40-link chain: ~40 propagation rounds, each
+    // checkpointing one label table — without per-round release the
+    // dir would retain ~40 rdd-* tables for the application lifetime
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt3").toString
+    val prev = spark.sparkContext.getCheckpointDir
+    spark.sparkContext.setCheckpointDir(ckpt)
+    try {
+      DedupOps.duplicateClusters(chainPairs, maxIter = 64,
+        driverThreshold = 1L, reliableCheckpoint = true).collect()
+      assert(rddDirs(ckpt) <= 3,
+        s"CC retained ${rddDirs(ckpt)} checkpoint tables — superseded " +
+          "rounds must be released")
+      // BFS: 12 hops, visited re-materialized every 3 — frontiers and
+      // covered visited checkpoints must be released as they retire
+      val ckpt2 = java.nio.file.Files.createTempDirectory("graft-ckpt4").toString
+      spark.sparkContext.setCheckpointDir(ckpt2)
+      GraphMetrics.bfsHops(chainPairs, Seq(0L).toDF("id"), maxHops = 12,
+        checkpointEvery = 3, reliableCheckpoint = true).collect()
+      assert(rddDirs(ckpt2) <= 3,
+        s"bfsHops retained ${rddDirs(ckpt2)} checkpoint tables")
+    } finally prev.foreach(spark.sparkContext.setCheckpointDir)
+  }
+
   test("bfsHops: reliable and local checkpointing converge identically") {
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt2").toString
     spark.sparkContext.setCheckpointDir(ckpt)

@@ -44,6 +44,32 @@ class SemDedupSpec extends SparkTestBase {
     assert(out(9L), "zero vector must be kept (NULL cosine)")
   }
 
+  test("scale path: exact twins co-locate under both levels and drop " +
+      "identically; sub-threshold vectors survive") {
+    val out = SemDedup.semDedupScale(vecs, "vec_id", "embedding",
+        kCoarse = 2, iters = 1, srpBits = 4, tau = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out.size === 7)
+    assert(out(0L), "lowest-id duplicate is the keeper")
+    assert(!out(2L) && !out(4L),
+      "identical vectors MUST share coarse cell and SRP signature")
+    // sub-threshold pairs can only become MORE separated by the finer
+    // cells — never spuriously dropped
+    assert(out(6L) && out(1L) && out(3L) && out(5L))
+  }
+
+  test("scale path: deterministic across partitioning") {
+    val a = SemDedup.semDedupScale(vecs, "vec_id", "embedding",
+        2, 1, 6, 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .toSet
+    val b = SemDedup.semDedupScale(vecs.repartition(7), "vec_id",
+        "embedding", 2, 1, 6, 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .toSet
+    assert(a === b)
+  }
+
   test("deterministic across partitioning") {
     val a = SemDedup.semDedup(vecs, "vec_id", "embedding", 2, 2, 0.95)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
