@@ -51,7 +51,12 @@ object Stress {
     @volatile var diskSpill = 0L
     private val taskMs =
       scala.collection.concurrent.TrieMap.empty[Int, scala.collection.mutable.ArrayBuffer[Long]]
+    private val stageNames =
+      scala.collection.concurrent.TrieMap.empty[Int, String]
     override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+      stageNames(e.stageInfo.stageId) = e.stageInfo.name + " || " +
+        e.stageInfo.details.linesIterator
+          .filter(_.contains("graft")).take(3).mkString(" <- ")
       val m = e.stageInfo.taskMetrics
       if (m != null) {
         maxWrite = math.max(maxWrite, m.shuffleWriteMetrics.bytesWritten)
@@ -67,6 +72,7 @@ object Stress {
     def reset(): Unit = synchronized {
       maxWrite = 0L; maxRead = 0L; memSpill = 0L; diskSpill = 0L
       taskMs.clear()
+      stageNames.clear()
     }
     /** (maxWrite, maxRead, memSpill, diskSpill, maxOverMedian): the
       * spread is the WORST max/median task-time ratio over stages with
@@ -77,14 +83,23 @@ object Stress {
       */
     def snapshot(): (Long, Long, Long, Long, Double) = {
       Thread.sleep(500)
-      val spread = taskMs.values
-        .filter(ds => ds.size >= 4 && ds.max >= 1000L)
-        .flatMap { ds =>
+      val debug = sys.env.contains("SPARK_GRAFT_STRESS_DEBUG")
+      val spread = taskMs
+        .filter { case (_, ds) => ds.size >= 4 && ds.max >= 1000L }
+        .flatMap { case (sid, ds) =>
           val sorted = ds.toArray.sorted
           val med = sorted(sorted.length / 2)
           // a sub-100ms median means the stage was cheap everywhere
           // except scheduling noise — a huge ratio there is not skew
-          if (med < 100L) None else Some(sorted.last.toDouble / med)
+          if (med < 100L) None
+          else {
+            val ratio = sorted.last.toDouble / med
+            if (debug && ratio >= 1.5) println(
+              f"[stress-debug] stage $sid%-5d tasks=${ds.size}%-4d " +
+                f"med=${med}ms max=${sorted.last}ms ratio=$ratio%.1f  " +
+                stageNames.getOrElse(sid, "?"))
+            Some(ratio)
+          }
         }.maxOption.getOrElse(1.0)
       (maxWrite, maxRead, memSpill, diskSpill, spread)
     }
@@ -411,16 +426,24 @@ object Stress {
         vecs, "vec_id", "embedding", m = 8, kSub = 256, iters = 1)
       val codes = operators.ProductQuantization.encode(
         vecs, "vec_id", "embedding", pqModel).persist()
-      val lo = codes.filter(col("vec_id") < nDupVecs)
-        .filter(col("vec_id") % 2 === 0)
-      val hi = codes.filter(col("vec_id") < nDupVecs)
-        .filter(col("vec_id") % 2 === 1)
-        .withColumnsRenamed(
-          (0 until 8).map(s => s"code_$s" -> s"t_$s").toMap)
-        .withColumn("vec_id", col("vec_id") - 1)
-      val agreeing = lo.join(hi, "vec_id")
-        .filter((0 until 8).map(s => col(s"code_$s") === col(s"t_$s"))
-          .reduce(_ && _))
+      // pair-id groupBy over per-row code HASHES, not a self-join: the
+      // planted twins occupy the LOW id range, so both a join and a
+      // struct-valued countDistinct localized their compare/partial-agg
+      // work on the few cache partitions holding that range (task
+      // spread 3.8-5.0 at the 10 M tier). Hashing the code tuple per
+      // row keeps the map side scan-dominated (uniform) and the hash
+      // exchange on pair id spreads the rest over every reducer; a
+      // pair agrees iff its two rows collapse to one distinct hash
+      // (64-bit xxhash64 — a false agree needs a collision WITHIN one
+      // planted pair, ~1e-13 over the corpus, far below the bar's
+      // resolution).
+      val agreeing = codes.filter(col("vec_id") < nDupVecs)
+        .select(expr("vec_id DIV 2").as("__pair"),
+          xxhash64(struct((0 until 8).map(s => col(s"code_$s")): _*))
+            .as("__h"))
+        .groupBy("__pair")
+        .agg(count_distinct(col("__h")).as("__d"), count(lit(1)).as("__n"))
+        .filter(col("__n") === 2 && col("__d") === 1)
         .count()
       require(agreeing == nDupVecs / 2,
         s"planted twins must encode identically: ${nDupVecs / 2} pairs " +
