@@ -64,17 +64,24 @@ object Bench {
       (n, folded)
     }
 
+  private[graft] def priorQueryTimesForTest(path: String): Map[String, Double] =
+    priorQueryTimes(path)
+
   private def priorQueryTimes(path: String): Map[String, Double] =
     try {
       val text = new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
         java.nio.charset.StandardCharsets.UTF_8)
-      val start = text.indexOf("\"queries\":{")
-      if (start < 0) Map.empty
-      else {
-        val body = text.substring(start + 11, text.indexOf('}', start))
-        """"([^"]+)":(-?[0-9.]+)""".r.findAllMatchIn(body)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      // tolerate `"queries": {` (merge_bench.py writes json.dump's
+      // space after the colon) — round 11 found the no-space form
+      // silently returning empty history, which let a hot run fold
+      // against nothing
+      """"queries"\s*:\s*\{""".r.findFirstMatchIn(text) match {
+        case None => Map.empty
+        case Some(m) =>
+          val body = text.substring(m.end, text.indexOf('}', m.end))
+          """"([^"]+)"\s*:\s*(-?[0-9.]+)""".r.findAllMatchIn(body)
+            .map(g => g.group(1) -> g.group(2).toDouble).toMap
       }
     } catch { case _: Throwable => Map.empty }
 

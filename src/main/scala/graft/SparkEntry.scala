@@ -1328,6 +1328,37 @@ object SparkEntry {
       Scd2.intervals(t(s, dir, "events"), "user_id", "ts", "event_id",
         Seq("event_type", "value"))),
 
+    // changelog time-travel: four upsert batches write a retract-pair
+    // changelog (the reference's toRetractStream wire observable,
+    // CRMLSJoiner.scala:489); snapshotAt(2) reconstructs the table AS
+    // OF batch 2 from the log alone — batch 3 is in the log and must
+    // NOT leak into the answer. One window pass over the log, batch_id
+    // predicate pushed to the scan.
+    "q_changelog_snapshot" -> ((s, dir) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft-changelog-" +
+        s.sparkContext.applicationId
+      // fresh log per call: a bench pass re-running the query must not
+      // append batches 4..7 on top (epoch recovery would keep counting)
+      def rm(f: java.io.File): Unit = {
+        val fs = f.listFiles(); if (fs != null) fs.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(base))
+      val sink = new graft.streaming.UpsertJoin.ParquetUpsertSink(
+        s, s"$base/state", 4, changelogDir = Some(s"$base/log"))
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      (0 to 3).foreach { b =>
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderkey").desc)
+        val batch = orders.filter(col("o_orderkey") % 4 === b)
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        sink.upsert("o_custkey", batch)
+      }
+      sink.snapshotAt("o_custkey", 2L)
+    }),
+
     // storage-layout co-located join: both sides written hash-bucketed
     // on the join key, so the join itself plans with ZERO exchanges
     // (BucketingSpec pins the plan shape; this row pins the values)
@@ -3338,6 +3369,17 @@ object SparkEntry {
                 ORDER BY ts, event_id) IS NULL
               THEN 1 ELSE 0 END AS BIGINT) AS is_current
          FROM events""",
+
+    // replay the same fold in SQL: state as of batches 0..2 = per key
+    // the row of the highest batch that touched it, within that batch
+    // the max-orderkey row (the key-unique reduction each batch applies)
+    "q_changelog_snapshot" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY (o_orderkey % 4) DESC, o_orderkey DESC) AS rn
+           FROM orders WHERE (o_orderkey % 4) <= 2)
+         WHERE rn = 1""",
 
     // the bucketed layout must not change a single row vs the plain join
     "q_bucketed_join" ->

@@ -437,6 +437,14 @@ object Stress {
       // (64-bit xxhash64 — a false agree needs a collision WITHIN one
       // planted pair, ~1e-13 over the corpus, far below the bar's
       // resolution).
+      // the hash check below would treat a pair with matching NULL
+      // codes as agreeing (xxhash64 hashes nulls deterministically),
+      // silently widening the old per-column === bar which rejected
+      // them — so pin the "no null codes" invariant explicitly first
+      val nullCodes = codes.filter(
+        (0 until 8).map(s => col(s"code_$s").isNull).reduce(_ || _)).count()
+      require(nullCodes == 0,
+        s"PQ encode emitted $nullCodes rows with null codes")
       val agreeing = codes.filter(col("vec_id") < nDupVecs)
         .select(expr("vec_id DIV 2").as("__pair"),
           xxhash64(struct((0 until 8).map(s => col(s"code_$s")): _*))

@@ -200,10 +200,20 @@ object CrmlsStream {
       }
       m
     }
+    // the initializer must NOT strongly capture the session: the map
+    // value would then reference its own weak key and no entry could
+    // ever be collected (the WeakHashMap javadoc pitfall). A weak ref
+    // is safe here: the caller holds `spark` for the whole batch, so
+    // the deref below can only see null if the entry ALSO outlived its
+    // session — a cache-coherence bug worth failing loudly on.
+    val sessionRef = new java.lang.ref.WeakReference(spark)
     perSession.getOrElseUpdate(spec.name,
       ThreadLocal.withInitial { () =>
+        val session = sessionRef.get()
+        require(session != null,
+          s"envProjector(${spec.name}): cached entry outlived its SparkSession")
         val valueSchema = StructType(Seq(StructField("value", StringType)))
-        val empty = spark.createDataFrame(
+        val empty = session.createDataFrame(
           java.util.Collections.emptyList[Row](), valueSchema)
         org.apache.spark.sql.graftx.ColumnBridge.rowProjector(
           Crmls.project(empty, spec), valueSchema)
@@ -988,11 +998,12 @@ object CrmlsStream {
       synchronized {
         untouchedRows(entity, schema, keyColName, touchedBuckets) match {
           case None =>
-            // past the local tier: drop a (now-stale-to-be) LOCAL
-            // snapshot, but a dist BASE stays — the batch's promote
-            // marks its touched buckets dirty, which keeps the base
-            // correct without re-reading the whole state next batch
-            if (localSnap(entity).isDefined) invalidate(entity)
+            // past the local tier. No local snapshot can exist in any
+            // None-returning branch (dist base installed, pastLocalCap
+            // memoized, or probe overflow with nothing installed), so
+            // there is nothing to drop here; staleness of a dist BASE
+            // is handled by the batch's promote marking its touched
+            // buckets dirty (the J2 distMarkDirty/invalidate sweep).
             false
           case Some(untouched) =>
             val freshRows = fresh()

@@ -160,8 +160,14 @@ object UpsertJoin {
             java.util.Arrays.equals(
               r.schema.fieldNames.asInstanceOf[Array[AnyRef]],
               full.fieldNames.asInstanceOf[Array[AnyRef]])) r
-        else Row.fromSeq(full.fieldNames.toSeq.map(n =>
-          r.get(r.schema.fieldIndex(n))))
+        // null-fill a column the writing tier omitted instead of
+        // throwing at snapshot time (fieldIndex raises on a miss);
+        // columns the first batch never saw stay out of the snapshot
+        // by construction — `full` is the contract schema
+        else Row.fromSeq(full.fieldNames.toSeq.map { n =>
+          val i = r.schema.fieldNames.indexOf(n)
+          if (i < 0) null else r.get(i)
+        })
       }
       spark.createDataFrame(
         spark.sparkContext.parallelize(aligned), full)
@@ -946,6 +952,46 @@ object UpsertJoin {
         }
       }
     }
+
+    /** Time-travel view: the converged table as of the END of changelog
+      * batch `batchId` (see [[UpsertJoin.snapshotAt]]). Requires this
+      * sink to have a changelog.
+      */
+    def snapshotAt(keyCol: String, batchId: Long): DataFrame = {
+      val clDir = changelogDir.getOrElse(throw new IllegalStateException(
+        "snapshotAt needs a changelog: construct the sink with changelogDir"))
+      awaitCompaction() // delta mode emits changelog at compaction time
+      UpsertJoin.snapshotAt(spark, clDir, keyCol, batchId)
+    }
+  }
+
+  /** Reconstruct the upsert table AS OF the end of changelog batch
+    * `batchId` from a retract-pair changelog alone (the
+    * `toRetractStream` wire observable, reference CRMLSJoiner.scala:489
+    * — this reader is what makes the emitted log QUERYABLE, not just
+    * writable). Fold semantics: a key's state is decided by the highest
+    * batch_id <= batchId that touched it — an insert (op=true) there is
+    * the live row, a bare retract (op=false) means deleted. A crash
+    * replay appends the same delta again under the next batch_id
+    * (pre-images unchanged), so the fold lands on the same row;
+    * byte-identical same-stamp duplicates (task retry) collapse via
+    * distinct. One hash exchange on the key; the batch_id predicate
+    * pushes to the parquet scan, so on a date/batch-partitioned log at
+    * production scale the read is bounded by history touched, not log
+    * size.
+    */
+  def snapshotAt(spark: SparkSession, changelogDir: String, keyCol: String,
+                 batchId: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val log = spark.read.option("mergeSchema", "true").parquet(changelogDir)
+      .filter(col("batch_id") <= batchId)
+      .distinct()
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("batch_id").desc, col("op").desc)
+    log.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("op"))
+      .drop("__rn", "op", "batch_id")
   }
 
   /** Drive a streaming fact source through a per-batch join against

@@ -57,6 +57,20 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(!folded.contains("gone")) // dropped from catalog -> dropped
   }
 
+  test("prior parse tolerates merge_bench.py's spaced JSON") {
+    val dir = java.nio.file.Files.createTempDirectory("benchprior")
+    val f = dir.resolve("BENCH.json")
+    java.nio.file.Files.writeString(f,
+      """{"metric": "total", "value": 88.478, "unit": "sec", "queries": {"q1_agg": 0.301, "q_multijoin": 0.892}, "runs": {}}""")
+    val m = Bench.priorQueryTimesForTest(f.toString)
+    assert(m === Map("q1_agg" -> 0.301, "q_multijoin" -> 0.892))
+    // and the compact no-space form Bench itself writes
+    java.nio.file.Files.writeString(f,
+      """{"metric":"total","value":1.0,"queries":{"a":0.5,"b":-1.0},"runs":{}}""")
+    assert(Bench.priorQueryTimesForTest(f.toString) ===
+      Map("a" -> 0.5, "b" -> -1.0))
+  }
+
   test("out-of-band write provably leaves BENCH.json untouched") {
     val dir = java.nio.file.Files.createTempDirectory("benchguard")
     val committed = dir.resolve("BENCH.json")

@@ -209,6 +209,35 @@ class ChangelogSinkSpec extends SparkTestBase {
     assert(e.getMessage.contains("merge-on-write"))
   }
 
+  test("snapshotAt reconstructs any point in history; last == live table") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cl-tt").toString
+    val sink = new UpsertJoin.ParquetUpsertSink(spark, s"$tmp/out",
+      nBuckets = 8, changelogDir = Some(s"$tmp/cl"))
+    sink.upsert("k", Seq(("a", 1L, "v1"), ("b", 1L, "w1")).toDF("k", "ts", "p"))
+    sink.upsert("k", Seq(("a", 2L, "v2"), ("c", 1L, "x1")).toDF("k", "ts", "p"))
+    sink.upsert("k", Seq(("b", 9L, "w9")).toDF("k", "ts", "p"))
+
+    def at(b: Long): Map[String, (Long, String)] =
+      sink.snapshotAt("k", b).select("k", "ts", "p").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+
+    // mid-history points DIVERGE from the live table as they must
+    assert(at(0L) === Map("a" -> ((1L, "v1")), "b" -> ((1L, "w1"))))
+    assert(at(1L) === Map("a" -> ((2L, "v2")), "b" -> ((1L, "w1")),
+      "c" -> ((1L, "x1"))))
+    // last batch == live snapshot, row for row
+    val live = sink.snapshot(spark).select("k", "ts", "p").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(at(2L) === live)
+    // a replayed delta (crash between changelog append and promote
+    // re-appends under the NEXT stamp, pre-images unchanged) must fold
+    // to the same rows: simulate by appending batch 2's pairs again
+    val dup = spark.read.parquet(s"$tmp/cl").filter(col("batch_id") === 2L)
+      .withColumn("batch_id", lit(3L))
+    dup.write.mode("append").parquet(s"$tmp/cl")
+    assert(at(3L) === live, "duplicate replay delta must not change the fold")
+  }
+
   test("changelog off by default: no side output, merge unchanged") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-nocl").toString
     val sink = new UpsertJoin.ParquetUpsertSink(spark, s"$tmp/out", nBuckets = 4)

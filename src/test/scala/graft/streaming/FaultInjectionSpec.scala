@@ -115,6 +115,10 @@ class FaultInjectionSpec extends SparkTestBase {
           } catch { case _: InjectedCrash => true }
           finally CrmlsStream.failpoint.set(null)
         assert(crashed, s"failpoint $killPhase did not fire on batch $i")
+        // a real crash kills the JVM; here the abandoned sink may still
+        // have an async compaction in flight over the same dirs —
+        // quiesce it so it cannot race the replacement's replay writes
+        sink.awaitCompaction()
         // restart: new instances over the same dirs, replay the batch
         store = mkStore(s"$tmp/state")
         sink = new UpsertJoin.ParquetUpsertSink(spark, s"$tmp/sink", 4)
@@ -175,6 +179,10 @@ class FaultInjectionSpec extends SparkTestBase {
           // some batches may not touch the family at all — then the
           // batch simply completed and there is nothing to replay
           if (crashed) {
+            // quiesce the abandoned sink's async compaction before a
+            // replacement touches the same dirs (test-only race: a
+            // real crash takes the JVM with it)
+            sink.awaitCompaction()
             store = defaultStore(s"$tmp/state")
             sink = mkSink()
             CrmlsStream.processBatch(spark, batchDf(b), store, sink)
