@@ -1346,12 +1346,17 @@ object SparkEntry {
       rm(new java.io.File(base))
       val sink = new graft.streaming.UpsertJoin.ParquetUpsertSink(
         s, s"$base/state", 4, changelogDir = Some(s"$base/log"))
+      // a 1/5 orderkey sample keeps the four upsert+changelog batches
+      // (each pays an exceptAll change-detection and a bucket merge)
+      // bench-priced at history-replay cost, not table-scan cost —
+      // the REPLAY semantics are identical at any sample rate
       val orders = t(s, dir, "orders")
         .select("o_orderkey", "o_custkey", "o_totalprice")
+        .filter(col("o_orderkey") % 20 < 4)
       (0 to 3).foreach { b =>
         val w = Window.partitionBy("o_custkey")
           .orderBy(col("o_orderkey").desc)
-        val batch = orders.filter(col("o_orderkey") % 4 === b)
+        val batch = orders.filter(col("o_orderkey") % 20 === b)
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
         sink.upsert("o_custkey", batch)
@@ -3377,8 +3382,8 @@ object SparkEntry {
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,
                   row_number() OVER (PARTITION BY o_custkey
-                    ORDER BY (o_orderkey % 4) DESC, o_orderkey DESC) AS rn
-           FROM orders WHERE (o_orderkey % 4) <= 2)
+                    ORDER BY (o_orderkey % 20) DESC, o_orderkey DESC) AS rn
+           FROM orders WHERE (o_orderkey % 20) <= 2)
          WHERE rn = 1""",
 
     // the bucketed layout must not change a single row vs the plain join

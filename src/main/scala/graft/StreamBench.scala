@@ -157,6 +157,15 @@ object StreamBench {
         .unionByName(agentBatch(spark.range(nAgents).toDF("id"), ts = 100)),
       store, sink)
     val seedSec = (System.nanoTime() - t0) / 1e9
+    // buckets ∝ state, decided from the SEEDED bytes (not hand-sized):
+    // rehash here — a batch boundary — so no measured mix batch absorbs
+    // the one-off rebucketing; every mix's copied state inherits the
+    // grown layout via the durable .nbuckets stamp
+    val autoBuckets = store.maybeRehash()
+    autoBuckets.foreach(n =>
+      System.err.println(f"[streambench] rehash: $nBuckets -> $n buckets " +
+        f"(state ${store.stateBytes() / 1e6}%.0f MB)"))
+    val effBuckets = store.curBuckets
 
     // -------------------------------------------------- micro-batches
     // per batch at the base 40-row mix: 30 listing updates + 5 agent
@@ -569,13 +578,13 @@ object StreamBench {
         // 2.8 s vs 3.8 s sequenced, narrowed 2.6 s vs 4.3 s), so
         // paired tiers are only comparable fork-vs-fork.
         f"""{"seed_listings":$base,"seed_sec":$seedSec%.1f,""" +
-          f""""buckets":$nBuckets,"payload_bytes":$payloadBytes,""" +
+          f""""buckets":$effBuckets,"payload_bytes":$payloadBytes,""" +
           ranMixes.map { case (n, s) =>
             if (s.startsWith("\"" + n)) s else s""""$n":{$s}"""
           }.mkString(",") + "}"
       else
         f"""{"seed_listings":$base,"seed_sec":$seedSec%.1f,""" +
-          f""""buckets":$nBuckets,"payload_bytes":$payloadBytes,""" + small +
+          f""""buckets":$effBuckets,"payload_bytes":$payloadBytes,""" + small +
           s""","large_batch":{$large},""" +
           s""""dim_only_batch":{$dimOnly},""" +
           s""""dim_only_batch_narrowed":{$dimOnlyNarrow},""" +

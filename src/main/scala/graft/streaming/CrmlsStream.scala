@@ -306,13 +306,26 @@ object CrmlsStream {
     */
   final class StateStore(spark: SparkSession,
                          private[streaming] val dir: String,
-                         private[streaming] val nBuckets: Int = 16,
+                         nBuckets: Int = 16,
                          private[streaming] val localSnapshotMaxRows: Int = 200000,
                          private[streaming] val idxLocalMaxRows: Int = 1000000,
                          private[streaming] val pendingEnabled: Boolean =
                            PendingStateEnabled)
       extends Serializable {
     private[streaming] def path(entity: String) = s"$dir/$entity"
+
+    /** CURRENT bucket count — the constructor value until a rehash
+      * grows it, then the durable `.nbuckets` stamp (a restarted store
+      * MUST agree with the files on disk, whatever its constructor got;
+      * see [[maybeRehash]]).
+      */
+    private[graft] var curBuckets: Int = {
+      val stamp = java.nio.file.Paths.get(dir, ".nbuckets")
+      if (java.nio.file.Files.exists(stamp))
+        new String(java.nio.file.Files.readAllBytes(stamp),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+      else nBuckets
+    }
 
     // ---- pending-delta state appends (LSM tier) ----------------------
     // A FUSED micro-batch appends each entity's per-batch WINNERS (the
@@ -386,7 +399,7 @@ object CrmlsStream {
         keyColName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       LocalParquet.write(spark, rows.iterator.map { r =>
         val b = BucketedState.bucketOfLocal(
-          if (r.isNullAt(ki)) null else r.getString(ki), nBuckets)
+          if (r.isNullAt(ki)) null else r.getString(ki), curBuckets)
         bs += b
         Row.fromSeq(r.toSeq ++ Seq[Any](g, b))
       }, outSchema, genDir.resolve("part-00000.parquet").toString)
@@ -397,6 +410,213 @@ object CrmlsStream {
 
     private[streaming] def pendingGenCount(entity: String): Int =
       pendingGenDirs(entity).size
+
+    // ---- pending OVERLAY (round 11): the dist-pendings tier -----------
+    // The fused tier's fold invariant ("readers never merge pendings")
+    // priced every OVER-CAP batch at a full touched-bucket rewrite —
+    // 76 MB/batch ∝ state/buckets at the 1 M-seed capture, the one term
+    // still coupled to state size. The dist tier keeps the pendings
+    // UNFOLDED across batches and overlays them at read time instead:
+    //   truth(entity) = base files (∖ pending keys) ⊎ latest pending row
+    // The pendings between folds are delta-proportional (per-batch
+    // winners), so the anti-join side broadcasts and the overlay plan
+    // stays scan-shaped. Folds run ONLY at the batch-boundary prelude
+    // ([[foldPendingsAtCadence]]) — a mid-batch fold would delete files
+    // that this batch's already-constructed lazy plans still reference.
+
+    /** Raw pending rows (entity schema + __gen) for `buckets` (all when
+      * None); None when the entity has no pendings.
+      */
+    private[streaming] def pendingOverlayDf(entity: String,
+        schema: StructType, buckets: Option[Seq[Int]]): Option[DataFrame] =
+      synchronized {
+        val gens = pendingGenDirs(entity)
+        if (gens.isEmpty) None
+        else {
+          val pendSchema = StructType(schema.fields ++ Seq(
+            StructField("__gen", org.apache.spark.sql.types.LongType),
+            StructField(BucketedState.BucketColName, IntegerType)))
+          val df = spark.read.schema(pendSchema)
+            .parquet(gens.map(_.getPath): _*)
+          val want = buckets match {
+            case Some(bs) =>
+              df.filter(col(BucketedState.BucketColName).isin(bs: _*))
+            case None => df
+          }
+          Some(want.drop(BucketedState.BucketColName))
+        }
+      }
+
+    /** `base` with this entity's unfolded pendings folded in at PLAN
+      * level: keyed entities collapse to the newest pending generation
+      * per key (pendings are per-batch post-merge winners, so gen order
+      * IS recency — same rule as [[ensureFolded]]'s file merge); the
+      * reverse index is add-only and just unions (readers distinct).
+      * The pending side is delta-bounded, so the key anti-join
+      * broadcasts and the composed plan stays scan-dominated.
+      */
+    private[streaming] def withPendingOverlay(entity: String,
+        schema: StructType, keyColName: String, buckets: Option[Seq[Int]],
+        base: Option[DataFrame]): Option[DataFrame] =
+      pendingOverlayDf(entity, schema, buckets) match {
+        case None => base
+        case Some(pend) if entity == IdxName =>
+          val p = pend.drop("__gen")
+          Some(base.map(_.unionByName(p)).getOrElse(p))
+        case Some(pend) =>
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col(keyColName)).orderBy(col("__gen").desc)
+          val latest = pend.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn", "__gen")
+          base match {
+            case None => Some(latest)
+            case Some(b) =>
+              val keys = latest.select(col(keyColName)).distinct()
+              Some(b.join(broadcast(keys), Seq(keyColName), "left_anti")
+                .unionByName(latest)
+                .select(schema.fieldNames.toSeq.map(col): _*))
+          }
+      }
+
+    /** Batch-boundary fold policy for the dist-pendings tier: fold an
+      * entity only at the compaction cadence (amortizing the touched-
+      * bucket rewrite over [[PendingFoldEvery]] batches) or when it is
+      * COLD (no snapshot, not known past the cap — process restart with
+      * pendings on disk) so it can re-enter the local tier. Everything
+      * else keeps its pendings and is served via the overlay.
+      */
+    // ---- buckets ∝ state (round 11): power-of-2 rehash on growth ------
+    // The over-cap tier's per-batch durable cost carries a term
+    // ∝ state/buckets (the fold's touched-bucket rewrite), so a fixed
+    // bucket count degrades linearly with state growth — the r10 1 M
+    // captures were HAND-sized to 1,024. The store now derives the
+    // count from observed state bytes: grow to pow2floor(bytes /
+    // TargetBucketBytes) whenever that exceeds the current count,
+    // rebucketing each entity via a build-into-fresh-dir + two-rename
+    // swap (the same heal-able protocol as the bucket promote) and
+    // stamping the result durably — a restarted store reads the stamp,
+    // never its constructor default. Resume protocol: `.nbuckets_next`
+    // written first; a crash mid-rehash re-runs the whole (idempotent)
+    // rehash on the next maybeRehash.
+    private[streaming] val TargetBucketBytes: Long =
+      sys.env.get("SPARK_GRAFT_STATE_BUCKET_BYTES").map(_.toLong)
+        .getOrElse(1L << 20)
+    private[streaming] val MaxBuckets: Int = 1 << 16
+    private def allEntityNames: Seq[String] =
+      Crmls.allEntities.map(_.name) :+ IdxName
+    private def entitySchemaOf(e: String): (StructType, String) =
+      if (e == IdxName) (IdxSchema, "ref_val")
+      else {
+        val spec = Crmls.allEntities.find(_.name == e).get
+        (Crmls.projectionSchema(spec), spec.dedupKeyCol)
+      }
+
+    /** Total durable state bytes (bucket files + pendings). */
+    private[graft] def stateBytes(): Long = {
+      def sizeOf(f: java.io.File): Long =
+        if (f.isFile) f.length()
+        else Option(f.listFiles()).map(_.map(sizeOf).sum).getOrElse(0L)
+      allEntityNames.map(e => sizeOf(new java.io.File(path(e)))).sum
+    }
+
+    private def pow2Floor(x: Long): Int = {
+      var p = 1
+      while (p.toLong * 2 <= x && p < MaxBuckets) p *= 2
+      p
+    }
+
+    /** Grow the bucket count when the observed bytes/bucket passed the
+      * target; also completes a crashed rehash. Batch-boundary API —
+      * call BEFORE a batch computes any bucket id. Returns the new
+      * count when it rehashed.
+      */
+    private[graft] def maybeRehash(): Option[Int] = synchronized {
+      val next = java.nio.file.Paths.get(dir, ".nbuckets_next")
+      if (java.nio.file.Files.exists(next)) {
+        val n2 = new String(java.nio.file.Files.readAllBytes(next),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+        rehashTo(n2); Some(n2)
+      } else {
+        val want = math.min(MaxBuckets,
+          pow2Floor(stateBytes() / math.max(TargetBucketBytes, 1L)))
+        if (want > curBuckets) { rehashTo(want); Some(want) } else None
+      }
+    }
+
+    private def rehashTo(n2: Int): Unit = {
+      foldAllPendings() // pending rows carry bucket ids of the OLD count
+      val next = java.nio.file.Paths.get(dir, ".nbuckets_next")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      java.nio.file.Files.write(next, n2.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      allEntityNames.foreach { e =>
+        healRehash(e)
+        if (BucketedState.listBuckets(path(e)).nonEmpty) {
+          val (schema, keyCol) = entitySchemaOf(e)
+          val df = BucketedState.readAll(spark, path(e), Some(schema)).get
+          val out = df.withColumn(BucketedState.BucketColName,
+            BucketedState.bucketOf(col(keyCol), n2))
+          val fresh = s"${path(e)}.rehash"
+          BucketedState.deleteRecursively(java.nio.file.Paths.get(fresh))
+          BucketedState.overwriteBuckets(spark, fresh, out, 0 until n2)
+          // dir-level two-rename swap, heal-able by [[healRehash]]
+          val live = java.nio.file.Paths.get(path(e))
+          val old = java.nio.file.Paths.get(s"${path(e)}.rehash_old")
+          java.nio.file.Files.move(live, old,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          java.nio.file.Files.move(java.nio.file.Paths.get(fresh), live,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          BucketedState.deleteRecursively(old)
+        }
+        invalidate(e) // snapshot bucket arrays hashed under the old count
+      }
+      pendingGenNext.clear(); pendingBucketSets.clear()
+      curBuckets = n2
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, ".nbuckets"),
+        n2.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.delete(next)
+    }
+
+    /** Heal a torn dir-level swap: old-without-live restores the old
+      * dir (content was never promoted); old-with-live deletes the
+      * superseded old; a leftover `.rehash` build is discarded (it is
+      * rebuilt from live).
+      */
+    private def healRehash(e: String): Unit = {
+      val live = new java.io.File(path(e))
+      val old = new java.io.File(s"${path(e)}.rehash_old")
+      if (old.exists() && !live.exists())
+        java.nio.file.Files.move(old.toPath, live.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      else if (old.exists())
+        BucketedState.deleteRecursively(old.toPath)
+      BucketedState.deleteRecursively(
+        java.nio.file.Paths.get(s"${path(e)}.rehash"))
+    }
+
+    // the per-batch stateBytes() walk is gated to every Nth batch —
+    // growth is slow relative to batch cadence, and a tree walk per
+    // micro-batch is pure overhead on an object store
+    private val rehashCheckEvery = PendingFoldEvery
+    private var rehashTick = 0
+    private[streaming] def maybeRehashIfDue(): Option[Int] = synchronized {
+      rehashTick += 1
+      if (rehashTick == 1 || rehashTick % rehashCheckEvery == 0 ||
+          java.nio.file.Files.exists(
+            java.nio.file.Paths.get(dir, ".nbuckets_next")))
+        maybeRehash()
+      else None
+    }
+
+    private[streaming] def foldPendingsAtCadence(): Unit = synchronized {
+      (Crmls.allEntities.map(_.name) :+ IdxName).foreach { e =>
+        if (hasPendings(e)) {
+          val cold = !snapshots.contains(e) && !pastLocalCap(e)
+          if (pendingGenCount(e) >= PendingFoldEvery || cold)
+            ensureFoldedAuto(e)
+        }
+      }
+    }
 
     /** Schema-less [[ensureFolded]] for call sites that only know the
       * entity name: schema comes from the pending files' footers,
@@ -480,7 +700,7 @@ object CrmlsStream {
               }
             BucketedState.overwriteBuckets(spark, path(entity),
               merged.withColumn(BucketedState.BucketColName,
-                BucketedState.bucketOf(col(keyColName), nBuckets)),
+                BucketedState.bucketOf(col(keyColName), curBuckets)),
               covered)
             // a persisted distributed snapshot (Right) is stale after a
             // file merge — drop it; pendings imply it shouldn't exist
@@ -651,7 +871,7 @@ object CrmlsStream {
                                 keyColName: String): Option[DataFrame] =
       BucketedState.readAll(spark, path(entity), Some(schema)).map { df =>
         val base = df.withColumn(SnapBucketCol,
-          BucketedState.bucketOf(col(keyColName), nBuckets)).persist()
+          BucketedState.bucketOf(col(keyColName), curBuckets)).persist()
         base.count() // pin content now — promote deletes replaced files
         snapshots(entity) = Right(base)
         distDirty(entity) = Set.empty
@@ -696,12 +916,20 @@ object CrmlsStream {
       synchronized {
         snapshots.get(entity) match {
           case Some(Right(base)) =>
-            Some(composeDist(entity, base, schema, Some(touched)))
+            withPendingOverlay(entity, schema, keyColName, Some(touched),
+              Some(composeDist(entity, base, schema, Some(touched))))
           case Some(Left(_)) => None // the local tier serves these
           case None if pastLocalCap(entity) =>
-            ensureFolded(entity, schema, keyColName)
+            // fold only when no pendings are in flight: a mid-batch fold
+            // would delete files this batch's lazy plans already hold —
+            // with pendings, install the base from the CURRENT files and
+            // let the overlay serve the pending generations
+            if (!hasPendings(entity))
+              ensureFolded(entity, schema, keyColName)
             installDistBase(entity, schema, keyColName)
               .map(b => composeDist(entity, b, schema, Some(touched)))
+              .flatMap(c => withPendingOverlay(entity, schema, keyColName,
+                Some(touched), Some(c)))
           case None => None
         }
       }
@@ -718,7 +946,7 @@ object CrmlsStream {
         snapshots.get(entity) match {
           case Some(Right(_)) =>
             val d = distDirty.getOrElse(entity, Set.empty) ++ touched
-            if (d.size * 2 >= nBuckets) invalidate(entity)
+            if (d.size * 2 >= curBuckets) invalidate(entity)
             else distDirty(entity) = d
             true
           case _ => false
@@ -739,7 +967,7 @@ object CrmlsStream {
       while (i < rows.length) {
         val key =
           if (rows(i).isNullAt(ki)) null else rows(i).getString(ki)
-        buckets(i) = BucketedState.bucketOfLocal(key, nBuckets)
+        buckets(i) = BucketedState.bucketOfLocal(key, curBuckets)
         keyIndex.put(key, i)
         i += 1
       }
@@ -830,7 +1058,14 @@ object CrmlsStream {
         snapshots.get(entity) match {
           case Some(Left(snap)) => Some(localDf(snap.rows, schema))
           case Some(Right(base)) =>
-            Some(composeDist(entity, base, schema, None))
+            withPendingOverlay(entity, schema, keyColName, None,
+              Some(composeDist(entity, base, schema, None)))
+          case None if hasPendings(entity) =>
+            // defensive: the prelude folds cold entities, so this branch
+            // should not see pendings — if it does, serve files ⊎ overlay
+            // WITHOUT folding or installing (no mid-batch file deletion)
+            withPendingOverlay(entity, schema, keyColName, None,
+              BucketedState.readAll(spark, path(entity), Some(schema)))
           case None =>
             ensureFolded(entity, schema, keyColName)
             BucketedState.readAll(spark, path(entity), Some(schema)).flatMap { df =>
@@ -875,6 +1110,11 @@ object CrmlsStream {
           Some(keep.result())
         case Some(Right(_)) => None
         case None if pastLocalCap(entity) => None // memo: skip the probe
+        case None if hasPendings(entity) =>
+          // defensive (prelude folds cold entities): never install a
+          // local snapshot from files that lack the pending generations,
+          // and never fold mid-batch — stay on the dist/overlay path
+          None
         case None =>
           ensureFolded(entity, schema, keyColName)
           val others = BucketedState.listBuckets(path(entity)).filterNot(t)
@@ -954,7 +1194,7 @@ object CrmlsStream {
               fresh.foreach { w =>
                 val key = keyOf(w)
                 rows(n + i) = w
-                buckets(n + i) = BucketedState.bucketOfLocal(key, nBuckets)
+                buckets(n + i) = BucketedState.bucketOfLocal(key, curBuckets)
                 keyIndex.put(key, n + i)
                 i += 1
               }
@@ -1050,7 +1290,7 @@ object CrmlsStream {
         // which buckets does this batch touch? (one tiny job; the delta
         // is cached so the merge below doesn't recompute the projection)
         val touched = cached
-          .select(BucketedState.bucketOf(col(keyCol), nBuckets).as("__b"))
+          .select(BucketedState.bucketOf(col(keyCol), curBuckets).as("__b"))
           .distinct().collect().map(_.getInt(0)).toSeq.sorted
         // merge against ONLY the touched buckets' current rows. The
         // state's column set must match the delta's: a store populated
@@ -1073,7 +1313,7 @@ object CrmlsStream {
         val latest = LatestVersion.latestOne(
           merged, keyCol, tsCol, tiebreakCol = "__tie").drop("__tie")
           .withColumn(BucketedState.BucketColName,
-            BucketedState.bucketOf(col(keyCol), nBuckets))
+            BucketedState.bucketOf(col(keyCol), curBuckets))
         BucketedState.overwriteBuckets(spark, path(entity), latest, touched)
       } finally cached.unpersist()
       read(entity).get
@@ -1128,7 +1368,10 @@ object CrmlsStream {
         t0 = t1
       }
     }
-    val storeN = store.nBuckets
+    // batch-boundary rehash check (buckets ∝ state): MUST precede any
+    // bucket-id computation — everything below hashes against storeN
+    store.maybeRehashIfDue().foreach(n2 => mark(s"J0:rehash:$n2"))
+    val storeN = store.curBuckets
     // a micro-batch is tiny relative to its source partitioning (a
     // unioned multi-topic stream easily carries 40 rows in 40+
     // partitions) and every J1 discovery branch re-scans it — coalesce
@@ -1276,7 +1519,20 @@ object CrmlsStream {
       val branchEntities: Seq[String] =
         present ++ touched.get(IdxName).map(_ => IdxName).toSeq
       val fastMerge = driverTier && branchEntities.forall(store.localOrEmpty)
-      if (!fastMerge) store.foldAllPendings()
+      // Dist-pendings admission (the over-cap LSM tier): a driver-tier
+      // batch whose state is past the local caps appends per-entity
+      // winners as pending generations instead of rewriting its touched
+      // buckets full-width; every state reader overlays the unfolded
+      // pendings (withPendingOverlay). Folds then happen HERE ONLY, at
+      // the batch boundary — compaction cadence or cold re-entry — so
+      // no lazy plan built below can dangle on a deleted pending file.
+      // A non-driver-tier batch (catch-up) keeps the classic rewrite
+      // and folds everything first, exactly as before.
+      val distPendings = store.pendingEnabled && !fastMerge && driverTier
+      if (!fastMerge) {
+        if (distPendings) store.foldPendingsAtCadence()
+        else store.foldAllPendings()
+      }
 
       // ---- merged latest-state frames per present entity: LAZY plans
       // over the PRE-write generation — local snapshot rows where
@@ -1603,6 +1859,10 @@ object CrmlsStream {
       var collectedUnion: Option[(Array[Row], StructType)] = None
       var mergedEntityRows: Map[String, Array[Row]] = Map.empty
       var pendingByEntity: Map[String, Array[Row]] = Map.empty
+      // middle-tier refresh collects, kept for the dist-pendings writer:
+      // a refreshed entity's winners are a driver-side filter of these
+      // rows (zero extra jobs)
+      var capturedFresh: Map[String, Array[Row]] = Map.empty
       val refreshed: Set[String] =
         if (fastMerge) {
           val (mergedEnt, pend) = driverMerged() // zero jobs: every merge
@@ -1637,6 +1897,7 @@ object CrmlsStream {
             idxMergedOpt.toSeq.flatMap(m =>
               if (refresh(IdxName, m, buildMap = false)) Seq(IdxName)
               else Nil)
+          capturedFresh = freshRows.toMap
           if (r.size == branchEntities.size)
             collectedUnion = Some((
               branchEntities.toArray.flatMap(e =>
@@ -1724,6 +1985,64 @@ object CrmlsStream {
             unionRowsOf(e, mergedEntityRows(e)))
           BucketedState.writeEntityInflightLocal(spark, store.dir,
             rows, unionSchema, touchedByEntity)
+        } else if (distPendings) {
+          // OVER-CAP LSM WRITE: per-entity winners for exactly the
+          // batch's delta keys land as pending generations — durable
+          // bytes/batch are delta-proportional; the touched buckets'
+          // accumulated content is rewritten only at the fold cadence.
+          // Winners of refreshed entities are a driver filter of the
+          // captured refresh rows; entities past the local tier run ONE
+          // union job over the restricted merge plans (the key
+          // predicate pushes below each plan's latest-wins window, so
+          // the job is point-lookup-shaped over the cached dist base).
+          val deltaKeySets: Map[String, Set[String]] = present.map { name =>
+            val spec = specByName(name)
+            val ki = projectionSchema(spec).fieldIndex(spec.dedupKeyCol)
+            name -> deltaRows(name).iterator.filter(!_.isNullAt(ki))
+              .map(_.getString(ki)).toSet
+          }.toMap
+          val needJob = present.filterNot(capturedFresh.contains)
+          val jobRows: Map[String, Array[Row]] =
+            if (needJob.isEmpty) Map.empty
+            else {
+              val branches = needJob.map { name =>
+                val spec = specByName(name)
+                canonicalize(mergedByName(name).filter(
+                  col(spec.dedupKeyCol)
+                    .isin(deltaKeySets(name).toSeq: _*)),
+                  name, lit(0))
+              }
+              val collected = branches.reduce(_ unionByName _).collect()
+              needJob.map(name => name -> extractEntityRows(collected,
+                name, projectionSchema(specByName(name)))).toMap
+            }
+          present.foreach { name =>
+            val spec = specByName(name)
+            val schema = projectionSchema(spec)
+            val ki = schema.fieldIndex(spec.dedupKeyCol)
+            val ks = deltaKeySets(name)
+            val winners = capturedFresh.get(name) match {
+              case Some(rows) => rows.filter(r =>
+                !r.isNullAt(ki) && ks.contains(r.getString(ki)))
+              case None => jobRows(name)
+            }
+            if (winners.nonEmpty) {
+              // failpoint per entity: a crash here leaves a TORN
+              // multi-entity append (earlier entities' gens durable,
+              // later ones missing) — the replay re-appends the full
+              // set and the gen-desc fold converges (FaultInjectionSpec
+              // enumerates these windows on the over-cap matrix)
+              mark(s"J2:pend:$name")
+              store.appendPendingLocal(name, winners, schema,
+                spec.dedupKeyCol)
+            }
+          }
+          // the reverse index is add-only: the batch's fresh entries ARE
+          // its delta winners (fold/overlay distinct away duplicates)
+          if (touched.contains(IdxName) && refRows.nonEmpty) {
+            mark("J2:pend:__idx")
+            store.appendPendingLocal(IdxName, refRows, IdxSchema, "ref_val")
+          }
         } else collectedUnion match {
           // middle tier with every refresh captured: write the
           // inflight bucket files driver-direct (no
@@ -1961,10 +2280,18 @@ object CrmlsStream {
       // and after the swap), while the reverse order had a window —
       // an exception mid-promote would leave promoted buckets unmarked
       // and a same-JVM retry reading their stale cached content.
-      branchEntities.filterNot(refreshed).foreach { e =>
-        if (!store.distMarkDirty(e, touched(e))) store.invalidate(e)
+      if (distPendings) {
+        // pendings path: no inflight bucket files were written — the
+        // base files are untouched, so an installed dist base stays
+        // VALID as-is and the next batch's overlay serves the new
+        // generation. Marking dirty here would only force pointless
+        // file re-reads of unchanged buckets.
+      } else {
+        branchEntities.filterNot(refreshed).foreach { e =>
+          if (!store.distMarkDirty(e, touched(e))) store.invalidate(e)
+        }
+        BucketedState.promoteEntityBuckets(store.dir, touchedByEntity)
       }
-      BucketedState.promoteEntityBuckets(store.dir, touchedByEntity)
       mark("J2:promote")
     } finally {
       scratch.foreach(_.unpersist())

@@ -118,6 +118,56 @@ class BucketedStateSpec extends SparkTestBase {
     assert(survivors(0)("b") === 7)
   }
 
+  test("rehash grows the bucket count, preserves content, survives restart") {
+    def env(pk: String, ts: Long, data: String): String =
+      s"""{"data":"$data","uc_pk":"$pk","uc_update_ts":"u$ts",""" +
+        s""""uc_version":"1","uc_created_ts":"$ts","uc_row_type":"r",""" +
+        s""""uc_type":"t","uc_valid_day":"1","uc_valid_ts":"$ts"}"""
+    val tmp = Files.createTempDirectory("graft-rehash").toString
+    val store = new CrmlsStream.StateStore(spark, s"$tmp/state", nBuckets = 4)
+    val sink = new UpsertJoin.ParquetUpsertSink(spark, s"$tmp/sink", 4)
+    val rows = (0 until 40).map(i => "listings" ->
+      env(s"L$i", 100 + i, s"""{\\"ListingKeyNumeric\\":\\"LK$i\\"}"""))
+    CrmlsStream.processBatch(spark,
+      rows.toDF("entity", "value"), store, sink)
+
+    def listingRows(s: CrmlsStream.StateStore): Set[(String, String)] = {
+      s.foldAllPendings()
+      BucketedState.readAll(spark, s"$tmp/state/listings", None).get
+        .select("l_uc_pk", "l_uc_created_ts")
+        .collect().map(r => (r.getString(0), String.valueOf(r.get(1)))).toSet
+    }
+    val before = listingRows(store)
+    assert(before.size === 40)
+
+    // resume protocol doubles as the test lever: a durable
+    // .nbuckets_next IS a pending rehash, whoever wrote it
+    Files.writeString(
+      java.nio.file.Paths.get(s"$tmp/state", ".nbuckets_next"), "32")
+    assert(store.maybeRehash() === Some(32))
+    assert(store.curBuckets === 32)
+    // content byte-for-key identical, now spread over more buckets
+    assert(listingRows(store) === before)
+    val dirs = new java.io.File(s"$tmp/state/listings").listFiles()
+      .filter(_.getName.startsWith("bucket_"))
+      .map(_.getName.stripPrefix("bucket_").toInt)
+    assert(dirs.max < 32 && dirs.length > 4,
+      s"expected re-spread buckets, got ${dirs.sorted.toSeq}")
+
+    // a RESTARTED store (constructor says 4) must read the stamp
+    val restarted = new CrmlsStream.StateStore(spark, s"$tmp/state",
+      nBuckets = 4)
+    assert(restarted.curBuckets === 32)
+    // and keep converging: an update through the restarted store lands
+    val sink2 = new UpsertJoin.ParquetUpsertSink(spark, s"$tmp/sink", 4)
+    CrmlsStream.processBatch(spark,
+      Seq("listings" -> env("L1", 999,
+        s"""{\\"ListingKeyNumeric\\":\\"LK1b\\"}""")).toDF("entity", "value"),
+      restarted, sink2)
+    val after = listingRows(restarted)
+    assert(after.contains(("L1", "999")) && after.size === 40)
+  }
+
   private implicit class Tup3Map(rows: Array[(String, Long, String)]) {
     def toMap2: Map[String, (Long, String)] =
       rows.map(r => r._1 -> ((r._2, r._3))).toMap
