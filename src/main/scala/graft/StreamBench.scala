@@ -67,7 +67,19 @@ object StreamBench {
     // batch means EVERY bucket is touched and incremental maintenance
     // buys nothing — size buckets well above per-batch key count (the
     // RocksDB analog: many SSTs, few touched per write batch).
-    val nBuckets = sys.env.getOrElse("SPARK_GRAFT_SB_BUCKETS", "256").toInt
+    // Auto-sized unless overridden: ~2.5 payload-multiples of enriched
+    // row mass per seeded listing, a power of 2, floor 256 — the two
+    // documented seeds land at 256 (100k) and 1,024 (1M) WITHOUT
+    // hand-sizing. The sink cannot rehash (fixed file layout), so its
+    // count is decided here from the seed parameters; the STORE
+    // additionally self-corrects from observed bytes (maybeRehash).
+    val nBuckets = sys.env.get("SPARK_GRAFT_SB_BUCKETS").map(_.toInt)
+      .getOrElse {
+        val estBytes = base.toLong *
+          sys.env.getOrElse("SPARK_GRAFT_SB_PAYLOAD", "512").toInt * 5 / 2
+        val want = (estBytes >> 20).toInt.max(1)
+        math.min(1 << 16, math.max(256, Integer.highestOneBit(want)))
+      }
     val nAgents = math.max(base / 10, 1)
     // AQE re-plans every exchange as its own stage-job with runtime
     // statistics — worth it for 100 GB shuffles, pure scheduling
@@ -252,6 +264,7 @@ object StreamBench {
       val rowsPerBatch = listingRows + agentRows + mediaRows
       val times = new Array[Double](nBatches)
       val rewrites = new Array[Long](nBatches)
+      val stateRw = new Array[Long](nBatches)
       val jobs = new Array[Int](nBatches)
       var warmupSec = 0.0
       var snap: Map[String, Long] = null
@@ -283,6 +296,13 @@ object StreamBench {
           jobs(i) = counter.count.get() - j0
           val cur = fileSizes(Seq(mixStateDir, mixSinkDir))
           rewrites(i) = rewrittenBytes(snap, cur)
+          // attribute the write amplification: state-side (the store's
+          // fold/append policy) vs sink-side (the sink's compaction
+          // policy) — a combined number lets one policy's term mask
+          // the other's (it did, round 10 -> 11)
+          stateRw(i) = rewrittenBytes(
+            snap.filter(_._1.startsWith(mixStateDir)),
+            cur.filter(_._1.startsWith(mixStateDir)))
           snap = cur
         }
       }
@@ -304,6 +324,8 @@ object StreamBench {
         f""""rows_per_sec":${rowsPerBatch / meanSec}%.0f,""" +
         f""""mean_jobs_per_batch":${jobs.sum.toDouble / nBatches}%.1f,""" +
         f""""mean_rewritten_mb_per_batch":${meanRewrite / 1e6}%.1f,""" +
+        f""""mean_state_rewritten_mb_per_batch":${stateRw.sum.toDouble / nBatches / 1e6}%.1f,""" +
+        f""""mean_sink_rewritten_mb_per_batch":${(rewrites.sum - stateRw.sum).toDouble / nBatches / 1e6}%.1f,""" +
         f""""total_state_mb":${totalBytes / 1e6}%.1f,""" +
         f""""rewrite_fraction":${meanRewrite / totalBytes}%.3f"""
 

@@ -81,27 +81,38 @@ object Stress {
       * heaviest-total stage would hide a skewed join behind a balanced
       * downstream aggregate of the same phase.)
       */
+    /** Worst-spread stage's name, set by [[snapshot]] — lands in the
+      * phase JSON so a committed spread number carries its own
+      * attribution instead of needing a debug re-run.
+      */
+    @volatile var spreadStage: String = ""
     def snapshot(): (Long, Long, Long, Long, Double) = {
       Thread.sleep(500)
       val debug = sys.env.contains("SPARK_GRAFT_STRESS_DEBUG")
-      val spread = taskMs
+      var worstStage = ""
+      var worst = 1.0
+      taskMs
         .filter { case (_, ds) => ds.size >= 4 && ds.max >= 1000L }
-        .flatMap { case (sid, ds) =>
+        .foreach { case (sid, ds) =>
           val sorted = ds.toArray.sorted
           val med = sorted(sorted.length / 2)
           // a sub-100ms median means the stage was cheap everywhere
           // except scheduling noise — a huge ratio there is not skew
-          if (med < 100L) None
-          else {
+          if (med >= 100L) {
             val ratio = sorted.last.toDouble / med
             if (debug && ratio >= 1.5) println(
               f"[stress-debug] stage $sid%-5d tasks=${ds.size}%-4d " +
                 f"med=${med}ms max=${sorted.last}ms ratio=$ratio%.1f  " +
                 stageNames.getOrElse(sid, "?"))
-            Some(ratio)
+            if (ratio > worst) {
+              worst = ratio
+              worstStage = stageNames.getOrElse(sid, "?")
+                .takeWhile(_ != '|').trim
+            }
           }
-        }.maxOption.getOrElse(1.0)
-      (maxWrite, maxRead, memSpill, diskSpill, spread)
+        }
+      spreadStage = worstStage
+      (maxWrite, maxRead, memSpill, diskSpill, worst)
     }
   }
 
@@ -159,7 +170,9 @@ object Stress {
         f""""max_stage_shuffle_read_mb":${r / 1e6}%.1f,""" +
         f""""memory_spill_mb":${mem / 1e6}%.1f,""" +
         f""""disk_spill_mb":${disk / 1e6}%.1f,""" +
-        f""""task_time_max_over_median":$spread%.1f$extra}"""
+        f""""task_time_max_over_median":$spread%.1f,""" +
+        s""""spread_stage":"${listener.spreadStage.replace("\"", "'")}"""" +
+        s"""$extra}"""
       println(s"[stress] $line")
       report += line
     }

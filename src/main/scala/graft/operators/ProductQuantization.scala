@@ -69,12 +69,25 @@ object ProductQuantization {
     require(dim % m == 0, s"m = $m must divide dim = $dim")
     val subDim = dim / m
     val v = VectorFunctions.toDouble(col(vecCol))
-    val books = (0 until m).map { s =>
-      KMeans.fitRounded(
-        corpus.select(col(idCol),
-          slice(v, s * subDim + 1, subDim).as("__sv")),
-        idCol, "__sv", kSub, iters)
-    }
+    // fit the m codebooks CONCURRENTLY: each subspace fit is its own
+    // small aggregation job over the (cached) corpus, and running them
+    // sequentially leaves most task slots idle between stages — at the
+    // 10 M-vector tier the 8 sequential fits serialized ~8x the wall
+    // the cluster needed (the r10 PQ stress regression's biggest term).
+    // Job submission from multiple threads is a supported Spark
+    // pattern; the fits share the corpus scan cache and nothing else.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val books = Await.result(
+      Future.sequence((0 until m).map { s =>
+        Future {
+          KMeans.fitRounded(
+            corpus.select(col(idCol),
+              slice(v, s * subDim + 1, subDim).as("__sv")),
+            idCol, "__sv", kSub, iters)
+        }
+      }), Duration.Inf)
     PqModel(m, dim, books)
   }
 

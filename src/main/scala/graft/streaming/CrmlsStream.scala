@@ -406,6 +406,18 @@ object CrmlsStream {
       java.nio.file.Files.write(genDir.resolve("_SUCCESS"),
         Array.empty[Byte])
       pendingGenNext(entity) = g + 1L
+      // keep the driver mirror current (jobless overlay). A cold miss
+      // with OLDER gens on disk must materialize from files first —
+      // seeding the cache with only this batch's rows would hide the
+      // prior generations from every overlay until the next fold.
+      if (!pendingCache.contains(entity) && pendingGenDirs(entity).size > 1)
+        pendingLatestRows(entity, schema, keyColName): Unit // reads g too
+      else {
+        val m = pendingCache.getOrElseUpdate(entity,
+          scala.collection.mutable.LinkedHashMap.empty[String, Row])
+        rows.foreach(r =>
+          m(pendingCacheKey(entity, keyColName, schema, r)) = r)
+      }
     }
 
     private[streaming] def pendingGenCount(entity: String): Int =
@@ -419,64 +431,108 @@ object CrmlsStream {
     // UNFOLDED across batches and overlays them at read time instead:
     //   truth(entity) = base files (∖ pending keys) ⊎ latest pending row
     // The pendings between folds are delta-proportional (per-batch
-    // winners), so the anti-join side broadcasts and the overlay plan
-    // stays scan-shaped. Folds run ONLY at the batch-boundary prelude
-    // ([[foldPendingsAtCadence]]) — a mid-batch fold would delete files
-    // that this batch's already-constructed lazy plans still reference.
+    // winners), so the whole pending side rides in driver memory and
+    // the overlay is JOBLESS. Folds run ONLY at the batch-boundary
+    // prelude ([[foldPendingsAtCadence]]) — a mid-batch fold would
+    // delete files that this batch's already-constructed lazy plans
+    // still reference.
 
-    /** Raw pending rows (entity schema + __gen) for `buckets` (all when
-      * None); None when the entity has no pendings.
+    /** Driver-memory mirror of the UNFOLDED pendings, keyed latest-wins
+      * (insertion order is generation order — appends overwrite per
+      * key, exactly the gen-desc fold rule). Populated by
+      * [[appendPendingLocal]] as it writes (the rows ARE driver rows on
+      * every pending path), rebuilt from the gen files on a cold read,
+      * dropped by [[ensureFolded]]. Bounded by the dist-pendings
+      * admission: ≤ PendingFoldEvery generations of driver-tier deltas.
       */
-    private[streaming] def pendingOverlayDf(entity: String,
-        schema: StructType, buckets: Option[Seq[Int]]): Option[DataFrame] =
+    @transient private lazy val pendingCache = scala.collection.mutable
+      .Map.empty[String, scala.collection.mutable.LinkedHashMap[String, Row]]
+
+    private def pendingCacheKey(entity: String, keyColName: String,
+                                schema: StructType, r: Row): String =
+      if (entity == IdxName)
+        (0 until r.length).map(i =>
+          if (r.isNullAt(i)) " " else String.valueOf(r.get(i)))
+          .mkString("|")
+      else {
+        val ki = schema.fieldIndex(keyColName)
+        if (r.isNullAt(ki)) " " else r.getString(ki)
+      }
+
+    /** Latest pending rows for the entity (entity schema, no markers),
+      * from the driver mirror — one bounded file fold on a cold miss.
+      */
+    private def pendingLatestRows(entity: String, schema: StructType,
+                                  keyColName: String): Seq[Row] =
       synchronized {
-        val gens = pendingGenDirs(entity)
-        if (gens.isEmpty) None
-        else {
-          val pendSchema = StructType(schema.fields ++ Seq(
-            StructField("__gen", org.apache.spark.sql.types.LongType),
-            StructField(BucketedState.BucketColName, IntegerType)))
-          val df = spark.read.schema(pendSchema)
-            .parquet(gens.map(_.getPath): _*)
-          val want = buckets match {
-            case Some(bs) =>
-              df.filter(col(BucketedState.BucketColName).isin(bs: _*))
-            case None => df
-          }
-          Some(want.drop(BucketedState.BucketColName))
+        pendingCache.get(entity) match {
+          case Some(m) => m.values.toSeq
+          case None =>
+            if (!hasPendings(entity)) Nil
+            else {
+              val gens = pendingGenDirs(entity)
+              val pendSchema = StructType(schema.fields ++ Seq(
+                StructField("__gen", org.apache.spark.sql.types.LongType),
+                StructField(BucketedState.BucketColName, IntegerType)))
+              val raw = spark.read.schema(pendSchema)
+                .parquet(gens.map(_.getPath): _*)
+                .orderBy(col("__gen"))
+                .collect()
+              val m = scala.collection.mutable.LinkedHashMap.empty[String, Row]
+              raw.foreach { r =>
+                val entityRow = Row.fromSeq(r.toSeq.dropRight(2))
+                m(pendingCacheKey(entity, keyColName, schema, entityRow)) =
+                  entityRow
+              }
+              pendingCache(entity) = m
+              m.values.toSeq
+            }
         }
       }
 
-    /** `base` with this entity's unfolded pendings folded in at PLAN
-      * level: keyed entities collapse to the newest pending generation
-      * per key (pendings are per-batch post-merge winners, so gen order
-      * IS recency — same rule as [[ensureFolded]]'s file merge); the
-      * reverse index is add-only and just unions (readers distinct).
-      * The pending side is delta-bounded, so the key anti-join
-      * broadcasts and the composed plan stays scan-dominated.
+    /** `base` with this entity's unfolded pendings folded in: base rows
+      * whose key a pending row supersedes are filtered out by a LITERAL
+      * key predicate (no broadcast exchange — a broadcast materializes
+      * as its own Spark job, and the overlay runs on several state
+      * reads per batch), and the latest pending rows ride in as a local
+      * relation. The reverse index is add-only and just unions (readers
+      * distinct). Jobless by construction: the pending side lives in
+      * driver memory.
       */
     private[streaming] def withPendingOverlay(entity: String,
         schema: StructType, keyColName: String, buckets: Option[Seq[Int]],
-        base: Option[DataFrame]): Option[DataFrame] =
-      pendingOverlayDf(entity, schema, buckets) match {
-        case None => base
-        case Some(pend) if entity == IdxName =>
-          val p = pend.drop("__gen")
-          Some(base.map(_.unionByName(p)).getOrElse(p))
-        case Some(pend) =>
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(col(keyColName)).orderBy(col("__gen").desc)
-          val latest = pend.withColumn("__rn", row_number().over(w))
-            .filter(col("__rn") === 1).drop("__rn", "__gen")
-          base match {
-            case None => Some(latest)
-            case Some(b) =>
-              val keys = latest.select(col(keyColName)).distinct()
-              Some(b.join(broadcast(keys), Seq(keyColName), "left_anti")
-                .unionByName(latest)
-                .select(schema.fieldNames.toSeq.map(col): _*))
-          }
+        base: Option[DataFrame]): Option[DataFrame] = {
+      val all = pendingLatestRows(entity, schema, keyColName)
+      if (all.isEmpty) return base
+      val want = buckets.map(_.toSet)
+      val ki = schema.fieldIndex(keyColName)
+      val rows = want match {
+        case None => all
+        case Some(bs) => all.filter { r =>
+          val k = if (r.isNullAt(ki)) null else r.getString(ki)
+          bs.contains(BucketedState.bucketOfLocal(k, curBuckets))
+        }
       }
+      if (rows.isEmpty) return base
+      val latest = localDfOf(spark, rows.toArray, schema)
+      if (entity == IdxName)
+        Some(base.map(_.unionByName(latest)).getOrElse(latest))
+      else base match {
+        case None => Some(latest)
+        case Some(b) =>
+          val keys = rows.map(r =>
+            if (r.isNullAt(ki)) null else r.getString(ki))
+            .filter(_ != null)
+          // null-safe complement: a bare NOT-isin would also drop
+          // base rows whose key is NULL
+          val keep =
+            if (keys.isEmpty) b
+            else b.filter(col(keyColName).isNull ||
+              !col(keyColName).isin(keys: _*))
+          Some(keep.unionByName(latest)
+            .select(schema.fieldNames.toSeq.map(col): _*))
+      }
+    }
 
     /** Batch-boundary fold policy for the dist-pendings tier: fold an
       * entity only at the compaction cadence (amortizing the touched-
@@ -608,11 +664,32 @@ object CrmlsStream {
       else None
     }
 
+    /** Batch-boundary fold policy for the dist-pendings tier. The
+      * trigger is a ROW BUDGET, not a batch count: successive over-cap
+      * batches touch mostly DISTINCT buckets, so folding every N
+      * batches rewrites nearly N× the buckets of one fold — no
+      * amortization (measured at the 1 M seed: fold-every-8 left
+      * rewritten-MB/batch within 15% of the per-batch-rewrite design
+      * it replaced). Folding when the pending rows reach the driver
+      * slice budget makes the interval ∝ budget/delta instead: per-
+      * batch durable writes are the delta appends, and the bounded
+      * compaction amortizes over hundreds of batches. The gen-count
+      * backstop keeps the __pending dir's file count sane; a COLD
+      * entity (restart with pendings, not known past cap) folds so it
+      * can re-enter the local tier.
+      */
+    private[streaming] val PendingFoldRowBudget: Int = DriverSliceMaxKeys
+    private[streaming] val PendingFoldMaxGens: Int = 64
     private[streaming] def foldPendingsAtCadence(): Unit = synchronized {
       (Crmls.allEntities.map(_.name) :+ IdxName).foreach { e =>
         if (hasPendings(e)) {
           val cold = !snapshots.contains(e) && !pastLocalCap(e)
-          if (pendingGenCount(e) >= PendingFoldEvery || cold)
+          lazy val pendRows = {
+            val (schema, keyCol) = entitySchemaOf(e)
+            pendingLatestRows(e, schema, keyCol).size
+          }
+          if (cold || pendingGenCount(e) >= PendingFoldMaxGens ||
+              pendRows >= PendingFoldRowBudget)
             ensureFoldedAuto(e)
         }
       }
@@ -702,13 +779,20 @@ object CrmlsStream {
               merged.withColumn(BucketedState.BucketColName,
                 BucketedState.bucketOf(col(keyColName), curBuckets)),
               covered)
-            // a persisted distributed snapshot (Right) is stale after a
-            // file merge — drop it; pendings imply it shouldn't exist
-            // (appends require a local snapshot), so this is defensive
-            if (other.isDefined) invalidate(entity)
+            // a persisted distributed snapshot (Right) covers buckets
+            // this merge just rewrote — dirty-mark exactly those (the
+            // untouched majority of the base stays served from cache;
+            // re-installing the whole base would re-read FULL state
+            // every fold cadence, ∝ state size). distMarkDirty itself
+            // rebases once dirty covers half the buckets. The dist-
+            // pendings tier routinely folds with a live base, so this
+            // is the hot compaction path, not defense.
+            if (other.isDefined && !distMarkDirty(entity, covered))
+              invalidate(entity)
         }
         gens.foreach(g => BucketedState.deleteRecursively(g.toPath))
         pendingBucketSets.remove(entity)
+        pendingCache.remove(entity)
       }
 
     private def readPendingBuckets(gens: Seq[java.io.File],
