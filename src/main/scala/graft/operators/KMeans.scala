@@ -47,11 +47,24 @@ object KMeans {
     * codebooks through the identical replayable chain.
     */
   def fitRounded(vectors: DataFrame, idCol: String, vecCol: String,
-                 k: Int, iters: Int): Seq[(Long, Array[Double], Double)] = {
+                 k: Int, iters: Int): Seq[(Long, Array[Double], Double)] =
+    fitRounded(vectors, idCol, vecCol, k, iters, init = None)
+
+  /** [[fitRounded]] with a caller-supplied lowest-id init — for
+    * composite quantizers that can derive every subspace's seed set
+    * from ONE corpus scan instead of paying a full TakeOrdered scan
+    * per subspace (the init term was 8× the corpus reads of the whole
+    * PQ fit, and the dominant skew source when the fits run
+    * concurrently against a cold cache).
+    */
+  def fitRounded(vectors: DataFrame, idCol: String, vecCol: String,
+                 k: Int, iters: Int,
+                 init: Option[Seq[(Long, Array[Double], Double)]])
+      : Seq[(Long, Array[Double], Double)] = {
     require(k > 0, s"k must be positive, got $k")
     require(iters >= 0, s"iters must be >= 0, got $iters")
-    var cents: Seq[(Long, Array[Double], Double)] =
-      SimilaritySearch.centroidLiterals(vectors, idCol, vecCol, k).toSeq
+    var cents: Seq[(Long, Array[Double], Double)] = init.getOrElse(
+      SimilaritySearch.centroidLiterals(vectors, idCol, vecCol, k).toSeq)
     val vec = VectorFunctions.toDouble(col(vecCol))
     def assigned = vectors.select(col(idCol), vec.as("__v"))
       // coalesce to a provably non-null id — same constraint-dedup

