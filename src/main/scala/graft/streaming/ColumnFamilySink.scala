@@ -112,9 +112,7 @@ final class ColumnFamilySink(
   private var batchEpoch: Long = changelogDir match {
     case Some(_) =>
       val maxes = familyNames.flatMap(familyLogDir).flatMap { clDir =>
-        val d = new java.io.File(clDir)
-        if (d.exists() && d.listFiles() != null &&
-            d.listFiles().exists(_.getName.endsWith(".parquet")))
+        if (UpsertJoin.changelogExists(clDir))
           spark.read.parquet(clDir)
             .agg(org.apache.spark.sql.functions.max(col("batch_id")))
             .head() match {
@@ -338,13 +336,9 @@ final class ColumnFamilySink(
     val keyCol = new String(java.nio.file.Files.readAllBytes(keyPath),
       java.nio.charset.StandardCharsets.UTF_8)
     val parts = familyNames.flatMap { f =>
-      familyLogDir(f).filter { clDir =>
-        val d = new java.io.File(clDir)
-        d.exists() && d.listFiles() != null &&
-          d.listFiles().exists(_.getName.endsWith(".parquet"))
-      }.map { clDir =>
-        val log = spark.read.parquet(clDir)
-          .filter(col("batch_id") <= upToBatch)
+      familyLogDir(f).filter(UpsertJoin.changelogExists).map { clDir =>
+        // shard-pruned read: only shards <= upToBatch/ShardEvery open
+        val log = UpsertJoin.readChangelog(spark, clDir, upToBatch)
         val w = Window.partitionBy(col(keyCol))
           .orderBy(col("batch_id").desc, col("op").desc)
         log.withColumn("__rn", row_number().over(w))

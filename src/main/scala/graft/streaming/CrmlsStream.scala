@@ -452,11 +452,11 @@ object CrmlsStream {
                                 schema: StructType, r: Row): String =
       if (entity == IdxName)
         (0 until r.length).map(i =>
-          if (r.isNullAt(i)) " " else String.valueOf(r.get(i)))
+          if (r.isNullAt(i)) "\u0000" else String.valueOf(r.get(i)))
           .mkString("|")
       else {
         val ki = schema.fieldIndex(keyColName)
-        if (r.isNullAt(ki)) " " else r.getString(ki)
+        if (r.isNullAt(ki)) "\u0000" else r.getString(ki)
       }
 
     /** Latest pending rows for the entity (entity schema, no markers),

@@ -13,6 +13,48 @@ import scala.collection.concurrent.TrieMap
   */
 object UpsertJoin {
 
+  /** Changelog shard width: the log is written partitioned by
+    * `cl_shard = batch_id / ChangelogShardEvery`, so the time-travel
+    * predicate prunes FILES (whole shard dirs) instead of relying on
+    * row-group stats — on a production-scale log a snapshotAt reads
+    * only the history up to its batch. Coarse on purpose: one dir per
+    * batch would explode the dir count at micro-batch cadence, one dir
+    * per 16 batches bounds both the dir count and the over-read (< one
+    * shard). `batch_id` itself stays a DATA column (stable LongType for
+    * every reader — a raw partition column would come back as whatever
+    * partition-type inference guesses).
+    */
+  val ChangelogShardEvery: Long = 16L
+
+  /** Does a changelog exist under `clDir`? True for the sharded layout
+    * (cl_shard=N partition dirs) and the legacy flat one (top-level
+    * parquet files).
+    */
+  def changelogExists(clDir: String): Boolean = {
+    val d = new java.io.File(clDir)
+    d.exists() && d.listFiles() != null && d.listFiles().exists(f =>
+      f.getName.endsWith(".parquet") ||
+        (f.isDirectory && f.getName.startsWith("cl_shard=")))
+  }
+
+  /** Changelog rows with `batch_id <= upToBatch`. On the sharded
+    * layout the shard predicate is applied FIRST so partition pruning
+    * drops whole shard dirs from the scan; the exact batch_id filter
+    * then trims the boundary shard. Reads a legacy flat log (no
+    * cl_shard dirs) identically, minus the pruning.
+    */
+  def readChangelog(spark: SparkSession, clDir: String,
+                    upToBatch: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val raw = spark.read.option("mergeSchema", "true").parquet(clDir)
+    val pruned =
+      if (raw.columns.contains("cl_shard"))
+        raw.filter(col("cl_shard") <= lit(upToBatch / ChangelogShardEvery))
+          .drop("cl_shard")
+      else raw
+    pruned.filter(col("batch_id") <= upToBatch)
+  }
+
   /** Minimal keyed upsert sink. In production this is a
     * `foreachBatch { MERGE INTO }` against a lakehouse table; for tests
     * an in-memory map with the same merge semantics.
@@ -255,10 +297,7 @@ object UpsertJoin {
       * owner recovers its own counter).
       */
     private var epoch: Long = changelogDir match {
-      case Some(clDir) if epochSource.isEmpty &&
-          new java.io.File(clDir).exists() &&
-          new java.io.File(clDir).listFiles() != null &&
-          new java.io.File(clDir).listFiles().exists(_.getName.endsWith(".parquet")) =>
+      case Some(clDir) if epochSource.isEmpty && changelogExists(clDir) =>
         spark.read.parquet(clDir).agg(max(col("batch_id"))).head() match {
           case r if r.isNullAt(0) => 0L
           case r => r.getLong(0) + 1L
@@ -896,9 +935,14 @@ object UpsertJoin {
       val inserts = oldRows.fold(newRows)(o => newRows.exceptAll(o))
         .withColumn("op", lit(true))
       val deletes = oldRows.map(_.exceptAll(newRows).withColumn("op", lit(false)))
+      // shard-partitioned append (see [[UpsertJoin.ChangelogShardEvery]]):
+      // the batch_id <= N time-travel predicate then prunes whole shard
+      // dirs at the scan instead of opening every file's row-group stats
+      val e = nextEpoch()
       val delta = deletes.fold(inserts)(d => d.unionByName(inserts))
-        .withColumn("batch_id", lit(nextEpoch()))
-      delta.write.mode("append").parquet(clDir)
+        .withColumn("batch_id", lit(e))
+        .withColumn("cl_shard", lit(e / ChangelogShardEvery))
+      delta.write.mode("append").partitionBy("cl_shard").parquet(clDir)
     }
 
     /** Converged table. Merge-on-write: just the bucket files. Delta
@@ -974,19 +1018,19 @@ object UpsertJoin {
     * the live row, a bare retract (op=false) means deleted. A crash
     * replay appends the same delta again under the next batch_id
     * (pre-images unchanged), so the fold lands on the same row;
-    * byte-identical same-stamp duplicates (task retry) collapse via
-    * distinct. One hash exchange on the key; the batch_id predicate
-    * pushes to the parquet scan, so on a date/batch-partitioned log at
-    * production scale the read is bounded by history touched, not log
-    * size.
+    * byte-identical same-stamp duplicates (task retry) are harmless
+    * too — row_number() = 1 picks exactly one row per key, and
+    * identical copies make any pick identical, so no dedup pass (and
+    * no extra full-width exchange) is needed. ONE hash exchange on the
+    * key, total; the shard partition predicate ([[readChangelog]])
+    * prunes whole shard dirs at the scan, so the read is bounded by
+    * history touched, not log size.
     */
   def snapshotAt(spark: SparkSession, changelogDir: String, keyCol: String,
                  batchId: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
-    val log = spark.read.option("mergeSchema", "true").parquet(changelogDir)
-      .filter(col("batch_id") <= batchId)
-      .distinct()
+    val log = readChangelog(spark, changelogDir, batchId)
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col("batch_id").desc, col("op").desc)
     log.withColumn("__rn", row_number().over(w))

@@ -576,6 +576,53 @@ class PlanHygieneSpec extends SparkTestBase {
       "cell assignment must be the row-local native expression")
   }
 
+  test("changelog snapshotAt: one exchange, no dedup pass, shard pruning " +
+      "bounds the scan to the history touched") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft-plan-tt").toString
+    val sink = new graft.streaming.UpsertJoin.ParquetUpsertSink(spark,
+      s"$tmp/out", nBuckets = 4, changelogDir = Some(s"$tmp/cl"))
+    // 18 batches span two shard dirs (ShardEvery = 16): cl_shard=0
+    // holds batches 0..15, cl_shard=1 holds 16..17
+    (0 until 18).foreach { i =>
+      sink.upsert("k", Seq(("a", i.toLong, s"v$i")).toDF("k", "ts", "p"))
+    }
+    val df = sink.snapshotAt("k", 1L)
+    val p = df.queryExecution.executedPlan.toString
+    // exactly ONE exchange: the key-partitioned window. The old
+    // log.distinct() cost a second, full-width one (plus an aggregate)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(2000))
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"),
+      s"no dedup aggregate — row_number()=1 already collapses retries:\n${p.take(2000)}")
+    // the shard predicate must reach the scan as a PARTITION filter
+    assert(p.contains("PartitionFilters") && p.contains("cl_shard"),
+      s"shard predicate missing from partition filters:\n${p.take(2000)}")
+    // and empirically: only shard 0's files are opened
+    assert(df.collect().nonEmpty)
+    // AQE wraps materialized stages in QueryStageExec leaves — a plain
+    // collect stops there, so descend explicitly
+    def allScans(e: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = e match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allScans(q.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case o => o.children.flatMap(allScans)
+    }
+    val scans = allScans(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "expected a FileSourceScan in the final plan")
+    val filesRead = scans.map(_.metrics("numFiles").value).sum
+    val shard0Files = new java.io.File(s"$tmp/cl/cl_shard=0").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val shard1Files = new java.io.File(s"$tmp/cl/cl_shard=1").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(shard1Files > 0, "test setup: shard 1 must exist to be prunable")
+    assert(filesRead === shard0Files,
+      s"pruning must skip shard 1: read $filesRead, shard0=$shard0Files shard1=$shard1Files")
+  }
+
   test("native dot product is codegen-capable (starred projection)") {
     // the tokenizing queries are bounded by ArrayTransform (a
     // CodegenFallback higher-order function), but ArrayDotProduct

@@ -234,7 +234,8 @@ class ChangelogSinkSpec extends SparkTestBase {
     // to the same rows: simulate by appending batch 2's pairs again
     val dup = spark.read.parquet(s"$tmp/cl").filter(col("batch_id") === 2L)
       .withColumn("batch_id", lit(3L))
-    dup.write.mode("append").parquet(s"$tmp/cl")
+      .withColumn("cl_shard", lit(3L / UpsertJoin.ChangelogShardEvery))
+    dup.write.mode("append").partitionBy("cl_shard").parquet(s"$tmp/cl")
     assert(at(3L) === live, "duplicate replay delta must not change the fold")
   }
 
