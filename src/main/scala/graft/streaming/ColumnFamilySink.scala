@@ -149,9 +149,57 @@ final class ColumnFamilySink(
       epochSource = if (changelogDir.isEmpty) None
                     else Some(() => currentEpoch))).toMap
 
-  override def bucketCount: Option[Int] = Some(nBuckets)
+  /** Shared CURRENT bucket count across the families. Families always
+    * rehash TOGETHER to one count: callers compute `touched` hints
+    * against [[bucketCount]] and pass them to every family verbatim,
+    * so per-family counts would make the hints wrong for all but one.
+    * A crash between two families' rehashes leaves the stamps split —
+    * healed HERE at construction (an upsert could run before any
+    * growth check, and a touched set computed under the max count
+    * would read the wrong buckets of a laggard family), using the key
+    * column persisted at the first write.
+    */
+  private var curBuckets: Int = {
+    val counts = sinks.values.map(_.currentBuckets).toSet
+    if (counts.size > 1) {
+      val kp = java.nio.file.Paths.get(dir, ".keycol")
+      require(java.nio.file.Files.exists(kp),
+        s"family bucket counts disagree ($counts) with no .keycol to heal by")
+      val k = new String(java.nio.file.Files.readAllBytes(kp),
+        java.nio.charset.StandardCharsets.UTF_8)
+      sinks.values.foreach(s =>
+        if (s.currentBuckets < counts.max) s.rehashTo(k, counts.max))
+    }
+    counts.max
+  }
+
+  override def bucketCount: Option[Int] = Some(curBuckets)
   override def supportsPartial: Boolean = true
   override def awaitCompaction(): Unit = sinks.values.foreach(_.awaitCompaction())
+
+  /** Growth rehash, families moving in lockstep: complete any crashed
+    * per-family rehash first, then align every family to the largest
+    * count any family's observed bytes ask for. Sizing off the LARGEST
+    * family keeps its buckets at target; smaller families get smaller
+    * buckets (harmless — a few more files, same touched-set math).
+    */
+  private var rehashTick = 0
+  override def maybeRehashIfDue(keyCol: String): Option[Int] =
+    writeLock.synchronized {
+      rehashTick += 1
+      val split = sinks.values.exists(_.currentBuckets != curBuckets)
+      if (rehashTick != 1 && rehashTick % 8 != 0 && !split) None
+      else {
+        sinks.values.foreach(_.maybeRehash(keyCol)) // crashed-rehash resume
+        val want = (sinks.values.map(s =>
+          math.max(s.wantBuckets(), s.currentBuckets)) ++ Seq(curBuckets)).max
+        sinks.values.foreach(s =>
+          if (s.currentBuckets < want) s.rehashTo(keyCol, want))
+        val grew = want > curBuckets
+        curBuckets = want
+        if (grew) Some(want) else None
+      }
+    }
 
   /** Key column name, durable next to the families (the snapshot join
     * key; same recovery story as the row-major delta dir's `.keycol`).
@@ -210,7 +258,7 @@ final class ColumnFamilySink(
     val deduped = dedupWholeRow(keyCol, batch).cache()
     try {
       val touched = deduped
-        .select(BucketedState.bucketOf(col(keyCol), nBuckets).as("__b"))
+        .select(BucketedState.bucketOf(col(keyCol), curBuckets).as("__b"))
         .distinct().collect().map(_.getInt(0)).toSeq.sorted
       writeFamilies(keyCol, deduped, touched, partial = false)
     } finally deduped.unpersist()

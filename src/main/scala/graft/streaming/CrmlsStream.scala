@@ -715,7 +715,7 @@ object CrmlsStream {
     /** Fold every entity's pendings — the prelude of any non-fused
       * batch (after it, every state read sees plain bucket files).
       */
-    private[streaming] def foldAllPendings(): Unit = {
+    private[graft] def foldAllPendings(): Unit = {
       Crmls.allEntities.foreach(s =>
         ensureFolded(s.name, Crmls.projectionSchema(s), s.dedupKeyCol))
       ensureFolded(IdxName, IdxSchema, "ref_val")
@@ -1452,9 +1452,12 @@ object CrmlsStream {
         t0 = t1
       }
     }
-    // batch-boundary rehash check (buckets ∝ state): MUST precede any
+    // batch-boundary rehash checks (buckets ∝ state): MUST precede any
     // bucket-id computation — everything below hashes against storeN
+    // and sink.bucketCount, both read AFTER the checks
     store.maybeRehashIfDue().foreach(n2 => mark(s"J0:rehash:$n2"))
+    sink.maybeRehashIfDue("l_uc_pk").foreach(n2 =>
+      mark(s"J0:sink-rehash:$n2"))
     val storeN = store.curBuckets
     // a micro-batch is tiny relative to its source partitioning (a
     // unioned multi-topic stream easily carries 40 rows in 40+

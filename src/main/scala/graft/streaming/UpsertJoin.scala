@@ -156,6 +156,16 @@ object UpsertJoin {
       * sinks with no background work.
       */
     def awaitCompaction(): Unit = ()
+
+    /** Batch-boundary growth hook: grow the sink's physical layout
+      * when its observed size warrants (buckets ∝ state — see
+      * [[ParquetUpsertSink]]'s growth rehash). MUST be called BEFORE
+      * the batch computes any bucket id against [[bucketCount]];
+      * `keyCol` is the upsert key the layout hashes on. Returns the
+      * new bucket count when the layout regrew. Default: sinks with no
+      * growable layout never regrow.
+      */
+    def maybeRehashIfDue(keyCol: String): Option[Int] = None
   }
 
   final class InMemorySink(schemaHolder: Array[org.apache.spark.sql.types.StructType])
@@ -218,6 +228,15 @@ object UpsertJoin {
 
   def newInMemorySink(): InMemorySink =
     new InMemorySink(Array(new org.apache.spark.sql.types.StructType()))
+
+  /** Test-only failpoint for the sink growth rehash, invoked with the
+    * window name at each crash boundary ("folded", "marked", "built",
+    * "mid-swap", "promoted", "done") — fault-injection enumerates the
+    * rehash's crash matrix from here. Null (the default) is a no-op on
+    * the hot path.
+    */
+  private[streaming] val rehashFailpoint =
+    new java.util.concurrent.atomic.AtomicReference[String => Unit](null)
 
   /** Durable keyed upsert sink over hash-bucketed parquet
     * ([[BucketedState]]): merge = touched buckets' snapshot UNION
@@ -287,6 +306,28 @@ object UpsertJoin {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
 
+    /** CURRENT bucket count: the constructor's `nBuckets` until a
+      * growth rehash ([[maybeRehashIfDue]]), then the durable
+      * `.nbuckets` stamp. The stamp is written INSIDE the freshly-built
+      * layout before the promote, so the count and the files it
+      * describes swap in the SAME atomic rename — a restarted sink can
+      * never read a stamp that disagrees with the layout on disk. This
+      * is the sink-side twin of the state store's growth machinery
+      * (CrmlsStream.StateStore.maybeRehash): without it the sink was
+      * the last per-batch write term ∝ state — fixed buckets mean
+      * compaction rewrite cost grows linearly with organic state growth
+      * past seed (68.4 MB/batch at 1 M seed vs 6.8 at 100 k,
+      * STREAMBENCH_OVERCAP_1M_r11).
+      */
+    private var curBuckets: Int = {
+      healRehashSwap() // a torn dir swap may hold the stamp hostage
+      val stamp = java.nio.file.Paths.get(dir, ".nbuckets")
+      if (java.nio.file.Files.exists(stamp))
+        new String(java.nio.file.Files.readAllBytes(stamp),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+      else nBuckets
+    }
+
     /** Changelog batch stamp. Recovered from the existing log on
       * construction (max batch_id + 1): a restarted sink instance must
       * keep appending AFTER the batches already emitted, or a replay
@@ -350,7 +391,7 @@ object UpsertJoin {
     // pending deltas — their touched-bucket set is no longer known
     private var sinceCompact: Int = if (gen > 0L) deltaCompactEvery else 0
 
-    override def bucketCount: Option[Int] = Some(nBuckets)
+    override def bucketCount: Option[Int] = Some(curBuckets)
 
     def upsert(keyCol: String, batch: DataFrame): Unit =
       if (deltaCompactEvery > 0) {
@@ -362,7 +403,7 @@ object UpsertJoin {
         val cached = batch.cache()
         try {
           val touched = cached
-            .select(BucketedState.bucketOf(col(keyCol), nBuckets).as("__b"))
+            .select(BucketedState.bucketOf(col(keyCol), curBuckets).as("__b"))
             .distinct().collect().map(_.getInt(0)).toSeq.sorted
           mergeWrite(keyCol, cached, touched, readSchema = None)
         } finally cached.unpersist()
@@ -454,7 +495,7 @@ object UpsertJoin {
       val stamped = deduped
         .withColumn("__gen", lit(gen))
         .withColumn(BucketedState.BucketColName,
-          BucketedState.bucketOf(col(keyCol), nBuckets))
+          BucketedState.bucketOf(col(keyCol), curBuckets))
       // the key column name, durable next to the deltas it keys — a
       // restarted instance's snapshot() must dedup on the right column.
       // Written BEFORE the generation commits: the reverse order had a
@@ -604,7 +645,7 @@ object UpsertJoin {
         // Seq[Long], silently widening the bucket int out of its
         // declared IntegerType
         Row.fromSeq(r.toSeq ++
-          Seq[Any](g, BucketedState.bucketOfLocal(key, nBuckets)))
+          Seq[Any](g, BucketedState.bucketOfLocal(key, curBuckets)))
       }
       // a gen dir may hold several part files (compaction reads the
       // dir) — chunk large deltas across the common pool; _SUCCESS
@@ -812,7 +853,7 @@ object UpsertJoin {
           .parquet(gens.map(_.getPath): _*)
         val all = baseDf.map(_.withColumn("__gen", lit(-1L))
             .withColumn(BucketedState.BucketColName,
-              BucketedState.bucketOf(col(keyCol), nBuckets)))
+              BucketedState.bucketOf(col(keyCol), curBuckets)))
           .fold(del)(b => del.unionByName(b))
         val w = Window.partitionBy(col(keyCol)).orderBy(col("__gen").desc)
         val m = all.withColumn("__rn", row_number().over(w))
@@ -837,7 +878,7 @@ object UpsertJoin {
       }
       val out = merged
         .withColumn(BucketedState.BucketColName,
-          BucketedState.bucketOf(col(keyCol), nBuckets))
+          BucketedState.bucketOf(col(keyCol), curBuckets))
         .select((BucketedState.BucketColName +: fullFields.map(_.name))
           .map(col): _*)
       // delta-mode changelog: ONE retract-pair batch per compaction
@@ -888,7 +929,7 @@ object UpsertJoin {
           (m, fullFields)
       }
       val out = merged.withColumn(BucketedState.BucketColName,
-        BucketedState.bucketOf(col(keyCol), nBuckets))
+        BucketedState.bucketOf(col(keyCol), curBuckets))
       changelogDir.foreach { clDir =>
         emitChangelog(clDir, keyCol, cur.map(alignTo(_, fullFields)),
           merged, batch)
@@ -911,7 +952,7 @@ object UpsertJoin {
         .filter(col("__rn") === 1)
         .drop("__tie", "__rn")
         .withColumn(BucketedState.BucketColName,
-          BucketedState.bucketOf(col(keyCol), nBuckets))
+          BucketedState.bucketOf(col(keyCol), curBuckets))
       // changelog append reads the PRE-write generation — it must
       // complete before overwriteBuckets swaps the bucket files
       changelogDir.foreach { clDir =>
@@ -943,6 +984,161 @@ object UpsertJoin {
         .withColumn("batch_id", lit(e))
         .withColumn("cl_shard", lit(e / ChangelogShardEvery))
       delta.write.mode("append").partitionBy("cl_shard").parquet(clDir)
+    }
+
+    // ---- growth rehash: buckets ∝ state ------------------------------
+    // Compaction rewrites touched buckets, so its per-batch cost is
+    // ∝ state/buckets — a FIXED count degrades linearly as state grows
+    // past seed. The sink now grows its layout the same way the state
+    // store does: when observed bucket bytes pass TargetBucketBytes per
+    // bucket, rebuild into a fresh dir under the next power-of-2 count
+    // and promote with a heal-able two-rename swap. Resume protocol:
+    // a sibling `.nbuckets_next` marker is written first; a crash
+    // anywhere re-runs the (idempotent) rehash on the next check, and
+    // the `.nbuckets` stamp rides INSIDE the fresh dir so count and
+    // layout promote atomically together.
+
+    private def rehashMarker = java.nio.file.Paths.get(s"$dir.nbuckets_next")
+
+    private[streaming] val TargetBucketBytes: Long =
+      sys.env.get("SPARK_GRAFT_STATE_BUCKET_BYTES").map(_.toLong)
+        .getOrElse(1L << 20)
+    private[streaming] val MaxBuckets: Int = 1 << 16
+    private[streaming] val RehashCheckEvery: Int = 8
+
+    /** Bytes currently held in bucket files. Pending deltas are
+      * excluded on purpose: they are delta-proportional and folded
+      * before any rehash anyway.
+      */
+    private[streaming] def bucketBytes(): Long = {
+      def sz(f: java.io.File): Long =
+        if (f.isFile) f.length()
+        else Option(f.listFiles()).map(_.map(sz).sum).getOrElse(0L)
+      val d = new java.io.File(dir)
+      if (!d.exists()) 0L
+      else d.listFiles().toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("bucket_"))
+        .map(sz).sum
+    }
+
+    private def pow2Floor(x: Long): Int = {
+      var p = 1
+      while (p.toLong * 2 <= x && p < MaxBuckets) p *= 2
+      p
+    }
+
+    /** Bucket count the observed bytes ask for. */
+    private[streaming] def wantBuckets(): Int =
+      math.min(MaxBuckets,
+        pow2Floor(bucketBytes() / math.max(TargetBucketBytes, 1L)))
+
+    private[streaming] def currentBuckets: Int = curBuckets
+
+    /** Grow the layout when the observed bytes/bucket passed the
+      * target; completes a crashed rehash first (marker present with a
+      * count the stamp hasn't reached — a marker at-or-below the stamp
+      * means the promote happened and only cleanup remains). Returns
+      * the new count when the layout regrew.
+      */
+    private[graft] def maybeRehash(keyCol: String): Option[Int] =
+      synchronized {
+        if (java.nio.file.Files.exists(rehashMarker)) {
+          val n2 = new String(
+            java.nio.file.Files.readAllBytes(rehashMarker),
+            java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+          if (n2 <= curBuckets) { // promote completed; crash pre-cleanup
+            healRehashSwap()
+            java.nio.file.Files.delete(rehashMarker)
+            None
+          } else { rehashTo(keyCol, n2); Some(n2) }
+        } else {
+          val want = wantBuckets()
+          if (want > curBuckets) { rehashTo(keyCol, want); Some(want) }
+          else None
+        }
+      }
+
+    // the per-check tree walk is gated to every Nth batch — growth is
+    // slow relative to batch cadence (mirrors the store's gating)
+    private var rehashTick = 0
+    override def maybeRehashIfDue(keyCol: String): Option[Int] =
+      synchronized {
+        rehashTick += 1
+        if (rehashTick == 1 || rehashTick % RehashCheckEvery == 0 ||
+            java.nio.file.Files.exists(rehashMarker)) maybeRehash(keyCol)
+        else None
+      }
+
+    /** Rebuild the bucket layout under `n2` buckets. Pending deltas
+      * (stamped with OLD-count bucket ids) are folded first; the fresh
+      * layout is built as a sibling dir carrying its own `.nbuckets`
+      * stamp, then promoted by the two-rename swap [[healRehashSwap]]
+      * can heal. Content-identical by construction — no changelog emit
+      * (the forced fold emits its own window, as any compaction does).
+      */
+    private[streaming] def rehashTo(keyCol: String, n2: Int): Unit = {
+      val fp = rehashFailpoint.get()
+      def mark(w: String): Unit = if (fp != null) fp(w)
+      joinCompaction()
+      if (deltaCompactEvery > 0) {
+        val gens = deltaGenDirs(sweep = true)
+        if (gens.nonEmpty) { compact(keyCol, gens); sinceCompact = 0 }
+      }
+      healRehashSwap()
+      mark("folded")
+      val bytes = n2.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      java.nio.file.Files.write(rehashMarker, bytes)
+      mark("marked")
+      val buckets = BucketedState.listBuckets(dir)
+      if (buckets.nonEmpty) {
+        // mergeSchema: bucket files can disagree on columns after
+        // partial upserts widened only the buckets they touched
+        val df = spark.read.option("mergeSchema", "true")
+          .parquet(buckets.map(b => s"$dir/bucket_$b"): _*)
+        val out = df.withColumn(BucketedState.BucketColName,
+          BucketedState.bucketOf(col(keyCol), n2))
+        val fresh = s"$dir.rehash"
+        BucketedState.deleteRecursively(java.nio.file.Paths.get(fresh))
+        BucketedState.overwriteBuckets(spark, fresh, out, 0 until n2)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(fresh, ".nbuckets"), bytes)
+        mark("built")
+        val live = java.nio.file.Paths.get(dir)
+        val old = java.nio.file.Paths.get(s"$dir.rehash_old")
+        java.nio.file.Files.move(live, old,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        mark("mid-swap")
+        java.nio.file.Files.move(java.nio.file.Paths.get(fresh), live,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        mark("promoted")
+        BucketedState.deleteRecursively(old)
+      } else {
+        // nothing durable yet: stamp the count in place
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, ".nbuckets"), bytes)
+      }
+      curBuckets = n2
+      java.nio.file.Files.delete(rehashMarker)
+      mark("done")
+    }
+
+    /** Heal a torn dir-level rehash swap (a crash between the two
+      * renames): old-without-live restores the old layout (the fresh
+      * build was never promoted); old-with-live deletes the superseded
+      * old. A leftover `.rehash` build is discarded either way — it is
+      * rebuilt from live on resume.
+      */
+    private def healRehashSwap(): Unit = {
+      val live = new java.io.File(dir)
+      val old = new java.io.File(s"$dir.rehash_old")
+      if (old.exists() && !live.exists())
+        java.nio.file.Files.move(old.toPath, live.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      else if (old.exists())
+        BucketedState.deleteRecursively(old.toPath)
+      BucketedState.deleteRecursively(
+        java.nio.file.Paths.get(s"$dir.rehash"))
     }
 
     /** Converged table. Merge-on-write: just the bucket files. Delta

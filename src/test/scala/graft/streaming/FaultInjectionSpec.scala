@@ -151,6 +151,68 @@ class FaultInjectionSpec extends SparkTestBase {
     }
   }
 
+  test("sink rehash crash matrix: a kill at every rehash window heals " +
+      "to an identical table and the rehash completes on resume") {
+    // every window rehashTo actually crosses, including the two-rename
+    // swap's torn middle; "done" is the post-cleanup no-op shape
+    val windows = Seq("folded", "marked", "built", "mid-swap", "promoted",
+      "done")
+    windows.foreach { killAt =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-fi-rh").toString
+      val store = defaultStore(s"$tmp/state")
+      // delta mode so the crash also windows the forced pending fold
+      def mkSink() = new UpsertJoin.ParquetUpsertSink(spark, s"$tmp/sink", 4,
+        deltaCompactEvery = 10)
+      var sink = mkSink()
+      splits.foreach(b => CrmlsStream.processBatch(spark, batchDf(b), store,
+        sink))
+      sink.awaitCompaction()
+      val before = sink.snapshot(spark).select(compareCols.map(col): _*)
+        .collect().map(_.toSeq).toSet
+      assert(before === expected)
+
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$tmp/sink.nbuckets_next"), "32")
+      val armed = new java.util.concurrent.atomic.AtomicBoolean(true)
+      UpsertJoin.rehashFailpoint.set { w =>
+        if (w == killAt && armed.getAndSet(false))
+          throw new InjectedCrash(w)
+      }
+      val crashed =
+        try { sink.maybeRehashIfDue("l_uc_pk"); false }
+        catch { case _: InjectedCrash => true }
+        finally UpsertJoin.rehashFailpoint.set(null)
+      assert(crashed, s"rehash failpoint $killAt did not fire")
+
+      // restart: a fresh instance heals any torn swap at construction
+      // and must serve the identical table
+      sink = mkSink()
+      assert(sink.snapshot(spark).select(compareCols.map(col): _*)
+        .collect().map(_.toSeq).toSet === expected,
+        s"table diverged after crash at $killAt")
+      // resume: the pending marker (if the crash preserved it) finishes
+      // the rehash; either way the layout and stamp end consistent and
+      // the table is unchanged
+      sink.maybeRehashIfDue("l_uc_pk")
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$tmp/sink.nbuckets_next")),
+        s"marker must not survive resume after crash at $killAt")
+      assert(sink.snapshot(spark).select(compareCols.map(col): _*)
+        .collect().map(_.toSeq).toSet === expected,
+        s"table diverged after resume from crash at $killAt")
+      // every window's resume completes to the marker's count (the
+      // marker predates even the "folded" window — the test wrote it)
+      assert(sink.bucketCount === Some(32),
+        s"resume after $killAt must land on the marker count")
+      // and the instance keeps converging under the final layout
+      CrmlsStream.processBatch(spark, batchDf(splits.last),
+        defaultStore(s"$tmp/state"), sink)
+      sink.awaitCompaction()
+      assert(sink.snapshot(spark).select(compareCols.map(col): _*)
+        .collect().map(_.toSeq).toSet === expected)
+    }
+  }
+
   test("cf torn batch: a crash between two families' appends of one " +
       "logical batch converges once the batch replays") {
     val fams = DimEnrich.roleFamilies
