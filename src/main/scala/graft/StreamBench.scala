@@ -177,10 +177,17 @@ object StreamBench {
     autoBuckets.foreach(n =>
       System.err.println(f"[streambench] rehash: $nBuckets -> $n buckets " +
         f"(state ${store.stateBytes() / 1e6}%.0f MB)"))
-    // sink-side twin: grow the sink layout from the SEEDED bytes too,
-    // so every mix's copied sink inherits the grown layout via its
-    // durable .nbuckets stamp instead of paying the rebuild mid-mix
-    sink.maybeRehashIfDue("l_uc_pk").foreach(n =>
+    // sink-side twin: fold the seed generation into bucket files (the
+    // size probe only sees bucket files) and grow the sink layout from
+    // the SEEDED bytes, so every mix's copied sink inherits the grown
+    // layout via its durable .nbuckets stamp instead of paying the
+    // rebuild mid-mix
+    sink.forceCompact("l_uc_pk")
+    // the UNGATED check: the seed's processBatch already consumed the
+    // hook's tick-1 probe (on an empty sink), so the gated form would
+    // skip this boundary and defer the one-off rebuild into the first
+    // mix's warmup
+    sink.maybeRehash("l_uc_pk").foreach(n =>
       System.err.println(s"[streambench] sink rehash: $nBuckets -> $n buckets"))
     val effBuckets = store.curBuckets
 
@@ -407,7 +414,11 @@ object StreamBench {
         deltaCompactEvery = compactEvery)
       val chunk = sys.env.getOrElse("SPARK_GRAFT_SB_GROW_CHUNK",
         math.max(base / 2, 1000).toString).toInt
-      val nGrow = sys.env.getOrElse("SPARK_GRAFT_SB_GROW_BATCHES", "16").toInt
+      // 24 x base/2 inserts ≈ 13x seed keys: crosses the store's and
+      // the sink's power-of-2 thresholds with steady-state batches left
+      // on both sides (measured trajectory: ~28 MB durable state per
+      // 50k-key batch at the default payload)
+      val nGrow = sys.env.getOrElse("SPARK_GRAFT_SB_GROW_BATCHES", "24").toInt
       val times = new Array[Double](nGrow)
       val jobsArr = new Array[Int](nGrow)
       val sinkRw = new Array[Long](nGrow)
@@ -441,6 +452,11 @@ object StreamBench {
         if (after != before)
           events += s"""{"batch":$i,"store_buckets":[${before._1},""" +
             s"""${after._1}],"sink_buckets":[${before._2},${after._2}]}"""
+        System.err.println(f"[growth] batch $i ${times(i)}%.1fs " +
+          f"state ${gStore.stateBytes() / 1e6}%.0f MB " +
+          f"(${gStore.curBuckets} buckets) " +
+          f"sink ${gSink.bucketBytes() / 1e6}%.0f MB " +
+          f"(${gSink.bucketCount.get} buckets)")
         val cur = fileSizes(Seq(d, sd))
         sinkRw(i) = rewrittenBytes(snap.filter(_._1.startsWith(sd)),
           cur.filter(_._1.startsWith(sd)))

@@ -1000,9 +1000,22 @@ object UpsertJoin {
 
     private def rehashMarker = java.nio.file.Paths.get(s"$dir.nbuckets_next")
 
+    /** Per-bucket size target. SMALLER than the store's 1 MB on
+      * purpose: the sink's cost model is write amplification — each
+      * delta key eventually costs one rewrite of its bucket at
+      * compaction, so amortized sink writes are ≈ deltaKeys ×
+      * bucketSize per batch, and bucketSize ∈ [target, 2×target) under
+      * the rehash. The store balances against point-lookup read fan-in
+      * (bigger buckets, fewer file opens); the sink is write-mostly
+      * (snapshot reads are full scans, indifferent to file count), so
+      * a 256 KB unit cuts the dominant term 4× for free. Past
+      * [[MaxBuckets]] the unit grows again — at that scale the sink is
+      * a MERGE-capable table format anyway (class scaladoc).
+      */
     private[streaming] val TargetBucketBytes: Long =
-      sys.env.get("SPARK_GRAFT_STATE_BUCKET_BYTES").map(_.toLong)
-        .getOrElse(1L << 20)
+      sys.env.get("SPARK_GRAFT_SINK_BUCKET_BYTES")
+        .orElse(sys.env.get("SPARK_GRAFT_STATE_BUCKET_BYTES"))
+        .map(_.toLong).getOrElse(256L << 10)
     private[streaming] val MaxBuckets: Int = 1 << 16
     private[streaming] val RehashCheckEvery: Int = 8
 
@@ -1010,7 +1023,7 @@ object UpsertJoin {
       * excluded on purpose: they are delta-proportional and folded
       * before any rehash anyway.
       */
-    private[streaming] def bucketBytes(): Long = {
+    private[graft] def bucketBytes(): Long = {
       def sz(f: java.io.File): Long =
         if (f.isFile) f.length()
         else Option(f.listFiles()).map(_.map(sz).sum).getOrElse(0L)
@@ -1076,14 +1089,23 @@ object UpsertJoin {
       * can heal. Content-identical by construction — no changelog emit
       * (the forced fold emits its own window, as any compaction does).
       */
-    private[streaming] def rehashTo(keyCol: String, n2: Int): Unit = {
-      val fp = rehashFailpoint.get()
-      def mark(w: String): Unit = if (fp != null) fp(w)
+    /** Fold any pending LSM deltas into the bucket files NOW (and wait
+      * for in-flight compaction first). Orderly-shutdown/handoff API,
+      * and the rehash's prerequisite — pending rows carry bucket ids of
+      * the current count, and [[bucketBytes]] only sees bucket files.
+      */
+    private[graft] def forceCompact(keyCol: String): Unit = synchronized {
       joinCompaction()
       if (deltaCompactEvery > 0) {
         val gens = deltaGenDirs(sweep = true)
         if (gens.nonEmpty) { compact(keyCol, gens); sinceCompact = 0 }
       }
+    }
+
+    private[streaming] def rehashTo(keyCol: String, n2: Int): Unit = {
+      val fp = rehashFailpoint.get()
+      def mark(w: String): Unit = if (fp != null) fp(w)
+      forceCompact(keyCol)
       healRehashSwap()
       mark("folded")
       val bytes = n2.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
