@@ -74,6 +74,14 @@ class SinkRehashSpec extends SparkTestBase {
     assert(sink.snapshot(spark).count() === before)
     // idempotent: a second check right after must not regrow
     assert(sink.maybeRehashIfDue("k") === None)
+    // the write-amplification invariant the rehash exists to pin:
+    // post-growth, per-bucket bytes sit under 2x the target (the
+    // power-of-2 floor's worst case), so amortized compaction writes
+    // are bounded by deltaKeys x 2 x target — independent of state
+    val total = sink.bucketBytes().toDouble
+    assert(total / grown.get <= 2.0 * sink.TargetBucketBytes,
+      s"mean bucket size ${total / grown.get} exceeds 2x target " +
+        s"${sink.TargetBucketBytes}")
   }
 
   test("LSM mode folds pendings (old-count bucket stamps) before " +
