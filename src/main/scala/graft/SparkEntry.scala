@@ -1347,9 +1347,41 @@ object SparkEntry {
       val sink = new graft.streaming.UpsertJoin.ParquetUpsertSink(
         s, s"$base/state", 4, changelogDir = Some(s"$base/log"))
       // a 1/5 orderkey sample keeps the four upsert+changelog batches
-      // (each pays an exceptAll change-detection and a bucket merge)
+      // (each pays a key-join change-detection and a bucket merge)
       // bench-priced at history-replay cost, not table-scan cost —
       // the REPLAY semantics are identical at any sample rate
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .filter(col("o_orderkey") % 20 < 4)
+      (0 to 3).foreach { b =>
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderkey").desc)
+        val batch = orders.filter(col("o_orderkey") % 20 === b)
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        sink.upsert("o_custkey", batch)
+      }
+      sink.snapshotAt("o_custkey", 2L)
+    }),
+
+    // changelog time travel through a CHECKPOINT: same 4-batch history
+    // and the same AS-OF-batch-2 answer as q_changelog_snapshot, but
+    // the sink checkpoints every 2nd batch, so the fold anchors on the
+    // full-state checkpoint at batch 1 and replays ONLY batch 2's log
+    // tail — the Delta-checkpoint read path (replay bounded by
+    // checkpoint cadence, not history length) priced and oracled next
+    // to the pure-replay one
+    "q_changelog_ckpt" -> ((s, dir) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft-clckpt-" +
+        s.sparkContext.applicationId
+      def rm(f: java.io.File): Unit = {
+        val fs = f.listFiles(); if (fs != null) fs.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(base))
+      val sink = new graft.streaming.UpsertJoin.ParquetUpsertSink(
+        s, s"$base/state", 4, changelogDir = Some(s"$base/log"),
+        changelogCheckpointEvery = 2)
       val orders = t(s, dir, "orders")
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .filter(col("o_orderkey") % 20 < 4)
@@ -3379,6 +3411,16 @@ object SparkEntry {
     // the row of the highest batch that touched it, within that batch
     // the max-orderkey row (the key-unique reduction each batch applies)
     "q_changelog_snapshot" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY (o_orderkey % 20) DESC, o_orderkey DESC) AS rn
+           FROM orders WHERE (o_orderkey % 20) <= 2)
+         WHERE rn = 1""",
+
+    // the checkpoint-anchored fold must land on the SAME as-of answer
+    // as the pure replay — one oracle text, two engine read paths
+    "q_changelog_ckpt" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,
                   row_number() OVER (PARTITION BY o_custkey

@@ -37,22 +37,90 @@ object UpsertJoin {
         (f.isDirectory && f.getName.startsWith("cl_shard=")))
   }
 
-  /** Changelog rows with `batch_id <= upToBatch`. On the sharded
-    * layout the shard predicate is applied FIRST so partition pruning
-    * drops whole shard dirs from the scan; the exact batch_id filter
-    * then trims the boundary shard. Reads a legacy flat log (no
+  /** Checkpoint root under a changelog dir. `_`-prefixed, so Spark's
+    * file listing hides it from every log scan (same trick as
+    * `_delta_log`): the checkpoints ride INSIDE the log dir without the
+    * retract-pair readers ever seeing them.
+    */
+  private def ckptRoot(clDir: String) = new java.io.File(clDir, "_ckpt")
+
+  /** Completed checkpoint batch ids under `clDir`, ascending. A
+    * checkpoint dir is named `ckpt=<batchId>` and appears only via the
+    * post-write rename in [[ParquetUpsertSink.writeChangelogCheckpoint]],
+    * so presence == complete (torn writes stay under a dot-prefixed tmp
+    * name and are swept by the next writer).
+    */
+  def listChangelogCheckpoints(clDir: String): Seq[Long] = {
+    val fs = ckptRoot(clDir).listFiles()
+    if (fs == null) Nil
+    else fs.filter(f => f.isDirectory && f.getName.startsWith("ckpt="))
+      .map(_.getName.stripPrefix("ckpt=").toLong).toSeq.sorted
+  }
+
+  /** Earliest batch the log can still time-travel to, recorded by
+    * [[pruneChangelogBefore]]. 0 when the log has never been pruned.
+    */
+  def changelogFloor(clDir: String): Long = {
+    val m = new java.io.File(clDir, "_pruned_below")
+    if (!m.exists()) 0L
+    else new String(java.nio.file.Files.readAllBytes(m.toPath),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+  }
+
+  /** Log retention: drop shard dirs whose batches are all strictly
+    * below the newest checkpoint <= `keepFrom`, and checkpoints older
+    * than that one. After pruning, [[snapshotAt]] still serves every
+    * point >= that checkpoint (checkpoint + surviving tail) and throws
+    * on earlier points instead of silently folding a truncated prefix
+    * (the floor marker is written BEFORE any deletion, so a crash
+    * mid-prune fails safe: reads below the floor are already refused,
+    * re-running the prune completes the deletes). The Delta-style
+    * trade: bounded storage for bounded history.
+    * @return the new floor (the checkpoint actually kept), or None if
+    *   no checkpoint <= keepFrom exists (nothing pruned).
+    */
+  def pruneChangelogBefore(clDir: String, keepFrom: Long): Option[Long] = {
+    val base = listChangelogCheckpoints(clDir).filter(_ <= keepFrom)
+      .sorted.lastOption
+    base.map { b =>
+      val floor = new java.io.File(clDir, "_pruned_below")
+      java.nio.file.Files.write(floor.toPath,
+        b.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // a shard dir is safe to drop only if EVERY batch in it is < b:
+      // shard s covers [s*16, s*16+15], all below b iff s*16+15 < b
+      val fs = new java.io.File(clDir).listFiles()
+      if (fs != null) fs.filter(f =>
+        f.isDirectory && f.getName.startsWith("cl_shard=") &&
+          (f.getName.stripPrefix("cl_shard=").toLong + 1L) *
+            ChangelogShardEvery <= b)
+        .foreach(f => BucketedState.deleteRecursively(f.toPath))
+      listChangelogCheckpoints(clDir).filter(_ < b).foreach(old =>
+        BucketedState.deleteRecursively(
+          new java.io.File(ckptRoot(clDir), s"ckpt=$old").toPath))
+      b
+    }
+  }
+
+  /** Changelog rows with `afterBatch < batch_id <= upToBatch`. On the
+    * sharded layout the shard predicates are applied FIRST so partition
+    * pruning drops whole shard dirs from the scan — from BOTH ends when
+    * a checkpoint supplies the lower bound — and the exact batch_id
+    * filter then trims the boundary shards. Reads a legacy flat log (no
     * cl_shard dirs) identically, minus the pruning.
     */
   def readChangelog(spark: SparkSession, clDir: String,
-                    upToBatch: Long): DataFrame = {
+                    upToBatch: Long, afterBatch: Long = -1L): DataFrame = {
     import org.apache.spark.sql.functions._
     val raw = spark.read.option("mergeSchema", "true").parquet(clDir)
     val pruned =
-      if (raw.columns.contains("cl_shard"))
-        raw.filter(col("cl_shard") <= lit(upToBatch / ChangelogShardEvery))
-          .drop("cl_shard")
-      else raw
-    pruned.filter(col("batch_id") <= upToBatch)
+      if (raw.columns.contains("cl_shard")) {
+        val hi = raw.filter(col("cl_shard") <= lit(upToBatch / ChangelogShardEvery))
+        (if (afterBatch >= 0L)
+           hi.filter(col("cl_shard") >= lit(afterBatch / ChangelogShardEvery))
+         else hi).drop("cl_shard")
+      } else raw
+    val upper = pruned.filter(col("batch_id") <= upToBatch)
+    if (afterBatch >= 0L) upper.filter(col("batch_id") > afterBatch) else upper
   }
 
   /** Minimal keyed upsert sink. In production this is a
@@ -297,11 +365,22 @@ object UpsertJoin {
     *   emit; monotonicity and restart recovery are the caller's
     *   contract.
     */
+  /** @param changelogCheckpointEvery when > 0, every N-th changelog
+    *   batch also writes the CONVERGED table under
+    *   `changelogDir/_ckpt/ckpt=<batchId>` — [[UpsertJoin.snapshotAt]]
+    *   then replays at most N batches of log on top of one checkpoint
+    *   read instead of the whole prefix, and
+    *   [[UpsertJoin.pruneChangelogBefore]] can retire old shards.
+    *   Costs one O(state) dump per N batches (amortized O(state/N) per
+    *   batch — size N so this sits well below the per-batch delta
+    *   write). 0 = off (the default: pure-replay time travel).
+    */
   final class ParquetUpsertSink(spark: SparkSession, dir: String,
                                 nBuckets: Int = 16,
                                 changelogDir: Option[String] = None,
                                 deltaCompactEvery: Int = 0,
-                                epochSource: Option[() => Long] = None)
+                                epochSource: Option[() => Long] = None,
+                                changelogCheckpointEvery: Int = 0)
       extends UpsertSink with Serializable {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
@@ -339,7 +418,19 @@ object UpsertJoin {
       */
     private var epoch: Long = changelogDir match {
       case Some(clDir) if epochSource.isEmpty && changelogExists(clDir) =>
-        spark.read.parquet(clDir).agg(max(col("batch_id"))).head() match {
+        // the max batch_id lives in the max shard dir by construction
+        // (stamps are monotone), so recovery reads ONE shard — O(1) in
+        // history length, not a full-log scan. Legacy flat logs (no
+        // shard dirs) still scan everything they have.
+        val shards = {
+          val fs = new java.io.File(clDir).listFiles()
+          if (fs == null) Array.empty[Long]
+          else fs.filter(f => f.isDirectory && f.getName.startsWith("cl_shard="))
+            .map(_.getName.stripPrefix("cl_shard=").toLong)
+        }
+        val src = if (shards.nonEmpty) s"$clDir/cl_shard=${shards.max}"
+                  else clDir
+        spark.read.parquet(src).agg(max(col("batch_id"))).head() match {
           case r if r.isNullAt(0) => 0L
           case r => r.getLong(0) + 1L
         }
@@ -888,12 +979,13 @@ object UpsertJoin {
       // and the promote replays the compaction and re-appends the
       // window's pairs — same duplicate-on-replay caveat as the
       // merge-on-write log (production: transactional CDF).
-      changelogDir.foreach { clDir =>
+      val clEpoch = changelogDir.map { clDir =>
         emitChangelog(clDir, keyCol, baseDf.map(alignTo(_, fullFields)),
           merged, delKeys)
       }
       BucketedState.overwriteBuckets(spark, dir, out, touched)
       gens.foreach(g => BucketedState.deleteRecursively(g.toPath))
+      clEpoch.foreach(maybeChangelogCheckpoint)
     }
 
     /** Merge-on-write realization of the partial contract: touched
@@ -930,11 +1022,12 @@ object UpsertJoin {
       }
       val out = merged.withColumn(BucketedState.BucketColName,
         BucketedState.bucketOf(col(keyCol), curBuckets))
-      changelogDir.foreach { clDir =>
+      val clEpoch = changelogDir.map { clDir =>
         emitChangelog(clDir, keyCol, cur.map(alignTo(_, fullFields)),
           merged, batch)
       }
       BucketedState.overwriteBuckets(spark, dir, out, touched)
+      clEpoch.foreach(maybeChangelogCheckpoint)
     }
 
     private def mergeWrite(keyCol: String, batch: DataFrame,
@@ -955,35 +1048,100 @@ object UpsertJoin {
           BucketedState.bucketOf(col(keyCol), curBuckets))
       // changelog append reads the PRE-write generation — it must
       // complete before overwriteBuckets swaps the bucket files
-      changelogDir.foreach { clDir =>
+      val clEpoch = changelogDir.map { clDir =>
         emitChangelog(clDir, keyCol, cur, merged.drop(BucketedState.BucketColName),
           batch)
       }
       BucketedState.overwriteBuckets(spark, dir, merged, touched)
+      clEpoch.foreach(maybeChangelogCheckpoint)
     }
 
     /** Retract-pair delta for one upsert batch: for every batch key,
       * (false, previous row) if one existed and changed, (true, new
-      * row) if inserted or changed. Row-level exceptAll does the
-      * change detection — identical rewrites cancel out.
+      * row) if inserted or changed. Change detection is ONE key-equi
+      * full-outer join with a null-safe whole-row struct compare —
+      * identical rewrites cancel out. Valid because the upsert table is
+      * one-row-per-key on both sides (merged: the latest-wins window /
+      * 1:1 partial fold; cur: the converged pre-image state), which is
+      * what lets a key join replace the row-multiset exceptAll form
+      * this had before: that planned as two full-width hash-aggregate
+      * set-ops (each shuffling both inputs on EVERY column), i.e. four
+      * wide exchanges per batch vs this plan's single key exchange.
       */
     private def emitChangelog(clDir: String, keyCol: String,
                               cur: Option[DataFrame], merged: DataFrame,
-                              batch: DataFrame): Unit = {
+                              batch: DataFrame): Long = {
       val batchKeys = batch.select(col(keyCol)).distinct()
       val newRows = merged.join(batchKeys, Seq(keyCol), "left_semi")
-      val oldRows = cur.map(_.join(batchKeys, Seq(keyCol), "left_semi"))
-      val inserts = oldRows.fold(newRows)(o => newRows.exceptAll(o))
-        .withColumn("op", lit(true))
-      val deletes = oldRows.map(_.exceptAll(newRows).withColumn("op", lit(false)))
+      // both sides packed in merged's column order so the structs are
+      // type-identical for <=> (call sites align cur to fullFields)
+      def packed(df: DataFrame, as: String) = df.select(
+        col(keyCol).as("__cl_k"),
+        struct(merged.columns.map(col): _*).as(as))
+      val e = nextEpoch()
+      val delta = cur match {
+        case None => newRows.withColumn("op", lit(true))
+        case Some(c) =>
+          val oldRows = c.join(batchKeys, Seq(keyCol), "left_semi")
+          // one pass emits both ops: deleted key -> old side only,
+          // insert -> new side only, change -> the retract pair
+          packed(newRows, "__cl_new")
+            .join(packed(oldRows, "__cl_old"), Seq("__cl_k"), "full_outer")
+            .filter(!(col("__cl_new") <=> col("__cl_old")))
+            .select(explode(array(
+              struct(lit(false).as("op"), col("__cl_old").as("row")),
+              struct(lit(true).as("op"), col("__cl_new").as("row")))).as("e"))
+            .filter(col("e.row").isNotNull)
+            .select(col("e.row.*"), col("e.op").as("op"))
+      }
       // shard-partitioned append (see [[UpsertJoin.ChangelogShardEvery]]):
       // the batch_id <= N time-travel predicate then prunes whole shard
       // dirs at the scan instead of opening every file's row-group stats
-      val e = nextEpoch()
-      val delta = deletes.fold(inserts)(d => d.unionByName(inserts))
+      val stamped = delta
         .withColumn("batch_id", lit(e))
         .withColumn("cl_shard", lit(e / ChangelogShardEvery))
-      delta.write.mode("append").partitionBy("cl_shard").parquet(clDir)
+      stamped.write.mode("append").partitionBy("cl_shard").parquet(clDir)
+      e
+    }
+
+    /** Post-merge hook: on every `changelogCheckpointEvery`-th batch,
+      * dump the converged table as changelog checkpoint `e`. Runs AFTER
+      * the bucket swap so the checkpoint equals the state the log says
+      * exists as of batch `e`. Idempotent and torn-write-safe: the dump
+      * lands under a dot-prefixed tmp dir and a rename publishes it, so
+      * [[UpsertJoin.listChangelogCheckpoints]] only ever sees complete
+      * checkpoints; a crash in the window leaves tmp garbage that the
+      * next writer sweeps, and the reader just keeps using the previous
+      * checkpoint (correctness never depends on one existing).
+      */
+    private def maybeChangelogCheckpoint(e: Long): Unit =
+      changelogDir.foreach { clDir =>
+        if (changelogCheckpointEvery > 0 &&
+            (e + 1L) % changelogCheckpointEvery == 0L)
+          writeChangelogCheckpoint(clDir, e)
+      }
+
+    private[streaming] def writeChangelogCheckpoint(clDir: String,
+                                                    e: Long): Unit = {
+      val root = new java.io.File(clDir, "_ckpt")
+      root.mkdirs()
+      val stale = root.listFiles()
+      if (stale != null) stale.filter(_.getName.startsWith(".tmp-"))
+        .foreach(f => BucketedState.deleteRecursively(f.toPath))
+      val fin = new java.io.File(root, s"ckpt=$e")
+      if (!fin.exists()) {
+        val tmp = new java.io.File(root, s".tmp-$e")
+        // read the bucket files directly, NOT snapshot(): this runs on
+        // the async compaction thread in delta mode, where snapshot()'s
+        // joinCompaction() would await the very future executing us.
+        // Post-swap bucket files ARE the converged table as of batch e
+        // in every caller: the swap just applied batch e's merge, and
+        // generations appended concurrently belong to future batches.
+        BucketedState.readAll(spark, dir).foreach(
+          _.write.mode("overwrite").parquet(tmp.getPath))
+        if (!tmp.renameTo(fin))
+          BucketedState.deleteRecursively(tmp.toPath) // lost a race: done
+      }
     }
 
     // ---- growth rehash: buckets ∝ state ------------------------------
@@ -1248,7 +1406,35 @@ object UpsertJoin {
                  batchId: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
-    val log = readChangelog(spark, changelogDir, batchId)
+    // CHECKPOINTED fast path: fold from the newest full-state
+    // checkpoint <= batchId plus only the (ckpt, batchId] log tail —
+    // the replay cost is bounded by the checkpoint CADENCE, not by
+    // total history length (the Delta-checkpoint move). Checkpoint rows
+    // enter the same fold as synthetic inserts stamped at the
+    // checkpoint batch, so every tail retract/insert above them wins on
+    // batch_id exactly as in the full replay; a missing or torn
+    // checkpoint simply isn't listed and the fold falls back one
+    // checkpoint (or to full replay) — correctness never depends on a
+    // checkpoint existing.
+    val base = listChangelogCheckpoints(changelogDir)
+      .filter(_ <= batchId).sorted.lastOption
+    val floor = changelogFloor(changelogDir)
+    if (base.isEmpty && floor > 0L)
+      throw new IllegalStateException(
+        s"changelog under $changelogDir is pruned below batch $floor: " +
+          s"snapshotAt($batchId) would fold a truncated prefix")
+    val log = base match {
+      case None => readChangelog(spark, changelogDir, batchId)
+      case Some(b) =>
+        val ckpt = spark.read
+          .parquet(new java.io.File(ckptRoot(changelogDir), s"ckpt=$b").getPath)
+          .withColumn("op", lit(true))
+          .withColumn("batch_id", lit(b))
+        if (b == batchId) ckpt
+        else ckpt.unionByName(
+          readChangelog(spark, changelogDir, batchId, afterBatch = b),
+          allowMissingColumns = true)
+    }
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col("batch_id").desc, col("op").desc)
     log.withColumn("__rn", row_number().over(w))

@@ -623,6 +623,47 @@ class PlanHygieneSpec extends SparkTestBase {
       s"pruning must skip shard 1: read $filesRead, shard0=$shard0Files shard1=$shard1Files")
   }
 
+  test("checkpointed snapshotAt: the log scan is bounded by checkpoint " +
+      "cadence — prefix shards before the anchor are never opened") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-plan-ckpt").toString
+    val sink = new graft.streaming.UpsertJoin.ParquetUpsertSink(spark,
+      s"$tmp/out", nBuckets = 4, changelogDir = Some(s"$tmp/cl"),
+      changelogCheckpointEvery = 16)
+    // 40 batches span three shard dirs (0: 0..15, 1: 16..31, 2: 32..39);
+    // cadence 16 lands checkpoints at batches 15 and 31
+    (0 until 40).foreach { i =>
+      sink.upsert("k", Seq(("a", i.toLong, s"v$i")).toDF("k", "ts", "p"))
+    }
+    val df = sink.snapshotAt("k", 37L)
+    assert(df.collect().nonEmpty)
+    def allScans(e: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = e match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allScans(q.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case o => o.children.flatMap(allScans)
+    }
+    val filesRead = allScans(df.queryExecution.executedPlan)
+      .map(_.metrics("numFiles").value).sum
+    def files(dir: String) = {
+      val fs = new java.io.File(dir).listFiles()
+      if (fs == null) 0 else fs.count(_.getName.endsWith(".parquet"))
+    }
+    val bound = files(s"$tmp/cl/_ckpt/ckpt=31") +
+      files(s"$tmp/cl/cl_shard=1") + files(s"$tmp/cl/cl_shard=2")
+    val shard0 = files(s"$tmp/cl/cl_shard=0")
+    assert(shard0 > 0, "test setup: the prunable prefix shard must exist")
+    // anchor = ckpt 31; tail shards >= 31/16 = 1. Shard 0 — 16 of the
+    // 40 batches, and every pre-anchor batch — is never opened, so the
+    // fold's read cost is set by the CADENCE, not total history length
+    assert(filesRead === bound,
+      s"read $filesRead files, expected ckpt31+shards1,2 = $bound " +
+        s"(prefix shard0 holds $shard0 files that must stay unread)")
+  }
+
   test("native dot product is codegen-capable (starred projection)") {
     // the tokenizing queries are bounded by ArrayTransform (a
     // CodegenFallback higher-order function), but ArrayDotProduct

@@ -239,6 +239,81 @@ class ChangelogSinkSpec extends SparkTestBase {
     assert(at(3L) === live, "duplicate replay delta must not change the fold")
   }
 
+  test("changelog checkpoints: snapshotAt matches ground truth at every " +
+      "point; torn/missing checkpoints fall back; prune retires shards " +
+      "and refuses pre-floor travel") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cl-ckpt").toString
+    val cl = s"$tmp/cl"
+    val sink = new UpsertJoin.ParquetUpsertSink(spark, s"$tmp/out",
+      nBuckets = 4, changelogDir = Some(cl), changelogCheckpointEvery = 4)
+    // 21 batches (0..20): `a` updates every batch, `b` arrives at 5 —
+    // enough history to cross a shard boundary (ShardEvery = 16) so the
+    // prune below can retire a whole shard dir
+    (0 to 20).foreach { i =>
+      val rows = if (i == 5) Seq(("a", i.toLong, s"v$i"), ("b", 1L, "w1"))
+                 else Seq(("a", i.toLong, s"v$i"))
+      sink.upsert("k", rows.toDF("k", "ts", "p"))
+    }
+    def expected(b: Long): Map[String, (Long, String)] =
+      Map("a" -> ((b, s"v$b"))) ++
+        (if (b >= 5) Map("b" -> ((1L, "w1"))) else Map.empty)
+    def at(b: Long): Map[String, (Long, String)] =
+      sink.snapshotAt("k", b).select("k", "ts", "p").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+
+    // cadence 4 => checkpoints at batches 3, 7, 11, 15, 19
+    assert(UpsertJoin.listChangelogCheckpoints(cl) === Seq(3L, 7L, 11L, 15L, 19L))
+    // every history point folds correctly, whichever checkpoint (or
+    // none, for b < 3) anchors the fold
+    (0L to 20L).foreach(b => assert(at(b) === expected(b), s"at batch $b"))
+
+    // a torn checkpoint write (crash mid-dump) stays dot-prefixed and
+    // invisible; a MISSING checkpoint just means the fold anchors one
+    // checkpoint earlier — correctness never depends on one existing
+    val torn = new java.io.File(s"$cl/_ckpt/.tmp-99")
+    torn.mkdirs()
+    java.nio.file.Files.write(new java.io.File(torn, "junk").toPath,
+      Array[Byte](1, 2, 3))
+    def rmTree(f: java.io.File): Unit = {
+      val kids = f.listFiles(); if (kids != null) kids.foreach(rmTree)
+      f.delete(): Unit
+    }
+    rmTree(new java.io.File(s"$cl/_ckpt/ckpt=11"))
+    assert(UpsertJoin.listChangelogCheckpoints(cl) === Seq(3L, 7L, 15L, 19L))
+    assert(at(13L) === expected(13L), "fold must fall back to ckpt 7")
+
+    // prune: keep from the newest checkpoint <= 20 (= 19). Shard 0
+    // (batches 0..15, all < 19) is retired; shard 1 and ckpt 19 stay
+    assert(UpsertJoin.pruneChangelogBefore(cl, 20L) === Some(19L))
+    assert(!new java.io.File(s"$cl/cl_shard=0").exists(), "shard 0 retired")
+    assert(new java.io.File(s"$cl/cl_shard=1").exists(), "shard 1 kept")
+    assert(UpsertJoin.listChangelogCheckpoints(cl) === Seq(19L))
+    assert(UpsertJoin.changelogFloor(cl) === 19L)
+    // points >= the floor still serve (ONLY possible via the checkpoint
+    // now — the prefix log is gone), earlier points refuse loudly
+    assert(at(19L) === expected(19L))
+    assert(at(20L) === expected(20L))
+    intercept[IllegalStateException] { sink.snapshotAt("k", 12L) }
+
+    // life goes on: post-prune upserts stamp forward, the next
+    // checkpoint (batch 23) lands and sweeps the torn tmp dir
+    (21 to 23).foreach { i =>
+      sink.upsert("k", Seq(("a", i.toLong, s"v$i")).toDF("k", "ts", "p"))
+    }
+    assert(at(23L) === expected(23L))
+    assert(UpsertJoin.listChangelogCheckpoints(cl) === Seq(19L, 23L))
+    assert(!torn.exists(), "checkpoint writer must sweep torn tmp dirs")
+
+    // restart over the PRUNED log: epoch recovery reads the max shard
+    // dir (O(1) in history), so the next stamp continues past 23
+    val restarted = new UpsertJoin.ParquetUpsertSink(spark, s"$tmp/out",
+      nBuckets = 4, changelogDir = Some(cl), changelogCheckpointEvery = 4)
+    restarted.upsert("k", Seq(("a", 24L, "v24")).toDF("k", "ts", "p"))
+    val maxBatch = spark.read.parquet(cl).agg(max(col("batch_id")))
+      .head().getLong(0)
+    assert(maxBatch === 24L, s"restart must stamp 24, got $maxBatch")
+  }
+
   test("changelog off by default: no side output, merge unchanged") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-nocl").toString
     val sink = new UpsertJoin.ParquetUpsertSink(spark, s"$tmp/out", nBuckets = 4)
