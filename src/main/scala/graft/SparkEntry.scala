@@ -1396,6 +1396,38 @@ object SparkEntry {
       sink.snapshotAt("o_custkey", 2L)
     }),
 
+    // netted CDC diff between two history points (Delta table_changes,
+    // netted per key): same 4-batch upsert history; the (1, 3] window's
+    // net change per customer — new keys -> insert, changed keys ->
+    // update with old_ pre-images. Tail-only read: the pre-image comes
+    // from the first retract INSIDE the window, so no base state or
+    // checkpoint is touched, and the scan is bounded by the window's
+    // shard dirs; one key-partitioned min_by/max_by aggregate
+    "q_changelog_diff" -> ((s, dir) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft-cldiff-" +
+        s.sparkContext.applicationId
+      def rm(f: java.io.File): Unit = {
+        val fs = f.listFiles(); if (fs != null) fs.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(base))
+      val sink = new graft.streaming.UpsertJoin.ParquetUpsertSink(
+        s, s"$base/state", 4, changelogDir = Some(s"$base/log"))
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .filter(col("o_orderkey") % 20 < 4)
+      (0 to 3).foreach { b =>
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderkey").desc)
+        val batch = orders.filter(col("o_orderkey") % 20 === b)
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        sink.upsert("o_custkey", batch)
+      }
+      graft.streaming.UpsertJoin.changelogChangesBetween(
+        s, s"$base/log", "o_custkey", 1L, 3L)
+    }),
+
     // storage-layout co-located join: both sides written hash-bucketed
     // on the join key, so the join itself plans with ZERO exchanges
     // (BucketingSpec pins the plan shape; this row pins the values)
@@ -3417,6 +3449,37 @@ object SparkEntry {
                     ORDER BY (o_orderkey % 20) DESC, o_orderkey DESC) AS rn
            FROM orders WHERE (o_orderkey % 20) <= 2)
          WHERE rn = 1""",
+
+    // netted CDC diff: state-as-of-1 vs state-as-of-3 joined per key —
+    // keys only in state3 are inserts, value changes are updates with
+    // old_ pre-images; value-identical keys (and keys untouched in the
+    // window) emit nothing. The engine computes this from the log tail
+    // alone; the oracle recomputes both states from scratch — same rows
+    "q_changelog_diff" ->
+      """WITH s1 AS (
+           SELECT o_custkey, o_orderkey, o_totalprice FROM (
+             SELECT o_custkey, o_orderkey, o_totalprice,
+                    row_number() OVER (PARTITION BY o_custkey
+                      ORDER BY (o_orderkey % 20) DESC, o_orderkey DESC) AS rn
+             FROM orders WHERE (o_orderkey % 20) <= 1) WHERE rn = 1),
+         s3 AS (
+           SELECT o_custkey, o_orderkey, o_totalprice FROM (
+             SELECT o_custkey, o_orderkey, o_totalprice,
+                    row_number() OVER (PARTITION BY o_custkey
+                      ORDER BY (o_orderkey % 20) DESC, o_orderkey DESC) AS rn
+             FROM orders WHERE (o_orderkey % 20) <= 3) WHERE rn = 1)
+         SELECT COALESCE(s3.o_custkey, s1.o_custkey) AS o_custkey,
+                CASE WHEN s1.o_custkey IS NULL THEN 'insert'
+                     WHEN s3.o_custkey IS NULL THEN 'delete'
+                     ELSE 'update' END AS change,
+                s3.o_orderkey AS o_orderkey,
+                s3.o_totalprice AS o_totalprice,
+                s1.o_orderkey AS old_o_orderkey,
+                s1.o_totalprice AS old_o_totalprice
+         FROM s3 FULL OUTER JOIN s1 ON s3.o_custkey = s1.o_custkey
+         WHERE s1.o_custkey IS NULL OR s3.o_custkey IS NULL
+            OR s3.o_orderkey <> s1.o_orderkey
+            OR s3.o_totalprice <> s1.o_totalprice""",
 
     // the checkpoint-anchored fold must land on the SAME as-of answer
     // as the pure replay — one oracle text, two engine read paths

@@ -1442,6 +1442,67 @@ object UpsertJoin {
       .drop("__rn", "op", "batch_id")
   }
 
+  /** NET per-key changes between the ends of changelog batches
+    * `fromBatch` (exclusive) and `toBatch` (inclusive) — the audit /
+    * CDC-diff read (Delta's `table_changes`, netted): for every key
+    * touched in the window, emit
+    *   change = 'insert'  (absent at fromBatch -> present at toBatch)
+    *            'update'  (present at both, row differs; new values in
+    *                       the data columns, prior values in `old_`-
+    *                       prefixed ones)
+    *            'delete'  (present at fromBatch -> absent at toBatch;
+    *                       the dropped row rides in the `old_` columns)
+    * Keys that were touched but netted out (created-then-deleted inside
+    * the window, or changed and reverted) emit nothing.
+    *
+    * The retract-pair log makes this a TAIL-ONLY read: a key's state at
+    * `fromBatch` is the pre-image carried by its FIRST retract in the
+    * window (no retract at its first touch = the key did not exist),
+    * and its state at `toBatch` is the window fold's winner — so the
+    * scan is bounded by the window's shard dirs
+    * ([[readChangelog]] prunes both ends), never the full history, and
+    * no checkpoint or base-table read is needed. Plan shape: one
+    * key-partitioned hash aggregate (`min_by`/`max_by` over the
+    * (batch_id, op) order — partial-aggregated map-side, no window
+    * sort), then a local projection; one exchange total.
+    */
+  def changelogChangesBetween(spark: SparkSession, changelogDir: String,
+                              keyCol: String, fromBatch: Long,
+                              toBatch: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(fromBatch <= toBatch,
+      s"changelogChangesBetween: fromBatch $fromBatch > toBatch $toBatch")
+    val floor = changelogFloor(changelogDir)
+    if (fromBatch + 1L < floor)
+      throw new IllegalStateException(
+        s"changelog under $changelogDir is pruned below batch $floor: " +
+          s"the window ($fromBatch, $toBatch] needs batch ${fromBatch + 1}")
+    val tail = readChangelog(spark, changelogDir, toBatch, afterBatch = fromBatch)
+    val dataCols = tail.columns.filterNot(c => c == keyCol || c == "op" ||
+      c == "batch_id").toSeq
+    val packed = tail.select(col(keyCol),
+      struct(col("batch_id"), col("op")).as("__ord"),
+      struct(col("op").as("op"),
+        struct(dataCols.map(col): _*).as("r")).as("__row"))
+    val agg = packed.groupBy(col(keyCol)).agg(
+      min_by(col("__row"), col("__ord")).as("__first"),
+      max_by(col("__row"), col("__ord")).as("__last"))
+    // state at fromBatch = the first retract's pre-image (an op=true
+    // first touch means the key was absent); state at toBatch = the
+    // final insert (a bare final retract means deleted)
+    val shaped = agg.select(col(keyCol),
+      when(!col("__first.op"), col("__first.r")).as("__old"),
+      when(col("__last.op"), col("__last.r")).as("__new"))
+    val change = when(col("__old").isNull && col("__new").isNotNull, "insert")
+      .when(col("__new").isNull && col("__old").isNotNull, "delete")
+      .when(col("__new").isNotNull && !(col("__new") <=> col("__old")), "update")
+    shaped.withColumn("change", change)
+      .filter(col("change").isNotNull)
+      .select(col(keyCol) +: col("change") +:
+        (dataCols.map(c => col(s"__new.$c").as(c)) ++
+          dataCols.map(c => col(s"__old.$c").as(s"old_$c"))): _*)
+  }
+
   /** Drive a streaming fact source through a per-batch join against
     * (re-evaluated) dimension frames and upsert the result.
     *

@@ -314,6 +314,65 @@ class ChangelogSinkSpec extends SparkTestBase {
     assert(maxBatch === 24L, s"restart must stamp 24, got $maxBatch")
   }
 
+  test("changelogChangesBetween nets the window per key from the tail " +
+      "alone: insert/update/delete emitted, touched-but-reverted silent") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cl-diff").toString
+    val cl = s"$tmp/cl"
+    val sink = new UpsertJoin.ParquetUpsertSink(spark, s"$tmp/out",
+      nBuckets = 4, changelogDir = Some(cl))
+    // batch 0: a, b, d          (the pre-window base)
+    // batch 1: a updated        (inside the diff window)
+    // batch 2: c inserted, a updated again
+    // batch 3: b rewritten to its ORIGINAL value (revert — nets out)
+    sink.upsert("k", Seq(("a", 1L, "v1"), ("b", 1L, "w1"), ("d", 1L, "x1"))
+      .toDF("k", "ts", "p"))
+    sink.upsert("k", Seq(("a", 2L, "v2")).toDF("k", "ts", "p"))
+    sink.upsert("k", Seq(("c", 1L, "y1"), ("a", 3L, "v3")).toDF("k", "ts", "p"))
+    sink.upsert("k", Seq(("b", 2L, "w2")).toDF("k", "ts", "p"))
+    sink.upsert("k", Seq(("b", 1L, "w1")).toDF("k", "ts", "p"))
+    // synthetic delete of d at batch 5 (the sink has no delete API;
+    // the log format does — a bare retract, as the LSM delete path
+    // emits): state(5) drops d
+    Seq((false, "d", 1L, "x1", 5L, 5L / UpsertJoin.ChangelogShardEvery))
+      .toDF("op", "k", "ts", "p", "batch_id", "cl_shard")
+      .write.mode("append").partitionBy("cl_shard").parquet(cl)
+
+    def diff(a: Long, b: Long): Map[String, (String, Option[(Long, String)], Option[(Long, String)])] =
+      UpsertJoin.changelogChangesBetween(spark, cl, "k", a, b)
+        .select("k", "change", "ts", "p", "old_ts", "old_p").collect()
+        .map { r =>
+          def side(ti: Int, pi: Int) =
+            if (r.isNullAt(ti)) None else Some((r.getLong(ti), r.getString(pi)))
+          r.getString(0) -> ((r.getString(1), side(2, 3), side(4, 5)))
+        }.toMap
+
+    // window (0, 5]: a updated (v1->v3), c inserted, d deleted;
+    // b reverted to w1 inside the window -> silent
+    assert(diff(0L, 5L) === Map(
+      "a" -> (("update", Some((3L, "v3")), Some((1L, "v1")))),
+      "c" -> (("insert", Some((1L, "y1")), None)),
+      "d" -> (("delete", None, Some((1L, "x1"))))))
+    // window (1, 3]: a's pre-image is the FIRST retract inside the
+    // window (v2, not v1), b's w1->w2 is visible (the later revert is
+    // outside), d's delete hasn't happened yet
+    assert(diff(1L, 3L) === Map(
+      "a" -> (("update", Some((3L, "v3")), Some((2L, "v2")))),
+      "b" -> (("update", Some((2L, "w2")), Some((1L, "w1")))),
+      "c" -> (("insert", Some((1L, "y1")), None))))
+    // created-then-deleted inside one window nets to nothing: d over a
+    // window that starts before batch 0 would be an insert+delete pair
+    // — instead check (4, 5]: only d's delete is in the tail
+    assert(diff(4L, 5L) === Map(
+      "d" -> (("delete", None, Some((1L, "x1"))))))
+    // empty window
+    assert(diff(3L, 3L) === Map.empty)
+    // the whole-history window sees c created; d created AND deleted
+    // nets out entirely
+    val whole = diff(-1L, 5L)
+    assert(!whole.contains("d"), s"d must net out of the full window: $whole")
+    assert(whole("c") === (("insert", Some((1L, "y1")), None)))
+  }
+
   test("changelog off by default: no side output, merge unchanged") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-nocl").toString
     val sink = new UpsertJoin.ParquetUpsertSink(spark, s"$tmp/out", nBuckets = 4)
