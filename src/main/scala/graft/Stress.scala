@@ -1192,6 +1192,106 @@ object Stress {
     svecs.unpersist()
     docs.unpersist()
 
+    // -------------------------------------- changelog time-travel tier
+    // A LONG upsert history — seed + (clBatches-1) delta batches with
+    // checkpoints every 64 — measured four ways on the SAME log:
+    //  (1) snapshotAt ANCHORED on a checkpoint vs (2) the PURE REPLAY
+    //      (checkpoints hidden by renaming _ckpt away — identical fold,
+    //      identical rows, different read bound),
+    //  (3) the storage a prune retires and that reads survive it,
+    //  (4) the tail-bounded CDC diff.
+    // This is the capture that backs the PlanHygieneSpec structural pin
+    // with production-shaped numbers: the anchored read opens O(state +
+    // cadence) files while replay opens the whole history's.
+    val clKeys = sys.env.getOrElse("SPARK_GRAFT_STRESS_CL_KEYS",
+      "200000").toLong
+    val clBatches = sys.env.getOrElse("SPARK_GRAFT_STRESS_CL_BATCHES",
+      "256").toInt
+    val clDelta = 2000L
+    val clCkptEvery = 64
+    phase("changelog_tt") {
+      def allScans(e: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = e match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allScans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allScans(q.plan)
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+        case o => o.children.flatMap(allScans)
+      }
+      def dirMb(d: String): Double = {
+        def walk(f: java.io.File): Long = {
+          val fs = f.listFiles()
+          if (fs == null) f.length() else fs.map(walk).sum
+        }
+        walk(new java.io.File(d)) / 1e6
+      }
+      val tmp = java.nio.file.Files.createTempDirectory("graft-stress-cl")
+        .toString
+      val logDir = s"$tmp/log"
+      val sink = new streaming.UpsertJoin.ParquetUpsertSink(spark,
+        s"$tmp/state", nBuckets = 64, changelogDir = Some(logDir),
+        changelogCheckpointEvery = clCkptEvery)
+      val tDrive0 = System.nanoTime()
+      sink.upsert("k", spark.range(clKeys).select(col("id").as("k"),
+        lit(0L).as("ts"), hex(xxhash64(col("id"), lit(0L))).as("p")))
+      (1 until clBatches).foreach { b =>
+        // 97 is coprime with every power-of-10 key count, so the batch
+        // carries clDelta DISTINCT keys spread over the whole key space
+        val delta = spark.range(clDelta).select(
+          ((col("id") * 97L + lit(b * 13331L)) % clKeys).as("k"),
+          lit(b.toLong).as("ts"),
+          hex(xxhash64(col("id"), lit(b.toLong))).as("p"))
+        sink.upsert("k", delta)
+      }
+      val driveSec = (System.nanoTime() - tDrive0) / 1e9
+      val probe = clBatches - 6L // 250: anchor ckpt 191 + a 59-batch tail
+      def timedRead(): (Double, Long, Long, Int) = {
+        val t0 = System.nanoTime()
+        val df = streaming.UpsertJoin.snapshotAt(spark, logDir, "k", probe)
+        val rows = df.collect()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val files = allScans(df.queryExecution.executedPlan)
+          .map(_.metrics("numFiles").value).sum
+        val sum = rows.foldLeft(0) { (acc, r) =>
+          acc + scala.util.hashing.MurmurHash3.productHash(
+            (r.getLong(0), r.getLong(1), r.getString(2)))
+        }
+        (sec, rows.length.toLong, files, sum)
+      }
+      val (ancSec, ancRows, ancFiles, ancSum) = timedRead()
+      // hide the checkpoints: the same call now folds the full prefix
+      val ckptDir = new java.io.File(s"$logDir/_ckpt")
+      val hidden = new java.io.File(s"$logDir/_ckpt_off")
+      require(ckptDir.renameTo(hidden), "could not hide _ckpt")
+      val (repSec, repRows, repFiles, repSum) =
+        try timedRead() finally { require(hidden.renameTo(ckptDir)): Unit }
+      require(repRows == ancRows && repSum == ancSum,
+        s"replay and anchored reads diverged: $repRows/$repSum vs $ancRows/$ancSum")
+      require(ancFiles < repFiles,
+        s"anchored read must open fewer files: $ancFiles vs $repFiles")
+      val mbBefore = dirMb(logDir)
+      val floor = streaming.UpsertJoin.pruneChangelogBefore(logDir, probe)
+        .getOrElse(sys.error("prune found no checkpoint"))
+      val mbAfter = dirMb(logDir)
+      val (postSec, postRows, _, postSum) = timedRead()
+      require(postRows == ancRows && postSum == ancSum,
+        "post-prune anchored read diverged")
+      val t0d = System.nanoTime()
+      val diffRows = streaming.UpsertJoin.changelogChangesBetween(
+        spark, logDir, "k", probe - 32L, probe).count()
+      val diffSec = (System.nanoTime() - t0d) / 1e9
+      (ancRows,
+        f""","keys":$clKeys,"batches":$clBatches,"ckpt_every":$clCkptEvery,""" +
+        f""""delta_rows":$clDelta,"drive_sec":$driveSec%.1f,""" +
+        f""""anchored_sec":$ancSec%.2f,"anchored_files":$ancFiles,""" +
+        f""""replay_sec":$repSec%.2f,"replay_files":$repFiles,""" +
+        f""""reads_equal":true,"prune_floor":$floor,""" +
+        f""""log_mb_before_prune":$mbBefore%.1f,"log_mb_after_prune":$mbAfter%.1f,""" +
+        f""""post_prune_sec":$postSec%.2f,"post_prune_equal":true,""" +
+        f""""diff_sec":$diffSec%.2f,"diff_rows":$diffRows""")
+    }
+
     val json = report.mkString("[", ",\n", "]\n")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -82,7 +82,8 @@ final class ColumnFamilySink(
     families: Seq[(String, String => Boolean)],
     nBuckets: Int = 16,
     deltaCompactEvery: Int = 0,
-    changelogDir: Option[String] = None)
+    changelogDir: Option[String] = None,
+    changelogCheckpointEvery: Int = 0)
     extends UpsertJoin.UpsertSink with Serializable {
   import org.apache.spark.sql.expressions.Window
 
@@ -111,16 +112,10 @@ final class ColumnFamilySink(
     */
   private var batchEpoch: Long = changelogDir match {
     case Some(_) =>
-      val maxes = familyNames.flatMap(familyLogDir).flatMap { clDir =>
-        if (UpsertJoin.changelogExists(clDir))
-          spark.read.parquet(clDir)
-            .agg(org.apache.spark.sql.functions.max(col("batch_id")))
-            .head() match {
-            case r if r.isNullAt(0) => None
-            case r => Some(r.getLong(0))
-          }
-        else None
-      }
+      // O(1)-in-history per family: only each log's max shard dir is
+      // read (UpsertJoin.maxChangelogBatchId)
+      val maxes = familyNames.flatMap(familyLogDir)
+        .flatMap(UpsertJoin.maxChangelogBatchId(spark, _))
       if (maxes.isEmpty) 0L else maxes.max + 1L
     case None => 0L
   }
@@ -147,7 +142,8 @@ final class ColumnFamilySink(
       changelogDir = familyLogDir(n),
       deltaCompactEvery = deltaCompactEvery,
       epochSource = if (changelogDir.isEmpty) None
-                    else Some(() => currentEpoch))).toMap
+                    else Some(() => currentEpoch),
+      changelogCheckpointEvery = changelogCheckpointEvery)).toMap
 
   /** Shared CURRENT bucket count across the families. Families always
     * rehash TOGETHER to one count: callers compute `touched` hints
@@ -370,10 +366,12 @@ final class ColumnFamilySink(
     * a bare retract drops. Families first touched after `upToBatch`
     * contribute typed NULLs via the full-outer key join — the same
     * evolution the live snapshot had at that batch. Cost: one window
-    * per family log over the FULL log read — the logs are append-only
-    * and grow with history, so this is an audit/replay-time API
-    * (bounded by log retention), not a serving path; the live table
-    * is [[snapshot]].
+    * per family log; without checkpoints that is the FULL log read
+    * (append-only, grows with history), with `changelogCheckpointEvery`
+    * set each family anchors on its newest checkpoint <= the batch and
+    * replays at most a cadence's worth of tail. An audit/replay-time
+    * API either way, not a serving path; the live table is
+    * [[snapshot]].
     */
   def changelogSnapshotAt(spark: SparkSession, upToBatch: Long): DataFrame = {
     require(changelogDir.isDefined,
@@ -385,13 +383,11 @@ final class ColumnFamilySink(
       java.nio.charset.StandardCharsets.UTF_8)
     val parts = familyNames.flatMap { f =>
       familyLogDir(f).filter(UpsertJoin.changelogExists).map { clDir =>
-        // shard-pruned read: only shards <= upToBatch/ShardEvery open
-        val log = UpsertJoin.readChangelog(spark, clDir, upToBatch)
-        val w = Window.partitionBy(col(keyCol))
-          .orderBy(col("batch_id").desc, col("op").desc)
-        log.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1 && col("op"))
-          .drop("__rn", "op", "batch_id")
+        // the checkpoint-aware fold: anchors on each family's newest
+        // checkpoint <= upToBatch when the sink was constructed with
+        // changelogCheckpointEvery (replay bounded by cadence), and is
+        // the plain shard-pruned replay otherwise
+        UpsertJoin.snapshotAt(spark, clDir, keyCol, upToBatch)
       }
     }
     require(parts.nonEmpty, s"no family changelog under $changelogDir")

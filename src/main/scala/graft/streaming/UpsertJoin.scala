@@ -37,6 +37,29 @@ object UpsertJoin {
         (f.isDirectory && f.getName.startsWith("cl_shard=")))
   }
 
+  /** Max batch_id present in a changelog, or None for an empty log.
+    * Stamps are monotone, so on the sharded layout the max lives in the
+    * max shard dir and recovery reads ONLY that one — O(1) in history
+    * length. Legacy flat logs (no shard dirs) scan what they have.
+    */
+  def maxChangelogBatchId(spark: SparkSession, clDir: String): Option[Long] = {
+    import org.apache.spark.sql.functions._
+    if (!changelogExists(clDir)) None
+    else {
+      val fs = new java.io.File(clDir).listFiles()
+      val shards =
+        if (fs == null) Array.empty[Long]
+        else fs.filter(f => f.isDirectory && f.getName.startsWith("cl_shard="))
+          .map(_.getName.stripPrefix("cl_shard=").toLong)
+      val src = if (shards.nonEmpty) s"$clDir/cl_shard=${shards.max}"
+                else clDir
+      spark.read.parquet(src).agg(max(col("batch_id"))).head() match {
+        case r if r.isNullAt(0) => None
+        case r => Some(r.getLong(0))
+      }
+    }
+  }
+
   /** Checkpoint root under a changelog dir. `_`-prefixed, so Spark's
     * file listing hides it from every log scan (same trick as
     * `_delta_log`): the checkpoints ride INSIDE the log dir without the
@@ -417,23 +440,10 @@ object UpsertJoin {
       * owner recovers its own counter).
       */
     private var epoch: Long = changelogDir match {
-      case Some(clDir) if epochSource.isEmpty && changelogExists(clDir) =>
-        // the max batch_id lives in the max shard dir by construction
-        // (stamps are monotone), so recovery reads ONE shard — O(1) in
-        // history length, not a full-log scan. Legacy flat logs (no
-        // shard dirs) still scan everything they have.
-        val shards = {
-          val fs = new java.io.File(clDir).listFiles()
-          if (fs == null) Array.empty[Long]
-          else fs.filter(f => f.isDirectory && f.getName.startsWith("cl_shard="))
-            .map(_.getName.stripPrefix("cl_shard=").toLong)
-        }
-        val src = if (shards.nonEmpty) s"$clDir/cl_shard=${shards.max}"
-                  else clDir
-        spark.read.parquet(src).agg(max(col("batch_id"))).head() match {
-          case r if r.isNullAt(0) => 0L
-          case r => r.getLong(0) + 1L
-        }
+      case Some(clDir) if epochSource.isEmpty =>
+        // O(1)-in-history recovery: [[maxChangelogBatchId]] reads only
+        // the max shard dir (stamps are monotone)
+        maxChangelogBatchId(spark, clDir).map(_ + 1L).getOrElse(0L)
       case _ => 0L
     }
 

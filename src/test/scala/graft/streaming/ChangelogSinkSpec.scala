@@ -199,6 +199,80 @@ class ChangelogSinkSpec extends SparkTestBase {
       s"restarted cf sink must stamp 4 next, got $afterIds")
   }
 
+  test("checkpoint + schema widening: a column born AFTER the anchor " +
+      "checkpoint folds correctly across the ckpt/tail union") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cl-ckw").toString
+    val cl = s"$tmp/cl"
+    val sink = new UpsertJoin.ParquetUpsertSink(spark, s"$tmp/out",
+      nBuckets = 4, changelogDir = Some(cl), changelogCheckpointEvery = 2)
+    // batches 0,1 carry (k, ts, p); checkpoint lands at 1. Batch 2
+    // widens the schema with column q via a partial upsert — the
+    // checkpoint has no q, the tail does
+    sink.upsert("k", Seq(("a", 1L, "v1"), ("b", 1L, "w1")).toDF("k", "ts", "p"))
+    sink.upsert("k", Seq(("a", 2L, "v2")).toDF("k", "ts", "p"))
+    assert(UpsertJoin.listChangelogCheckpoints(cl) === Seq(1L))
+    sink.upsertPartialUnique("k", Seq(("a", "x1")).toDF("k", "q"),
+      Seq(0, 1, 2, 3))
+    def at(b: Long): Map[String, (Long, String, Option[String])] = {
+      val df = sink.snapshotAt("k", b)
+      val cols = df.columns.toSet
+      df.select(col("k"), col("ts"), col("p"),
+          if (cols("q")) col("q") else lit(null).cast("string").as("q"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2),
+          if (r.isNullAt(3)) None else Some(r.getString(3))))).toMap
+    }
+    // anchored at ckpt 1, tail = batch 2: a gains q, keeps ts/p; b
+    // (only in the checkpoint) gets a typed NULL q
+    assert(at(2L) === Map(
+      "a" -> ((2L, "v2", Some("x1"))),
+      "b" -> ((1L, "w1", None))))
+    // as-of the checkpoint itself: no q column materializes values
+    assert(at(1L) === Map(
+      "a" -> ((2L, "v2", None)), "b" -> ((1L, "w1", None))))
+    // and the live table agrees with the last batch
+    val live = sink.snapshot(spark).select("k", "ts", "p", "q").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getString(3))))).toMap
+    assert(at(2L) === live)
+  }
+
+  test("column-family changelog checkpoints: per-family anchors, " +
+      "reassembly equals the pure-replay reassembly at every batch") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cl-cfck").toString
+    val fams: Seq[(String, String => Boolean)] =
+      Seq("hot" -> ((c: String) => c == "ts"))
+    val ck = new ColumnFamilySink(spark, s"$tmp/ck", fams, nBuckets = 4,
+      changelogDir = Some(s"$tmp/ckcl"), changelogCheckpointEvery = 2)
+    val pr = new ColumnFamilySink(spark, s"$tmp/pr", fams, nBuckets = 4,
+      changelogDir = Some(s"$tmp/prcl"))
+    def drive(s: UpsertJoin.UpsertSink): Unit = {
+      s.upsert("k", Seq(("a", 1L, "v1"), ("b", 1L, "w1")).toDF("k", "ts", "p"))
+      s.upsert("k", Seq(("a", 2L, "v2")).toDF("k", "ts", "p"))
+      s.upsertPartialUnique("k", Seq(("b", 9L)).toDF("k", "ts"),
+        Seq(0, 1, 2, 3))
+      s.upsertPartialUnique("k", Seq(("c", "x1")).toDF("k", "p"),
+        Seq(0, 1, 2, 3))
+      s.upsert("k", Seq(("a", 3L, "v3")).toDF("k", "ts", "p"))
+    }
+    drive(ck)
+    drive(pr)
+    // cadence 2 = checkpoint on odd shared stamps each family saw:
+    // hot emits at 0,1,2,4 -> ckpt 1; base at 0,1,3,4 -> ckpts 1,3
+    assert(UpsertJoin.listChangelogCheckpoints(s"$tmp/ckcl/cf_hot")
+      .nonEmpty, "hot family must have a checkpoint")
+    assert(UpsertJoin.listChangelogCheckpoints(s"$tmp/ckcl/cf_base")
+      .nonEmpty, "base family must have a checkpoint")
+    def view(s: ColumnFamilySink, b: Long): Map[String, (Option[Long], Option[String])] =
+      s.changelogSnapshotAt(spark, b).select("k", "ts", "p").collect()
+        .map(r => r.getString(0) -> ((
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getString(2))))).toMap
+    (0L to 4L).foreach { b =>
+      assert(view(ck, b) === view(pr, b),
+        s"checkpoint-anchored reassembly diverged at batch $b")
+    }
+  }
+
   test("column-family changelog refuses delta mode (shared stamp would tear)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-cl-cfx").toString
     val e = intercept[IllegalArgumentException] {
