@@ -235,8 +235,15 @@ object StreamBench {
 
     def runMix(listingRows: Int, agentRows: Int, mediaRows: Int,
                saltBase: Int, narrow: Boolean = false,
-               cf: Boolean = false, overCap: Boolean = false): String = {
+               cf: Boolean = false, overCap: Boolean = false,
+               changelog: Boolean = false): String = {
       val mixSinkDir = s"$tmp/sink-mix$saltBase"
+      // changelog tier: the same mix with the retract log ON — the
+      // measured delta vs its log-off twin is the CDC emission tax
+      // (one key-join change detection + the delta append per batch).
+      // Checkpoint cadence stays 0 here: cadence cost is priced by the
+      // dedicated STRESS_CHANGELOG capture, this tier isolates emission
+      val mixClDir = if (changelog) Some(s"$mixSinkDir-cl") else None
       // over-cap tier: a COPY of the seeded state under a store whose
       // driver-residency caps are forced to 1 row — no snapshot ever
       // installs, so every batch runs the middle/legacy DISTRIBUTED
@@ -271,13 +278,18 @@ object StreamBench {
       } else {
         copyDir(sinkDir, mixSinkDir)
         new UpsertJoin.ParquetUpsertSink(spark, mixSinkDir,
-          nBuckets, deltaCompactEvery = compactEvery)
+          nBuckets, deltaCompactEvery = compactEvery,
+          changelogDir = mixClDir)
       }
       val rowsPerBatch = listingRows + agentRows + mediaRows
       val times = new Array[Double](nBatches)
       val rewrites = new Array[Long](nBatches)
       val stateRw = new Array[Long](nBatches)
+      val clMb = new Array[Long](nBatches)
       val jobs = new Array[Int](nBatches)
+      var clSnap = 0L
+      def clBytes(): Long =
+        mixClDir.map(d => fileSizes(Seq(d)).values.sum).getOrElse(0L)
       var warmupSec = 0.0
       var snap: Map[String, Long] = null
       for (i <- -nWarmup until nBatches) {
@@ -297,6 +309,7 @@ object StreamBench {
           // mean, which is the honest amortized cost)
           mixSink.awaitCompaction()
           snap = fileSizes(Seq(mixStateDir, mixSinkDir))
+          clSnap = clBytes()
         }
         val j0 = counter.count.get()
         val b0 = System.nanoTime()
@@ -316,6 +329,9 @@ object StreamBench {
             snap.filter(_._1.startsWith(mixStateDir)),
             cur.filter(_._1.startsWith(mixStateDir)))
           snap = cur
+          if (mixClDir.isDefined) {
+            val c = clBytes(); clMb(i) = c - clSnap; clSnap = c
+          }
         }
       }
       // Quiesce before the next mix: an async compaction left in
@@ -339,7 +355,10 @@ object StreamBench {
         f""""mean_state_rewritten_mb_per_batch":${stateRw.sum.toDouble / nBatches / 1e6}%.1f,""" +
         f""""mean_sink_rewritten_mb_per_batch":${(rewrites.sum - stateRw.sum).toDouble / nBatches / 1e6}%.1f,""" +
         f""""total_state_mb":${totalBytes / 1e6}%.1f,""" +
-        f""""rewrite_fraction":${meanRewrite / totalBytes}%.3f"""
+        f""""rewrite_fraction":${meanRewrite / totalBytes}%.3f""" +
+        (if (mixClDir.isDefined)
+          f""","mean_changelog_mb_per_batch":${clMb.sum.toDouble / nBatches / 1e6}%.2f"""
+         else "")
 
     }
 
@@ -396,6 +415,17 @@ object StreamBench {
     // MEASURED number and the fused tier's win is priced against it.
     val overCap = mix("over_cap") {
       runMix(30, 5, 5, saltBase = 56008, overCap = true)
+    }
+    // Changelog (CDC) tax tiers: the small and high-fanout mixes with
+    // the retract log ON — compare against their log-off twins for the
+    // per-batch price of change detection + delta append, plus the log
+    // bytes the CDC feed costs. Production flips this with
+    // CrmlsStreamMain --changelog-dir.
+    val smallCl = mix("small_changelog") {
+      runMix(30, 5, 5, saltBase = 63009, changelog = true)
+    }
+    val dimFanCl = mix("dim_fanout_changelog") {
+      runMix(0, 2000, 2000, saltBase = 70010, changelog = true)
     }
 
     // -------- organic-growth tier (r12): seed, then STREAM PAST it.
@@ -729,6 +759,8 @@ object StreamBench {
           s""""dim_only_batch_cf":{$dimOnlyCf},""" +
           s""""dim_fanout_batch_cf":{$dimFanCf},""" +
           s""""over_cap_batch":{$overCap},""" +
+          s""""small_changelog_batch":{$smallCl},""" +
+          s""""dim_fanout_changelog_batch":{$dimFanCl},""" +
           s""""growth":{$growthJson},""" + dedupJson +
           "," + vecDedupJson + "," + hhJson + "}"
     println(s"[streambench] $json")

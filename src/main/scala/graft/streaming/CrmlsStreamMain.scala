@@ -32,16 +32,23 @@ object CrmlsStreamMain {
   final case class Config(bootstrap: String, statePath: String,
                           topics: Map[String, String],
                           sinkPath: String, checkpointDir: String,
-                          startingOffsets: String = "earliest")
+                          startingOffsets: String = "earliest",
+                          changelogDir: Option[String] = None,
+                          changelogCheckpointEvery: Int = 0)
 
   /** Parse the reference-shaped argument list (plus the Spark-side
-    * additions --sink-path / --checkpoint-dir / --starting-offsets).
-    * Pure; throws with a usage line on any unknown or missing flag.
+    * additions --sink-path / --checkpoint-dir / --starting-offsets /
+    * --changelog-dir / --changelog-checkpoint-every — the last two
+    * wire the reference's `toRetractStream` observable
+    * (CRMLSJoiner.scala:489) into the production sink as a durable,
+    * time-travelable retract log). Pure; throws with a usage line on
+    * any unknown or missing flag.
     */
   def parse(args: Array[String]): Config = {
     val usage = ("usage: CrmlsStreamMain --bootstrap-server B " +
       "--state-path P --sink-path S [--checkpoint-dir C] " +
       "[--starting-offsets earliest|latest] " +
+      "[--changelog-dir D [--changelog-checkpoint-every N]] " +
       topicFlags.map(_._1 + " T").mkString(" "))
     val kv = args.grouped(2).map {
       case Array(k, v) if k.startsWith("--") => k -> v
@@ -49,7 +56,8 @@ object CrmlsStreamMain {
         s"bad argument pair ${other.mkString(" ")}\n$usage")
     }.toMap
     val known = Set("--bootstrap-server", "--state-path", "--sink-path",
-      "--checkpoint-dir", "--starting-offsets") ++ topicFlags.map(_._1)
+      "--checkpoint-dir", "--starting-offsets", "--changelog-dir",
+      "--changelog-checkpoint-every") ++ topicFlags.map(_._1)
     val unknown = kv.keySet -- known
     require(unknown.isEmpty, s"unknown flags ${unknown.mkString(",")}\n$usage")
     def req(k: String) = kv.getOrElse(k,
@@ -64,7 +72,10 @@ object CrmlsStreamMain {
       topics = topics,
       sinkPath = kv.getOrElse("--sink-path", s"$statePath/sink"),
       checkpointDir = kv.getOrElse("--checkpoint-dir", s"$statePath/ckpt"),
-      startingOffsets = kv.getOrElse("--starting-offsets", "earliest"))
+      startingOffsets = kv.getOrElse("--starting-offsets", "earliest"),
+      changelogDir = kv.get("--changelog-dir"),
+      changelogCheckpointEvery =
+        kv.getOrElse("--changelog-checkpoint-every", "0").toInt)
   }
 
   /** Six tagged Kafka streams unioned into the (entity, value) frame
@@ -94,7 +105,9 @@ object CrmlsStreamMain {
     val spark = SparkSession.builder().appName("graft-crmls-stream")
       .getOrCreate()
     val store = new CrmlsStream.StateStore(spark, s"${cfg.statePath}/state")
-    val sink = new UpsertJoin.ParquetUpsertSink(spark, cfg.sinkPath)
+    val sink = new UpsertJoin.ParquetUpsertSink(spark, cfg.sinkPath,
+      changelogDir = cfg.changelogDir,
+      changelogCheckpointEvery = cfg.changelogCheckpointEvery)
     CrmlsStream.run(taggedUnion(spark, cfg), store, sink,
       cfg.checkpointDir,
       trigger = org.apache.spark.sql.streaming.Trigger

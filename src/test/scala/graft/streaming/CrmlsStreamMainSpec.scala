@@ -24,6 +24,16 @@ class CrmlsStreamMainSpec extends SparkTestBase {
       "history" -> "th"))
     assert(cfg.checkpointDir == "/tmp/state/ckpt") // defaulted
     assert(cfg.startingOffsets == "earliest")      // T8 replay default
+    assert(cfg.changelogDir.isEmpty &&             // retract log opt-in
+      cfg.changelogCheckpointEvery == 0)
+  }
+
+  test("changelog flags wire the retract log and checkpoint cadence") {
+    val cfg = CrmlsStreamMain.parse(full ++ Array(
+      "--changelog-dir", "/tmp/state/cl",
+      "--changelog-checkpoint-every", "64"))
+    assert(cfg.changelogDir.contains("/tmp/state/cl"))
+    assert(cfg.changelogCheckpointEvery == 64)
   }
 
   test("rejects unknown and missing flags with the usage line") {
