@@ -20,6 +20,44 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(spark, dir, name)
 
+  /** Shared driver for the q_changelog_* rows: a FRESH 4-batch upsert
+    * history over the 1/5 orders sample — batch b carries the
+    * key-unique max-orderkey row per custkey among `o_orderkey%20==b`
+    * — written through a changelog-enabled sink. Fresh per call (a
+    * bench pass re-running a row must not append batches 4..7 on top;
+    * epoch recovery would keep counting), one tmp namespace per row so
+    * concurrent rows never collide. Returns the sink and its log dir.
+    * All three consumers (snapshotAt pure-replay, snapshotAt
+    * checkpoint-anchored, changesBetween) share ONE history shape so
+    * their oracle SQL texts stay derivable from the same fold.
+    */
+  private def changelogHistory(s: SparkSession, dir: String, tag: String,
+                               checkpointEvery: Int = 0)
+      : (graft.streaming.UpsertJoin.ParquetUpsertSink, String) = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-$tag-" +
+      s.sparkContext.applicationId
+    def rm(f: java.io.File): Unit = {
+      val fs = f.listFiles(); if (fs != null) fs.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(base))
+    val sink = new graft.streaming.UpsertJoin.ParquetUpsertSink(
+      s, s"$base/state", 4, changelogDir = Some(s"$base/log"),
+      changelogCheckpointEvery = checkpointEvery)
+    val orders = t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .filter(col("o_orderkey") % 20 < 4)
+    (0 to 3).foreach { b =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderkey").desc)
+      val batch = orders.filter(col("o_orderkey") % 20 === b)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+      sink.upsert("o_custkey", batch)
+    }
+    (sink, s"$base/log")
+  }
+
   /** Flagship: the reference's 11-way role-aliased left-join shape
     * (CRMLSJoiner.scala:471-487) over the star schema. Driver
     * smoke-checks rows>0 on sf0.001.
@@ -1335,32 +1373,11 @@ object SparkEntry {
     // NOT leak into the answer. One window pass over the log, batch_id
     // predicate pushed to the scan.
     "q_changelog_snapshot" -> ((s, dir) => {
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft-changelog-" +
-        s.sparkContext.applicationId
-      // fresh log per call: a bench pass re-running the query must not
-      // append batches 4..7 on top (epoch recovery would keep counting)
-      def rm(f: java.io.File): Unit = {
-        val fs = f.listFiles(); if (fs != null) fs.foreach(rm)
-        f.delete(): Unit
-      }
-      rm(new java.io.File(base))
-      val sink = new graft.streaming.UpsertJoin.ParquetUpsertSink(
-        s, s"$base/state", 4, changelogDir = Some(s"$base/log"))
-      // a 1/5 orderkey sample keeps the four upsert+changelog batches
+      // the 1/5 orders sample keeps the four upsert+changelog batches
       // (each pays a key-join change-detection and a bucket merge)
       // bench-priced at history-replay cost, not table-scan cost —
       // the REPLAY semantics are identical at any sample rate
-      val orders = t(s, dir, "orders")
-        .select("o_orderkey", "o_custkey", "o_totalprice")
-        .filter(col("o_orderkey") % 20 < 4)
-      (0 to 3).foreach { b =>
-        val w = Window.partitionBy("o_custkey")
-          .orderBy(col("o_orderkey").desc)
-        val batch = orders.filter(col("o_orderkey") % 20 === b)
-          .withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn")
-        sink.upsert("o_custkey", batch)
-      }
+      val (sink, _) = changelogHistory(s, dir, "changelog")
       sink.snapshotAt("o_custkey", 2L)
     }),
 
@@ -1372,27 +1389,7 @@ object SparkEntry {
     // checkpoint cadence, not history length) priced and oracled next
     // to the pure-replay one
     "q_changelog_ckpt" -> ((s, dir) => {
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft-clckpt-" +
-        s.sparkContext.applicationId
-      def rm(f: java.io.File): Unit = {
-        val fs = f.listFiles(); if (fs != null) fs.foreach(rm)
-        f.delete(): Unit
-      }
-      rm(new java.io.File(base))
-      val sink = new graft.streaming.UpsertJoin.ParquetUpsertSink(
-        s, s"$base/state", 4, changelogDir = Some(s"$base/log"),
-        changelogCheckpointEvery = 2)
-      val orders = t(s, dir, "orders")
-        .select("o_orderkey", "o_custkey", "o_totalprice")
-        .filter(col("o_orderkey") % 20 < 4)
-      (0 to 3).foreach { b =>
-        val w = Window.partitionBy("o_custkey")
-          .orderBy(col("o_orderkey").desc)
-        val batch = orders.filter(col("o_orderkey") % 20 === b)
-          .withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn")
-        sink.upsert("o_custkey", batch)
-      }
+      val (sink, _) = changelogHistory(s, dir, "clckpt", checkpointEvery = 2)
       sink.snapshotAt("o_custkey", 2L)
     }),
 
@@ -1404,28 +1401,9 @@ object SparkEntry {
     // checkpoint is touched, and the scan is bounded by the window's
     // shard dirs; one key-partitioned min_by/max_by aggregate
     "q_changelog_diff" -> ((s, dir) => {
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft-cldiff-" +
-        s.sparkContext.applicationId
-      def rm(f: java.io.File): Unit = {
-        val fs = f.listFiles(); if (fs != null) fs.foreach(rm)
-        f.delete(): Unit
-      }
-      rm(new java.io.File(base))
-      val sink = new graft.streaming.UpsertJoin.ParquetUpsertSink(
-        s, s"$base/state", 4, changelogDir = Some(s"$base/log"))
-      val orders = t(s, dir, "orders")
-        .select("o_orderkey", "o_custkey", "o_totalprice")
-        .filter(col("o_orderkey") % 20 < 4)
-      (0 to 3).foreach { b =>
-        val w = Window.partitionBy("o_custkey")
-          .orderBy(col("o_orderkey").desc)
-        val batch = orders.filter(col("o_orderkey") % 20 === b)
-          .withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn")
-        sink.upsert("o_custkey", batch)
-      }
+      val (_, log) = changelogHistory(s, dir, "cldiff")
       graft.streaming.UpsertJoin.changelogChangesBetween(
-        s, s"$base/log", "o_custkey", 1L, 3L)
+        s, log, "o_custkey", 1L, 3L)
     }),
 
     // storage-layout co-located join: both sides written hash-bucketed

@@ -1210,15 +1210,14 @@ object Stress {
     val clDelta = 2000L
     val clCkptEvery = 64
     phase("changelog_tt") {
-      def allScans(e: org.apache.spark.sql.execution.SparkPlan)
-          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = e match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          allScans(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          allScans(q.plan)
-        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
-        case o => o.children.flatMap(allScans)
-      }
+      // the probe (clBatches - 6) must sit past at least one
+      // checkpoint or the "anchored" read IS the replay and the
+      // fewer-files invariant can't hold — refuse the misconfiguration
+      // up front instead of aborting mid-drive with a confusing error
+      require(clBatches - 6 >= clCkptEvery,
+        s"SPARK_GRAFT_STRESS_CL_BATCHES=$clBatches too small: the " +
+          s"probe batch (clBatches-6) needs a checkpoint below it " +
+          s"(cadence $clCkptEvery) — use at least ${clCkptEvery + 7}")
       def dirMb(d: String): Double = {
         def walk(f: java.io.File): Long = {
           val fs = f.listFiles()
@@ -1251,8 +1250,7 @@ object Stress {
         val df = streaming.UpsertJoin.snapshotAt(spark, logDir, "k", probe)
         val rows = df.collect()
         val sec = (System.nanoTime() - t0) / 1e9
-        val files = allScans(df.queryExecution.executedPlan)
-          .map(_.metrics("numFiles").value).sum
+        val files = plans.PlanFiles.filesRead(df.queryExecution.executedPlan)
         val sum = rows.foldLeft(0) { (acc, r) =>
           acc + scala.util.hashing.MurmurHash3.productHash(
             (r.getLong(0), r.getLong(1), r.getString(2)))

@@ -74,8 +74,16 @@ object CrmlsStreamMain {
       checkpointDir = kv.getOrElse("--checkpoint-dir", s"$statePath/ckpt"),
       startingOffsets = kv.getOrElse("--starting-offsets", "earliest"),
       changelogDir = kv.get("--changelog-dir"),
-      changelogCheckpointEvery =
-        kv.getOrElse("--changelog-checkpoint-every", "0").toInt)
+      changelogCheckpointEvery = {
+        val raw = kv.getOrElse("--changelog-checkpoint-every", "0")
+        val n = raw.toIntOption.getOrElse(throw new IllegalArgumentException(
+          s"--changelog-checkpoint-every needs a number, got '$raw'\n$usage"))
+        // cadence without a log would silently checkpoint nothing — an
+        // operator believing a checkpointed retract log is running
+        require(n == 0 || kv.contains("--changelog-dir"),
+          s"--changelog-checkpoint-every requires --changelog-dir\n$usage")
+        n
+      })
   }
 
   /** Six tagged Kafka streams unioned into the (entity, value) frame

@@ -103,8 +103,9 @@ object UpsertJoin {
     *   no checkpoint <= keepFrom exists (nothing pruned).
     */
   def pruneChangelogBefore(clDir: String, keepFrom: Long): Option[Long] = {
+    // listChangelogCheckpoints returns ascending, so last = newest
     val base = listChangelogCheckpoints(clDir).filter(_ <= keepFrom)
-      .sorted.lastOption
+      .lastOption
     base.map { b =>
       val floor = new java.io.File(clDir, "_pruned_below")
       java.nio.file.Files.write(floor.toPath,
@@ -1426,13 +1427,20 @@ object UpsertJoin {
     // checkpoint simply isn't listed and the fold falls back one
     // checkpoint (or to full replay) — correctness never depends on a
     // checkpoint existing.
-    val base = listChangelogCheckpoints(changelogDir)
-      .filter(_ <= batchId).sorted.lastOption
+    // STRICT floor refusal, independent of which anchors survive: a
+    // crash mid-prune may have deleted prefix shards while older
+    // checkpoints still exist — anchoring on one of those would fold a
+    // truncated tail and return a silently STALE state labeled as
+    // batchId. The floor marker is written before any deletion, so
+    // refusing on it alone is the fail-safe (below-floor reads refuse
+    // from the moment a prune begins, even if it never finishes).
     val floor = changelogFloor(changelogDir)
-    if (base.isEmpty && floor > 0L)
+    if (batchId < floor)
       throw new IllegalStateException(
         s"changelog under $changelogDir is pruned below batch $floor: " +
           s"snapshotAt($batchId) would fold a truncated prefix")
+    val base = listChangelogCheckpoints(changelogDir)
+      .filter(_ <= batchId).lastOption
     val log = base match {
       case None => readChangelog(spark, changelogDir, batchId)
       case Some(b) =>

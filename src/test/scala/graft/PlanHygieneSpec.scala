@@ -600,18 +600,7 @@ class PlanHygieneSpec extends SparkTestBase {
       s"shard predicate missing from partition filters:\n${p.take(2000)}")
     // and empirically: only shard 0's files are opened
     assert(df.collect().nonEmpty)
-    // AQE wraps materialized stages in QueryStageExec leaves — a plain
-    // collect stops there, so descend explicitly
-    def allScans(e: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = e match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        allScans(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        allScans(q.plan)
-      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
-      case o => o.children.flatMap(allScans)
-    }
-    val scans = allScans(df.queryExecution.executedPlan)
+    val scans = graft.plans.PlanFiles.fileScans(df.queryExecution.executedPlan)
     assert(scans.nonEmpty, "expected a FileSourceScan in the final plan")
     val filesRead = scans.map(_.metrics("numFiles").value).sum
     val shard0Files = new java.io.File(s"$tmp/cl/cl_shard=0").listFiles()
@@ -637,17 +626,8 @@ class PlanHygieneSpec extends SparkTestBase {
     }
     val df = sink.snapshotAt("k", 37L)
     assert(df.collect().nonEmpty)
-    def allScans(e: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = e match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        allScans(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        allScans(q.plan)
-      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
-      case o => o.children.flatMap(allScans)
-    }
-    val filesRead = allScans(df.queryExecution.executedPlan)
-      .map(_.metrics("numFiles").value).sum
+    val filesRead = graft.plans.PlanFiles
+      .filesRead(df.queryExecution.executedPlan)
     def files(dir: String) = {
       val fs = new java.io.File(dir).listFiles()
       if (fs == null) 0 else fs.count(_.getName.endsWith(".parquet"))

@@ -447,6 +447,41 @@ class ChangelogSinkSpec extends SparkTestBase {
     assert(whole("c") === (("insert", Some((1L, "y1")), None)))
   }
 
+  test("prune is crash-safe and idempotent: a floor written before any " +
+      "deletion keeps every surviving read correct; re-prune completes") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cl-prx").toString
+    val cl = s"$tmp/cl"
+    val sink = new UpsertJoin.ParquetUpsertSink(spark, s"$tmp/out",
+      nBuckets = 4, changelogDir = Some(cl), changelogCheckpointEvery = 4)
+    (0 to 20).foreach { i =>
+      sink.upsert("k", Seq(("a", i.toLong, s"v$i")).toDF("k", "ts", "p"))
+    }
+    def at(b: Long): (Long, String) = {
+      val r = sink.snapshotAt("k", b).select("ts", "p").head()
+      (r.getLong(0), r.getString(1))
+    }
+    // simulate the crash window: the floor marker lands (19 = the
+    // checkpoint a prune at 20 keeps) but NO file was deleted yet.
+    // Below-floor reads must refuse FROM THIS MOMENT — the marker, not
+    // the deletions, is the guard. (A crash later in the window may
+    // have removed prefix shards while older checkpoints survive;
+    // anchoring on one would fold a truncated tail and serve a
+    // silently stale state, so "anchor exists" is not a safe test.)
+    java.nio.file.Files.write(
+      new java.io.File(cl, "_pruned_below").toPath,
+      "19".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    intercept[IllegalStateException] { sink.snapshotAt("k", 12L) }
+    assert(at(20L) === ((20L, "v20")), "at-or-above-floor reads still serve")
+    assert(at(19L) === ((19L, "v19")))
+    // re-running the prune completes the interrupted deletes and
+    // running it AGAIN is a no-op with the same floor
+    assert(UpsertJoin.pruneChangelogBefore(cl, 20L) === Some(19L))
+    assert(!new java.io.File(s"$cl/cl_shard=0").exists())
+    assert(UpsertJoin.pruneChangelogBefore(cl, 20L) === Some(19L))
+    assert(at(20L) === ((20L, "v20")))
+    intercept[IllegalStateException] { sink.snapshotAt("k", 12L) }
+  }
+
   test("changelog off by default: no side output, merge unchanged") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-nocl").toString
     val sink = new UpsertJoin.ParquetUpsertSink(spark, s"$tmp/out", nBuckets = 4)

@@ -34,6 +34,17 @@ class CrmlsStreamMainSpec extends SparkTestBase {
       "--changelog-checkpoint-every", "64"))
     assert(cfg.changelogDir.contains("/tmp/state/cl"))
     assert(cfg.changelogCheckpointEvery == 64)
+    // cadence without a log dir would silently checkpoint nothing
+    val e = intercept[IllegalArgumentException] {
+      CrmlsStreamMain.parse(full ++ Array("--changelog-checkpoint-every", "64"))
+    }
+    assert(e.getMessage.contains("--changelog-dir"))
+    // a non-numeric cadence fails with the usage line, like every flag
+    val e2 = intercept[IllegalArgumentException] {
+      CrmlsStreamMain.parse(full ++ Array(
+        "--changelog-dir", "/tmp/cl", "--changelog-checkpoint-every", "x"))
+    }
+    assert(e2.getMessage.contains("usage:"))
   }
 
   test("rejects unknown and missing flags with the usage line") {
