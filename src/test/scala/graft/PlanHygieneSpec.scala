@@ -644,6 +644,45 @@ class PlanHygieneSpec extends SparkTestBase {
         s"(prefix shard0 holds $shard0 files that must stay unread)")
   }
 
+  test("changelogChangesBetween: one aggregate exchange, shard dirs " +
+      "pruned from BOTH ends of the window") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-plan-diff").toString
+    val sink = new graft.streaming.UpsertJoin.ParquetUpsertSink(spark,
+      s"$tmp/out", nBuckets = 4, changelogDir = Some(s"$tmp/cl"))
+    // 40 batches span three shard dirs (0: 0..15, 1: 16..31, 2: 32..39)
+    (0 until 40).foreach { i =>
+      sink.upsert("k", Seq(("a", i.toLong, s"v$i")).toDF("k", "ts", "p"))
+    }
+    // window (17, 30]: wholly inside shard 1 — shards 0 and 2 must
+    // never be opened (lower bound 17/16 = 1, upper 30/16 = 1)
+    val df = graft.streaming.UpsertJoin.changelogChangesBetween(
+      spark, s"$tmp/cl", "k", 17L, 30L)
+    // plan-shape assertions on the PRE-execution string: once AQE
+    // finalizes, AdaptiveSparkPlanExec.toString prints Final AND
+    // Initial plans, double-counting every substring
+    val p = df.queryExecution.executedPlan.toString
+    assert(df.collect().nonEmpty)
+    // ONE key exchange: the min_by/max_by hash aggregate (map-side
+    // partials merge on it); no window sort, no join in the plan
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"),
+      s"diff must be a single aggregation, not a join/window:\n${p.take(2000)}")
+    assert(p.contains("PartitionFilters") && p.contains("cl_shard"),
+      s"shard predicates missing:\n${p.take(2000)}")
+    val filesRead = graft.plans.PlanFiles
+      .filesRead(df.queryExecution.executedPlan)
+    def files(dir: String) = {
+      val fs = new java.io.File(dir).listFiles()
+      if (fs == null) 0 else fs.count(_.getName.endsWith(".parquet"))
+    }
+    assert(files(s"$tmp/cl/cl_shard=0") > 0 && files(s"$tmp/cl/cl_shard=2") > 0,
+      "test setup: both prunable shards must exist")
+    assert(filesRead === files(s"$tmp/cl/cl_shard=1"),
+      s"window (17,30] must read ONLY shard 1: read $filesRead vs " +
+        s"shard1=${files(s"$tmp/cl/cl_shard=1")}")
+  }
+
   test("native dot product is codegen-capable (starred projection)") {
     // the tokenizing queries are bounded by ArrayTransform (a
     // CodegenFallback higher-order function), but ArrayDotProduct
