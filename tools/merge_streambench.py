@@ -31,12 +31,15 @@ RENAME = {
     "dim_only_cf": "dim_only_batch_cf",
     "dim_fanout_cf": "dim_fanout_batch_cf",
     "over_cap": "over_cap_batch",
+    "small_changelog": "small_changelog_batch",
+    "dim_fanout_changelog": "dim_fanout_changelog_batch",
 }
 HEADER = ("seed_listings", "buckets", "payload_bytes")
 CANON_ORDER = [
     "large_batch", "dim_only_batch", "dim_only_batch_narrowed",
     "dim_fanout_batch", "dim_fanout_batch_narrowed",
     "dim_only_batch_cf", "dim_fanout_batch_cf", "over_cap_batch",
+    "small_changelog_batch", "dim_fanout_changelog_batch",
     "growth",
     "dedup_stream", "vec_dedup_stream", "hh_stream",
 ]
