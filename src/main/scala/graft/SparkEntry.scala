@@ -20,6 +20,29 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(spark, dir, name)
 
+  /** Guide §2.5 unsplittable-input mitigation. The driver test tables
+    * are single-row-group parquet files, and a row group is the
+    * parquet split atom — so every scan is ONE task and everything
+    * between the scan and the first exchange (tokenize/explode,
+    * multi-distinct expand, percentile partials, join probes against
+    * broadcast dims) runs on one core no matter how many the session
+    * has. When the scan yields fewer partitions than the session's
+    * parallelism, repartition right after the read — hash on a
+    * high-cardinality column when given (deterministic, no
+    * sort-before-repartition), round-robin otherwise (for queries
+    * whose plan pins count key exchanges). A NO-OP whenever the input
+    * already carries enough splits, which is exactly the production /
+    * 100 TB case — the extra exchange exists only when it buys the map
+    * side its parallelism back (r12; measured 1.5-2x on the profile /
+    * containment / shingle families at sf0.1 on local[32]).
+    */
+  private def spread(df: DataFrame, by: String*): DataFrame = {
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= n) df
+    else if (by.nonEmpty) df.repartition(n, by.map(col): _*)
+    else df.repartition(n)
+  }
+
   /** Shared driver for the q_changelog_* rows: a FRESH 4-batch upsert
     * history over the 1/5 orders sample — batch b carries the
     * key-unique max-orderkey row per custkey among `o_orderkey%20==b`
@@ -374,7 +397,7 @@ object SparkEntry {
     // `approx_percentile(col, p, accuracy)` (t-digest sketch,
     // map-side combinable, no per-group sort)
     "q_percentile" -> ((s, dir) =>
-      t(s, dir, "lineitem")
+      spread(t(s, dir, "lineitem"), "l_orderkey")
         .groupBy("l_returnflag")
         .agg(
           round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
@@ -383,7 +406,9 @@ object SparkEntry {
     // robust aggregation: per-group winsorized means — exact [p05, p95]
     // thresholds (one row per group, broadcast back), map-only clamp
     "q_winsorize" -> ((s, dir) =>
-      Outliers.winsorizedMeans(t(s, dir, "lineitem"),
+      // spread: the exact-percentile partial buffers otherwise build
+      // on the single scan split (one core holds every value)
+      Outliers.winsorizedMeans(spread(t(s, dir, "lineitem"), "l_orderkey"),
         "l_returnflag", "l_extendedprice", pLo = 0.05, pHi = 0.95)),
 
     // statistical aggregates: stddev / variance / correlation
@@ -1068,7 +1093,8 @@ object SparkEntry {
     // from the pinned fixture (xxhash64 signatures have no external
     // replay); Verify swaps the sf0.1 fixture in cross-scale runs.
     "q_lsh_recall" -> ((s, dir) =>
-      DedupOps.lshRecall(t(s, dir, "documents"), "doc_id", "text",
+      DedupOps.lshRecall(spread(t(s, dir, "documents"), "doc_id"),
+        "doc_id", "text",
         tau = 0.5, numHashes = 32, bands = 16, shingleSize = 3,
         maxDocFreq = None)),
 
@@ -1082,8 +1108,8 @@ object SparkEntry {
     // hamming <= 3 at 4 bands. Oracle replays banding + verification
     // from the pinned fingerprint fixture.
     "q_simhash_pairs" -> ((s, dir) =>
-      DedupOps.simhashBandPairs(t(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 3, bands = 4)),
+      DedupOps.simhashBandPairs(spread(t(s, dir, "documents"), "doc_id"),
+        "doc_id", "text", maxHamming = 3, bands = 4)),
 
     // §2.10 multimodal: binary media column -> batched stub-decode ->
     // feature vectors (documents stand in as fake image bytes; the
@@ -1431,7 +1457,9 @@ object SparkEntry {
     // all exact, one job (the 100x form swaps exact NDV for the HLL
     // sketch via approxNdv, same trade as q_approx_distinct)
     "q_profile" -> ((s, dir) =>
-      Profile.profile(t(s, dir, "lineitem"),
+      // spread: the multi-distinct expand (5x row multiply + partial
+      // dedup hashing) otherwise runs on the single scan split
+      Profile.profile(spread(t(s, dir, "lineitem"), "l_orderkey"),
         Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"))),
 
     // the 100x profiling tier: approx_count_distinct (one ordinary
@@ -1442,7 +1470,7 @@ object SparkEntry {
     // ndv_ok = 1
     "q_profile_approx" -> ((s, dir) => {
       val cols = Seq("l_orderkey", "l_returnflag")
-      val li = t(s, dir, "lineitem")
+      val li = spread(t(s, dir, "lineitem"), "l_orderkey")
       val ap = Profile.profile(li, cols, approxNdv = true, ndvRsd = 0.01)
         .select(col("col_name"), col("n_distinct").as("__ap"))
       Profile.profile(li, cols).join(ap, Seq("col_name"))
@@ -1466,7 +1494,7 @@ object SparkEntry {
     // measured 3.6x the wall (1.7 s vs 0.5 s) for precision the band
     // never uses
     "q_profile_sketch" -> ((s, dir) => {
-      val sk = Profile.profile(t(s, dir, "lineitem"),
+      val sk = Profile.profile(spread(t(s, dir, "lineitem"), "l_orderkey"),
         Seq("l_orderkey", "l_quantity", "l_returnflag"),
         approxNdv = true)
       // floor() explicitly on BOTH engines: Spark's cast(long)
@@ -1501,8 +1529,8 @@ object SparkEntry {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft-zorder-" +
         s.sparkContext.applicationId
       Layout.zorderWrite(
-        t(s, dir, "lineitem").select("l_orderkey", "l_partkey",
-          "l_suppkey", "l_quantity"),
+        spread(t(s, dir, "lineitem").select("l_orderkey", "l_partkey",
+          "l_suppkey", "l_quantity"), "l_orderkey"),
         Seq("l_orderkey", "l_partkey"), path, numFiles = 16, bits = 8)
       s.read.parquet(path)
     }),
@@ -1579,7 +1607,7 @@ object SparkEntry {
     // closed-form log-odds. The label thresholds the ROUNDED quality
     // score so both engines agree at the boundary
     "q_nb_quality" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = spread(t(s, dir, "documents"), "doc_id")
       CorpusScoring.naiveBayesQuality(d, "doc_id", "text",
         round(TF.qualityScoreOf(col("text"), TF.tokens(col("text")),
           Seq("the", "a")), 6) >= 0.88,
@@ -1593,7 +1621,7 @@ object SparkEntry {
     // gates a filter). Fixed bins are map-only into a 10-row aggregate;
     // no global sort, nothing grows with the corpus
     "q_calibration" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = spread(t(s, dir, "documents"), "doc_id")
       val isGood = round(TF.qualityScoreOf(col("text"), TF.tokens(col("text")),
         Seq("the", "a")), 6) >= 0.88
       val scored = CorpusScoring.naiveBayesQuality(d, "doc_id", "text",
@@ -1913,8 +1941,10 @@ object SparkEntry {
     // re-classified by its 10 nearest OTHER labeled vectors; rows whose
     // neighborhood contradicts their label are mislabeling suspects
     "q_label_suspects" -> ((s, dir) =>
-      KnnClassify.labelSuspects(t(s, dir, "embeddings"), "vec_id",
-        "embedding", "label", k = 10)),
+      // spread: the all-pairs probe x corpus cosine work otherwise
+      // runs on the embeddings table's single scan split
+      KnnClassify.labelSuspects(spread(t(s, dir, "embeddings"), "vec_id"),
+        "vec_id", "embedding", "label", k = 10)),
 
     // §2.10 label audit, IVF-searched: the same disagreement screen
     // with the neighbor search routed through the deterministic IVF
@@ -1922,15 +1952,17 @@ object SparkEntry {
     // (candidates shrink by ~nProbe/nCells; the approximation is
     // deterministic, so the oracle replays index + vote end to end)
     "q_label_suspects_ivf" -> ((s, dir) =>
-      KnnClassify.labelSuspectsIvf(t(s, dir, "embeddings"), "vec_id",
-        "embedding", "label", k = 10, nCells = 16, nProbe = 4)),
+      KnnClassify.labelSuspectsIvf(spread(t(s, dir, "embeddings"), "vec_id"),
+        "vec_id", "embedding", "label", k = 10, nCells = 16, nProbe = 4)),
 
     // §2.10 near-dup: directional shingle containment (Broder) — the
     // quote/subset-duplicate detector symmetric Jaccard misses; cap
     // disabled so the oracle's exact counts match
     "q_containment" -> ((s, dir) =>
-      DedupOps.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
-          tau = 0.2, maxDocFreq = None)
+      // spread: tokenize + gram hashing otherwise runs on the single
+      // scan split (measured 2.1x at sf0.1 on local[32])
+      DedupOps.containmentPairs(spread(t(s, dir, "documents"), "doc_id"),
+          "doc_id", "text", tau = 0.2, maxDocFreq = None)
         .select(col("doc_a"), col("doc_b"),
           round(col("cont_a"), 6).as("cont_a"),
           round(col("cont_b"), 6).as("cont_b"))),

@@ -127,6 +127,21 @@ object BucketedState {
   def overwriteBuckets(spark: SparkSession, dir: String, merged: DataFrame,
                        touched: Seq[Int]): Unit = {
     if (touched.isEmpty) return
+    writeBucketsInflight(spark, dir, merged, touched)
+    promoteBuckets(dir, touched)
+  }
+
+  /** Phase 1 of [[overwriteBuckets]]: the one write job into the
+    * `.inflight` staging dir. Touches NO live file — readers of the
+    * current state generation (and a changelog emitter that must see
+    * the PRE-write rows) can run concurrently; a crash here leaves an
+    * orphan staging dir the next writer sweeps. Returns the staging
+    * path so the caller can read the merged rows back (columnar,
+    * already materialized) instead of recomputing the merge plan for a
+    * second action.
+    */
+  def writeBucketsInflight(spark: SparkSession, dir: String,
+                           merged: DataFrame, touched: Seq[Int]): Path = {
     recover(dir)
     val tmp = Paths.get(dir, ".inflight")
     deleteRecursively(tmp)
@@ -136,6 +151,14 @@ object BucketedState {
     merged.filter(col(BucketColName).isin(touched: _*))
       .repartition(col(BucketColName))
       .write.partitionBy(BucketColName).mode("overwrite").parquet(tmp.toString)
+    tmp
+  }
+
+  /** Phase 2 of [[overwriteBuckets]]: promote the staged buckets live
+    * via the heal-able two-rename swap, then drop the staging dir.
+    */
+  def promoteBuckets(dir: String, touched: Seq[Int]): Unit = {
+    val tmp = Paths.get(dir, ".inflight")
     touched.foreach { b =>
       val fresh = tmp.resolve(s"$BucketColName=$b")
       // a touched bucket with no surviving rows keeps its old content
