@@ -1440,12 +1440,26 @@ object SparkEntry {
       // a Bench, say) must not clobber each other's table files
       val base = s"${System.getProperty("java.io.tmpdir")}/graft-bucketed-" +
         s.sparkContext.applicationId
-      Bucketing.writeBucketed(
-        t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice"),
-        "graft_li_bucketed", 16, "l_orderkey", s"$base/li")
-      Bucketing.writeBucketed(
-        t(s, dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice"),
-        "graft_ord_bucketed", 16, "o_orderkey", s"$base/ord")
+      // the two bucketed table writes are independent jobs — overlap
+      // them from two driver threads (guide §2.6) so the layout cost is
+      // max(li, ord) wall, not the sum
+      locally {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val liF = Future {
+          Bucketing.writeBucketed(
+            t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice"),
+            "graft_li_bucketed", 16, "l_orderkey", s"$base/li")
+        }
+        val ordF = Future {
+          Bucketing.writeBucketed(
+            t(s, dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice"),
+            "graft_ord_bucketed", 16, "o_orderkey", s"$base/ord")
+        }
+        Await.result(liF, Duration.Inf)
+        Await.result(ordF, Duration.Inf)
+      }
       Bucketing.bucketedJoin(s, "graft_li_bucketed", "graft_ord_bucketed",
         col("l_orderkey") === col("o_orderkey"))
         .select("l_orderkey", "l_linenumber", "l_extendedprice",
@@ -1471,9 +1485,23 @@ object SparkEntry {
     "q_profile_approx" -> ((s, dir) => {
       val cols = Seq("l_orderkey", "l_returnflag")
       val li = spread(t(s, dir, "lineitem"), "l_orderkey")
-      val ap = Profile.profile(li, cols, approxNdv = true, ndvRsd = 0.01)
-        .select(col("col_name"), col("n_distinct").as("__ap"))
-      Profile.profile(li, cols).join(ap, Seq("col_name"))
+      // The exact and sketch profiles are INDEPENDENT eager jobs (each
+      // Profile.profile collects one aggregate row); running them from
+      // two driver threads overlaps them (guide §2.6) so the row costs
+      // max(exact, sketch) wall instead of their sum. (Fusing the HLL
+      // into the exact pass is NOT an option: the sketch buffer would
+      // ride the multi-distinct expand's per-value phase — measured
+      // 14x worse, see OPTIMIZATION_r12.md.)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val apF = Future {
+        Profile.profile(li, cols, approxNdv = true, ndvRsd = 0.01)
+          .select(col("col_name"), col("n_distinct").as("__ap"))
+      }
+      val exF = Future { Profile.profile(li, cols) }
+      val ap = Await.result(apF, Duration.Inf)
+      Await.result(exF, Duration.Inf).join(ap, Seq("col_name"))
         .select(col("col_name"), col("n_rows"), col("n_null"),
           col("n_distinct"), col("min_val"), col("max_val"),
           (abs(col("__ap") - col("n_distinct")) <=

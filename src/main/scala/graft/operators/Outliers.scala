@@ -24,9 +24,15 @@ object Outliers {
   def winsorThresholds(df: DataFrame, groupCol: String, valueCol: String,
                        pLo: Double, pHi: Double): DataFrame = {
     require(0 <= pLo && pLo < pHi && pHi <= 1, s"bad band [$pLo, $pHi]")
-    df.groupBy(groupCol).agg(
-      expr(s"percentile($valueCol, $pLo)").as("__lo"),
-      expr(s"percentile($valueCol, $pHi)").as("__hi"))
+    // one percentile buffer per group, not two: the array form computes
+    // both points from a single collected value buffer (same exact
+    // interpolation, bit-identical results), halving the dominant
+    // aggregation state (r12; two scalar percentile() aggs each held a
+    // full copy of every group value)
+    df.groupBy(groupCol)
+      .agg(expr(s"percentile($valueCol, array($pLo, $pHi))").as("__p"))
+      .select(col(groupCol), col("__p").getItem(0).as("__lo"),
+        col("__p").getItem(1).as("__hi"))
   }
 
   /** `df` with `valueCol` clamped to its group's [pLo, pHi] band in a
