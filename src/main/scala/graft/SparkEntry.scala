@@ -1522,7 +1522,7 @@ object SparkEntry {
     // measured 3.6x the wall (1.7 s vs 0.5 s) for precision the band
     // never uses
     "q_profile_sketch" -> ((s, dir) => {
-      val sk = Profile.profile(spread(t(s, dir, "lineitem"), "l_orderkey"),
+      val sk = Profile.profile(t(s, dir, "lineitem"),
         Seq("l_orderkey", "l_quantity", "l_returnflag"),
         approxNdv = true)
       // floor() explicitly on BOTH engines: Spark's cast(long)
