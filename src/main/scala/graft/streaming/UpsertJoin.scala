@@ -1177,16 +1177,35 @@ object UpsertJoin {
       val fin = new java.io.File(root, s"ckpt=$e")
       if (!fin.exists()) {
         val tmp = new java.io.File(root, s".tmp-$e")
-        // read the bucket files directly, NOT snapshot(): this runs on
-        // the async compaction thread in delta mode, where snapshot()'s
-        // joinCompaction() would await the very future executing us.
-        // Post-swap bucket files ARE the converged table as of batch e
-        // in every caller: the swap just applied batch e's merge, and
-        // generations appended concurrently belong to future batches.
-        BucketedState.readAll(spark, dir).foreach(
-          _.write.mode("overwrite").parquet(tmp.getPath))
-        if (!tmp.renameTo(fin))
-          BucketedState.deleteRecursively(tmp.toPath) // lost a race: done
+        // Copy the bucket files, NOT snapshot() (this runs on the async
+        // compaction thread in delta mode, where snapshot()'s
+        // joinCompaction() would await the very future executing us)
+        // and NOT a Spark read+rewrite (r12: that paid a full
+        // re-encode job per checkpoint for byte-content the bucket
+        // files already hold — post-merge bucket files are
+        // schema-uniform parquet, so a driver-side file copy is the
+        // same table and zero jobs; at production state sizes the copy
+        // is a sequential I/O pass where the rewrite was
+        // decode+shuffle-free-but-re-encode). Post-swap bucket files
+        // ARE the converged table as of batch e in every caller: the
+        // swap just applied batch e's merge, and generations appended
+        // concurrently belong to future batches.
+        val parts = BucketedState.listBuckets(dir).flatMap { b =>
+          val d = new java.io.File(dir, s"bucket_$b")
+          Option(d.listFiles()).getOrElse(Array.empty)
+            .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+            .map(f => (b, f))
+        }
+        if (parts.nonEmpty) {
+          tmp.mkdirs()
+          parts.foreach { case (b, f) =>
+            java.nio.file.Files.copy(f.toPath,
+              tmp.toPath.resolve(s"bucket$b-${f.getName}"),
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
+          if (!tmp.renameTo(fin))
+            BucketedState.deleteRecursively(tmp.toPath) // lost a race: done
+        }
       }
     }
 
