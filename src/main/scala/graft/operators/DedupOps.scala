@@ -475,21 +475,44 @@ object DedupOps {
     var labels = Checkpoints.materialize(
       edges.select(col("src").as("id")).distinct()
         .withColumn("label", col("id")), reliable)
+    // ONE action per round (r13, guide §2.6: fewer actions, not fewer
+    // iterations): the old-label rides the propagation union as an
+    // extra column (labels is unique per id and — edges being
+    // symmetrized — every id is its own src, so max(__old) recovers
+    // exactly the pre-round label), and the round's change count rides
+    // the materialization itself through an accumulator instead of a
+    // separate join+count job. Accumulator semantics are safe here
+    // because only changed==0 is decision-relevant: a retried or
+    // speculative task can only INFLATE the count (never suppress an
+    // increment from a successful pass), and inflation just runs one
+    // more (idempotent) round.
+    val changedAcc =
+      pairs.sparkSession.sparkContext.longAccumulator("graft.cc.changed")
+    val bumpChanged = udf { c: Boolean => if (c) changedAcc.add(1L); c }
+      .asNondeterministic()
+    // the materialized LEAF of the current generation (labels is a
+    // projection of it); release() must see the leaf itself
+    var leaf = labels
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
+      val before = changedAcc.value
       val prop = Checkpoints.materialize(
         edges.join(labels, edges("src") === labels("id"))
-          .select(col("dst").as("id"), col("label"))
-          .unionByName(labels)
-          .groupBy("id").agg(min("label").as("label")), reliable)
-      changed = prop.join(labels.withColumnRenamed("label", "__old"), Seq("id"))
-        .filter(col("label") =!= col("__old")).count()
+          .select(col("dst").as("id"), col("label"),
+            lit(null).cast(labels.schema("label").dataType).as("__old"))
+          .unionByName(labels.withColumn("__old", col("label")))
+          .groupBy("id").agg(min("label").as("label"),
+            max("__old").as("__old"))
+          .withColumn("__chg",
+            bumpChanged(col("label") =!= col("__old"))), reliable)
+      changed = changedAcc.value - before
       // the superseded generation is dead once `prop` is a leaf and
-      // the changed-count consumed it — free its reliable-store files
-      // now (retention is then 2 tables, not one per round)
-      val prev = labels
-      labels = prop
+      // the accumulator consumed the round — free its reliable-store
+      // files now (retention is then 2 tables, not one per round)
+      val prev = leaf
+      leaf = prop
+      labels = prop.select(col("id"), col("label"))
       Checkpoints.release(prev)
       iter += 1
     }

@@ -50,6 +50,26 @@ import graft.functions.VectorFunctions
   */
 object GraphAnnDist {
 
+  /** Opaque fitted coarse quantizer (the `nCells` lowest-id corpus
+    * vectors as driver-held literals). Build and search fit the SAME
+    * quantizer from the same corpus; fitting it once via
+    * [[fitQuantizer]] and passing it to both skips the second
+    * orderBy-limit-collect job a build+search pair otherwise pays
+    * (r13, guide §2.6 — fewer driver actions).
+    */
+  final class Quantizer private[GraphAnnDist] (
+      private[operators] val cents: Array[(Long, Array[Double], Double)])
+
+  /** Fit the deterministic coarse quantizer once for a build+search
+    * pair over the same corpus.
+    */
+  def fitQuantizer(corpus: DataFrame, idCol: String, vecCol: String,
+                   nCells: Int): Quantizer = {
+    require(nCells > 0 && nCells <= 65536, s"nCells=$nCells out of range")
+    new Quantizer(
+      SimilaritySearch.centroidLiterals(corpus, idCol, vecCol, nCells))
+  }
+
   /** Forward NSW edges over an in-memory node set (flat row-major
     * matrix + norms): node i (insertion order) links to its min(m, i)
     * exact-nearest predecessors by (cosine desc, ordinal asc);
@@ -118,7 +138,8 @@ object GraphAnnDist {
     */
   def buildIndex(corpus: DataFrame, idCol: String, vecCol: String,
                  nCells: Int, m: Int, mCells: Int = 2,
-                 maxCellSize: Int = 1 << 20): DataFrame = {
+                 maxCellSize: Int = 1 << 20,
+                 quantizer: Option[Quantizer] = None): DataFrame = {
     require(nCells > 0, "nCells must be positive")
     require(nCells <= 65536, s"nCells=$nCells past the driver-held guard")
     require(m > 0, "m must be positive")
@@ -126,8 +147,9 @@ object GraphAnnDist {
     require(maxCellSize > 0, "maxCellSize must be positive")
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cents =
-      SimilaritySearch.centroidLiterals(corpus, idCol, vecCol, nCells)
+    val cents = quantizer.map(_.cents).getOrElse(
+      SimilaritySearch.centroidLiterals(corpus, idCol, vecCol, nCells))
+    require(cents.length <= nCells, "quantizer larger than nCells")
 
     // row-local assignment; coalesce makes cell_id provably non-null so
     // the groupBy constraint folds (same rationale as ivfTopK)
@@ -349,13 +371,14 @@ object GraphAnnDist {
   def searchIndex(corpus: DataFrame, edges: DataFrame, probes: DataFrame,
                   idCol: String, vecCol: String, nCells: Int, k: Int,
                   ef: Int, nProbe: Int = 1,
-                  maxCellSize: Int = 1 << 20): DataFrame = {
+                  maxCellSize: Int = 1 << 20,
+                  quantizer: Option[Quantizer] = None): DataFrame = {
     require(nCells > 0 && nCells <= 65536, s"nCells=$nCells out of range")
     require(k > 0 && ef > 0 && nProbe > 0, "k, ef, nProbe must be positive")
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cents =
-      SimilaritySearch.centroidLiterals(corpus, idCol, vecCol, nCells)
+    val cents = quantizer.map(_.cents).getOrElse(
+      SimilaritySearch.centroidLiterals(corpus, idCol, vecCol, nCells))
     val assigned = corpus
       .select(col(idCol).cast("long").as("id"),
         VectorFunctions.toDouble(col(vecCol)).as("v"))

@@ -80,7 +80,21 @@ object GraphMetrics {
       .filter(col("__deg") >= 2) // a degree-1 middle joins nothing
     val mids = maxDegree.foldLeft(byMid)((d, cap) =>
       d.filter(col("__deg") <= cap))
-    val pairs = mids
+    // Pin the explode stage's parallelism (r13, guide §2.2/§2.5): AQE
+    // coalesces the post-aggregation partitions from the INPUT bytes
+    // of the middle table (a few MB of capped neighbor lists), blind
+    // to the Σ deg² wedge-pair amplification the explode is about to
+    // apply — measured 5 tasks carrying an 82 MB pair stream at sf0.1.
+    // An explicit hash repartition (REPARTITION_BY_NUM is exempt from
+    // AQE coalescing) moves only the capped lists once and buys the
+    // amplified stage full parallelism at any scale. The (z, __deg)
+    // compound key is deliberate: hash(z) alone is satisfied by the
+    // aggregation's own exchange, so EnsureRequirements elides it and
+    // the AQE-coalesced reader comes back.
+    val midsSpread = mids.repartition(
+      edges.sparkSession.sparkContext.defaultParallelism,
+      col("z"), col("__deg"))
+    val pairs = midsSpread
       .select((lit(1.0) / log(col("__deg").cast("double"))).as("__w"),
         col("ns"), posexplode(col("ns")).as(Seq("__i", "a")))
       // neighbors after position __i (sorted, distinct => a < b, each

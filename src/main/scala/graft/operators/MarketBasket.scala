@@ -7,12 +7,12 @@ import org.apache.spark.sql.functions._
   * the co-occurrence analytics a clickstream/order pipeline runs on
   * the same engine — "customers who bought A also bought B").
   *
-  * Pair generation is a self-join of the DISTINCT (basket, item)
-  * table on the basket key with `item_a < item_b`, so the work is
-  * Σ |basket|² over baskets — basket size is the natural bound (orders
-  * hold a handful of items), never the item-vocabulary square. Item
-  * supports aggregate separately and broadcast back (items are the
-  * bounded vocabulary side).
+  * Pair generation streams `item_a < item_b` pairs out of each
+  * basket's sorted distinct item set, so the work is Σ |basket|² over
+  * baskets — basket size is the natural bound (orders hold a handful
+  * of items), never the item-vocabulary square. Item supports
+  * aggregate from the same per-basket sets and broadcast back (items
+  * are the bounded vocabulary side).
   */
 object MarketBasket {
 
@@ -24,19 +24,42 @@ object MarketBasket {
     *
     * Output: (item_a, item_b, n_baskets, support, confidence, lift),
     * metrics rounded to 6.
+    *
+    * One basket-keyed pass serves all three consumers: the sorted
+    * DISTINCT item set per basket (collect_set = the distinct
+    * (basket, item) table, grouped) feeds pair generation as a
+    * codegen'd posexplode + slice stream — each unordered a < b pair
+    * exactly once per basket, the same Σ |basket|² bound — instead of
+    * a basket-keyed self-join whose probe side broadcast the WHOLE
+    * distinct table (unbounded at corpus scale). Item supports and the
+    * basket count explode/count the same per-basket sets, so every
+    * consumer shares the one basket exchange rather than re-deriving
+    * the distinct table from its own scan.
+    *
+    * Null semantics match the self-join shape it replaces: a NULL
+    * basket key never joins itself, so its items pair with nothing
+    * (but still count toward item supports), and countDistinct skips
+    * the NULL basket; NULL items never satisfy `item_a < item_b` and
+    * never match the support join, so they only ever contributed
+    * no-op rows.
     */
   def pairRules(baskets: DataFrame, basketCol: String, itemCol: String,
                 minCount: Long): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
-    val items = baskets
+    val basketItems = baskets
       .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
-      .distinct()
-    val n = items.select(countDistinct(col("__b")).as("__n"))
-    val itemCounts = items.groupBy(col("__i"))
+      .groupBy(col("__b"))
+      .agg(sort_array(collect_set(col("__i"))).as("__is"))
+    val live = basketItems.filter(col("__b").isNotNull)
+    val n = live.select(count(lit(1)).as("__n"))
+    val itemCounts = basketItems
+      .select(explode(col("__is")).as("__i"))
+      .groupBy(col("__i"))
       .agg(count(lit(1)).as("__ic"))
-    val pairs = items.select(col("__b"), col("__i").as("item_a"))
-      .join(items.select(col("__b"), col("__i").as("item_b")), Seq("__b"))
-      .filter(col("item_a") < col("item_b"))
+    val pairs = live
+      .select(col("__is"), posexplode(col("__is")).as(Seq("__p", "item_a")))
+      .select(col("item_a"),
+        explode(expr("slice(__is, __p + 2, size(__is))")).as("item_b"))
       .groupBy("item_a", "item_b")
       .agg(count(lit(1)).as("n_baskets"))
       .filter(col("n_baskets") >= minCount)

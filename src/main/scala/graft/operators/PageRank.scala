@@ -38,20 +38,31 @@ object PageRank {
     require(damping > 0 && damping < 1, s"damping in (0,1), got $damping")
     val dir = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
-    val deg = dir.groupBy("src").agg(count(lit(1)).as("__deg")).cache()
-    // n is one job over the bounded node set; the scalar rides into
-    // the plan as a literal (the centroid-collect stance: driver-side
-    // state is O(1))
-    val n = deg.count()
-    val base = lit(1.0 - damping) / n
-    var r = deg.select(col("src").as("id"),
-      round(lit(1.0) / n, decimals).as("rank"))
+    val deg = dir.groupBy("src").agg(count(lit(1)).as("__deg"))
+    // n rides into the plan as a broadcast one-row scalar instead of a
+    // driver count() (r13, guide §2.6/§5: the count was a full extra
+    // job — scan + degree aggregation — before the real plan ran, and
+    // the cache it justified buys nothing once the whole chain is ONE
+    // action: exchange reuse dedups deg's scan+shuffle across the
+    // iterations, and the reduce-side re-aggregation per reference is
+    // cheaper than columnar cache build/read at every scale we
+    // measured). The arithmetic is bit-identical: count()->double is
+    // exact and the divisions are the same IEEE ops the driver-side
+    // literal produced.
+    val nRow = deg.agg(count(lit(1)).cast("double").as("__n"))
+    // 1-row broadcast scalar attach (the MarketBasket crossJoin(n)
+    // house pattern): plans as a BroadcastNestedLoopJoin whose build
+    // side is a single row — O(rows), not a cartesian;
+    // PlanHygieneSpec pins exactly this shape
+    val degN = deg.crossJoin(broadcast(nRow))
+    var r = degN.select(col("src").as("id"),
+      round(lit(1.0) / col("__n"), decimals).as("rank"))
     for (_ <- 1 to iters) {
       r = dir
         .join(r.withColumnRenamed("id", "src"), Seq("src"))
-        .join(deg, Seq("src"))
+        .join(degN, Seq("src"))
         .groupBy(col("dst").as("id"))
-        .agg(round(base + lit(damping) *
+        .agg(round(lit(1.0 - damping) / max(col("__n")) + lit(damping) *
           sum(col("rank") / col("__deg")), decimals).as("rank"))
     }
     r

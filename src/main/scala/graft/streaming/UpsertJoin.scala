@@ -1070,6 +1070,18 @@ object UpsertJoin {
           timed("buckets") {
             BucketedState.overwriteBuckets(spark, dir, merged, touched)
           }
+        case Some(clDir) if touched.isEmpty =>
+          // zero touched buckets (a batch whose rows all vanished
+          // upstream): nothing to stage or promote — staging would
+          // write an empty dir whose read-back cannot infer a schema
+          // (r12 advice). Emit the (empty) changelog epoch directly
+          // from the merge plan so epoch numbering still advances
+          // exactly as the log's consumers expect.
+          val clEpoch = timed("changelog") {
+            emitChangelog(clDir, keyCol, cur,
+              merged.drop(BucketedState.BucketColName), batch)
+          }
+          maybeChangelogCheckpoint(clEpoch)
         case Some(clDir) =>
           // With a changelog the merged rows drive TWO actions, and
           // re-running the state read + union + latest-wins window for
@@ -1089,7 +1101,12 @@ object UpsertJoin {
           val tmp = timed("buckets:stage") {
             BucketedState.writeBucketsInflight(spark, dir, merged, touched)
           }
-          val mergedBack = spark.read.parquet(tmp.toString)
+          // read back with the known merge schema: no footer-inference
+          // job, and a staged write that produced zero files (all rows
+          // filtered) still reads as a valid empty frame (r13)
+          val mergedBack = spark.read
+            .schema(merged.schema)
+            .parquet(tmp.toString)
             .select(merged.columns.filter(_ != BucketedState.BucketColName)
               .map(col): _*)
           val clEpoch = timed("changelog") {
@@ -1498,7 +1515,11 @@ object UpsertJoin {
     val log = base match {
       case None => readChangelog(spark, changelogDir, batchId)
       case Some(b) =>
-        val ckpt = spark.read
+        // mergeSchema: checkpoint files are verbatim bucket-file copies,
+        // and a partial upsert that widened only its touched buckets
+        // leaves the others on the old schema — footer sampling would
+        // silently drop the new columns (r12 advice)
+        val ckpt = spark.read.option("mergeSchema", "true")
           .parquet(new java.io.File(ckptRoot(changelogDir), s"ckpt=$b").getPath)
           .withColumn("op", lit(true))
           .withColumn("batch_id", lit(b))

@@ -561,10 +561,20 @@ class PlanHygieneSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), "stats must broadcast")
   }
 
-  test("q_pagerank: iterations are equi-joins + aggregations — no nested loop") {
+  test("q_pagerank: iterations are equi-joins + aggregations; the only " +
+      "nested loop is the 1-row n scalar attach") {
     val p = plan("q_pagerank")
     assert(!p.contains("CartesianProduct"), p.take(2000))
-    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // rank propagation and degree attach stay equi-joins
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(2000))
+    // r13: n rides the plan as a broadcast 1-row aggregate instead of
+    // a driver count() action (PageRank.scala) — the MarketBasket
+    // crossJoin(n) pattern. Each reference plans a
+    // BroadcastNestedLoopJoin whose BUILD side is that single row
+    // (O(rows), never a cartesian): at most one per iteration plus the
+    // rank init, and the scalar column must be present.
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnl <= 4 && p.contains("__n"), p.take(2000))
   }
 
   test("q_cluster_purity: post-assignment work is windows over the bounded (cell,label) frame") {

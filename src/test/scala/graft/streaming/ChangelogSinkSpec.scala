@@ -482,6 +482,29 @@ class ChangelogSinkSpec extends SparkTestBase {
     intercept[IllegalStateException] { sink.snapshotAt("k", 12L) }
   }
 
+  test("empty upsert batch on a changelog sink: no crash, epoch still " +
+      "advances, state untouched") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cl-empty").toString
+    val sink = new UpsertJoin.ParquetUpsertSink(spark, s"$tmp/out",
+      nBuckets = 4, changelogDir = Some(s"$tmp/cl"))
+    sink.upsert("k", Seq(("a", 1L)).toDF("k", "ts"))
+    // a batch whose rows all vanished upstream (run()'s joinWith can
+    // produce this): zero touched buckets — must not stage an empty
+    // write whose read-back cannot infer a schema (r12 advice)
+    sink.upsert("k", Seq.empty[(String, Long)].toDF("k", "ts"))
+    sink.upsert("k", Seq(("b", 2L)).toDF("k", "ts"))
+    val snap = sink.snapshot(spark).select("k", "ts")
+      .as[(String, Long)].collect().toSet
+    assert(snap === Set(("a", 1L), ("b", 2L)))
+    // the empty batch consumed epoch 1, so b's insert lands at 2
+    val log = spark.read.parquet(s"$tmp/cl").select("batch_id", "op", "k")
+      .as[(Long, Boolean, String)].collect().toSet
+    assert(log === Set((0L, true, "a"), (2L, true, "b")))
+    // and time travel across the empty epoch works
+    assert(UpsertJoin.snapshotAt(spark, s"$tmp/cl", "k", 1L)
+      .select("k").as[String].collect().toSet === Set("a"))
+  }
+
   test("changelog off by default: no side output, merge unchanged") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-nocl").toString
     val sink = new UpsertJoin.ParquetUpsertSink(spark, s"$tmp/out", nBuckets = 4)
