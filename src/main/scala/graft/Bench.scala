@@ -64,8 +64,70 @@ object Bench {
       (n, folded)
     }
 
+  /** Queries whose FRESH min regressed past `factor` of the committed
+    * min (and past `absFloor` seconds, so sub-100ms jitter never
+    * trips), worst first. The in-band fold prints historical minima,
+    * which would otherwise MASK a real sub-5x regression from the
+    * driver (r12 verdict): the folded map shows the stale min and PERF
+    * calls the query "flat". This surfaces fresh-vs-history explicitly
+    * in both artifacts. Failures (-1) are already flagged separately.
+    */
+  private[graft] def regressedVsFold(prior: Map[String, Double],
+                                     fresh: Seq[(String, Double)],
+                                     factor: Double = 1.35,
+                                     absFloor: Double = 0.5): Seq[(String, Double)] =
+    fresh.flatMap { case (n, v) =>
+      prior.get(n) match {
+        case Some(p) if p > 0 && v > factor * p && v > absFloor =>
+          Some(n -> v / p)
+        case _ => None
+      }
+    }.sortBy(-_._2)
+
+  /** Stdout queries-map selection with a SET-STABILITY contract: names
+    * printed by the prior committed run are admitted first (so a query
+    * that got FASTER cannot rotate out of the driver's view and be
+    * misread as dropped — PERF cried 9 phantom drops in r12), then the
+    * remaining budget fills slowest-first. Returns the admitted subset
+    * ordered slowest-first for rendering. `entryLen` must measure the
+    * rendered length of one entry (+1 for the comma).
+    */
+  private[graft] def selectPrinted(folded: Seq[(String, Double)],
+                                   priorPrinted: Seq[String],
+                                   budgetLeft: Int,
+                                   entryLen: ((String, Double)) => Int): Seq[(String, Double)] = {
+    val prior = priorPrinted.toSet
+    val byValue = folded.sortBy(-_._2)
+    val ordered = byValue.filter(p => prior(p._1)) ++
+      byValue.filterNot(p => prior(p._1))
+    val kept = scala.collection.mutable.LinkedHashSet.empty[String]
+    var used = 0
+    ordered.foreach { e =>
+      val len = entryLen(e) + 1
+      if (used + len <= budgetLeft) { kept += e._1; used += len }
+    }
+    byValue.filter(p => kept(p._1))
+  }
+
   private[graft] def priorQueryTimesForTest(path: String): Map[String, Double] =
     priorQueryTimes(path)
+
+  /** The `"printed":[...]` name list of the previously committed
+    * artifact (empty when absent — first run after this field shipped,
+    * or any parse trouble; advisory only).
+    */
+  private[graft] def priorPrintedNames(path: String): Seq[String] =
+    try {
+      val text = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      """"printed"\s*:\s*\[""".r.findFirstMatchIn(text) match {
+        case None => Seq.empty
+        case Some(m) =>
+          val body = text.substring(m.end, text.indexOf(']', m.end))
+          """"([^"]+)"""".r.findAllMatchIn(body).map(_.group(1)).toSeq
+      }
+    } catch { case _: Throwable => Seq.empty }
 
   private def priorQueryTimes(path: String): Map[String, Double] =
     try {
@@ -199,6 +261,15 @@ object Bench {
       if (decision.fold) foldQueries(prior, results.map(r => (r._1, r._2)))
       else results.map(r => (r._1, r._2))
 
+    // fresh-vs-history visibility (r13, verdict item 5): the folded map
+    // alone would let a 2-4x regression hide behind a stale historical
+    // min on an in-band run
+    val freshTotal = results.map(_._2).filter(_ >= 0).sum
+    val regressed = regressedVsFold(prior, results.map(r => (r._1, r._2)))
+    def regressedJson(entries: Seq[(String, Double)]) =
+      entries.map { case (k, x) => f""""$k":$x%.2f""" }
+        .mkString("{", ",", "}")
+
     val qs = foldedPairs.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     // all runs per query, so a noisy host shows up as min<<max instead
@@ -233,25 +304,35 @@ object Bench {
     // explicit omission count; the COMPLETE map (plus per-run arrays)
     // always goes to the SPARK_GRAFT_BENCH_OUT file.
     val head = s"""{"metric":"total","value":$total,"unit":"sec","""
+    // stdout carries the 10 worst fresh-vs-fold regressions plus the
+    // full count; the complete map goes to the artifact file
+    val regressedStdout = f""""fresh_total":$freshTotal%.2f,""" +
+      s""""regressed_vs_fold_n":${regressed.size},""" +
+      s""""regressed_vs_fold":${regressedJson(regressed.take(10))}"""
     def tailFixed(omitted: Int) =
-      s""""queries_omitted":$omitted,"full_in":"${decision.path}",$stamp,"sf":"$sfDir"}"""
+      s""""queries_omitted":$omitted,"full_in":"${decision.path}",""" +
+        s"""$regressedStdout,$stamp,"sf":"$sfDir"}"""
     val budget = 1800
-    val slowFirst = foldedPairs.sortBy(-_._2)
-      .map { case (k, v) => f""""$k":$v%.3f""" }
+    // 2-decimal stdout precision (the file keeps 3): ~25% more names
+    // fit the budget, which with the prior-printed-first admission in
+    // selectPrinted keeps the printed SET stable run over run
+    def entryOf(p: (String, Double)) = f""""${p._1}":${p._2}%.2f"""
     val fixedLen = head.length + "\"queries\":{},".length +
       tailFixed(results.size).length // size with the max omitted digits
-    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
-    var used = fixedLen
-    slowFirst.foreach { e =>
-      if (used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
-    }
+    val keptPairs = selectPrinted(foldedPairs, priorPrintedNames(
+      if (outPath == "BENCH_partial.json") "BENCH.json" else outPath),
+      budget - fixedLen, entryOf(_).length)
+    val kept = keptPairs.map(entryOf)
     val compact = head + "\"queries\":" + kept.mkString("{", ",", "}") +
       "," + tailFixed(results.size - kept.size)
+    val printedJson = keptPairs.map(p => s""""${p._1}"""")
+      .mkString("[", ",", "]")
     // The full record (with the per-run arrays) is one very long line;
     // round 2's driver capture clipped it mid-line and the round
     // artifact parsed as null. Durable copy goes to a file; stdout gets
     // only the compact line any line-buffered capture can hold.
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"passes":$passes,"flagged_vs_prior":$flaggedJson,$stamp,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"passes":$passes,"flagged_vs_prior":$flaggedJson,""" +
+      f""""fresh_total":$freshTotal%.3f,"regressed_vs_fold":${regressedJson(regressed)},"printed":$printedJson,$stamp,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(decision.path),

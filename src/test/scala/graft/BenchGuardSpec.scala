@@ -71,6 +71,45 @@ class BenchGuardSpec extends AnyFunSuite {
       Map("a" -> 0.5, "b" -> -1.0))
   }
 
+  test("regressedVsFold surfaces a masked slowdown, ignores jitter") {
+    val prior = Map("slowed" -> 1.0, "jitter" -> 0.1, "fine" -> 1.0,
+      "failed" -> 1.0)
+    val fresh = Seq("slowed" -> 2.0, "jitter" -> 0.3, "fine" -> 1.2,
+      "failed" -> -1.0, "new" -> 9.0)
+    val r = Bench.regressedVsFold(prior, fresh)
+    // the deliberate 2x slowdown is visible even though the FOLD would
+    // print the stale 1.0s min
+    assert(r === Seq("slowed" -> 2.0))
+    // sub-0.5s jitter (3x but 0.3s), in-band noise (1.2x), failures
+    // (flagged separately) and new names never trip it
+  }
+
+  test("selectPrinted admits the prior printed set before slowest-first") {
+    def len(p: (String, Double)) = f""""${p._1}":${p._2}%.2f""".length
+    val folded = Seq("big" -> 9.0, "mid" -> 5.0, "sped_up" -> 0.1,
+      "small" -> 1.0)
+    // budget fits ~3 entries; "sped_up" was printed last round and is
+    // now the FASTEST — it must still be admitted (no phantom drop)
+    val budget = len("big" -> 9.0) + len("sped_up" -> 0.1) +
+      len("mid" -> 5.0) + 3
+    val got = Bench.selectPrinted(folded, Seq("sped_up"), budget, len)
+    assert(got.map(_._1) === Seq("big", "mid", "sped_up"),
+      s"got $got") // rendered slowest-first, set includes prior names
+    // and two consecutive runs with the same catalog print the same set
+    val again = Bench.selectPrinted(folded, got.map(_._1), budget, len)
+    assert(again.map(_._1) === got.map(_._1))
+  }
+
+  test("priorPrintedNames round-trips the printed field") {
+    val dir = java.nio.file.Files.createTempDirectory("benchprinted")
+    val f = dir.resolve("BENCH.json")
+    java.nio.file.Files.writeString(f,
+      """{"metric":"total","queries":{"a":0.5},"printed":["a","b_x"],"sf":"x"}""")
+    assert(Bench.priorPrintedNames(f.toString) === Seq("a", "b_x"))
+    java.nio.file.Files.writeString(f, """{"metric":"total"}""")
+    assert(Bench.priorPrintedNames(f.toString) === Seq.empty)
+  }
+
   test("out-of-band write provably leaves BENCH.json untouched") {
     val dir = java.nio.file.Files.createTempDirectory("benchguard")
     val committed = dir.resolve("BENCH.json")
