@@ -25,6 +25,15 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // NOTE (r13 negative result): lowering
+      // spark.sql.adaptive.coalescePartitions.minPartitionSize to 64k
+      // to keep small exchanges feeding AMPLIFYING stages (pair joins,
+      // explodes) parallel measured 2-3x WORSE across the board
+      // (canary q_multijoin 0.99 -> 2.90 s): the floor multiplies task
+      // count across EVERY small stage and per-task launch overhead
+      // swamps the parallelism gain. Where amplification genuinely
+      // needs parallelism, pin it per-operator with an explicit
+      // repartition (GraphMetrics.adamicAdar), not a global floor.
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
