@@ -304,11 +304,24 @@ object Bench {
     // explicit omission count; the COMPLETE map (plus per-run arrays)
     // always goes to the SPARK_GRAFT_BENCH_OUT file.
     val head = s"""{"metric":"total","value":$total,"unit":"sec","""
-    // stdout carries the 10 worst fresh-vs-fold regressions plus the
-    // full count; the complete map goes to the artifact file
+    // stdout carries the worst fresh-vs-fold regressions (inside a
+    // FIXED byte reservation, so a noisy run's longer regressed map
+    // cannot shrink the printed queries set and break its run-over-run
+    // set stability) plus the full count; the complete map goes to the
+    // artifact file
+    val regressedReserve = 300
+    val regressedKept = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+      var used = 0
+      regressed.foreach { e =>
+        val len = f""""${e._1}":${e._2}%.2f""".length + 1
+        if (used + len <= regressedReserve) { buf += e; used += len }
+      }
+      buf.toSeq
+    }
     val regressedStdout = f""""fresh_total":$freshTotal%.2f,""" +
       s""""regressed_vs_fold_n":${regressed.size},""" +
-      s""""regressed_vs_fold":${regressedJson(regressed.take(10))}"""
+      s""""regressed_vs_fold":${regressedJson(regressedKept)}"""
     def tailFixed(omitted: Int) =
       s""""queries_omitted":$omitted,"full_in":"${decision.path}",""" +
         s"""$regressedStdout,$stamp,"sf":"$sfDir"}"""
@@ -318,7 +331,8 @@ object Bench {
     // selectPrinted keeps the printed SET stable run over run
     def entryOf(p: (String, Double)) = f""""${p._1}":${p._2}%.2f"""
     val fixedLen = head.length + "\"queries\":{},".length +
-      tailFixed(results.size).length // size with the max omitted digits
+      tailFixed(results.size).length + // size with the max omitted digits
+      math.max(0, regressedReserve - regressedStdout.length)
     val keptPairs = selectPrinted(foldedPairs, priorPrintedNames(
       if (outPath == "BENCH_partial.json") "BENCH.json" else outPath),
       budget - fixedLen, entryOf(_).length)
